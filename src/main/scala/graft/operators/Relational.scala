@@ -1,0 +1,344 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Relational/analytic core — the query surface of the engine.
+  *
+  * Every query here is declarative DataFrame API: Catalyst handles
+  * predicate pushdown, column pruning, join selection; AQE handles
+  * runtime re-planning. Money math casts to DECIMAL(18,2) BEFORE
+  * aggregation so sums are exact (order-independent) and match the
+  * DuckDB oracle bit-for-bit after the final cast back to DOUBLE.
+  *
+  * Scale notes (100 TB): dimension tables (region/nation/supplier/
+  * part/customer) are explicitly broadcast in star joins; fact-fact
+  * joins shuffle on the join key and rely on AQE skew splitting.
+  * Every query ends in a deterministic ORDER BY (the driver hashes
+  * rows in order); top-N queries compile to TakeOrderedAndProject
+  * (no global sort materialization).
+  */
+object Relational {
+
+  /** Exact money arithmetic: double → DECIMAL(18,2). */
+  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Final exact-decimal aggregate → DOUBLE (bit-identical on both engines). */
+  private def dbl(c: Column): Column = c.cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- q1: scan → filter → groupBy agg (TPC-H Q1 shape) ------------------
+    "q1_agg" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dbl(sum(money(col("l_quantity")))).as("sum_qty"),
+          dbl(sum(money(col("l_extendedprice")))).as("sum_base_price"),
+          dbl(sum(money(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount")))))
+            .as("sum_disc_price"),
+          (dbl(sum(money(col("l_quantity")))) / count(col("l_quantity")))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // -- q2: projection + predicate pushdown to the parquet scan -----------
+    "q2_filter_project" -> { (s, dir) =>
+      Tables.load(s, dir, "part")
+        .filter(col("p_size").between(10, 20) && col("p_type").contains("BRASS"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // -- q3: fact⋈fact⋈dim, agg, top-N (TPC-H Q3 shape) --------------------
+    "q3_join_agg" -> { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dbl(sum(money(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount")))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // -- q4: left-semi join (EXISTS) ---------------------------------------
+    "q4_semi_join" -> { (s, dir) =>
+      val late = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      Tables.load(s, dir, "orders")
+        .join(late, col("o_orderkey") === late("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // -- q5: 5-way star join with broadcast dims (TPC-H Q5 shape) ----------
+    "q5_multi_join" -> { (s, dir) =>
+      val region = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = Tables.load(s, dir, "nation")
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Tables.load(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dbl(sum(money(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount")))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // -- q6: selective multi-predicate scan aggregate (TPC-H Q6 shape) -----
+    "q6_selective_filter" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(dbl(sum(money(col("l_extendedprice")) * money(col("l_discount"))))
+          .as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // -- q7: window functions — rank + running sum per partition -----------
+    "q7_window" -> { (s, dir) =>
+      val byCust = Window.partitionBy(col("o_custkey")).orderBy(
+        col("o_orderdate"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("order_rank", row_number().over(byCust))
+        .withColumn("running_spend",
+          dbl(sum(money(col("o_totalprice"))).over(
+            byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+        .filter(col("order_rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("order_rank"),
+          col("running_spend"))
+        .orderBy(col("o_custkey"), col("order_rank"))
+    },
+
+    // -- q8: distinct + exact countDistinct --------------------------------
+    "q8_distinct_agg" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // -- q9: global top-N → TakeOrderedAndProject (no full sort) -----------
+    "q9_sort_limit" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          dbl(money(col("o_totalprice"))).as("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    },
+
+    // -- q10: left-anti join (NOT EXISTS) ----------------------------------
+    "q10_anti_join" -> { (s, dir) =>
+      val ordered = Tables.load(s, dir, "orders").select("o_custkey")
+      Tables.load(s, dir, "customer")
+        .join(ordered, col("c_custkey") === ordered("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // -- q11: union + dedup ------------------------------------------------
+    "q11_union_all" -> { (s, dir) =>
+      val fromOrders = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("custkey"))
+      val fromCust = Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("custkey"))
+      fromOrders.union(fromCust).distinct()
+        .orderBy(col("custkey"))
+    },
+
+    // -- q12: rollup (grouping sets) ---------------------------------------
+    "q12_rollup" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(money(col("o_totalprice")))).as("total"))
+        // grouping keys go null on rollup rows → coalesce for stable order
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    },
+
+    // -- q13: pivot via conditional aggregation ----------------------------
+    "q13_case_pivot" -> { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("clicks"),
+          count(when(col("event_type") === "view", 1)).as("views"),
+          count(when(col("event_type") === "purchase", 1)).as("purchases"),
+          dbl(sum(when(col("event_type") === "purchase",
+            money(col("value"))).otherwise(lit(0).cast(DecimalType(18, 2)))))
+            .as("purchase_value"))
+        .filter(col("purchases") > 0)
+        .orderBy(col("user_id"))
+    },
+
+    // -- q14: timestamp bucketing aggregation ------------------------------
+    "q14_date_agg" -> { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(money(col("value")))).as("total_value"))
+        .orderBy(col("day"), col("event_type"))
+    },
+
+    // -- q15: left outer join + null-aware agg -----------------------------
+    "q15_corr_outer" -> { (s, dir) =>
+      val ord = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          dbl(coalesce(sum(money(col("o_totalprice"))),
+            lit(0).cast(DecimalType(18, 2)))).as("total_spend"))
+        .orderBy(col("c_custkey"))
+    }
+  )
+
+  /** DuckDB-equivalent SQL. Same aliases, same ORDER BY, same
+    * DECIMAL(18,2)-exact money math (see SURVEY.md §6). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT p_partkey, p_name, p_brand, p_size FROM part
+        |WHERE p_size BETWEEN 10 AND 20 AND p_type LIKE '%BRASS%'
+        |ORDER BY p_partkey""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_multi_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_selective_filter" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_window" ->
+      """SELECT o_custkey, o_orderkey, order_rank, running_spend FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER w AS order_rank,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      AS running_spend
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) t WHERE order_rank <= 3
+        |ORDER BY o_custkey, order_rank""".stripMargin,
+    "q8_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q9_sort_limit" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q11_union_all" ->
+      """SELECT DISTINCT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+        |  UNION ALL
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+        |) t ORDER BY custkey""".stripMargin,
+    "q12_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q13_case_pivot" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY user_id
+        |HAVING COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+        |ORDER BY user_id""".stripMargin,
+    "q14_date_agg" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q15_corr_outer" ->
+      """SELECT c_custkey, c_name,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+        |    CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
+
+/** Star-schema loader for the driver-generated TPC-H-ish tables.
+  *
+  * Mirrors the reference's schema-enforced ingest discipline
+  * (reference: src/script/script.py:33-48 reads CSV with an explicit
+  * StructType) — parquet already carries its schema, so here the
+  * discipline is column pruning: callers select only what they need
+  * and Catalyst pushes the projection into the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // Parquet TIMESTAMP(NANOS) is read as LongType under
+    // spark.sql.legacy.parquet.nanosAsLong (Spark has no nanos
+    // timestamp type); surface it as a microsecond TimestampType —
+    // floor-division truncation matches DuckDB's nanos→micros read.
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) if name == "events" =>
+        // `div` = integral division (plain `/` would go through double
+        // and lose precision above 2^53 — epoch-nanos is ~1.7e18).
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+
+  /** Register every table as a temp view so both the DataFrame API and
+    * spark.sql can address them by name. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
