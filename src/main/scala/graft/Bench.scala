@@ -1,18 +1,59 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark harness. For each SparkEntry query: one warmup run (absorbs
+  * JVM/codegen/parquet-footer warmup) then one timed run. Materialization
+  * is a noop-format write — executes the FULL physical plan (sorts and
+  * projections included, unlike `.count()` which lets Catalyst prune them)
+  * without driver-side collection or disk I/O.
+  *
+  * Output: ONE JSON line on stdout (driver contract) and the same JSON at
+  * BENCH.json in the cwd (sbt prefixes stdout lines, which broke the
+  * driver's parse in round 1). Failed queries record an "errors" entry
+  * instead of a bogus timing.
+  */
 object Bench {
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.local()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val spark: SparkSession = GraftSession.local()
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Phase 1 — warmup: run EVERY query once untimed. JVM/JIT warmup is
+    // global, not per-query; a per-query warmup still taxes whichever
+    // queries happen to run first.
+    names.foreach { name =>
+      try materialize(SparkEntry.queries(name)(spark, sfDir))
+      catch { case _: Throwable => () } // failure re-surfaces in phase 2
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Phase 2 — timed.
+    names.foreach { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val t0 = System.nanoTime()
+        materialize(df)
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    val total = timings.values.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${q(sfDir)}}"""
+    println(json)
+    Files.writeString(Paths.get("BENCH.json"), json + "\n")
     spark.stop()
   }
 }

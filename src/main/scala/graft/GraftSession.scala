@@ -21,6 +21,19 @@ object GraftSession {
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // getOrCreate() silently ignores builder configs when a session already
+    // exists in the JVM (e.g. a test created one first). The nanos and
+    // timezone knobs are correctness-critical for the events table, so fail
+    // loudly rather than produce timezone-shifted or unreadable results.
+    val critical = Seq(
+      "spark.sql.session.timeZone" -> "UTC",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    critical.foreach { case (k, v) =>
+      val actual = spark.conf.get(k, "<unset>")
+      require(actual == v,
+        s"pre-existing SparkSession has $k=$actual (need $v); " +
+          "stop it or create sessions via GraftSession")
+    }
     spark
   }
 }

@@ -15,9 +15,11 @@ import graft.sources.Tables
   * aggregation so sums are exact (order-independent) and match the
   * DuckDB oracle bit-for-bit after the final cast back to DOUBLE.
   *
-  * Scale notes (100 TB): dimension tables (region/nation/supplier/
-  * part/customer) are explicitly broadcast in star joins; fact-fact
-  * joins shuffle on the join key and rely on AQE skew splitting.
+  * Scale notes (100 TB): only FIXED-SIZE dimension tables (region,
+  * nation) are explicitly broadcast; customer/supplier/part grow with
+  * the fact tables, so joins on them shuffle on the join key (AQE may
+  * still broadcast at small scale — that is a runtime decision, not a
+  * plan-time promise). Fact-fact joins shuffle with AQE skew splitting.
   * Every query ends in a deterministic ORDER BY (the driver hashes
   * rows in order); top-N queries compile to TakeOrderedAndProject
   * (no global sort materialization).
@@ -48,9 +50,12 @@ object Relational {
     },
 
     // -- q2: projection + predicate pushdown to the parquet scan -----------
+    // Predicate chosen to be selective but NON-empty on the generated data
+    // (p_type ∈ {MEDIUM,STANDARD,LARGE,PROMO,SMALL,ECONOMY}; ~7% of part
+    // survives) so the check verifies pushdown on real rows.
     "q2_filter_project" -> { (s, dir) =>
       Tables.load(s, dir, "part")
-        .filter(col("p_size").between(10, 20) && col("p_type").contains("BRASS"))
+        .filter(col("p_size").between(10, 20) && col("p_type").contains("MEDIUM"))
         .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
         .orderBy(col("p_partkey"))
     },
@@ -66,8 +71,10 @@ object Relational {
       val li = Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
+      // customer is fact-proportional (150k rows/SF) — NOT broadcastable at
+      // the 100 TB target; shuffle join on custkey, AQE picks the strategy.
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(dbl(sum(money(col("l_extendedprice")) *
           (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount")))))
@@ -97,8 +104,10 @@ object Relational {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val li = Tables.load(s, dir, "lineitem")
+      // customer: fact-scale, shuffle join (see q3); nation/region: fixed-size
+      // dims, explicit broadcast is safe at any scale.
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
@@ -156,10 +165,15 @@ object Relational {
     },
 
     // -- q10: left-anti join (NOT EXISTS) ----------------------------------
+    // Anti-join against a filtered right side (customers with no 'F'-status
+    // order) — every customer has SOME order in the generated data, so the
+    // unfiltered variant would pass vacuously on 0 rows.
     "q10_anti_join" -> { (s, dir) =>
-      val ordered = Tables.load(s, dir, "orders").select("o_custkey")
+      val finished = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_custkey")
       Tables.load(s, dir, "customer")
-        .join(ordered, col("c_custkey") === ordered("o_custkey"), "left_anti")
+        .join(finished, col("c_custkey") === finished("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))
     },
@@ -243,7 +257,7 @@ object Relational {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_filter_project" ->
       """SELECT p_partkey, p_name, p_brand, p_size FROM part
-        |WHERE p_size BETWEEN 10 AND 20 AND p_type LIKE '%BRASS%'
+        |WHERE p_size BETWEEN 10 AND 20 AND p_type LIKE '%MEDIUM%'
         |ORDER BY p_partkey""".stripMargin,
     "q3_join_agg" ->
       """SELECT l_orderkey, o_orderdate,
@@ -303,7 +317,8 @@ object Relational {
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
     "q10_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
     "q11_union_all" ->
       """SELECT DISTINCT custkey FROM (

@@ -21,8 +21,11 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     // Parquet TIMESTAMP(NANOS) is read as LongType under
     // spark.sql.legacy.parquet.nanosAsLong (Spark has no nanos
-    // timestamp type); surface it as a microsecond TimestampType —
-    // floor-division truncation matches DuckDB's nanos→micros read.
+    // timestamp type); surface it as a microsecond TimestampType.
+    // `div` truncates toward zero — identical to DuckDB's nanos→micros
+    // conversion for the post-1970 timestamps this dataset carries
+    // (pre-epoch nanos would differ from floor by 1µs on both engines
+    // equally, so the oracle comparison stays aligned either way).
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) if name == "events" =>
         // `div` = integral division (plain `/` would go through double
