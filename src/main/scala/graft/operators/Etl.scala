@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.{Medallion, Monitor}
+import graft.sources.{CsvIngest, Sinks, Tables}
+
+/** The reference's ETL surface expressed as correctness-gated queries
+  * (SURVEY §2A). The cleaning operators run on a deterministically
+  * "dirtied" projection of the customer table so trim / empty→NULL are
+  * exercised on rows that actually need them (the synthetic data is
+  * born clean; without this the checks would be vacuous).
+  */
+object Etl {
+
+  /** Deterministic messy input: codigo + a descricao that is blank for
+    * custkey%10==0, space-padded for custkey%7==0, clean otherwise.
+    * Mirrored verbatim in the oracle SQL's inner SELECT. */
+  private def messyCustomer(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer").select(
+      col("c_custkey").as("codigo"),
+      when(col("c_custkey") % 10 === 0, lit("  "))
+        .when(col("c_custkey") % 7 === 0,
+          concat(lit("  "), col("c_name"), lit("  ")))
+        .otherwise(col("c_name")).as("descricao"),
+      col("c_acctbal"))
+
+  private def cleaned(s: SparkSession, dir: String): DataFrame =
+    Cleaning.referenceClean(messyCustomer(s, dir), "codigo")
+
+  /** Where etl_csv_roundtrip materializes its layers. Parameterized so
+    * the driver/test harness can redirect it; never under /root/testdata. */
+  def roundtripRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft_tmp")
+
+  val trustedSchema: StructType = StructType(Seq(
+    StructField("codigo", LongType),
+    StructField("descricao", StringType),
+    StructField("segmento", StringType)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- trim + empty→NULL + parity segment (script.py:53-61) -------------
+    "etl_clean" -> { (s, dir) =>
+      cleaned(s, dir)
+        .select(col("codigo"), col("descricao"), col("segmento"))
+        .orderBy(col("codigo"))
+    },
+
+    // -- CASE-WHEN segment classification + aggregation -------------------
+    "etl_conditional_agg" -> { (s, dir) =>
+      cleaned(s, dir)
+        .groupBy(col("segmento"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("descricao").isNull, 1L).otherwise(0L))
+            .as("n_null_desc"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+            .as("total_bal"))
+        .orderBy(col("segmento"))
+    },
+
+    // -- per-layer audit counts as ONE distributed aggregation ------------
+    // (reference monitor.py:38-121 loops files driver-side with pandas;
+    // here each table contributes a single agg row, unioned)
+    "etl_monitor_counts" -> { (s, dir) =>
+      Monitor.audit(Seq(
+        (Tables.load(s, dir, "customer"), "customer", "c_custkey", "c_name"),
+        (Tables.load(s, dir, "orders"), "orders", "o_orderkey", "o_orderpriority"),
+        (Tables.load(s, dir, "lineitem"), "lineitem", "l_orderkey", "l_returnflag")))
+    },
+
+    // -- medallion roundtrip: clean → trusted CSV(+BOM) → refined parquet --
+    // Format fidelity is the point (rows-only check): schema-enforced
+    // reads, single-file pipe CSV with header + UTF-8 BOM, snappy parquet.
+    "etl_csv_roundtrip" -> { (s, dir) =>
+      val sfName = dir.replaceAll(".*/", "")
+      val root = s"$roundtripRoot/$sfName"
+      val trustedDir = s"$root/trusted"
+      val refinedDir = s"$root/refined"
+      val df = cleaned(s, dir)
+        .select(col("codigo"), col("descricao"), col("segmento"))
+      Sinks.writeSingleCsv(df, trustedDir)
+      Medallion.trustedToRefined(s, trustedDir, refinedDir, trustedSchema)
+      s.read.parquet(refinedDir).orderBy(col("codigo"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = {
+    val messy =
+      """SELECT c_custkey AS codigo,
+        |  CASE WHEN c_custkey % 10 = 0 THEN '  '
+        |       WHEN c_custkey % 7 = 0 THEN '  ' || c_name || '  '
+        |       ELSE c_name END AS descricao,
+        |  c_acctbal
+        |FROM customer""".stripMargin
+    Map(
+      "etl_clean" ->
+        s"""SELECT codigo, NULLIF(TRIM(descricao), '') AS descricao,
+           |  CASE WHEN codigo % 2 = 1 THEN 'PRIMARIO' ELSE 'SECUNDARIO' END
+           |    AS segmento
+           |FROM ($messy) t ORDER BY codigo""".stripMargin,
+      "etl_conditional_agg" ->
+        s"""SELECT segmento, COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN descricao IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null_desc,
+           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+           |FROM (
+           |  SELECT NULLIF(TRIM(descricao), '') AS descricao,
+           |    CASE WHEN codigo % 2 = 1 THEN 'PRIMARIO' ELSE 'SECUNDARIO' END
+           |      AS segmento,
+           |    c_acctbal
+           |  FROM ($messy) t) u
+           |GROUP BY segmento ORDER BY segmento""".stripMargin,
+      "etl_monitor_counts" ->
+        """SELECT table_name, n_rows, n_keys, n_nulls FROM (
+          |  SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+          |    COUNT(DISTINCT c_custkey) AS n_keys,
+          |    CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_nulls
+          |  FROM customer
+          |  UNION ALL
+          |  SELECT 'orders', COUNT(*), COUNT(DISTINCT o_orderkey),
+          |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+          |      AS BIGINT)
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 'lineitem', COUNT(*), COUNT(DISTINCT l_orderkey),
+          |    CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+          |      AS BIGINT)
+          |  FROM lineitem
+          |) t ORDER BY table_name""".stripMargin
+      // etl_csv_roundtrip: format op — rows-only check by design
+    )
+  }
+}

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import java.io.File
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Writers for the medallion layers.
+  *
+  * - Trusted: single-file pipe-delimited CSV with header plus a UTF-8
+  *   BOM for spreadsheet compatibility (reference: src/script/script.py:
+  *   63-70 coalesce(1) CSV write; src/utils/scraping.py:111-182
+  *   `add_bom_csv` prepends `EF BB BF` unless already present).
+  * - Refined: snappy parquet (reference: src/utils/transform.py:14-70).
+  *
+  * Scale note: `coalesce(1)` funnels the whole dataset through one task
+  * — it is an EXPORT boundary for small, human-facing extracts, never
+  * the distributed path. The refined/parquet writer keeps natural
+  * parallelism and optional hash partitioning.
+  */
+object Sinks {
+
+  val BomUtf8: Array[Byte] = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+
+  /** Single-file CSV export (trusted layer). Returns the part-file path. */
+  def writeSingleCsv(
+      df: DataFrame,
+      dir: String,
+      delimiter: String = "|",
+      header: Boolean = true,
+      withBom: Boolean = true): File = {
+    df.coalesce(1)
+      .write
+      .mode("overwrite")
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(dir)
+    val part = new File(dir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .getOrElse(sys.error(s"no part-*.csv produced under $dir"))
+    if (withBom) addBom(part)
+    part
+  }
+
+  /** Prepend a UTF-8 BOM unless the file already starts with one —
+    * same idempotency check as the reference's add_bom_csv. */
+  def addBom(file: File): Unit = {
+    val bytes = Files.readAllBytes(file.toPath)
+    val hasBom = bytes.length >= 3 &&
+      bytes(0) == BomUtf8(0) && bytes(1) == BomUtf8(1) && bytes(2) == BomUtf8(2)
+    if (!hasBom) {
+      Files.write(file.toPath, BomUtf8 ++ bytes,
+        StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
+      // The out-of-band rewrite invalidates Hadoop LocalFileSystem's
+      // .crc sidecar (the reference's GCS layer has no such sidecar);
+      // drop it so subsequent Spark reads don't fail checksum.
+      Files.deleteIfExists(
+        Paths.get(file.getParent, s".${file.getName}.crc"))
+    }
+  }
+
+  /** Refined layer: snappy parquet, optionally partitioned by columns
+    * (partition pruning at read time is the 100 TB win). */
+  def writeParquet(
+      df: DataFrame,
+      dir: String,
+      partitionBy: Seq[String] = Nil,
+      compression: String = "snappy"): Unit = {
+    val w = df.write.mode("overwrite").option("compression", compression)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
+  }
+}
