@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Etl, Relational}
+import graft.operators.{Dedup, Etl, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Each module contributes (queries, oracleSql) pairs; keys must match
@@ -16,10 +16,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Etl.queries
+    Relational.queries ++ Etl.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ Etl.oracleSql
+    Relational.oracleSql ++ Etl.oracleSql ++ TextAnalysis.oracleSql ++
+      Dedup.oracleSql ++ Similarity.oracleSql
 }

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators (SURVEY §2C) — exact and near-duplicate.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *  - exact: hash-groupBy on xxhash64(text) — map-side partial
+  *    aggregation, only (hash, id) shuffles, never the text.
+  *  - minhash/simhash/embedding: LSH banding — candidate pairs are
+  *    generated ONLY inside (band, bucket) groups, so the shuffle is
+  *    keyed by bucket and the pair fan-out is bounded by bucket sizes.
+  *    No cross join appears in any plan. Pair space is halved by
+  *    requiring doc_a < doc_b.
+  *  - n-gram Jaccard runs as a VERIFY stage on LSH candidates only —
+  *    the exact all-pairs variant is O(n²) and intentionally absent.
+  *
+  * All signatures/hashes derive from xxhash64 with fixed integer seeds:
+  * deterministic across runs, partitions, and cluster sizes.
+  */
+object Dedup {
+
+  // -- shingling ----------------------------------------------------------
+
+  /** Distinct word n-gram shingles ("w1 w2 w3") of a text column. */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val ws = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(n)))))
+  }
+
+  /** Distinct character n-gram shingles of a text column. */
+  def charShingles(text: Column, n: Int = 5): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
+  // -- exact dedup --------------------------------------------------------
+
+  /** Exact dedup: keep the smallest doc_id per content hash. GroupBy on
+    * the 64-bit hash means map-side combine and an (8B, 8B)-row shuffle
+    * regardless of document size. (Hash collisions conflate distinct
+    * texts with probability ~n²/2⁶⁴ — acceptable at any realistic n;
+    * the DuckDB oracle groups by the text itself and agrees unless a
+    * collision actually occurs.) */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(xxhash64(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  // -- MinHash + LSH banding ---------------------------------------------
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** 64-element MinHash signature over the shingle set: sig[i] =
+    * min over shingles of xxhash64(i, shingle). */
+  def minhashSignature(shingles: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(i, s))))
+
+  /** (doc_id, band, bucket-hash) — one row per band per doc. Banding:
+    * docs agreeing on ALL RowsPerBand signature slots of some band land
+    * in the same bucket; with b=16, r=4 the S-curve threshold is
+    * (1/b)^(1/r) ≈ 0.5 Jaccard. */
+  private def banded(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      minhashSignature(wordShingles(col("text"))).as("sig"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("band"),
+        col("sig"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1,
+          lit(RowsPerBand))).as("bucket"))
+
+  /** Candidate pairs (doc_a < doc_b) from any shared LSH bucket. The
+    * join is keyed on (band, bucket) — a plain shuffle join, bounded by
+    * bucket occupancy, never a cross join. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val b = banded(docs)
+    val left = b.toDF("doc_a", "band", "bucket")
+    val right = b.toDF("doc_b", "band_r", "bucket_r")
+    left.join(right,
+      left("band") === right("band_r") &&
+        left("bucket") === right("bucket_r") &&
+        left("doc_a") < right("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Verified near-dup pairs: LSH candidates with exact word-shingle
+    * Jaccard >= threshold. */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      wordShingles(col("text")).as("shingles"))
+    val sa = sh.toDF("id_a", "sh_a")
+    val sb = sh.toDF("id_b", "sh_b")
+    minhashCandidates(docs)
+      .join(sa, col("doc_a") === col("id_a"))
+      .join(sb, col("doc_b") === col("id_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b")))
+          / size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // -- SimHash ------------------------------------------------------------
+
+  val SimHashChunks = 4 // 4 × 16-bit chunks; hamming<=3 ⇒ some chunk equal
+
+  /** 64-bit SimHash over whitespace tokens (occurrence weight 1):
+    * bit i is set iff the sum over tokens of ±1 (sign of bit i of the
+    * token hash) is positive. Nested HOF aggregates — per-row compute,
+    * no shuffle. */
+  def simHash64(textCol: String): Column =
+    expr(
+      s"""aggregate(
+         |  sequence(0, 63), 0L,
+         |  (acc, i) -> acc + IF(
+         |    aggregate(split($textCol, ' '), 0L,
+         |      (a, t) -> a + IF((shiftright(xxhash64(t), i) & 1) = 1, 1L, -1L)
+         |    ) > 0, shiftleft(1L, i), 0L))""".stripMargin)
+
+  /** Near-dup pairs by SimHash hamming distance <= maxDist, bucketed by
+    * 16-bit chunks (pigeonhole: distance<=3 guarantees at least one of
+    * the 4 chunks is identical, so bucket-join recall is exact). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val hashed = docs.select(col("doc_id"), simHash64("text").as("simhash"))
+    val chunked = hashed.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(SimHashChunks - 1))).as("chunk"))
+      .select(col("doc_id"), col("simhash"), col("chunk"),
+        expr("(simhash >> (16 * chunk)) & 65535").as("chunk_val"))
+    val left = chunked.toDF("doc_a", "sim_a", "chunk", "val")
+    val right = chunked.toDF("doc_b", "sim_b", "chunk_r", "val_r")
+    left.join(right,
+      left("chunk") === right("chunk_r") && left("val") === right("val_r") &&
+        left("doc_a") < right("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // -- char n-gram Jaccard (verify stage) ---------------------------------
+
+  /** Character-5-gram Jaccard computed ONLY on MinHash-LSH candidate
+    * pairs (never all-pairs). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col("doc_id"), charShingles(col("text")).as("grams"))
+    val sa = sh.toDF("id_a", "g_a")
+    val sb = sh.toDF("id_b", "g_b")
+    minhashCandidates(docs)
+      .join(sa, col("doc_a") === col("id_a"))
+      .join(sb, col("doc_b") === col("id_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("g_a"), col("g_b")))
+          / size(array_union(col("g_a"), col("g_b")))).as("jaccard5"))
+      .filter(col("jaccard5") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) => exact(Tables.load(s, dir, "documents"))),
+    "dedup_minhash" -> ((s, dir) => minhashPairs(Tables.load(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) => simhashPairs(Tables.load(s, dir, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      ngramJaccardPairs(Tables.load(s, dir, "documents"))))
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+    // near-dup ops are rows-only: deterministic fixed-seed LSH output
+  )
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Embedding similarity operators (SURVEY §2C): near-dup detection via
+  * random-hyperplane LSH, brute-force cosine kNN, and IVF-bucketed
+  * approximate kNN.
+  *
+  * Scale design:
+  *  - dedup_embedding: candidates come ONLY from shared (band, bucket)
+  *    keys — shuffle is keyed by bucket; no all-pairs cosine anywhere.
+  *  - knn_brute: broadcasts the (small) QUERY set and streams the big
+  *    side once. Documented non-scaling path for the query-set axis —
+  *    correctness baseline for the IVF variant.
+  *  - knn_ivf: k-means-lite cell assignment (fixed deterministic seed
+  *    vectors as centroids, one assignment pass), candidates shuffle by
+  *    cell; probing nprobe cells bounds work per query by cell size.
+  *
+  * Hyperplanes are generated from a fixed seed at plan build time and
+  * enter the plan as literals — deterministic across runs and cluster
+  * layouts, no driver-side data movement.
+  */
+object Similarity {
+
+  val Dim = 64
+  val EmbBands = 12
+  val BitsPerBand = 4
+
+  /** Fixed-seed Gaussian hyperplanes (EmbBands*BitsPerBand × Dim). */
+  lazy val hyperplanes: IndexedSeq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    IndexedSeq.fill(EmbBands * BitsPerBand)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** embedding float[] → double[] for exact arithmetic. */
+  private def embD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** 48-bit hyperplane sign vector as an array<int> column. */
+  private def signBits(emb: Column): Column =
+    array(hyperplanes.map(p =>
+      when(dot(emb, typedlit(p)) > 0, lit(1)).otherwise(lit(0))): _*)
+
+  /** (vec_id, band, bucket): bucket = the band's BitsPerBand sign bits
+    * packed into an int. */
+  private def lshBanded(vecs: DataFrame): DataFrame = {
+    val bits = vecs.select(col("vec_id"), signBits(embD(col("embedding"))).as("bits"))
+    val bucket = (0 until BitsPerBand).map { k =>
+      element_at(col("bits"), col("band") * BitsPerBand + k + 1) * (1 << k)
+    }.reduce(_ + _)
+    bits.select(col("vec_id"),
+      explode(sequence(lit(0), lit(EmbBands - 1))).as("band"), col("bits"))
+      .select(col("vec_id"), col("band"), bucket.as("bucket"))
+  }
+
+  /** Near-dup pairs: hyperplane-LSH candidates verified by exact cosine
+    * >= threshold. */
+  def embeddingPairs(vecs: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val banded = lshBanded(vecs)
+    val left = banded.toDF("id_a", "band", "bucket")
+    val right = banded.toDF("id_b", "band_r", "bucket_r")
+    val cands = left.join(right,
+      left("band") === right("band_r") && left("bucket") === right("bucket_r") &&
+        left("id_a") < right("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val embs = vecs.select(col("vec_id"), embD(col("embedding")).as("e"))
+    val ea = embs.toDF("va", "e_a")
+    val eb = embs.toDF("vb", "e_b")
+    cands.join(ea, col("id_a") === col("va"))
+      .join(eb, col("id_b") === col("vb"))
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+        cosine(col("e_a"), col("e_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Brute-force cosine top-k: broadcast the small query set, one pass
+    * over the corpus, per-query top-k via window. Ties break on
+    * neighbor id for determinism. */
+  def knnBrute(vecs: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = vecs.select(col("vec_id"), embD(col("embedding")).as("e"),
+      l2norm(embD(col("embedding"))).as("nrm"))
+    val queries = corpus.filter(queryPred)
+      .toDF("query_id", "q_e", "q_nrm")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("e"), col("q_e")) / (col("nrm") * col("q_nrm"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF approximate top-k: assign every vector to its nearest seed
+    * centroid (broadcast — centroid count ≪ corpus), probe the nprobe
+    * nearest cells per query, exact cosine only within probed cells. */
+  def knnIvf(vecs: DataFrame, queryPred: Column, k: Int = 5,
+      nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = vecs.select(col("vec_id"), embD(col("embedding")).as("e"),
+      l2norm(embD(col("embedding"))).as("nrm"))
+    // k-means-lite: every 50th vector is a centroid (deterministic)
+    val centroids = corpus.filter(col("vec_id") % 50 === 0)
+      .toDF("c_id", "c_e", "c_nrm")
+    def nearestCells(df: DataFrame, idCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("c_sim").desc, col("c_id"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("c_sim",
+          dot(col("e"), col("c_e")) / (col("nrm") * col("c_nrm")))
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= n)
+        .drop("c_e", "c_nrm", "c_sim", "c_rank")
+    }
+    val assigned = nearestCells(corpus, "vec_id", 1)
+      .toDF("neighbor_id", "n_e", "n_nrm", "cell")
+    val probes = nearestCells(corpus.filter(queryPred), "vec_id", nprobe)
+      .toDF("query_id", "q_e", "q_nrm", "cell")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probes.join(assigned, "cell") // shuffle keyed by cell
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("n_e"), col("q_e")) / (col("n_nrm") * col("q_nrm")))
+          .as("cos_sim"))
+      .distinct() // a neighbor can appear via several probed cells
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embedding" -> ((s, dir) =>
+      embeddingPairs(Tables.load(s, dir, "embeddings"))),
+    "knn_brute" -> ((s, dir) =>
+      knnBrute(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)),
+    "knn_ivf" -> ((s, dir) =>
+      knnIvf(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)))
+
+  /** All three are rows-only checks (fixed-seed deterministic output). */
+  def oracleSql: Map[String, String] = Map.empty
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY §2C):
+  * quality scoring, token counting, language ID, rolling-hash
+  * fingerprints — all per-row projections of built-in / higher-order
+  * expressions. No UDFs, no shuffle: the operators scale linearly with
+  * input splits and stay inside the JVM expression engine.
+  */
+object TextAnalysis {
+
+  /** Whitespace word array (single-space separated corpus). */
+  private def words(c: Column): Column = split(c, " ")
+
+  /** BPE-ish token pattern: letter runs | digit runs | single
+    * non-alphanumeric marks. */
+  val TokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Stopword markers per language for the n-gram-heuristic language
+    * ID. Tiny fixed sets — the heuristic's job is a deterministic,
+    * cheap first-pass routing signal, not NLP-grade ID. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "es" -> Seq("el", "los", "las", "y"))
+
+  /** Quality scores: length, word count, stopword ratio, alpha ratio,
+    * punctuation ratio. Ratios are int/int divisions so both engines
+    * produce bit-identical doubles. */
+  def quality(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(words(col("text"))).cast("long").as("n_words"),
+      (size(filter(words(col("text")), w => w.isin("the", "a")))
+        / size(words(col("text")))).as("stopword_ratio"),
+      (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+        / length(col("text"))).as("alpha_ratio"),
+      (length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+        / length(col("text"))).as("punct_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Token counts: whitespace tokens and BPE-ish regex tokens. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0)))
+        .cast("long").as("n_re_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Language ID: score = marker-stopword hits per language; predict
+    * the argmax, 'und' when no marker hits. Ties break in LangMarkers
+    * order (en first) — deterministic. */
+  def langId(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(w, x => x.isin(markers.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // when-chain in LangMarkers order → earlier languages win ties
+    val predFirstWins = scores.reverse.foldLeft(lit("und"): Column) {
+      case (acc, (lang, s)) => when(s === best && best > 0, lang).otherwise(acc)
+    }
+    docs.select(
+      col("doc_id"),
+      predFirstWins.as("lang_pred"),
+      best.cast("long").as("score"),
+      col("lang").as("lang_label"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rabin-Karp-style document fingerprint with winnowing: hash every
+    * k-char gram, take the min hash per sliding window of w grams, keep
+    * the distinct sorted set. Robust to small local edits; the sorted
+    * distinct set is deterministic and order-independent.
+    */
+  def fingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    // hash of every k-char gram at positions 1..len-k+1
+    val gramHashes = transform(
+      sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
+      i => xxhash64(col("text").substr(i, lit(k))))
+    val winnowed = transform(
+      sequence(lit(1),
+        greatest(size(gramHashes) - (w - 1), lit(1))),
+      j => array_min(slice(gramHashes, j, lit(w))))
+    docs.select(
+      col("doc_id"),
+      array_sort(array_distinct(winnowed)).as("fingerprint"))
+      .withColumn("fp_size", size(col("fingerprint")).cast("long"))
+      .withColumn("fp_min", array_min(col("fingerprint")))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> ((s, dir) => quality(Tables.load(s, dir, "documents"))),
+    "text_tokens" -> ((s, dir) => tokens(Tables.load(s, dir, "documents"))),
+    "text_langid" -> ((s, dir) => langId(Tables.load(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) =>
+      fingerprint(Tables.load(s, dir, "documents"))))
+
+  def oracleSql: Map[String, String] = Map(
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+        |  LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+        |    w -> w IN ('the', 'a'))) / LEN(STRING_SPLIT(text, ' '))
+        |    AS stopword_ratio,
+        |  LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) / LENGTH(text)
+        |    AS alpha_ratio,
+        |  LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\s]', '', 'g')) / LENGTH(text)
+        |    AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+        |    AS BIGINT) AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // text_langid / text_fingerprint: deterministic rows-only ops
+  )
+}
