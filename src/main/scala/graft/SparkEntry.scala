@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Etl, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Etl, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Each module contributes (queries, oracleSql) pairs; keys must match
@@ -17,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Etl.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Etl.oracleSql ++ TextAnalysis.oracleSql ++
-      Dedup.oracleSql ++ Similarity.oracleSql
+      Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
+      Streaming.oracleSql
 }

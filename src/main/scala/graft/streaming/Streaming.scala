@@ -1,0 +1,169 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Event-stream operators (SURVEY §2D).
+  *
+  * Each operator has two faces with identical semantics:
+  *  - a BATCH face (used by the correctness gate — SQL-oracled against
+  *    DuckDB on the same events table), and
+  *  - a STREAMING face (Structured Streaming with watermarks /
+  *    flatMapGroupsWithState), exercised by the test suite against the
+  *    batch face's results.
+  *
+  * Scale notes: the windowed agg is a single shuffle keyed by
+  * (window, event_type) with map-side partial aggregation; watermarking
+  * bounds state. Sessionization shuffles once on user_id; state per
+  * active user is O(1) (running session bounds only).
+  */
+object Streaming {
+
+  val SessionGapMinutes = 30
+  private val gapUs: Long = SessionGapMinutes * 60L * 1000000L
+
+  // -- batch faces (correctness-gated) ------------------------------------
+
+  /** Tumbling 1-hour windows per event type. */
+  def batchWindowAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Gap-based sessionization, batch face: a new session starts when
+    * the gap to the previous event of the same user exceeds
+    * SessionGapMinutes. */
+  def batchSessionize(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  // -- streaming faces ----------------------------------------------------
+
+  /** The events table's on-disk schema (ts is TIMESTAMP(NANOS), read as
+    * long under nanosAsLong — converted to micros like Tables.load). */
+  val eventsPhysicalSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** events parquet dir as a stream (one-file-per-microbatch listing;
+    * schema enforced, nanos→micros conversion applied). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsPhysicalSchema)
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked tumbling-window agg — the streaming face of
+    * batchWindowAgg. Append mode emits each window once its watermark
+    * passes. */
+  def streamingWindowAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  // state carried per user between micro-batches: open session bounds
+  case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+  case class EventIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+
+  /** Streaming gap sessionization via flatMapGroupsWithState: emits a
+    * session when the gap closes it; processing-time timeout flushes
+    * dangling sessions. Semantics match batchSessionize for in-order
+    * input. */
+  def sessionizeStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("event_id"), col("ts"), col("user_id"))
+      .as[EventIn]
+      .groupByKey(_.user_id)
+    typed.flatMapGroupsWithState[SessionState, SessionOut](
+      OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+      (userId: Long, rows: Iterator[EventIn], state: GroupState[SessionState]) =>
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(s => SessionOut(userId,
+            new java.sql.Timestamp(s.startUs / 1000),
+            new java.sql.Timestamp(s.lastUs / 1000), s.nEvents)).toSeq
+          state.remove()
+          out.iterator
+        } else {
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = Seq.newBuilder[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000
+            cur match {
+              case Some(s) if us - s.lastUs <= gapUs =>
+                cur = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1))
+              case Some(s) =>
+                closed += SessionOut(userId,
+                  new java.sql.Timestamp(s.startUs / 1000),
+                  new java.sql.Timestamp(s.lastUs / 1000), s.nEvents)
+                cur = Some(SessionState(us, us, 1))
+              case None =>
+                cur = Some(SessionState(us, us, 1))
+            }
+          }
+          cur.foreach(state.update)
+          state.setTimeoutDuration(s"$SessionGapMinutes minutes")
+          closed.result().iterator
+        }
+    }.toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> ((s, dir) =>
+      batchWindowAgg(Tables.load(s, dir, "events"))),
+    "stream_sessionize" -> ((s, dir) =>
+      batchSessionize(Tables.load(s, dir, "events"))))
+
+  def oracleSql: Map[String, String] = Map(
+    "stream_window_agg" ->
+      """SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream_sessionize" ->
+      """SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |        THEN 1 ELSE 0 END AS new_sess
+        |    FROM events) t) u
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+}
