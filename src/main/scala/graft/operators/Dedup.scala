@@ -69,10 +69,14 @@ object Dedup {
   /** (doc_id, band, bucket-hash) — one row per band per doc. Banding:
     * docs agreeing on ALL RowsPerBand signature slots of some band land
     * in the same bucket; with b=16, r=4 the S-curve threshold is
-    * (1/b)^(1/r) ≈ 0.5 Jaccard. */
+    * (1/b)^(1/r) ≈ 0.5 Jaccard.
+    *
+    * The shingle array is materialized as a COLUMN before the signature
+    * transform — an expression argument would be re-evaluated once per
+    * hash function (64× shingling per row). */
   private def banded(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      minhashSignature(wordShingles(col("text"))).as("sig"))
+    docs.select(col("doc_id"), wordShingles(col("text")).as("sh"))
+      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
       .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("band"),
         col("sig"))
       .select(col("doc_id"), col("band"),
@@ -115,16 +119,18 @@ object Dedup {
 
   val SimHashChunks = 4 // 4 × 16-bit chunks; hamming<=3 ⇒ some chunk equal
 
-  /** 64-bit SimHash over whitespace tokens (occurrence weight 1):
-    * bit i is set iff the sum over tokens of ±1 (sign of bit i of the
-    * token hash) is positive. Nested HOF aggregates — per-row compute,
+  /** 64-bit SimHash over a MATERIALIZED token-array column (occurrence
+    * weight 1): bit i is set iff the sum over tokens of ±1 (sign of bit
+    * i of the token hash) is positive. Takes a column NAME holding
+    * array<string> — callers must materialize the tokenization first,
+    * or the nested aggregate re-tokenizes 64× per row. Per-row compute,
     * no shuffle. */
-  def simHash64(textCol: String): Column =
+  def simHash64(tokensCol: String): Column =
     expr(
       s"""aggregate(
          |  sequence(0, 63), 0L,
          |  (acc, i) -> acc + IF(
-         |    aggregate(split($textCol, ' '), 0L,
+         |    aggregate($tokensCol, 0L,
          |      (a, t) -> a + IF((shiftright(xxhash64(t), i) & 1) = 1, 1L, -1L)
          |    ) > 0, shiftleft(1L, i), 0L))""".stripMargin)
 
@@ -132,7 +138,9 @@ object Dedup {
     * 16-bit chunks (pigeonhole: distance<=3 guarantees at least one of
     * the 4 chunks is identical, so bucket-join recall is exact). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val hashed = docs.select(col("doc_id"), simHash64("text").as("simhash"))
+    val hashed = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), simHash64("toks").as("simhash"))
     val chunked = hashed.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(SimHashChunks - 1))).as("chunk"))
       .select(col("doc_id"), col("simhash"), col("chunk"),

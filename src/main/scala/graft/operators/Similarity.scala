@@ -53,7 +53,10 @@ object Similarity {
   /** (vec_id, band, bucket): bucket = the band's BitsPerBand sign bits
     * packed into an int. */
   private def lshBanded(vecs: DataFrame): DataFrame = {
-    val bits = vecs.select(col("vec_id"), signBits(embD(col("embedding"))).as("bits"))
+    // materialize the double-cast embedding once — signBits evaluates
+    // its argument expression once per hyperplane (48×) otherwise
+    val bits = vecs.select(col("vec_id"), embD(col("embedding")).as("e"))
+      .select(col("vec_id"), signBits(col("e")).as("bits"))
     val bucket = (0 until BitsPerBand).map { k =>
       element_at(col("bits"), col("band") * BitsPerBand + k + 1) * (1 << k)
     }.reduce(_ + _)

@@ -81,17 +81,22 @@ object TextAnalysis {
     * distinct set is deterministic and order-independent.
     */
   def fingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
-    // hash of every k-char gram at positions 1..len-k+1
+    // IMPORTANT: gram hashes are materialized as a COLUMN before the
+    // winnowing transform consumes them. Spark re-evaluates expression
+    // arguments of higher-order lambdas per element — passing the
+    // hash-array EXPRESSION into the window transform would recompute
+    // all n gram hashes for each of the n windows (O(n²) per row).
     val gramHashes = transform(
       sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
       i => xxhash64(col("text").substr(i, lit(k))))
-    val winnowed = transform(
-      sequence(lit(1),
-        greatest(size(gramHashes) - (w - 1), lit(1))),
-      j => array_min(slice(gramHashes, j, lit(w))))
-    docs.select(
-      col("doc_id"),
-      array_sort(array_distinct(winnowed)).as("fingerprint"))
+    docs.select(col("doc_id"), gramHashes.as("gram_hashes"))
+      .select(
+        col("doc_id"),
+        array_sort(array_distinct(transform(
+          sequence(lit(1),
+            greatest(size(col("gram_hashes")) - (w - 1), lit(1))),
+          j => array_min(slice(col("gram_hashes"), j, lit(w))))))
+          .as("fingerprint"))
       .withColumn("fp_size", size(col("fingerprint")).cast("long"))
       .withColumn("fp_min", array_min(col("fingerprint")))
       .orderBy(col("doc_id"))

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def textsDF(ts: (Long, String)*) =
+    ts.toSeq.toDF("doc_id", "text")
+
+  test("exact dedup keeps the min id and counts copies") {
+    val df = textsDF(1L -> "aa bb cc", 5L -> "aa bb cc", 3L -> "zz yy",
+      9L -> "aa bb cc")
+    val got = Dedup.exact(df).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 3L), (3L, 1L)))
+  }
+
+  test("minhash signature agreement approximates true Jaccard") {
+    // two 60-word texts sharing the first 40 words → word-3-gram
+    // shingle Jaccard ≈ (38 shared) / (58+58-38)
+    val common = (1 to 40).map(i => s"w$i").mkString(" ")
+    val a = common + " " + (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = common + " " + (1 to 20).map(i => s"b$i").mkString(" ")
+    val df = textsDF(1L -> a, 2L -> b)
+      .select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.wordShingles(col("text"))).as("sig"))
+    val sigs = df.orderBy("doc_id").collect()
+      .map(_.getSeq[Long](1).toIndexedSeq)
+    val agree = sigs(0).zip(sigs(1)).count { case (x, y) => x == y }
+    val estimate = agree.toDouble / Dedup.NumHashes
+    val shA = a.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val shB = b.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val trueJ = (shA & shB).size.toDouble / (shA | shB).size
+    assert(math.abs(estimate - trueJ) < 0.2,
+      s"minhash estimate $estimate vs true Jaccard $trueJ")
+  }
+
+  test("simhash: identical texts collide, disjoint texts are distant") {
+    val df = textsDF(
+      1L -> "spark scales out with partitions and shuffles",
+      2L -> "spark scales out with partitions and shuffles",
+      3L -> "entirely different words about cooking pasta tonight")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), Dedup.simHash64("toks").as("h"))
+    val h = df.orderBy("doc_id").collect().map(_.getLong(1))
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(h(0), h(1)) == 0)
+    assert(hamming(h(0), h(2)) > 10)
+  }
+
+  test("minhash LSH finds the planted near-dup pairs, ordered a<b") {
+    val pairs = Dedup.minhashPairs(
+      graft.sources.Tables.load(spark, sf, "documents")).collect()
+    assert(pairs.nonEmpty, "no near-dup pairs found at sf0.001")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.8)
+    }
+  }
+
+  test("simhash pairs respect the hamming bound and ordering") {
+    val pairs = Dedup.simhashPairs(
+      graft.sources.Tables.load(spark, sf, "documents")).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) <= 3)
+    }
+  }
+
+  test("no dedup plan contains a cartesian product") {
+    Seq("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+      "dedup_embedding").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q plan contains a cartesian product")
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends GraftSpec {
+
+  private lazy val vecs = Tables.load(spark, sf, "embeddings")
+
+  test("brute-force kNN matches an independently computed top-1") {
+    val rows = vecs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q = rows(0L)
+    val expectedTop = rows.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cos(q, v) }
+      .maxBy { case (id, c) => (c, -id.toDouble) }
+    val got = Similarity.knnBrute(vecs, col("vec_id") === 0)
+      .filter(col("rank") === 1).collect().head
+    assert(got.getLong(1) == expectedTop._1)
+    assert(math.abs(got.getDouble(2) - expectedTop._2) < 1e-9)
+  }
+
+  test("IVF kNN achieves decent recall vs brute force") {
+    val brute = Similarity.knnBrute(vecs, col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-random embeddings give IVF little cluster structure to
+    // exploit; recall should still climb with the probe count
+    val ivf2 = Similarity.knnIvf(vecs, col("vec_id") < 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf5 = Similarity.knnIvf(vecs, col("vec_id") < 10, nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall2 = (brute & ivf2).size.toDouble / brute.size
+    val recall5 = (brute & ivf5).size.toDouble / brute.size
+    assert(recall2 >= 0.2, s"IVF nprobe=2 recall $recall2 too low")
+    assert(recall5 >= recall2, "recall must not drop with more probes")
+    assert(recall5 >= 0.5, s"IVF nprobe=5 recall $recall5 too low")
+  }
+
+  test("embedding near-dup pairs are verified, thresholded and ordered") {
+    val pairs = Similarity.embeddingPairs(vecs, threshold = 0.35).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.35)
+    }
+  }
+}

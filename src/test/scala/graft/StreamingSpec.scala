@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.Tables
+import graft.streaming.Streaming
+
+/** Streaming faces must agree with their oracle-gated batch faces. */
+class StreamingSpec extends GraftSpec {
+
+  test("streaming window agg equals the batch face (complete mode)") {
+    val stream = Streaming.eventsStream(spark, sf)
+    val q = Streaming.streamingWindowAgg(stream).writeStream
+      .format("memory").queryName("win_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("win_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = Streaming.batchWindowAgg(Tables.load(spark, sf, "events"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want)
+  }
+
+  test("streaming sessionization emits closed sessions matching batch") {
+    val stream = Streaming.eventsStream(spark, sf)
+    val q = Streaming.sessionizeStream(spark, stream).writeStream
+      .format("memory").queryName("sess_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    // batch columns: user_id, session_id, n_events, session_start, session_end
+    val batch = Streaming.batchSessionize(Tables.load(spark, sf, "events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3), r.getTimestamp(4),
+        r.getLong(2))).toSet
+    // the stream's per-user FINAL session stays open (no timeout fires
+    // under AvailableNow) — everything emitted must be a batch session
+    assert(got.nonEmpty, "stream emitted no sessions")
+    assert(got.subsetOf(batch),
+      s"stream emitted sessions absent from batch: ${(got -- batch).take(3)}")
+    val users = Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(got.size >= batch.size - users)
+  }
+}

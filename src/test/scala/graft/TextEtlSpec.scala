@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Cleaning, TextAnalysis}
+import graft.sources.Sinks
+
+class TextEtlSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("quality scores: exact values on a crafted doc") {
+    val df = Seq((1L, "the cat sat!")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(df).collect().head
+    assert(r.getLong(1) == 12) // n_chars
+    assert(r.getLong(2) == 3)  // n_words
+    assert(r.getDouble(3) == 1.0 / 3) // stopword: 'the'
+    assert(r.getDouble(4) == 9.0 / 12) // alpha: thecatsat
+    assert(r.getDouble(5) == 1.0 / 12) // punct: '!'
+  }
+
+  test("token counts: regex tokenizer splits punctuation") {
+    val df = Seq((1L, "ab2c, d!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokens(df).collect().head
+    assert(r.getLong(1) == 2) // whitespace: [ab2c,] [d!]
+    assert(r.getLong(2) == 6) // ab | 2 | c | , | d | !
+  }
+
+  test("language id picks the marker language, und when none") {
+    val df = Seq(
+      (1L, "der hund und die katze", "x"),
+      (2L, "le chat et la souris", "x"),
+      (3L, "qqq www eee", "x")).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langId(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "de")
+    assert(got(2L) == "fr")
+    assert(got(3L) == "und")
+  }
+
+  test("cleaning: trim, empty→NULL, parity segment") {
+    val df = Seq((1L, "  x  "), (2L, "   "), (3L, "y"))
+      .toDF("codigo", "descricao")
+    val got = Cleaning.referenceClean(df, "codigo")
+      .orderBy("codigo").collect()
+    assert(got(0).getString(1) == "x")
+    assert(got(0).getString(2) == "PRIMARIO")
+    assert(got(1).isNullAt(1)) // whitespace-only → trimmed → NULL
+    assert(got(1).getString(2) == "SECUNDARIO")
+    assert(got(2).getString(1) == "y")
+  }
+
+  test("single-file CSV sink writes a BOM exactly once") {
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "bomtest")
+      .toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val part = Sinks.writeSingleCsv(df, s"$dir/csv")
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    assert(bytes.take(3).sameElements(Sinks.BomUtf8))
+    Sinks.addBom(part) // idempotent: must not double-prepend
+    val again = java.nio.file.Files.readAllBytes(part.toPath)
+    assert(again.length == bytes.length)
+    // readable by Spark after the out-of-band rewrite (crc dropped)
+    assert(spark.read.option("header", "true").option("delimiter", "|")
+      .csv(s"$dir/csv").count() == 2)
+  }
+}
