@@ -16,6 +16,9 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read as long and convert in Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native graft expressions (dot_product, cosine_sim) — see
+      // graft.functions.GraftExtensions
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {

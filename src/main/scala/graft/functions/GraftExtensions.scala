@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point: registers graft's native Catalyst
+  * expressions with the session's function registry, so they are
+  * callable from SQL and via functions.call_function from the
+  * DataFrame API. Activated by
+  * `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (GraftSession sets this). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "4.0.0", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product",
+        "dot_product(a, b) - dot product of two array<double> vectors"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two array<double> vectors"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+  }
+}

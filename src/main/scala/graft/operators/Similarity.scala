@@ -38,12 +38,15 @@ object Similarity {
   /** embedding float[] → double[] for exact arithmetic. */
   private def embD(c: Column): Column = transform(c, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Native codegen'd dot product (graft.functions.DotProduct) — a
+    * fused primitive loop instead of zip_with+aggregate lambda
+    * interpretation; registered by GraftExtensions. */
+  def dot(a: Column, b: Column): Column = call_function("dot_product", a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Native single-pass cosine (graft.functions.CosineSimilarity). */
+  def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   /** 48-bit hyperplane sign vector as an array<int> column. */
   private def signBits(emb: Column): Column =
