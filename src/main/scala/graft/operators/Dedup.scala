@@ -25,13 +25,16 @@ object Dedup {
 
   // -- shingling ----------------------------------------------------------
 
-  /** Distinct word n-gram shingles ("w1 w2 w3") of a text column. */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val ws = split(text, " ")
+  /** Distinct word n-gram shingles ("w1 w2 w3") over a MATERIALIZED
+    * token-array column. Takes a column REFERENCE, not the split
+    * expression: `slice` inside the lambda re-evaluates its collection
+    * argument per position, so an inline `split(text)` would re-split
+    * the text once per shingle (O(words²) per row — observed as a
+    * 358 s single task at sf0.1 before this was fixed). */
+  def wordShingles(tokens: Column, n: Int = 3): Column =
     array_distinct(transform(
-      sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(ws, i, lit(n)))))
-  }
+      sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(tokens, i, lit(n)))))
 
   /** Distinct character n-gram shingles of a text column. */
   def charShingles(text: Column, n: Int = 5): Column =
@@ -75,7 +78,8 @@ object Dedup {
     * transform — an expression argument would be re-evaluated once per
     * hash function (64× shingling per row). */
   private def banded(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), wordShingles(col("text")).as("sh"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), wordShingles(col("toks")).as("sh"))
       .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
       .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("band"),
         col("sig"))
@@ -101,8 +105,9 @@ object Dedup {
   /** Verified near-dup pairs: LSH candidates with exact word-shingle
     * Jaccard >= threshold. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      wordShingles(col("text")).as("shingles"))
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), wordShingles(col("toks")).as("shingles"))
     val sa = sh.toDF("id_a", "sh_a")
     val sb = sh.toDF("id_b", "sh_b")
     minhashCandidates(docs)

@@ -23,8 +23,9 @@ class DedupSpec extends GraftSpec {
     val a = common + " " + (1 to 20).map(i => s"a$i").mkString(" ")
     val b = common + " " + (1 to 20).map(i => s"b$i").mkString(" ")
     val df = textsDF(1L -> a, 2L -> b)
-      .select(col("doc_id"),
-        Dedup.minhashSignature(Dedup.wordShingles(col("text"))).as("sig"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), Dedup.wordShingles(col("toks")).as("sh"))
+      .select(col("doc_id"), Dedup.minhashSignature(col("sh")).as("sig"))
     val sigs = df.orderBy("doc_id").collect()
       .map(_.getSeq[Long](1).toIndexedSeq)
     val agree = sigs(0).zip(sigs(1)).count { case (x, y) => x == y }
