@@ -27,5 +27,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cosine_sim",
         "cosine_sim(a, b) - cosine similarity of two array<double> vectors"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(shingles) - 64-element MinHash signature of array<string>"),
+      (children: Seq[Expression]) => MinHashSignature(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64",
+        "simhash64(tokens) - 64-bit SimHash of array<string>"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
   }
 }

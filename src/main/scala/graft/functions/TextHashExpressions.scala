@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit string hash used by the sketch expressions: FNV-1a over the
+  * UTF-8 bytes followed by a murmur3-style finalizer for avalanche.
+  * Any well-mixed 64-bit family works for MinHash/SimHash; this one is
+  * dependency-free and identical on every JVM. */
+private[functions] object Hash64 {
+  def hash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    // fmix64
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+}
+
+private[functions] trait StringArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.catalogString}")
+  }
+}
+
+/** Native MinHash signature over a shingle set (SURVEY §4's
+  * MinHashSignature). One strong hash per shingle + NumHashes affine
+  * permutations (a·h + b, odd a): ~n·64 multiply-adds per row in a
+  * primitive loop, vs the HOF formulation's 64 interpreted array
+  * traversals re-hashing every shingle (observed 15 s for 5000 docs
+  * single-task; this runs the same input in tens of ms). */
+case class MinHashSignature(child: Expression)
+    extends UnaryExpression with StringArrayInput {
+
+  import MinHashSignature._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "minhash_sig"
+
+  def compute(input: ArrayData): ArrayData = {
+    val out = Array.fill(NumHashes)(Long.MaxValue)
+    val n = input.numElements()
+    var j = 0
+    while (j < n) {
+      val h = Hash64.hash(input.getUTF8String(j))
+      var i = 0
+      while (i < NumHashes) {
+        val v = A(i) * h + B(i)
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  val NumHashes = 64
+  // fixed-seed affine permutation constants (odd multipliers)
+  private val rnd = new scala.util.Random(0x5EED5EED)
+  val A: Array[Long] = Array.fill(NumHashes)(rnd.nextLong() | 1L)
+  val B: Array[Long] = Array.fill(NumHashes)(rnd.nextLong())
+}
+
+/** Native 64-bit SimHash over a token array (SURVEY §4's SimHash64):
+  * hash each token once, accumulate ±1 per bit, sign → bit. ~n·64
+  * primitive ops per row vs the doubly-nested interpreted aggregate
+  * (which also re-hashed every token per bit). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with StringArrayInput {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash64"
+
+  def compute(input: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = input.numElements()
+    var j = 0
+    while (j < n) {
+      val h = Hash64.hash(input.getUTF8String(j))
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

@@ -63,11 +63,11 @@ object Dedup {
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** 64-element MinHash signature over the shingle set: sig[i] =
-    * min over shingles of xxhash64(i, shingle). */
+  /** 64-element MinHash signature over the shingle set — the native
+    * graft.functions.MinHashSignature expression (one strong hash per
+    * shingle + 64 affine permutations in a primitive loop). */
   def minhashSignature(shingles: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(i, s))))
+    call_function("minhash_sig", shingles)
 
   /** (doc_id, band, bucket-hash) — one row per band per doc. Banding:
     * docs agreeing on ALL RowsPerBand signature slots of some band land
@@ -87,20 +87,25 @@ object Dedup {
         xxhash64(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1,
           lit(RowsPerBand))).as("bucket"))
 
-  /** Candidate pairs (doc_a < doc_b) from any shared LSH bucket. The
-    * join is keyed on (band, bucket) — a plain shuffle join, bounded by
-    * bucket occupancy, never a cross join. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val b = banded(docs)
-    val left = b.toDF("doc_a", "band", "bucket")
-    val right = b.toDF("doc_b", "band_r", "bucket_r")
-    left.join(right,
-      left("band") === right("band_r") &&
-        left("bucket") === right("bucket_r") &&
-        left("doc_a") < right("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+  /** Candidate pairs (doc_a < doc_b) from any shared LSH bucket.
+    * Implemented as groupBy-bucket + in-bucket pair explosion rather
+    * than a self-join: the signature pipeline is evaluated ONCE (a
+    * self-join materializes it for both sides), the only shuffle is the
+    * groupBy keyed on (band, bucket), and pair fan-out stays bounded by
+    * bucket occupancy — never a cross join. */
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    banded(docs)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(array_sort(col("ids")).as("ids"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(sequence(i + 1, size(ids) - 1),
+          |    j -> struct(ids[i] AS doc_a, ids[j] AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-  }
 
   /** Verified near-dup pairs: LSH candidates with exact word-shingle
     * Jaccard >= threshold. */
@@ -124,39 +129,39 @@ object Dedup {
 
   val SimHashChunks = 4 // 4 × 16-bit chunks; hamming<=3 ⇒ some chunk equal
 
-  /** 64-bit SimHash over a MATERIALIZED token-array column (occurrence
-    * weight 1): bit i is set iff the sum over tokens of ±1 (sign of bit
-    * i of the token hash) is positive. Takes a column NAME holding
-    * array<string> — callers must materialize the tokenization first,
-    * or the nested aggregate re-tokenizes 64× per row. Per-row compute,
-    * no shuffle. */
-  def simHash64(tokensCol: String): Column =
-    expr(
-      s"""aggregate(
-         |  sequence(0, 63), 0L,
-         |  (acc, i) -> acc + IF(
-         |    aggregate($tokensCol, 0L,
-         |      (a, t) -> a + IF((shiftright(xxhash64(t), i) & 1) = 1, 1L, -1L)
-         |    ) > 0, shiftleft(1L, i), 0L))""".stripMargin)
+  /** 64-bit SimHash over a token-array column (occurrence weight 1):
+    * bit i is set iff the sum over tokens of ±1 (sign of bit i of the
+    * token hash) is positive. Native graft.functions.SimHash64 —
+    * per-row primitive loop, no shuffle. */
+  def simHash64(tokens: Column): Column = call_function("simhash64", tokens)
 
   /** Near-dup pairs by SimHash hamming distance <= maxDist, bucketed by
     * 16-bit chunks (pigeonhole: distance<=3 guarantees at least one of
-    * the 4 chunks is identical, so bucket-join recall is exact). */
+    * the 4 chunks is identical, so bucket recall is exact). Same
+    * groupBy-bucket + pair-explosion shape as minhashCandidates: one
+    * signature evaluation, one shuffle keyed by (chunk, value). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val hashed = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), simHash64("toks").as("simhash"))
-    val chunked = hashed.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(SimHashChunks - 1))).as("chunk"))
-      .select(col("doc_id"), col("simhash"), col("chunk"),
-        expr("(simhash >> (16 * chunk)) & 65535").as("chunk_val"))
-    val left = chunked.toDF("doc_a", "sim_a", "chunk", "val")
-    val right = chunked.toDF("doc_b", "sim_b", "chunk_r", "val_r")
-    left.join(right,
-      left("chunk") === right("chunk_r") && left("val") === right("val_r") &&
-        left("doc_a") < right("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .select(col("doc_id"), simHash64(col("toks")).as("simhash"))
+    hashed
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(SimHashChunks - 1))).as("chunk"))
+      .select(col("chunk"),
+        expr("(simhash >> (16 * chunk)) & 65535").as("chunk_val"),
+        struct(col("doc_id"), col("simhash")).as("x"))
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(collect_list(col("x")).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(array_sort(col("xs")).as("xs")) // struct sort: doc_id first
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(xs) - 2),
+          |  i -> transform(sequence(i + 1, size(xs) - 1),
+          |    j -> struct(xs[i].doc_id AS doc_a, xs[j].doc_id AS doc_b,
+          |      bit_count(xs[i].simhash ^ xs[j].simhash) AS hamming))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.hamming").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
       .orderBy(col("doc_a"), col("doc_b"))

@@ -43,7 +43,7 @@ class DedupSpec extends GraftSpec {
       2L -> "spark scales out with partitions and shuffles",
       3L -> "entirely different words about cooking pasta tonight")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), Dedup.simHash64("toks").as("h"))
+      .select(col("doc_id"), Dedup.simHash64(col("toks")).as("h"))
     val h = df.orderBy("doc_id").collect().map(_.getLong(1))
     def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
     assert(hamming(h(0), h(1)) == 0)
