@@ -37,5 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash64",
         "simhash64(tokens) - 64-bit SimHash of array<string>"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_fingerprint"),
+      info("rolling_fingerprint",
+        "rolling_fingerprint(text, k, w) - winnowed Rabin-Karp k-gram fingerprint"),
+      (children: Seq[Expression]) => RollingHashFingerprint(children.head,
+        children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
   }
 }

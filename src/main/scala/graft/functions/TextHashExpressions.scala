@@ -85,6 +85,92 @@ object MinHashSignature {
   val B: Array[Long] = Array.fill(NumHashes)(rnd.nextLong())
 }
 
+/** Native winnowed rolling-hash fingerprint (SURVEY §4's RollingHash):
+  * Rabin-Karp polynomial hashes of every k-char gram (O(1) per step via
+  * the rolling update), min-hash per sliding window of w grams
+  * (winnowing), distinct + sorted. Single pass over the string per row;
+  * replaces an interpreted HOF chain of substr/hash/slice/array_min. */
+case class RollingHashFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "rolling_fingerprint"
+
+  private val Base = 1000003L
+  private lazy val basePowK: Long = {
+    var p = 1L; var i = 0
+    while (i < k - 1) { p *= Base; i += 1 }
+    p
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val bytes = input.getBytes
+    val n = bytes.length
+    val nGrams = math.max(n - k + 1, 1)
+    val gramHashes = new Array[Long](nGrams)
+    if (n < k) {
+      // degenerate short string: hash the whole thing once
+      var h = 0L; var i = 0
+      while (i < n) { h = h * Base + (bytes(i) & 0xff); i += 1 }
+      gramHashes(0) = mix(h)
+    } else {
+      var h = 0L
+      var i = 0
+      while (i < k) { h = h * Base + (bytes(i) & 0xff); i += 1 }
+      gramHashes(0) = mix(h)
+      i = k
+      while (i < n) {
+        h = (h - (bytes(i - k) & 0xff) * basePowK) * Base + (bytes(i) & 0xff)
+        gramHashes(i - k + 1) = mix(h)
+        i += 1
+      }
+    }
+    // winnow: min per window of w gram hashes
+    val nWin = math.max(nGrams - w + 1, 1)
+    val winnowed = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    while (j < nWin) {
+      var m = Long.MaxValue
+      var t = j
+      val end = math.min(j + w, nGrams)
+      while (t < end) { if (gramHashes(t) < m) m = gramHashes(t); t += 1 }
+      winnowed.add(m)
+      j += 1
+    }
+    val out = new Array[Long](winnowed.size())
+    val it = winnowed.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  private def mix(h: Long): Long = {
+    var x = h
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^ (x >>> 33)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rollingExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashFingerprint =
+    copy(child = newChild)
+}
+
 /** Native 64-bit SimHash over a token array (SURVEY §4's SimHash64):
   * hash each token once, accumulate ±1 per bit, sign → bit. ~n·64
   * primitive ops per row vs the doubly-nested interpreted aggregate

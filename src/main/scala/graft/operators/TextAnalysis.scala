@@ -80,27 +80,15 @@ object TextAnalysis {
     * the distinct sorted set. Robust to small local edits; the sorted
     * distinct set is deterministic and order-independent.
     */
-  def fingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
-    // IMPORTANT: gram hashes are materialized as a COLUMN before the
-    // winnowing transform consumes them. Spark re-evaluates expression
-    // arguments of higher-order lambdas per element — passing the
-    // hash-array EXPRESSION into the window transform would recompute
-    // all n gram hashes for each of the n windows (O(n²) per row).
-    val gramHashes = transform(
-      sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
-      i => xxhash64(col("text").substr(i, lit(k))))
-    docs.select(col("doc_id"), gramHashes.as("gram_hashes"))
-      .select(
-        col("doc_id"),
-        array_sort(array_distinct(transform(
-          sequence(lit(1),
-            greatest(size(col("gram_hashes")) - (w - 1), lit(1))),
-          j => array_min(slice(col("gram_hashes"), j, lit(w))))))
-          .as("fingerprint"))
+  def fingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    // native graft.functions.RollingHashFingerprint: true O(1)-per-step
+    // Rabin-Karp rolling hash + winnowing in one pass per row
+    docs.select(col("doc_id"),
+      call_function("rolling_fingerprint", col("text"), lit(k), lit(w))
+        .as("fingerprint"))
       .withColumn("fp_size", size(col("fingerprint")).cast("long"))
       .withColumn("fp_min", array_min(col("fingerprint")))
       .orderBy(col("doc_id"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> ((s, dir) => quality(Tables.load(s, dir, "documents"))),

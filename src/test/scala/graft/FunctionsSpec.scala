@@ -31,6 +31,18 @@ class FunctionsSpec extends GraftSpec {
     assert(r.head == 12.0)
   }
 
+  test("rolling fingerprint is edit-robust and deterministic") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val edited = base.replace("lazy", "hazy") // one local edit
+    val fps = Seq((1L, base), (2L, base), (3L, edited)).toDF("id", "t")
+      .select(call_function("rolling_fingerprint", col("t"), lit(8), lit(4)))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(fps(0) == fps(1)) // deterministic
+    val overlap = (fps(0) & fps(2)).size.toDouble / (fps(0) | fps(2)).size
+    assert(overlap > 0.5, s"local edit destroyed fingerprint (overlap $overlap)")
+    assert(fps(0) != fps(2))
+  }
+
   test("expressions survive whole-stage codegen (no fallback errors)") {
     // a wide pipeline through both functions under codegen
     val n = 1000
