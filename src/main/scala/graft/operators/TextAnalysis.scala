@@ -115,7 +115,31 @@ object TextAnalysis {
         |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_ws_tokens,
         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
         |    AS BIGINT) AS n_re_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin
-    // text_langid / text_fingerprint: deterministic rows-only ops
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN s_en = best AND best > 0 THEN 'en'
+        |       WHEN s_de = best AND best > 0 THEN 'de'
+        |       WHEN s_fr = best AND best > 0 THEN 'fr'
+        |       WHEN s_es = best AND best > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_pred,
+        |  CAST(best AS BIGINT) AS score,
+        |  lang AS lang_label
+        |FROM (
+        |  SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+        |    GREATEST(s_en, s_de, s_fr, s_es) AS best
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+        |        w -> w IN ('the', 'a', 'of', 'and'))) AS s_en,
+        |      LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+        |        w -> w IN ('der', 'die', 'das', 'und'))) AS s_de,
+        |      LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+        |        w -> w IN ('le', 'la', 'les', 'et'))) AS s_fr,
+        |      LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+        |        w -> w IN ('el', 'los', 'las', 'y'))) AS s_es
+        |    FROM documents) t) u
+        |ORDER BY doc_id""".stripMargin
+    // text_fingerprint: custom rolling hash — rows-only by design
   )
 }
