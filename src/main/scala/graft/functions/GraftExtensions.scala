@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "simhash64(tokens) - 64-bit SimHash of array<string>"),
       (children: Seq[Expression]) => SimHash64(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("hyperplane_bits"),
+      info("hyperplane_bits",
+        "hyperplane_bits(v) - 48 fixed-seed random-hyperplane LSH sign bits"),
+      (children: Seq[Expression]) => HyperplaneBits(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("rolling_fingerprint"),
       info("rolling_fingerprint",
         "rolling_fingerprint(text, k, w) - winnowed Rabin-Karp k-gram fingerprint"),

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -65,6 +65,64 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native random-hyperplane LSH sign bits over an array<double>
+  * embedding: bit p of the result is 1 iff dot(v, plane_p) > 0, for 48
+  * fixed-seed Gaussian hyperplanes. One primitive double loop per row
+  * replaces 48 separate literal-array dot-product expressions (which
+  * bloat the plan and re-run per sign). Bands extract as
+  * `(bits >> (band*4)) & 15` — plain integer arithmetic. */
+case class HyperplaneBits(child: Expression) extends UnaryExpression {
+
+  import HyperplaneBits._
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "hyperplane_bits"
+
+  def compute(input: ArrayData): Long = {
+    val n = input.numElements()
+    var bits = 0L
+    var p = 0
+    while (p < NumPlanes) {
+      val plane = Planes(p)
+      val d = math.min(n, plane.length)
+      var dot = 0.0
+      var i = 0
+      while (i < d) { dot += input.getDouble(i) * plane(i); i += 1 }
+      if (dot > 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBits =
+    copy(child = newChild)
+}
+
+object HyperplaneBits {
+  val NumPlanes = 48
+  val Dim = 64
+  /** Fixed-seed Gaussian hyperplanes — the engine-wide LSH family. */
+  val Planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
 }
 
 /** Native cosine similarity over two array<double> columns — fused

@@ -29,11 +29,9 @@ object Similarity {
   val EmbBands = 12
   val BitsPerBand = 4
 
-  /** Fixed-seed Gaussian hyperplanes (EmbBands*BitsPerBand × Dim). */
-  lazy val hyperplanes: IndexedSeq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
-    IndexedSeq.fill(EmbBands * BitsPerBand)(Seq.fill(Dim)(rnd.nextGaussian()))
-  }
+  /** Fixed-seed Gaussian hyperplanes — shared with the native
+    * hyperplane_bits expression (single source of truth). */
+  def hyperplanes: Array[Array[Double]] = graft.functions.HyperplaneBits.Planes
 
   /** embedding float[] → double[] for exact arithmetic. */
   private def embD(c: Column): Column = transform(c, x => x.cast("double"))
@@ -48,36 +46,34 @@ object Similarity {
   /** Native single-pass cosine (graft.functions.CosineSimilarity). */
   def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
-  /** 48-bit hyperplane sign vector as an array<int> column. */
-  private def signBits(emb: Column): Column =
-    array(hyperplanes.map(p =>
-      when(dot(emb, typedlit(p)) > 0, lit(1)).otherwise(lit(0))): _*)
-
-  /** (vec_id, band, bucket): bucket = the band's BitsPerBand sign bits
-    * packed into an int. */
-  private def lshBanded(vecs: DataFrame): DataFrame = {
-    // materialize the double-cast embedding once — signBits evaluates
-    // its argument expression once per hyperplane (48×) otherwise
-    val bits = vecs.select(col("vec_id"), embD(col("embedding")).as("e"))
-      .select(col("vec_id"), signBits(col("e")).as("bits"))
-    val bucket = (0 until BitsPerBand).map { k =>
-      element_at(col("bits"), col("band") * BitsPerBand + k + 1) * (1 << k)
-    }.reduce(_ + _)
-    bits.select(col("vec_id"),
-      explode(sequence(lit(0), lit(EmbBands - 1))).as("band"), col("bits"))
-      .select(col("vec_id"), col("band"), bucket.as("bucket"))
-  }
+  /** (vec_id, band, bucket): all 48 sign bits come from ONE native
+    * hyperplane_bits call; each band's bucket is plain bit arithmetic. */
+  private def lshBanded(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), embD(col("embedding")).as("e"))
+      .select(col("vec_id"), call_function("hyperplane_bits", col("e")).as("hb"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(EmbBands - 1))).as("band"), col("hb"))
+      .select(col("vec_id"), col("band"),
+        expr(s"(hb >> (band * $BitsPerBand)) & ${(1 << BitsPerBand) - 1}")
+          .as("bucket"))
 
   /** Near-dup pairs: hyperplane-LSH candidates verified by exact cosine
-    * >= threshold. */
+    * >= threshold. Bucket-group + in-bucket pair explosion (same shape
+    * as Dedup.minhashCandidates): the sign-bit pipeline evaluates once,
+    * the only shuffles are the bucket groupBy and the verify joins. */
   def embeddingPairs(vecs: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val banded = lshBanded(vecs)
-    val left = banded.toDF("id_a", "band", "bucket")
-    val right = banded.toDF("id_b", "band_r", "bucket_r")
-    val cands = left.join(right,
-      left("band") === right("band_r") && left("bucket") === right("bucket_r") &&
-        left("id_a") < right("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val cands = lshBanded(vecs)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(array_sort(col("ids")).as("ids"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(sequence(i + 1, size(ids) - 1),
+          |    j -> struct(ids[i] AS id_a, ids[j] AS id_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
     val embs = vecs.select(col("vec_id"), embD(col("embedding")).as("e"))
     val ea = embs.toDF("va", "e_a")
     val eb = embs.toDF("vb", "e_b")
