@@ -19,9 +19,10 @@ import graft.sources.Tables
   *    vectors as centroids, one assignment pass), candidates shuffle by
   *    cell; probing nprobe cells bounds work per query by cell size.
   *
-  * Hyperplanes are generated from a fixed seed at plan build time and
-  * enter the plan as literals — deterministic across runs and cluster
-  * layouts, no driver-side data movement.
+  * Hyperplanes come from a fixed seed inside the native
+  * hyperplane_bits expression — deterministic across runs and cluster
+  * layouts. The native vector functions read float embeddings
+  * directly (no per-row cast/copy to double).
   */
 object Similarity {
 
@@ -32,9 +33,6 @@ object Similarity {
   /** Fixed-seed Gaussian hyperplanes — shared with the native
     * hyperplane_bits expression (single source of truth). */
   def hyperplanes: Array[Array[Double]] = graft.functions.HyperplaneBits.Planes
-
-  /** embedding float[] → double[] for exact arithmetic. */
-  private def embD(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Native codegen'd dot product (graft.functions.DotProduct) — a
     * fused primitive loop instead of zip_with+aggregate lambda
@@ -49,8 +47,8 @@ object Similarity {
   /** (vec_id, band, bucket): all 48 sign bits come from ONE native
     * hyperplane_bits call; each band's bucket is plain bit arithmetic. */
   private def lshBanded(vecs: DataFrame): DataFrame =
-    vecs.select(col("vec_id"), embD(col("embedding")).as("e"))
-      .select(col("vec_id"), call_function("hyperplane_bits", col("e")).as("hb"))
+    vecs.select(col("vec_id"),
+      call_function("hyperplane_bits", col("embedding")).as("hb"))
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(EmbBands - 1))).as("band"), col("hb"))
       .select(col("vec_id"), col("band"),
@@ -74,7 +72,7 @@ object Similarity {
         .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
-    val embs = vecs.select(col("vec_id"), embD(col("embedding")).as("e"))
+    val embs = vecs.select(col("vec_id"), col("embedding").as("e"))
     val ea = embs.toDF("va", "e_a")
     val eb = embs.toDF("vb", "e_b")
     cands.join(ea, col("id_a") === col("va"))
@@ -90,8 +88,8 @@ object Similarity {
     * neighbor id for determinism. */
   def knnBrute(vecs: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpus = vecs.select(col("vec_id"), embD(col("embedding")).as("e"),
-      l2norm(embD(col("embedding"))).as("nrm"))
+    val corpus = vecs.select(col("vec_id"), col("embedding").as("e"),
+      l2norm(col("embedding")).as("nrm"))
     val queries = corpus.filter(queryPred)
       .toDF("query_id", "q_e", "q_nrm")
     val w = Window.partitionBy(col("query_id"))
@@ -111,8 +109,8 @@ object Similarity {
   def knnIvf(vecs: DataFrame, queryPred: Column, k: Int = 5,
       nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpus = vecs.select(col("vec_id"), embD(col("embedding")).as("e"),
-      l2norm(embD(col("embedding"))).as("nrm"))
+    val corpus = vecs.select(col("vec_id"), col("embedding").as("e"),
+      l2norm(col("embedding")).as("nrm"))
     // k-means-lite: every 50th vector is a centroid (deterministic)
     val centroids = corpus.filter(col("vec_id") % 50 === 0)
       .toDF("c_id", "c_e", "c_nrm")
