@@ -228,6 +228,26 @@ object Relational {
         .orderBy(col("day"), col("event_type"))
     },
 
+    // -- q16: as-of join composed from window functions --------------------
+    // Attribution: each purchase joined to the latest STRICTLY PRIOR
+    // click of the same user. Spark has no ASOF JOIN operator; the
+    // Spark-first expression is a window over (user, ts) — ONE shuffle
+    // keyed by user, no join at all, versus the naive per-row range
+    // join. Prior = earlier (ts, event_id), matching the oracle's
+    // max-prior-click subquery exactly.
+    "q16_asof_join" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, dir, "events")
+        .withColumn("click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+            .over(byUser))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"))
+        .orderBy(col("event_id"))
+    },
+
     // -- q15: left outer join + null-aware agg -----------------------------
     "q15_corr_outer" -> { (s, dir) =>
       val ord = Tables.load(s, dir, "orders")
@@ -348,6 +368,14 @@ object Relational {
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q16_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  (SELECT MAX(c.ts) FROM events c
+        |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |     AND (c.ts < e.ts OR (c.ts = e.ts AND c.event_id < e.event_id)))
+        |    AS click_ts
+        |FROM events e WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
     "q15_corr_outer" ->
       """SELECT c_custkey, c_name,
         |  COUNT(o_orderkey) AS n_orders,

@@ -30,10 +30,6 @@ object Similarity {
   val EmbBands = 12
   val BitsPerBand = 4
 
-  /** Fixed-seed Gaussian hyperplanes — shared with the native
-    * hyperplane_bits expression (single source of truth). */
-  def hyperplanes: Array[Array[Double]] = graft.functions.HyperplaneBits.Planes
-
   /** Native codegen'd dot product (graft.functions.DotProduct) — a
     * fused primitive loop instead of zip_with+aggregate lambda
     * interpretation; registered by GraftExtensions. */

@@ -48,6 +48,15 @@ class TextEtlSpec extends GraftSpec {
     assert(got(2).getString(1) == "y")
   }
 
+  test("run-level audit row mirrors the reference monitor shape") {
+    val row = graft.pipeline.Monitor.runAudit(spark, uid = "run-1",
+      project = "graft", step = "trusted", qtdFiles = 1, qtdRows = 1500,
+      dtStart = "2026-08-12 00:00:00", dtEnd = "2026-08-12 00:01:00")
+      .collect().head
+    assert(row.getString(0) == "run-1")
+    assert(row.getLong(4) == 1500)
+  }
+
   test("single-file CSV sink writes a BOM exactly once") {
     val dir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), "bomtest")
