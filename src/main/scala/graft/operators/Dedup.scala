@@ -139,7 +139,13 @@ object Dedup {
     * 16-bit chunks (pigeonhole: distance<=3 guarantees at least one of
     * the 4 chunks is identical, so bucket recall is exact). Same
     * groupBy-bucket + pair-explosion shape as minhashCandidates: one
-    * signature evaluation, one shuffle keyed by (chunk, value). */
+    * signature evaluation, one shuffle keyed by (chunk, value).
+    *
+    * Scale note: random-hash bucket occupancy is ~n/65536 per chunk, so
+    * candidate volume grows as n²/65536 — fine to ~10⁸ docs; beyond
+    * that, split the corpus by a cheap partition key (e.g. language or
+    * length band) before pairing, or widen chunks to 32 bits with
+    * multiple permuted tables (standard simhash sharding). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val hashed = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

@@ -54,12 +54,24 @@ object Similarity {
   /** Near-dup pairs: hyperplane-LSH candidates verified by exact cosine
     * >= threshold. Bucket-group + in-bucket pair explosion (same shape
     * as Dedup.minhashCandidates): the sign-bit pipeline evaluates once,
-    * the only shuffles are the bucket groupBy and the verify joins. */
-  def embeddingPairs(vecs: DataFrame, threshold: Double = 0.4): DataFrame = {
+    * the only shuffles are the bucket groupBy and the verify joins.
+    *
+    * Scale tuning: expected bucket occupancy is ~n / 2^BitsPerBand per
+    * band, so candidate volume grows as n²/2^BitsPerBand — BitsPerBand
+    * must grow with log₂(n). The 4-bit default is calibrated for the
+    * moderate-cosine (≥0.4) threshold of the synthetic corpus; a
+    * production near-dup pass (cosine ≥0.9) should run 8-16 bits per
+    * band, where per-band agreement stays high for genuine near-dups.
+    * `maxBucket` drops degenerate buckets (a bucket holding a large
+    * fraction of the corpus means the band's planes don't discriminate
+    * that region — its pairs are low-similarity noise) and bounds the
+    * worst-case fan-out of any single group. */
+  def embeddingPairs(vecs: DataFrame, threshold: Double = 0.4,
+      maxBucket: Int = 1024): DataFrame = {
     val cands = lshBanded(vecs)
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("vec_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(array_sort(col("ids")).as("ids"))
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ids) - 2),
