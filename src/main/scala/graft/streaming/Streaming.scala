@@ -59,6 +59,27 @@ object Streaming {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Click→purchase conversions: every (click, purchase) pair of the
+    * same user with the purchase inside [click, click+gap]. Batch face
+    * of the stream-stream interval join — an equi-join on user_id plus
+    * a range predicate; Spark shuffles both sides once on user_id. */
+  def batchClickConversions(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") +
+          expr(s"INTERVAL $SessionGapMinutes MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   // -- streaming faces ----------------------------------------------------
 
   /** The events table's on-disk schema (ts is TIMESTAMP(NANOS), read as
@@ -169,11 +190,36 @@ object Streaming {
       col("n_events"))
   }
 
+  /** Stream-stream interval join — the streaming face of
+    * batchClickConversions. Watermarks on BOTH sides let Spark evict
+    * join state once an input falls out of every possible interval:
+    * state per side is bounded by (watermark delay + gap) of data, not
+    * the stream's history. */
+  def streamStreamJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") +
+          expr(s"INTERVAL $SessionGapMinutes MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> ((s, dir) =>
       batchWindowAgg(Tables.load(s, dir, "events"))),
     "stream_sessionize" -> ((s, dir) =>
-      batchSessionize(Tables.load(s, dir, "events"))))
+      batchSessionize(Tables.load(s, dir, "events"))),
+    "stream_stream_join" -> ((s, dir) =>
+      batchClickConversions(Tables.load(s, dir, "events"))))
 
   def oracleSql: Map[String, String] = Map(
     "stream_window_agg" ->
@@ -194,5 +240,13 @@ object Streaming {
         |          (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
         |        THEN 1 ELSE 0 END AS new_sess
         |    FROM events) t) u
-        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin)
 }

@@ -25,6 +25,26 @@ class StreamingSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("stream-stream interval join matches the batch face") {
+    val stream = Streaming.eventsStream(spark, sf)
+    val q = Streaming.streamStreamJoin(stream).writeStream
+      .format("memory").queryName("ssj_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val got = spark.table("ssj_out").collect().map(key).toSet
+    val want = Streaming.batchClickConversions(
+      Tables.load(spark, sf, "events")).collect().map(key).toSet
+    assert(got.nonEmpty)
+    // pairs still inside the watermark horizon at stream end may be
+    // unemitted; everything emitted must match batch
+    assert(got.subsetOf(want), s"extra pairs: ${(got -- want).take(3)}")
+    assert(got.size >= (want.size * 0.9).toInt,
+      s"stream emitted ${got.size} of ${want.size} pairs")
+  }
+
   test("streaming sessionization emits closed sessions matching batch") {
     val stream = Streaming.eventsStream(spark, sf)
     val q = Streaming.sessionizeStream(spark, stream).writeStream
