@@ -31,13 +31,18 @@ object Bench {
       try materialize(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => () } // failure re-surfaces in phase 2
     }
-    // Phase 2 — timed.
+    // Phase 2 — timed: MEDIAN of 3 runs per query, so a shared-VM load
+    // spike can't fabricate a regression. The timer starts BEFORE query
+    // construction — some queries (etl_*_roundtrip) perform their layer
+    // writes eagerly there, and that work is part of the operator.
     names.foreach { name =>
       try {
-        val df = SparkEntry.queries(name)(spark, sfDir)
-        val t0 = System.nanoTime()
-        materialize(df)
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        val runs = Seq.fill(3) {
+          val t0 = System.nanoTime()
+          materialize(SparkEntry.queries(name)(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        timings(name) = runs(1)
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

@@ -9,6 +9,14 @@ object Verify {
     val outDir = args(1)
     // optional trailing args: only dump these keys (dev iteration speedup)
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      // a typo'd key would otherwise select nothing and exit 0 — a
+      // verification run that looks green while checking nothing
+      System.err.println(
+        s"[verify] unknown query keys: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
     val selected =

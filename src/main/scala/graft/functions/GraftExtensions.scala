@@ -42,11 +42,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hyperplane_bits",
         "hyperplane_bits(v) - 48 fixed-seed random-hyperplane LSH sign bits"),
       (children: Seq[Expression]) => HyperplaneBits(children.head)))
+    // k and w shape the expression itself, so they must be literal at
+    // plan time; validate arity and foldability for a clean analysis
+    // error instead of a builder ClassCastException.
+    def intArg(e: Expression, name: String): Int = {
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"rolling_fingerprint: $name must be a foldable integer literal")
+      e.eval() match {
+        case i: Int => i
+        case l: Long if l.isValidInt => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"rolling_fingerprint: $name must be an integer literal, got " +
+            s"${Option(other).getOrElse("NULL")} (${e.dataType.catalogString})")
+      }
+    }
     ext.injectFunction((
       FunctionIdentifier("rolling_fingerprint"),
       info("rolling_fingerprint",
         "rolling_fingerprint(text, k, w) - winnowed Rabin-Karp k-gram fingerprint"),
-      (children: Seq[Expression]) => RollingHashFingerprint(children.head,
-        children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
+      (children: Seq[Expression]) => {
+        if (children.length != 3) throw new IllegalArgumentException(
+          s"rolling_fingerprint(text, k, w) expects 3 arguments, got " +
+            children.length)
+        RollingHashFingerprint(children.head,
+          intArg(children(1), "k"), intArg(children(2), "w"))
+      }))
   }
 }

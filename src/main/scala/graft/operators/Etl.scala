@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.pipeline.{Medallion, Monitor}
-import graft.sources.{CsvIngest, Sinks, Tables}
+import graft.sources.{CsvIngest, Landing, Sinks, Tables}
 
 /** The reference's ETL surface expressed as correctness-gated queries
   * (SURVEY §2A). The cleaning operators run on a deterministically
@@ -39,6 +39,48 @@ object Etl {
     StructField("codigo", LongType),
     StructField("descricao", StringType),
     StructField("segmento", StringType)))
+
+  val rawSchema: StructType = StructType(Seq(
+    StructField("codigo", LongType),
+    StructField("descricao", StringType)))
+
+  /** Deterministic landing fixture for etl_raw_roundtrip: a ZIP holding
+    * an ISO-8859-1, `;`-delimited, headerless CSV derived from the
+    * customer table — the shape of the reference's downloaded
+    * `Cnaes.zip` (scraping.py:55-77). Accented values exercise the
+    * charset decode; quoted values with embedded `;`/`|`/`"` exercise
+    * the doubled-quote contract end-to-end. Driver-side generation is
+    * fixture code, not an operator path. */
+  def writeFixtureZip(s: SparkSession, dir: String,
+      landingDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val rows = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").cast("long"), col("c_name").cast("string"))
+      .orderBy(col("c_custkey")).limit(100).collect()
+    def field(v: String): String =
+      if (v.exists(c => c == ';' || c == '"' || c == '|'))
+        "\"" + v.replace("\"", "\"\"") + "\""
+      else v
+    val lines = rows.map { r =>
+      val id = r.getLong(0)
+      val name = r.getString(1)
+      val desc =
+        if (id % 5 == 0) s"""$name "aspas";e|pipe"""
+        else if (id % 3 == 0) s"$name çãõé"
+        else name
+      s"$id;${field(desc)}"
+    }
+    val bytes = lines.mkString("\n")
+      .getBytes(java.nio.charset.Charset.forName("ISO-8859-1"))
+    Files.createDirectories(Paths.get(landingDir))
+    val zipPath = Paths.get(landingDir, "cnaes.zip")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(zipPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("Cnaes.csv"))
+    zos.write(bytes)
+    zos.closeEntry()
+    zos.close()
+    zipPath.toString
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- trim + empty→NULL + parity segment (script.py:53-61) -------------
@@ -84,6 +126,27 @@ object Etl {
       Sinks.writeSingleCsv(df, trustedDir)
       Medallion.trustedToRefined(s, trustedDir, refinedDir, trustedSchema)
       s.read.parquet(refinedDir).orderBy(col("codigo"))
+    },
+
+    // -- the reference's ACTUAL ingest, end-to-end ------------------------
+    // ZIP landing (scraping.py:55-77) → distributed unzip → iso-8859-1
+    // decode (scraping.py:95-109) → utf-8 raw CSV → schema-enforced
+    // rawOptions read + clean → trusted pipe CSV → refined parquet
+    // (script.py:40-72, transform.py). Format fidelity → rows-only.
+    "etl_raw_roundtrip" -> { (s, dir) =>
+      val sfName = dir.replaceAll(".*/", "")
+      val root = s"$roundtripRoot/$sfName/rawrt"
+      val zip = writeFixtureZip(s, dir, s"$root/landing")
+      val decoded = Landing.decodeText(
+        Landing.unzipEntries(Landing.readBinary(s, zip)))
+      val rawDir = s"$root/raw"
+      decoded.select(col("text")).coalesce(1)
+        .write.mode("overwrite").text(rawDir)
+      Medallion.rawToTrusted(s, rawDir, s"$root/trusted", rawSchema, "codigo")
+      Medallion.trustedToRefined(
+        s, s"$root/trusted", s"$root/refined",
+        Medallion.trustedSchemaOf(rawSchema))
+      s.read.parquet(s"$root/refined").orderBy(col("codigo"))
     }
   )
 

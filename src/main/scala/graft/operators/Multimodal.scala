@@ -55,10 +55,13 @@ object Multimodal {
     MediaFeatures(m.doc_id, m.media_type, m.n_bytes, h, w, ht, feat)
   }
 
-  /** Batched per-partition decode over the typed Dataset. */
+  /** Typed decode over the Dataset — Spark already executes `map`
+    * partition-batched; a real codec needing per-partition setup
+    * (shared decoder handles) would switch this to mapPartitions
+    * without touching the plan shape. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions(_.map(decodeStub))
+    media.as[MediaRow].map(decodeStub)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

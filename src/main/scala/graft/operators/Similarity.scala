@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.HyperplaneBits
 import graft.sources.Tables
 
 /** Embedding similarity operators (SURVEY §2C): near-dup detection via
@@ -27,8 +28,21 @@ import graft.sources.Tables
 object Similarity {
 
   val Dim = 64
-  val EmbBands = 12
+
+  /** Default LSH bits per band. 4 bits (16 buckets/band over 12 bands)
+    * is calibrated for the synthetic corpus's moderate-cosine (≥0.4)
+    * threshold at test scale; PRODUCTION near-dup passes (cosine ≥0.9,
+    * ≥10⁶ vectors) should run 8-16 — candidate volume grows as
+    * n²/2^bits, so bits must grow with log₂(n). */
   val BitsPerBand = 4
+
+  /** Fixed IVF centroid budget — corpus-size-INDEPENDENT: the centroid
+    * broadcast and the O(n·C) assignment cost have CONSTANT C at any
+    * corpus size (never a function of n). 16 ≈ √n for the 500-vector
+    * synthetic corpus; tune per deployment with C ≈ √n capped by the
+    * executor broadcast budget (C·Dim·8 bytes), e.g. C=2^16 at 10⁹
+    * vectors. */
+  val CentroidBudget = 16
 
   /** Native codegen'd dot product (graft.functions.DotProduct) — a
     * fused primitive loop instead of zip_with+aggregate lambda
@@ -41,36 +55,65 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   /** (vec_id, band, bucket): all 48 sign bits come from ONE native
-    * hyperplane_bits call; each band's bucket is plain bit arithmetic. */
-  private def lshBanded(vecs: DataFrame): DataFrame =
+    * hyperplane_bits call; each band's bucket is plain bit arithmetic.
+    * Band count derives from the plane budget: 48/bits bands. */
+  private def lshBanded(vecs: DataFrame, bitsPerBand: Int): DataFrame = {
+    require(bitsPerBand >= 1 && bitsPerBand <= 16,
+      s"bitsPerBand must be in [1,16], got $bitsPerBand")
+    val bands = HyperplaneBits.NumPlanes / bitsPerBand
     vecs.select(col("vec_id"),
       call_function("hyperplane_bits", col("embedding")).as("hb"))
       .select(col("vec_id"),
-        explode(sequence(lit(0), lit(EmbBands - 1))).as("band"), col("hb"))
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("hb"))
       .select(col("vec_id"), col("band"),
-        expr(s"(hb >> (band * $BitsPerBand)) & ${(1 << BitsPerBand) - 1}")
+        expr(s"(hb >> (band * $bitsPerBand)) & ${(1 << bitsPerBand) - 1}")
           .as("bucket"))
+  }
 
   /** Near-dup pairs: hyperplane-LSH candidates verified by exact cosine
     * >= threshold. Bucket-group + in-bucket pair explosion (same shape
     * as Dedup.minhashCandidates): the sign-bit pipeline evaluates once,
     * the only shuffles are the bucket groupBy and the verify joins.
     *
-    * Scale tuning: expected bucket occupancy is ~n / 2^BitsPerBand per
-    * band, so candidate volume grows as n²/2^BitsPerBand — BitsPerBand
-    * must grow with log₂(n). The 4-bit default is calibrated for the
-    * moderate-cosine (≥0.4) threshold of the synthetic corpus; a
-    * production near-dup pass (cosine ≥0.9) should run 8-16 bits per
-    * band, where per-band agreement stays high for genuine near-dups.
-    * `maxBucket` drops degenerate buckets (a bucket holding a large
-    * fraction of the corpus means the band's planes don't discriminate
-    * that region — its pairs are low-similarity noise) and bounds the
-    * worst-case fan-out of any single group. */
+    * Scale tuning: expected bucket occupancy is ~n / 2^bitsPerBand per
+    * band, so candidate volume grows as n²/2^bitsPerBand — bitsPerBand
+    * must grow with log₂(n); see [[BitsPerBand]] for the production
+    * guidance (≥8). `maxBucket` drops degenerate buckets (a bucket
+    * holding a large fraction of the corpus means the band's planes
+    * don't discriminate that region — its pairs are low-similarity
+    * noise) and bounds the worst-case fan-out of any single group.
+    *
+    * Dropped buckets are NOT silent: `maxDroppedFraction` guards
+    * against recall collapse — before building the pair plan, a tiny
+    * metadata-scale aggregation ([[embeddingBucketStats]]) counts
+    * dropped buckets, and the call FAILS with the numbers when the
+    * dropped fraction exceeds the bound. When bitsPerBand is too small
+    * for the corpus (occupancy ~n/2^bits > maxBucket everywhere) the
+    * operator would otherwise return an empty result that reads as "no
+    * near-dups". (An `Observation` on the pair plan cannot carry this:
+    * AQE's empty-relation propagation erases the CollectMetrics node in
+    * exactly the all-dropped case — verified on Spark 4.1.) Pass
+    * `maxDroppedFraction = None` to skip the guard and its extra pass. */
   def embeddingPairs(vecs: DataFrame, threshold: Double = 0.4,
-      maxBucket: Int = 1024): DataFrame = {
-    val cands = lshBanded(vecs)
+      maxBucket: Int = 1024, bitsPerBand: Int = BitsPerBand,
+      maxDroppedFraction: Option[Double] = Some(0.5)): DataFrame = {
+    maxDroppedFraction.foreach { bound =>
+      val st = embeddingBucketStats(vecs, maxBucket, bitsPerBand)
+        .collect().head
+      val total = st.getLong(0) // sums are NULL when total is 0
+      val dropped = if (total > 0) st.getLong(1) else 0L
+      val ids = if (total > 0) st.getLong(2) else 0L
+      if (total > 0 && dropped.toDouble / total > bound)
+        throw new IllegalStateException(
+          s"embeddingPairs recall collapse: $dropped of $total LSH " +
+            s"buckets (holding $ids ids) exceed maxBucket=$maxBucket at " +
+            s"bitsPerBand=$bitsPerBand — raise bitsPerBand (or maxBucket) " +
+            "instead of trusting a near-empty result")
+    }
+    val grouped = lshBanded(vecs, bitsPerBand)
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("vec_id")).as("ids"))
+    val cands = grouped
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(array_sort(col("ids")).as("ids"))
       .select(explode(expr(
@@ -90,6 +133,21 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Side-output LSH occupancy stats, one row: (total_buckets,
+    * dropped_buckets, dropped_ids) for the given maxBucket cut. Counts
+    * only — the groupBy shuffles (band, bucket, count) rows, never the
+    * id lists, so this stays metadata-scale at any corpus size. */
+  def embeddingBucketStats(vecs: DataFrame, maxBucket: Int = 1024,
+      bitsPerBand: Int = BitsPerBand): DataFrame =
+    lshBanded(vecs, bitsPerBand)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("total_buckets"),
+        sum(when(col("n") > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"),
+        sum(when(col("n") > maxBucket, col("n")).otherwise(0L))
+          .as("dropped_ids"))
 
   /** Brute-force cosine top-k: broadcast the small query set, one pass
     * over the corpus, per-query top-k via window. Ties break on
@@ -112,15 +170,25 @@ object Similarity {
   }
 
   /** IVF approximate top-k: assign every vector to its nearest seed
-    * centroid (broadcast — centroid count ≪ corpus), probe the nprobe
-    * nearest cells per query, exact cosine only within probed cells. */
+    * centroid (broadcast — FIXED centroid budget, independent of corpus
+    * size), probe the nprobe nearest cells per query, exact cosine only
+    * within probed cells.
+    *
+    * Centroid selection is a deterministic uniform sample: the
+    * `centroidBudget` vectors with the smallest xxhash64(vec_id) — a
+    * single TakeOrderedAndProject over one corpus pass. Assignment cost
+    * is O(n·C) with CONSTANT C, and the centroid broadcast stays
+    * ~C·Dim·8 bytes at any corpus size (a k-means refinement pass over
+    * the same sample would slot in here without changing the plan
+    * shape). */
   def knnIvf(vecs: DataFrame, queryPred: Column, k: Int = 5,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, centroidBudget: Int = CentroidBudget): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = vecs.select(col("vec_id"), col("embedding").as("e"),
       l2norm(col("embedding")).as("nrm"))
-    // k-means-lite: every 50th vector is a centroid (deterministic)
-    val centroids = corpus.filter(col("vec_id") % 50 === 0)
+    val centroids = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(centroidBudget)
       .toDF("c_id", "c_e", "c_nrm")
     def nearestCells(df: DataFrame, idCol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol))

@@ -79,6 +79,11 @@ object TextAnalysis {
     * k-char gram, take the min hash per sliding window of w grams, keep
     * the distinct sorted set. Robust to small local edits; the sorted
     * distinct set is deterministic and order-independent.
+    *
+    * The raw fingerprint set (array&lt;long&gt;) is an internal column;
+    * downstream consumers and the correctness gate see only scalar
+    * projections: xxhash64 over the sorted set (equal sets ⇒ equal
+    * hash), its size, and its min element.
     */
   def fingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
     // native graft.functions.RollingHashFingerprint: true O(1)-per-step
@@ -86,8 +91,10 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       call_function("rolling_fingerprint", col("text"), lit(k), lit(w))
         .as("fingerprint"))
-      .withColumn("fp_size", size(col("fingerprint")).cast("long"))
-      .withColumn("fp_min", array_min(col("fingerprint")))
+      .select(col("doc_id"),
+        xxhash64(col("fingerprint")).as("fp_hash"),
+        size(col("fingerprint")).cast("long").as("fp_size"),
+        array_min(col("fingerprint")).as("fp_min"))
       .orderBy(col("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

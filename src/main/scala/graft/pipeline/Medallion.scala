@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.operators.Cleaning
 import graft.sources.{CsvIngest, Sinks}
@@ -46,4 +46,50 @@ object Medallion {
     * analog is an overwrite-mode managed-table write. */
   def loadWarehouse(df: DataFrame, table: String): Unit =
     df.write.mode("overwrite").saveAsTable(table)
+
+  /** Insert-mode warehouse load — the reference's audit-row inserts
+    * (monitor.py:126-204 append UUID-keyed rows, never truncate). */
+  def appendWarehouse(df: DataFrame, table: String): Unit =
+    df.write.mode("append").saveAsTable(table)
+
+  /** The trusted layer's schema: the raw schema plus the derived
+    * parity-segment column referenceClean appends. */
+  def trustedSchemaOf(rawSchema: StructType): StructType =
+    StructType(rawSchema.fields :+ StructField("segmento", StringType))
+
+  /** AUDITED raw→trusted→refined run — the reference's full job chain
+    * (dag.py task order) with monitor.py:126-204's run-level audit: one
+    * (uid, project, step, file count, row count, start/end) row per
+    * layer, appended to `auditTable` via the warehouse writer. The
+    * clock is caller-supplied so tests are deterministic; production
+    * passes `() => java.time.Instant.now.toString`. Returns the audit
+    * rows of this run. */
+  def auditedRun(
+      spark: SparkSession,
+      uid: String,
+      project: String,
+      rawPath: String,
+      trustedDir: String,
+      refinedDir: String,
+      rawSchema: StructType,
+      codeCol: String,
+      auditTable: String,
+      clock: () => String): DataFrame = {
+    val trustedSchema = trustedSchemaOf(rawSchema)
+    val t0 = clock()
+    rawToTrusted(spark, rawPath, trustedDir, rawSchema, codeCol)
+    val trusted = CsvIngest.read(
+      spark, trustedDir, trustedSchema, CsvIngest.trustedOptions)
+    val auditTrusted = Monitor.runAudit(spark, uid, project, "trusted",
+      qtdFiles = 1L, qtdRows = trusted.count(), dtStart = t0, dtEnd = clock())
+    val t1 = clock()
+    trustedToRefined(spark, trustedDir, refinedDir, trustedSchema)
+    val refined = spark.read.parquet(refinedDir)
+    val auditRefined = Monitor.runAudit(spark, uid, project, "refined",
+      qtdFiles = refined.inputFiles.length.toLong, qtdRows = refined.count(),
+      dtStart = t1, dtEnd = clock())
+    val audit = auditTrusted.unionAll(auditRefined)
+    appendWarehouse(audit, auditTable)
+    audit
+  }
 }

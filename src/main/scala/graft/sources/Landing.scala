@@ -20,6 +20,34 @@ object Landing {
   def readBinary(spark: SparkSession, pathGlob: String): DataFrame =
     spark.read.format("binaryFile").load(pathGlob)
 
+  /** Distributed ZIP extraction: one row per archive ENTRY —
+    * (path, entry, content) — from a binaryFile DataFrame (the
+    * reference unzips the downloaded archive in memory before landing:
+    * scraping.py:55-77 `zipfile.ZipFile(zip_in_memory)`).
+    *
+    * The codec seam is genuinely imperative (java.util.zip over opaque
+    * bytes), so this is a typed flatMap — the Dataset path Spark keeps
+    * for exactly this case; archives land one per task and fan out to
+    * entry rows, so a directory of ZIPs inflates in parallel with no
+    * driver involvement. Entry bytes are materialized eagerly (an
+    * entry must fit in task memory — same bound the binaryFile source
+    * already imposes per archive). */
+  def unzipEntries(files: DataFrame): DataFrame = {
+    import files.sparkSession.implicits._
+    files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val zis = new java.util.zip.ZipInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        Iterator.continually(zis.getNextEntry)
+          .takeWhile(_ != null)
+          .filterNot(_.isDirectory)
+          .map(e => (path, e.getName, zis.readAllBytes()))
+          .toVector // drain while the stream is open
+      }
+      .toDF("path", "entry", "content")
+  }
+
   /** Decode the binary content column from a legacy charset (the
     * reference's iso-8859-1 → utf-8 step) into a string column. */
   def decodeText(files: DataFrame, charset: String = "ISO-8859-1"): DataFrame =

@@ -33,6 +33,11 @@ object Sinks {
       .mode("overwrite")
       .option("header", header.toString)
       .option("delimiter", delimiter)
+      // doubled-quote escaping, matching CsvIngest.trustedOptions — the
+      // writer default (backslash escape) would silently corrupt values
+      // containing quotes on the trusted→refined read-back
+      .option("quote", "\"")
+      .option("escape", "\"")
       .csv(dir)
     val part = new File(dir).listFiles()
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))

@@ -232,8 +232,9 @@ object Streaming {
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM (
         |  SELECT user_id, ts,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
         |  FROM (
         |    SELECT user_id, event_id, ts,
         |      CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Etl
+import graft.pipeline.Medallion
+import graft.sources.{CsvIngest, Sinks}
+
+/** End-to-end medallion pipeline checks: writer/reader quote contract,
+  * the full zip→raw→trusted→refined roundtrip, and the audited run. */
+class MedallionSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("writeSingleCsv and trustedOptions agree on quote/escape") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "quote").toString
+    val tricky = """he said "hi"|and; more"""
+    val df = Seq((1L, tricky), (2L, "plain")).toDF("codigo", "descricao")
+    Sinks.writeSingleCsv(df, s"$dir/csv")
+    val back = CsvIngest.read(spark, s"$dir/csv", Etl.rawSchema,
+      CsvIngest.trustedOptions).orderBy("codigo").collect()
+    assert(back(0).getString(1) == tricky,
+      s"quoted value corrupted on roundtrip: '${back(0).getString(1)}'")
+    assert(back(1).getString(1) == "plain")
+  }
+
+  test("etl_raw_roundtrip: accents and quoting survive zip→raw→refined") {
+    val out = Etl.queries("etl_raw_roundtrip")(spark, sf).collect()
+    assert(out.length == 100)
+    val byId = out.map(r => r.getLong(0) -> r.getString(1)).toMap
+    // iso-8859-1 → utf-8 decode kept the accents
+    val accented = byId.filter { case (id, _) => id % 3 == 0 && id % 5 != 0 }
+    assert(accented.nonEmpty)
+    accented.values.foreach(v => assert(v.endsWith("çãõé"), v))
+    // embedded quote/semicolon/pipe survived BOTH csv layers
+    val quoted = byId.filter { case (id, _) => id % 5 == 0 }
+    assert(quoted.nonEmpty)
+    quoted.values.foreach(v => assert(v.contains("\"aspas\";e|pipe"), v))
+    // parity segment applied
+    out.foreach { r =>
+      val want = if (r.getLong(0) % 2 == 1) "PRIMARIO" else "SECUNDARIO"
+      assert(r.getString(2) == want)
+    }
+  }
+
+  test("auditedRun persists per-layer audit rows to the warehouse") {
+    val root = Files.createTempDirectory(Paths.get("target"), "audited")
+      .toString
+    Files.createDirectories(Paths.get(s"$root/raw"))
+    Files.write(Paths.get(s"$root/raw/data.csv"),
+      "1;alpha\n2;  \n3;gamma".getBytes(StandardCharsets.UTF_8))
+    spark.sql("DROP TABLE IF EXISTS graft_audit_spec")
+    var tick = 0
+    val clock = () => { tick += 1; f"2026-08-12 00:00:$tick%02d" }
+    Medallion.auditedRun(spark, uid = "run-42", project = "graft",
+      rawPath = s"$root/raw", trustedDir = s"$root/trusted",
+      refinedDir = s"$root/refined", rawSchema = Etl.rawSchema,
+      codeCol = "codigo", auditTable = "graft_audit_spec", clock = clock)
+    val audit = spark.table("graft_audit_spec")
+      .filter(col("uid") === "run-42").orderBy("step").collect()
+    assert(audit.length == 2)
+    assert(audit.map(_.getString(2)).toSeq == Seq("refined", "trusted"))
+    audit.foreach { r =>
+      assert(r.getString(1) == "graft")
+      assert(r.getLong(3) >= 1L) // qtd_files
+      assert(r.getLong(4) == 3L) // qtd_rows: cleaning keeps all rows
+      assert(r.getString(5) < r.getString(6)) // dt_start < dt_end
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_audit_spec")
+  }
+}

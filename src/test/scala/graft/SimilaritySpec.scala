@@ -49,4 +49,48 @@ class SimilaritySpec extends GraftSpec {
       assert(r.getDouble(2) >= 0.35)
     }
   }
+
+  test("embedding LSH fails loudly on recall collapse, reports stats") {
+    // maxBucket=8 on 500 vectors over 16 buckets/band drops (nearly)
+    // every bucket — the stats side output must say so
+    val st = Similarity.embeddingBucketStats(vecs, maxBucket = 8).collect().head
+    val (total, dropped, droppedIds) =
+      (st.getLong(0), st.getLong(1), st.getLong(2))
+    assert(total > 0)
+    assert(dropped > 0, "tight maxBucket must report dropped buckets")
+    assert(droppedIds > dropped * 8, "each dropped bucket holds > maxBucket ids")
+    // the guard refuses to return a silently-empty result
+    val ex = intercept[IllegalStateException] {
+      Similarity.embeddingPairs(vecs, threshold = 0.35, maxBucket = 8)
+    }
+    assert(ex.getMessage.contains("recall collapse"))
+    // with the default maxBucket nothing is dropped at this corpus size
+    val ok = Similarity.embeddingBucketStats(vecs).collect().head
+    assert(ok.getLong(1) == 0L)
+  }
+
+  test("8-bit bands produce a verified subset of 4-bit candidates") {
+    // an 8-bit band is two concatenated 4-bit bands over the same 48
+    // sign bits: agreement on it implies agreement on both halves, so
+    // the 8-bit pair set must be a subset of the 4-bit one
+    val pairs8 = Similarity.embeddingPairs(vecs, threshold = 0.35,
+      bitsPerBand = 8).collect()
+    pairs8.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.35)
+    }
+    val set4 = Similarity.embeddingPairs(vecs, threshold = 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val set8 = pairs8.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(set8.subsetOf(set4))
+  }
+
+  test("IVF uses a fixed centroid budget and is deterministic") {
+    val a = Similarity.knnIvf(vecs, col("vec_id") < 5, centroidBudget = 32)
+      .collect()
+    val b = Similarity.knnIvf(vecs, col("vec_id") < 5, centroidBudget = 32)
+      .collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 25, s"5 queries x k=5 expected, got ${a.length}")
+  }
 }
