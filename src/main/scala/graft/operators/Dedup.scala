@@ -191,7 +191,61 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // -- cluster resolution (pairs → canonical doc per cluster) -------------
+
+  /** Connected-component resolution over an undirected near-dup pair
+    * set: every document that appears in a pair is mapped to its
+    * cluster's canonical (minimum) doc_id — the step that turns
+    * pairwise near-dup evidence into an actual "keep one per cluster"
+    * dedup decision.
+    *
+    * Pregel-style min-label propagation: each superstep every node
+    * takes the min label over itself and its neighbors; converged when
+    * no label changes. The driver loop only CONTROLS supersteps (the
+    * standard iterative-graph pattern — GraphX does the same); all data
+    * movement is an O(E)-row shuffle per superstep, and labels are
+    * localCheckpoint'ed each superstep so lineage stays constant.
+    * Supersteps needed = cluster diameter — small for near-dup clusters
+    * (most are cliques from a shared LSH bucket). A corpus whose dup
+    * graph has genuinely long chains would warrant the large-star/
+    * small-star variant (Kiveris et al., "Connected Components in
+    * MapReduce"), which converges in O(log n) supersteps with the same
+    * per-superstep plan shape. */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = p.union(p.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val fromNeighbors = edges
+        .join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label"))
+      val next = labels.union(fromNeighbors)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("keep_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cluster resolution over the verified MinHash near-dup pairs. */
+  def nearDupClusters(docs: DataFrame): DataFrame =
+    resolveClusters(minhashPairs(docs))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster" -> ((s, dir) =>
+      nearDupClusters(Tables.load(s, dir, "documents"))),
     "dedup_exact" -> ((s, dir) => exact(Tables.load(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) => minhashPairs(Tables.load(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => simhashPairs(Tables.load(s, dir, "documents"))),

@@ -97,7 +97,65 @@ object TextAnalysis {
         array_min(col("fingerprint")).as("fp_min"))
       .orderBy(col("doc_id"))
 
+  /** PII patterns: kept to syntax that Java regex (Spark) and RE2
+    * (DuckDB oracle) interpret identically — character classes, bounded
+    * repetition, no backrefs/lookaround. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]+"
+
+  /** PII scrubbing: replace every email/phone match with a typed
+    * redaction token, and report per-document match counts (the audit
+    * signal a scrubbing pass must emit). Pure codegen'd per-row
+    * projection — no UDF, no shuffle.
+    *
+    * Patterns apply in order on the accumulated result, so a later
+    * pattern never re-matches an earlier pattern's replacement token. */
+  def piiScrub(docs: DataFrame,
+      patterns: Seq[(String, String)] = Seq(
+        EmailPattern -> "<EMAIL>", PhonePattern -> "<PHONE>")): DataFrame = {
+    val scrubbed = patterns.foldLeft(col("text")) {
+      case (acc, (p, token)) => regexp_replace(acc, p, token)
+    }
+    val counts = patterns.map { case (p, token) =>
+      val name = "n_" + token.replaceAll("[<>]", "").toLowerCase + "s"
+      size(regexp_extract_all(col("text"), lit(p), lit(0)))
+        .cast("long").as(name)
+    }
+    docs.select(col("doc_id") +: scrubbed.as("scrubbed") +: counts: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide top-k word n-grams: explode each document's n-grams,
+    * count by n-gram, keep the k most frequent. The heavy path is ONE
+    * shuffle keyed by n-gram with map-side partial aggregation (the
+    * explode never leaves its input partition), and the top-k compiles
+    * to TakeOrderedAndProject — no global sort materialization. The
+    * token array is materialized as a column BEFORE the n-gram
+    * transform (HOF arguments re-evaluate per element otherwise). */
+  def ngramStats(docs: DataFrame, n: Int = 2, topK: Int = 100): DataFrame =
+    docs.select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - (n - 1)),
+        i => concat_ws(" ", slice(col("w"), i, lit(n))))).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(topK)
+
+  /** Deterministic PII-bearing corpus for the correctness gate: the
+    * synthetic documents carry no PII, so the query face appends an
+    * email and a phone derived from doc_id — the regexes are exercised
+    * on every row and the oracle reproduces the same construction. */
+  private def withSyntheticPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      lit(" contact user"), col("doc_id"),
+      lit("@example.com or +1-555-"), col("doc_id")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> ((s, dir) =>
+      piiScrub(withSyntheticPii(Tables.load(s, dir, "documents")))),
+    "text_ngram_stats" -> ((s, dir) =>
+      ngramStats(Tables.load(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => quality(Tables.load(s, dir, "documents"))),
     "text_tokens" -> ((s, dir) => tokens(Tables.load(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => langId(Tables.load(s, dir, "documents"))),
@@ -105,6 +163,30 @@ object TextAnalysis {
       fingerprint(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  REGEXP_REPLACE(REGEXP_REPLACE(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]+', '<PHONE>', 'g') AS scrubbed,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text2,
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]+')) AS BIGINT) AS n_phones
+        |FROM (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or +1-555-'
+        |      || doc_id AS text2
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "text_ngram_stats" ->
+      """SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM (
+        |  SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 1),
+        |    i -> w[i] || ' ' || w[i + 1])) AS ngram
+        |  FROM (SELECT STRING_SPLIT(text, ' ') AS w FROM documents) s
+        |  WHERE LEN(w) >= 2
+        |) t
+        |GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT 100""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(LENGTH(text) AS BIGINT) AS n_chars,

@@ -39,6 +39,21 @@ object Streaming {
         col("n"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Sliding (hopping) windows: 1-hour windows advancing every 30
+    * minutes, per event type — every event contributes to exactly
+    * duration/slide (= 2) windows. Spark expands the window set inline
+    * (no self-union of the input); the only shuffle is the groupBy
+    * keyed by (window, event_type) with map-side partial agg. */
+  def batchSlidingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** Gap-based sessionization, batch face: a new session starts when
     * the gap to the previous event of the same user exceeds
     * SessionGapMinutes. */
@@ -123,6 +138,19 @@ object Streaming {
   def streamingWindowAgg(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Watermarked sliding-window agg — the streaming face of
+    * batchSlidingAgg. State per key is bounded by (watermark delay +
+    * duration) / slide windows. */
+  def streamingSlidingAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double")
           .as("total_value"))
@@ -216,6 +244,8 @@ object Streaming {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> ((s, dir) =>
       batchWindowAgg(Tables.load(s, dir, "events"))),
+    "stream_sliding_agg" -> ((s, dir) =>
+      batchSlidingAgg(Tables.load(s, dir, "events"))),
     "stream_sessionize" -> ((s, dir) =>
       batchSessionize(Tables.load(s, dir, "events"))),
     "stream_stream_join" -> ((s, dir) =>
@@ -227,6 +257,20 @@ object Streaming {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // every event belongs to 2 sliding windows: the 30-min bucket it
+    // falls in, and that bucket minus 30 min (duration 1 h, slide 30 m)
+    "stream_sliding_agg" ->
+      """SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT TIME_BUCKET(INTERVAL '30 minutes', ts) AS window_start,
+        |    event_type, value FROM events
+        |  UNION ALL
+        |  SELECT TIME_BUCKET(INTERVAL '30 minutes', ts)
+        |      - INTERVAL '30 minutes' AS window_start,
+        |    event_type, value FROM events
+        |) t GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
     "stream_sessionize" ->
       """SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end

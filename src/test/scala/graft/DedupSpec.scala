@@ -70,6 +70,23 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("cluster resolution maps chained pairs to the min id") {
+    // components: {1,2,3,9} via chain 9-2, 2-1, 1-3; {5,7}; {8,11}
+    val pairs = Seq((2L, 9L), (1L, 2L), (1L, 3L), (5L, 7L), (8L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.resolveClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L,
+      7L -> 5L, 8L -> 8L, 9L -> 1L, 11L -> 8L))
+  }
+
+  test("cluster resolution converges on a long chain within maxIter") {
+    // path graph 0-1-2-...-12: diameter 12 needs several supersteps
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.resolveClusters(pairs).collect()
+    assert(got.length == 13 && got.forall(_.getLong(1) == 0L))
+  }
+
   test("no dedup plan contains a cartesian product") {
     Seq("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
       "dedup_embedding").foreach { q =>

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val docs = (0L until 2000L)
+    .map(i => (i, Seq("en", "de", "fr", "es", "zh")((i % 5).toInt), s"src${i % 3}"))
+    .toDF("doc_id", "lang", "source")
+
+  test("hash bucket is deterministic and spreads uniformly") {
+    val buckets = docs.select(Sampling.hashBucket(col("doc_id")).as("b"))
+      .groupBy("b").count().collect()
+    assert(buckets.forall { r =>
+      val b = r.getLong(0); b >= 0 && b < Sampling.Buckets
+    })
+    // 2000 sequential ids over 1000 buckets: exactly 2 per bucket for a
+    // multiplier coprime to the bucket count
+    assert(buckets.length == 1000 && buckets.forall(_.getLong(1) == 2))
+  }
+
+  test("stratified sample respects per-language permille rates") {
+    val sampled = Sampling.stratifiedSample(docs)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 400 docs per language; expected keeps = rate ‰ × 400 ± hash noise
+    val rates = Sampling.DefaultRates.toMap
+    for ((lang, permille) <- rates) {
+      val expected = 400.0 * permille / 1000
+      val got = byLang.getOrElse(lang, 0L).toDouble
+      assert(math.abs(got - expected) <= 40,
+        s"$lang: got $got, expected ~$expected")
+    }
+    // re-run is bit-identical (deterministic, no rand())
+    assert(sampled.collect().toSeq ==
+      Sampling.stratifiedSample(docs).collect().toSeq)
+  }
+
+  test("split counts cover every doc and honor 80/10/10") {
+    val counts = Sampling.splitCounts(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts.values.sum == 2000)
+    val bySplit = counts.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    assert(math.abs(bySplit("train") - 1600.0) <= 80)
+    assert(math.abs(bySplit("val") - 200.0) <= 40)
+    assert(math.abs(bySplit("test") - 200.0) <= 40)
+  }
+
+  test("sampling plans are shuffle-free scans (filter only)") {
+    val plan = Sampling.stratifiedSample(docs)
+      .queryExecution.executedPlan.toString
+    // no hash shuffle anywhere — the only exchange is the final
+    // presentation sort's range partitioning
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+}

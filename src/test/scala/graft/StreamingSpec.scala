@@ -25,6 +25,24 @@ class StreamingSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("streaming sliding-window agg equals the batch face (complete mode)") {
+    val stream = Streaming.eventsStream(spark, sf)
+    val q = Streaming.streamingSlidingAgg(stream).writeStream
+      .format("memory").queryName("slide_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("slide_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = Streaming.batchSlidingAgg(Tables.load(spark, sf, "events"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want)
+  }
+
   test("stream-stream interval join matches the batch face") {
     val stream = Streaming.eventsStream(spark, sf)
     val q = Streaming.streamStreamJoin(stream).writeStream

@@ -36,6 +36,29 @@ class TextEtlSpec extends GraftSpec {
     assert(got(3L) == "und")
   }
 
+  test("pii scrub redacts emails and phones and counts matches") {
+    val df = Seq(
+      (1L, "mail a.user+tag@sub.example.org and b@x.io please"),
+      (2L, "call +1-555-12345 or +44-207-9460000 now"),
+      (3L, "no pii here")).toDF("doc_id", "text")
+    val rows = TextAnalysis.piiScrub(df).collect()
+    assert(rows(0).getString(1) == "mail <EMAIL> and <EMAIL> please")
+    assert(rows(0).getLong(2) == 2 && rows(0).getLong(3) == 0)
+    assert(rows(1).getString(1) == "call <PHONE> or <PHONE> now")
+    assert(rows(1).getLong(2) == 0 && rows(1).getLong(3) == 2)
+    assert(rows(2).getString(1) == "no pii here")
+    assert(rows(2).getLong(2) == 0 && rows(2).getLong(3) == 0)
+  }
+
+  test("ngram stats counts bigrams corpus-wide with deterministic ties") {
+    val df = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramStats(df, n = 2, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "a b" ×3 (twice in doc1, once in doc2); "b a"/"b c" ×1 tie → lexical
+    assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
   test("cleaning: trim, empty→NULL, parity segment") {
     val df = Seq((1L, "  x  "), (2L, "   "), (3L, "y"))
       .toDF("codigo", "descricao")
