@@ -38,6 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "simhash64(tokens) - 64-bit SimHash of array<string>"),
       (children: Seq[Expression]) => SimHash64(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("image_dims"),
+      info("image_dims",
+        "image_dims(blob) - struct(fmt, width, height) parsed from " +
+          "PNG/GIF/BMP headers; NULL for unknown formats"),
+      (children: Seq[Expression]) => ImageDims(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("hyperplane_bits"),
       info("hyperplane_bits",
         "hyperplane_bits(v) - 48 fixed-seed random-hyperplane LSH sign bits"),

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native image-header probe: `image_dims(blob)` →
+  * `struct<fmt: string, width: int, height: int>`, NULL when the
+  * payload matches no known signature.
+  *
+  * Parses REAL container formats from the leading bytes of a binary
+  * column — PNG (IHDR, big-endian u32 dims), GIF87a/89a (logical
+  * screen descriptor, little-endian u16), BMP (BITMAPINFOHEADER,
+  * little-endian i32) — without decoding pixel data, so metadata
+  * extraction over a 100 TB media corpus stays a per-row projection
+  * that touches only each blob's first 26 bytes (with parquet/lazy
+  * sources that still reads the full blob value; at scale, pair with
+  * a width-pruned scan or store headers in a sidecar column).
+  *
+  * This is the non-stubbed half of the multimodal seam (SURVEY §2C
+  * `mm_metadata`): header parsing is codec-free and runs codegen'd
+  * per row; pixel/sample DECODING remains behind the documented stub
+  * in graft.operators.Multimodal (no media libraries in this
+  * environment).
+  */
+case class ImageDims(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ImageDims.schema
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "image_dims"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageDims.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // compute may return null (unknown format) — propagate to isNull
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ImageDims.parse($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageDims =
+    copy(child = newChild)
+}
+
+object ImageDims {
+
+  val schema: StructType = StructType(Seq(
+    StructField("fmt", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def row(fmt: String, w: Int, h: Int): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), w, h))
+
+  /** null ⇔ no known signature. Called from generated code. */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b == null) return null
+    // PNG: 8-byte signature, then the IHDR chunk is mandatory-first:
+    // length(4) + "IHDR"(4) + width(be u32 @16) + height(be u32 @20)
+    if (b.length >= 24 && PngSig.indices.forall(i => b(i) == PngSig(i)) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      return row("png", be32(b, 16), be32(b, 20))
+    // GIF87a / GIF89a: logical screen descriptor at offset 6 (le u16)
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      return row("gif", le16(b, 6), le16(b, 8))
+    // BMP: "BM", BITMAPINFOHEADER width @18, height @22 (le i32)
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      return row("bmp", le32(b, 18), le32(b, 22))
+    null
+  }
+}

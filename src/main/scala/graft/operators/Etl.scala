@@ -147,6 +147,25 @@ object Etl {
         s, s"$root/trusted", s"$root/refined",
         Medallion.trustedSchemaOf(rawSchema))
       s.read.parquet(s"$root/refined").orderBy(col("codigo"))
+    },
+
+    // -- semi-structured extraction: JSON property column ------------------
+    // The events table carries a JSON `props` string (the usual shape of
+    // landed clickstream/telemetry data). get_json_object is a
+    // codegen'd path expression — extraction stays a pure per-row
+    // projection; the only shuffle is the tiny groupBy. At 100 TB the
+    // right move is extract-once-then-drop-the-raw-string, which is
+    // exactly this plan's shape.
+    "etl_json_props" -> { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -193,8 +212,17 @@ object Etl {
           |    CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
           |      AS BIGINT)
           |  FROM lineitem
-          |) t ORDER BY table_name""".stripMargin
-      // etl_csv_roundtrip: format op — rows-only check by design
+          |) t ORDER BY table_name""".stripMargin,
+      "etl_json_props" ->
+        """SELECT event_type, COUNT(k) AS n,
+          |  CAST(SUM(k) AS BIGINT) AS sum_k,
+          |  CAST(MIN(k) AS BIGINT) AS min_k,
+          |  CAST(MAX(k) AS BIGINT) AS max_k
+          |FROM (SELECT event_type,
+          |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |      FROM events) t
+          |GROUP BY event_type ORDER BY event_type""".stripMargin
+      // etl_csv_roundtrip / etl_raw_roundtrip: format ops — rows-only
     )
   }
 }

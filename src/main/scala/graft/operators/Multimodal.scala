@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -38,6 +38,45 @@ object Multimodal {
       length(col("text")).cast("long").as("n_bytes"),
       col("source"))
 
+  // hex builders for real container headers — all declarative column
+  // expressions, so blob synthesis itself stays a codegen'd projection
+  private def beU32Hex(c: Column): Column = lpad(hex(c), 8, "0")
+  private def leU16Hex(c: Column): Column = concat(
+    lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+    lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"))
+  private def leU32Hex(c: Column): Column = concat(
+    lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+    lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"),
+    lpad(hex(shiftright(c, 16).bitwiseAND(lit(255))), 2, "0"),
+    lpad(hex(shiftright(c, 24).bitwiseAND(lit(255))), 2, "0"))
+
+  /** Binary corpus with REAL format headers: each document becomes a
+    * blob whose leading bytes are a well-formed PNG / GIF89a / BMP
+    * header (dimensions derived from doc_id, so an external oracle can
+    * recompute them arithmetically) followed by the text payload. The
+    * graft side then recovers the dimensions by PARSING THE BYTES with
+    * the native image_dims expression — generation and extraction share
+    * no code path. */
+  def imageTable(docs: DataFrame): DataFrame = {
+    val width = (lit(160) + col("doc_id") % 1280).cast("int")
+    val height = (lit(90) + col("doc_id") % 720).cast("int")
+    // PNG: signature + IHDR length/tag, dims as be u32, then
+    // depth/color/compression/filter/interlace + (unchecked) CRC
+    val pngHdr = concat(lit("89504E470D0A1A0A0000000D49484452"),
+      beU32Hex(width), beU32Hex(height), lit("080200000000000000"))
+    // GIF89a: logical screen descriptor dims as le u16
+    val gifHdr = concat(lit("474946383961"), leU16Hex(width), leU16Hex(height))
+    // BMP: "BM" + 16 filler bytes, then BITMAPINFOHEADER dims as le i32
+    val bmpHdr = concat(lit("424D"), lit("0" * 32),
+      leU32Hex(width), leU32Hex(height))
+    val hdr = when(col("doc_id") % 3 === 0, pngHdr)
+      .when(col("doc_id") % 3 === 1, gifHdr)
+      .otherwise(bmpHdr)
+    docs.select(col("doc_id"),
+      concat(to_binary(hdr, lit("hex")), col("text").cast("binary"))
+        .as("blob"))
+  }
+
   /** The decode stub: deterministic pseudo-features from the payload
     * bytes. A real implementation would decode pixels/samples here —
     * batched per partition, exactly this signature. */
@@ -74,8 +113,31 @@ object Multimodal {
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
           col("checksum"), col("width"), col("height"), col("feat_norm"))
         .orderBy(col("doc_id"))
+    },
+
+    // -- real header parsing over binary columns --------------------------
+    // Spark derives (fmt, width, height) by parsing actual PNG/GIF/BMP
+    // bytes; the oracle recomputes the planted dimensions
+    // arithmetically — full value-hash coverage for a binary-parsing
+    // operator.
+    "mm_image_dims" -> { (s, dir) =>
+      imageTable(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"),
+          call_function("image_dims", col("blob")).as("d"))
+        .select(col("doc_id"), col("d.fmt").as("fmt"),
+          col("d.width").as("width"), col("d.height").as("height"))
+        .orderBy(col("doc_id"))
     })
 
-  /** Binary plumbing + stubbed decode — rows-only check by design. */
-  def oracleSql: Map[String, String] = Map.empty
+  /** mm_metadata (stubbed decode) stays rows-only by design;
+    * mm_image_dims is fully oracled — the oracle recomputes the
+    * doc_id-derived dimensions that the Spark side parses from bytes. */
+  def oracleSql: Map[String, String] = Map(
+    "mm_image_dims" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |    ELSE 'bmp' END AS fmt,
+        |  CAST(160 + doc_id % 1280 AS INT) AS width,
+        |  CAST(90 + doc_id % 720 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -263,6 +263,28 @@ object Relational {
           dbl(coalesce(sum(money(col("o_totalprice"))),
             lit(0).cast(DecimalType(18, 2)))).as("total_spend"))
         .orderBy(col("c_custkey"))
+    },
+
+    // -- q17: exact group quantiles (percentile_disc) -----------------------
+    // DISCRETE percentiles (ANSI percentile_disc: smallest value whose
+    // cume_dist >= q) on purpose: the result is an actual input value,
+    // so cross-engine equality is exact — continuous interpolation
+    // (percentile_cont) mixes values in engine-specific float order and
+    // cannot be hash-compared. One shuffle keyed by o_orderpriority;
+    // Spark's PercentileDisc aggregates per-group value counts, not a
+    // global sort.
+    "q17_quantiles" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p90"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 
@@ -387,6 +409,14 @@ object Relational {
         |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
         |    CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q17_quantiles" ->
+      """SELECT o_orderpriority,
+        |  PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+        |  PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+        |  PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

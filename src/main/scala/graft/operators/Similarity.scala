@@ -217,14 +217,47 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Int8 symmetric quantization audit: per-vector scale factor
+    * (127 / max|x|) plus exact reconstruction-error stats — the check a
+    * pipeline runs before committing to a quantized embedding store
+    * (int8 cuts a 100 TB float corpus to a quarter; this op certifies
+    * the error bound max_abs_err <= 0.5/scale actually holds).
+    *
+    * Pure per-row projection, no shuffle. Each derived array/scalar is
+    * materialized as a COLUMN before the next higher-order function
+    * consumes it — Spark re-evaluates expression arguments inside HOF
+    * lambdas once per element (see Dedup.banded).
+    */
+  def quantizeStats(vecs: DataFrame): DataFrame = {
+    val withMax = vecs.select(col("vec_id"), col("embedding"),
+      array_max(transform(col("embedding"), x => abs(x)))
+        .cast("double").as("max_abs"))
+    // max_abs = 0 (all-zero vector) has no meaningful scale — excluded
+    val withQ = withMax.filter(col("max_abs") > 0)
+      .withColumn("scale", lit(127.0) / col("max_abs"))
+      .withColumn("q", transform(col("embedding"),
+        x => round(x.cast("double") * col("scale")).cast("int")))
+    withQ
+      .withColumn("err", zip_with(col("embedding"), col("q"),
+        (x, q) => abs(q.cast("double") / col("scale") - x.cast("double"))))
+      .select(col("vec_id"), col("scale"),
+        array_max(col("err")).as("max_abs_err"),
+        (aggregate(col("err"), lit(0.0), (a, e) => a + e * e)
+          / size(col("err"))).as("mse"))
+      .orderBy(col("vec_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> ((s, dir) =>
       embeddingPairs(Tables.load(s, dir, "embeddings"))),
     "knn_brute" -> ((s, dir) =>
       knnBrute(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)),
     "knn_ivf" -> ((s, dir) =>
-      knnIvf(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)))
+      knnIvf(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)),
+    "emb_quantize" -> ((s, dir) =>
+      quantizeStats(Tables.load(s, dir, "embeddings"))))
 
-  /** All three are rows-only checks (fixed-seed deterministic output). */
+  /** All rows-only checks (fixed-seed deterministic output; the
+    * quantization error BOUND is property-tested in SimilaritySpec). */
   def oracleSql: Map[String, String] = Map.empty
 }

@@ -95,6 +95,22 @@ object Streaming {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** At-least-once repair, batch face: the input re-delivers a
+    * deterministic ~6% slice (event_id % 17 == 0) — the shape of a
+    * replayed source partition tail after a failure — and dedup on the
+    * event key restores exactly-once. Duplicates are full-row identical,
+    * so key-dedup is semantically DISTINCT. Result is summarized per
+    * event_type against the UNDUPLICATED table's oracle: any under- or
+    * over-delivery shifts the counts and fails the hash. */
+  def batchDedup(events: DataFrame): DataFrame =
+    events.union(events.filter(col("event_id") % 17 === 0))
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .orderBy(col("event_type"))
+
   // -- streaming faces ----------------------------------------------------
 
   /** The events table's on-disk schema (ts is TIMESTAMP(NANOS), read as
@@ -218,6 +234,17 @@ object Streaming {
       col("n_events"))
   }
 
+  /** Streaming face of [[batchDedup]]: dropDuplicatesWithinWatermark
+    * keeps per-key state only until the watermark passes the key's
+    * event time — bounded state, unlike dropDuplicates whose state
+    * grows with the stream's full history. Correct whenever a re-
+    * delivery arrives within the watermark delay of the original,
+    * which is the at-least-once replay case this models. */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events.union(events.filter(col("event_id") % 17 === 0))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream interval join — the streaming face of
     * batchClickConversions. Watermarks on BOTH sides let Spark evict
     * join state once an input falls out of every possible interval:
@@ -249,7 +276,9 @@ object Streaming {
     "stream_sessionize" -> ((s, dir) =>
       batchSessionize(Tables.load(s, dir, "events"))),
     "stream_stream_join" -> ((s, dir) =>
-      batchClickConversions(Tables.load(s, dir, "events"))))
+      batchClickConversions(Tables.load(s, dir, "events"))),
+    "stream_dedup" -> ((s, dir) =>
+      batchDedup(Tables.load(s, dir, "events"))))
 
   def oracleSql: Map[String, String] = Map(
     "stream_window_agg" ->
@@ -293,5 +322,11 @@ object Streaming {
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-        |ORDER BY click_id, purchase_id""".stripMargin)
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    // oracle over the UNDUPLICATED table: the Spark side injects
+    // re-deliveries then dedups, so any dedup failure shifts n/total
+    "stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Corpus
+
+/** The composed corpus build must drop exactly what its stages promise:
+  * low-quality docs, non-canonical exact copies, non-canonical near-dup
+  * cluster members — and keep everything else, split-assigned
+  * deterministically. */
+class CorpusSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("pipeline drops low-quality, exact-dup and near-dup docs") {
+    val base = (0 until 120).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w119", "zzz") // one word changed
+    val other = (0 until 60).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en", "webA"), // canonical — kept
+      (2L, base, "en", "webB"), // exact copy — dropped (keep_id 1)
+      (3L, nearDup, "en", "webC"), // near-dup — clustered with 1, dropped
+      (4L, "too short", "en", "webD"), // quality gate — dropped
+      (5L, other, "de", "webE")) // distinct — kept
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val got = Corpus.buildSummary(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // hashBucket(1) = 761 → train; hashBucket(5) = 805 → val
+    val want = Set(
+      ("en", "train", 1L, 120L),
+      ("de", "val", 1L, 60L))
+    assert(got == want, s"got $got")
+  }
+
+  test("near-dup removal keeps untouched singletons intact") {
+    val texts = (0 until 8).map { d =>
+      (d + 10L, (0 until 40).map(i => s"t${d}x$i").mkString(" "), "en", "s")
+    }
+    val docs = texts
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = Corpus.dropNearDups(Corpus.dropExactDups(docs))
+    assert(kept.count() == 8) // pairwise-distinct docs all survive
+    assert(kept.columns.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+  }
+}

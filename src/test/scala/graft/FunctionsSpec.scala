@@ -43,6 +43,43 @@ class FunctionsSpec extends GraftSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("image_dims parses real PNG/GIF/BMP headers, NULL otherwise") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(33)
+      bb.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      bb.putInt(13); bb.put("IHDR".getBytes("US-ASCII"))
+      bb.putInt(w); bb.putInt(h)
+      bb.put(Array[Byte](8, 2, 0, 0, 0)); bb.putInt(0)
+      bb.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes("US-ASCII") ++ Array(
+        (w & 255).toByte, (w >> 8).toByte, (h & 255).toByte, (h >> 8).toByte)
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(26)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte); bb.put('M'.toByte)
+      bb.position(18); bb.putInt(w); bb.putInt(h)
+      bb.array()
+    }
+    val blobs = Seq(
+      (1L, png(640, 480)), (2L, gif(320, 200)), (3L, bmp(1024, 768)),
+      (4L, "not an image at all, just bytes".getBytes("US-ASCII")))
+      .toDF("id", "blob")
+    val got = blobs
+      .select(col("id"), call_function("image_dims", col("blob")).as("d"))
+      .selectExpr("id", "d.fmt AS fmt", "d.width AS w", "d.height AS h")
+      .orderBy(col("id")).collect()
+    assert((got(0).getString(1), got(0).getInt(2), got(0).getInt(3)) ==
+      ("png", 640, 480))
+    assert((got(1).getString(1), got(1).getInt(2), got(1).getInt(3)) ==
+      ("gif", 320, 200))
+    assert((got(2).getString(1), got(2).getInt(2), got(2).getInt(3)) ==
+      ("bmp", 1024, 768))
+    assert(got(3).isNullAt(1) && got(3).isNullAt(2) && got(3).isNullAt(3))
+  }
+
   test("expressions survive whole-stage codegen (no fallback errors)") {
     // a wide pipeline through both functions under codegen
     val n = 1000

@@ -26,6 +26,21 @@ class SimilaritySpec extends GraftSpec {
     assert(math.abs(got.getDouble(2) - expectedTop._2) < 1e-9)
   }
 
+  test("int8 quantization respects the 0.5/scale reconstruction bound") {
+    val stats = Similarity.quantizeStats(vecs).collect()
+    assert(stats.length == vecs.count())
+    stats.foreach { r =>
+      val scale = r.getDouble(1)
+      val maxErr = r.getDouble(2)
+      val mse = r.getDouble(3)
+      assert(scale > 0)
+      // round() puts each element within half a quantization step
+      assert(maxErr <= 0.5 / scale * (1 + 1e-9) + 1e-12,
+        s"vec ${r.getLong(0)}: max_abs_err $maxErr > 0.5/scale ${0.5 / scale}")
+      assert(mse >= 0 && mse <= maxErr * maxErr + 1e-15)
+    }
+  }
+
   test("IVF kNN achieves decent recall vs brute force") {
     val brute = Similarity.knnBrute(vecs, col("vec_id") < 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -43,6 +43,21 @@ class StreamingSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("streaming dedup removes injected re-deliveries within watermark") {
+    val stream = Streaming.eventsStream(spark, sf)
+    val q = Streaming.streamingDedup(stream).writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val events = Tables.load(spark, sf, "events")
+    val got = spark.table("dedup_out")
+    // exactly one copy of every event survives
+    assert(got.count() == events.count())
+    assert(got.select("event_id").distinct().count() == events.count())
+  }
+
   test("stream-stream interval join matches the batch face") {
     val stream = Streaming.eventsStream(spark, sf)
     val q = Streaming.streamStreamJoin(stream).writeStream
