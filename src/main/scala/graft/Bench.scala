@@ -35,8 +35,17 @@ object Bench {
     // spike can't fabricate a regression. The timer starts BEFORE query
     // construction — some queries (etl_*_roundtrip) perform their layer
     // writes eagerly there, and that work is part of the operator.
+    //
+    // The explicit GC between queries is load-bearing: ContextCleaner
+    // reclaims broadcast/shuffle state only when the driver happens to
+    // collect old-gen (its periodicGC fallback defaults to 30 min —
+    // longer than this whole run), so ~200 back-to-back executions
+    // otherwise accumulate state until allocation stalls surface as
+    // 10-100x timings on whichever query runs next (observed: a 1 s
+    // scan+groupBy measuring 93 s with a clean plan on an idle host).
     names.foreach { name =>
       try {
+        System.gc()
         val runs = Seq.fill(3) {
           val t0 = System.nanoTime()
           materialize(SparkEntry.queries(name)(spark, sfDir))

@@ -149,6 +149,65 @@ object Etl {
       s.read.parquet(s"$root/refined").orderBy(col("codigo"))
     },
 
+    // -- JSONL sink/source losslessness, FULL-oracle checked ---------------
+    // The trusted CSV leg is rows-only (format fidelity); JSONL is
+    // lossless for long/string, so the roundtrip read can hash-match
+    // the etl_clean oracle directly — sink+schema-enforced source are
+    // on the correctness gate, not just exercised. Nulls are omitted
+    // by the writer and restored by the schema read (same contract as
+    // a 100 TB JSONL landing zone). coalesce(1) is fixture-size only;
+    // production writes stay one-file-per-partition.
+    "etl_jsonl_roundtrip" -> { (s, dir) =>
+      val sfName = dir.replaceAll(".*/", "")
+      val jsonlDir = s"$roundtripRoot/$sfName/jsonl"
+      cleaned(s, dir)
+        .select(col("codigo"), col("descricao"), col("segmento"))
+        .coalesce(1)
+        .write.mode("overwrite").json(jsonlDir)
+      s.read.schema(trustedSchema).json(jsonlDir).orderBy(col("codigo"))
+    },
+
+    // -- SCD-1 upsert: snapshot + changeset → merged state, FULL oracle ----
+    // The changeset is derived deterministically from the snapshot
+    // (updates: every 10th key gets an uppercased name and +100
+    // balance; inserts: every 97th≡3 key re-keyed past the id space),
+    // so DuckDB can rebuild the exact merge result relationally. The
+    // +100 on a double is IEEE-exact on both engines.
+    "etl_upsert" -> { (s, dir) =>
+      val snap = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val updates = snap.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
+          (col("c_acctbal") + 100).as("c_acctbal"))
+      val inserts = snap.filter(col("c_custkey") % 97 === 3)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          concat(col("c_name"), lit(" NEW")).as("c_name"),
+          lit(0.0).as("c_acctbal"))
+      Medallion.upsert(snap, updates.unionAll(inserts), "c_custkey")
+        .orderBy(col("c_custkey"))
+    },
+
+    // -- partitioned lake write + partition-pruned read, FULL oracle -------
+    // The 100 TB access pattern: facts land partitioned by day; a
+    // day-scoped query must touch ONE partition's files, not the table.
+    // The read-back filter compiles to a catalog-level PartitionFilter
+    // (asserted in SqlSurfaceSpec) and the day's aggregate is
+    // hash-checked against DuckDB recomputing from the raw table.
+    "etl_partitioned_write" -> { (s, dir) =>
+      val sfName = dir.replaceAll(".*/", "")
+      val pdir = s"$roundtripRoot/$sfName/events_by_day"
+      Tables.load(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(pdir)
+      s.read.parquet(pdir)
+        .filter(col("day") === lit("2024-01-15").cast("date"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("total_value"))
+        .orderBy(col("event_type"))
+    },
+
     // -- semi-structured extraction: JSON property column ------------------
     // The events table carries a JSON `props` string (the usual shape of
     // landed clickstream/telemetry data). get_json_object is a
@@ -183,6 +242,33 @@ object Etl {
            |  CASE WHEN codigo % 2 = 1 THEN 'PRIMARIO' ELSE 'SECUNDARIO' END
            |    AS segmento
            |FROM ($messy) t ORDER BY codigo""".stripMargin,
+      // identical contract to etl_clean — the roundtrip must be lossless
+      "etl_jsonl_roundtrip" ->
+        s"""SELECT codigo, NULLIF(TRIM(descricao), '') AS descricao,
+           |  CASE WHEN codigo % 2 = 1 THEN 'PRIMARIO' ELSE 'SECUNDARIO' END
+           |    AS segmento
+           |FROM ($messy) t ORDER BY codigo""".stripMargin,
+      "etl_upsert" ->
+        """WITH snap AS (
+          |  SELECT c_custkey, c_name, c_acctbal FROM customer),
+          |changes AS (
+          |  SELECT c_custkey, UPPER(c_name) AS c_name,
+          |    c_acctbal + 100 AS c_acctbal
+          |  FROM snap WHERE c_custkey % 10 = 0
+          |  UNION ALL
+          |  SELECT c_custkey + 1000000, c_name || ' NEW', 0.0
+          |  FROM snap WHERE c_custkey % 97 = 3)
+          |SELECT c_custkey, c_name, c_acctbal FROM changes
+          |UNION ALL
+          |SELECT s.c_custkey, s.c_name, s.c_acctbal FROM snap s
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM changes c WHERE c.c_custkey = s.c_custkey)
+          |ORDER BY c_custkey""".stripMargin,
+      "etl_partitioned_write" ->
+        """SELECT event_type, COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
       "etl_conditional_agg" ->
         s"""SELECT segmento, COUNT(*) AS n,
            |  CAST(SUM(CASE WHEN descricao IS NULL THEN 1 ELSE 0 END) AS BIGINT)

@@ -77,6 +77,56 @@ object Multimodal {
         .as("blob"))
   }
 
+  /** Binary "video" corpus: each blob is a text container header
+    * `VID0|<n_frames>|<frame_len>|` followed by n_frames fixed-size
+    * frames whose bytes are a doc_id+index-derived fill — so an
+    * external oracle can recompute every sampled frame's properties
+    * arithmetically while the graft side has to parse geometry and
+    * offsets out of the payload bytes. Blob synthesis is one codegen'd
+    * projection (transform over a sequence, joined and cast to
+    * binary). */
+  def videoTable(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id",
+        "cast(4 + doc_id % 4 as int) AS n_frames",
+        "cast(64 + doc_id % 32 as int) AS frame_len")
+      .withColumn("blob", expr(
+        """cast(concat('VID0|', n_frames, '|', frame_len, '|',
+          |  array_join(transform(sequence(0, n_frames - 1),
+          |    i -> repeat(char(97 + (doc_id + i) % 26), frame_len)), ''))
+          |as binary)""".stripMargin))
+      .select(col("doc_id"), col("blob"))
+
+  /** Frame sampling over binary video blobs: parse the container
+    * geometry from the header BYTES, take every `stride`-th frame by
+    * byte-offset arithmetic, and emit per-frame properties. This is
+    * the plumbing shape of real video sampling at 100 TB — a pure
+    * per-row projection + explode (no shuffle, no driver round-trip),
+    * with the frame decode itself swappable behind the extracted
+    * `frame_bytes` column. */
+  def sampleFrames(videos: DataFrame, stride: Int = 2): DataFrame = {
+    val parsed = videos
+      // the header is ASCII and at most 4+1+2+1+2+1 = 11 bytes; 24 is
+      // safely past it and split() stops at the first frame (no '|')
+      .withColumn("_hdr",
+        split(decode(expr("substring(blob, 1, 24)"), "UTF-8"), "\\|"))
+      .withColumn("n_frames", element_at(col("_hdr"), 2).cast("int"))
+      .withColumn("frame_len", element_at(col("_hdr"), 3).cast("int"))
+      .withColumn("hdr_len",
+        length(element_at(col("_hdr"), 2)) +
+          length(element_at(col("_hdr"), 3)) + lit(7))
+    parsed
+      .select(col("doc_id"), col("blob"), col("frame_len"), col("hdr_len"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+      .withColumn("frame_bytes",
+        expr("substring(blob, hdr_len + frame_idx * frame_len + 1, frame_len)"))
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame_bytes")).as("frame_len"),
+        ascii(decode(col("frame_bytes"), "UTF-8")).as("first_byte"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** The decode stub: deterministic pseudo-features from the payload
     * bytes. A real implementation would decode pixels/samples here —
     * batched per partition, exactly this signature. */
@@ -127,12 +177,27 @@ object Multimodal {
         .select(col("doc_id"), col("d.fmt").as("fmt"),
           col("d.width").as("width"), col("d.height").as("height"))
         .orderBy(col("doc_id"))
+    },
+
+    // -- strided frame sampling over binary video containers ---------------
+    // Spark parses geometry + frame offsets out of the blob bytes; the
+    // oracle recomputes the planted per-frame properties arithmetically.
+    "mm_frame_sample" -> { (s, dir) =>
+      sampleFrames(videoTable(Tables.load(s, dir, "documents")))
     })
 
   /** mm_metadata (stubbed decode) stays rows-only by design;
-    * mm_image_dims is fully oracled — the oracle recomputes the
-    * doc_id-derived dimensions that the Spark side parses from bytes. */
+    * mm_image_dims and mm_frame_sample are fully oracled — the oracle
+    * recomputes the doc_id-derived properties that the Spark side
+    * parses out of the payload bytes. */
   def oracleSql: Map[String, String] = Map(
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(64 + doc_id % 32 AS INT) AS frame_len,
+        |  CAST(97 + (doc_id + f) % 26 AS INT) AS first_byte
+        |FROM (SELECT doc_id, UNNEST(range(0, 4 + doc_id % 4, 2)) AS f
+        |      FROM documents) t
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_image_dims" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'

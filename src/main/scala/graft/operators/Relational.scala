@@ -285,6 +285,71 @@ object Relational {
             .as("p90"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // -- q18: sketched quantiles — the 100 TB scale path for q17 -----------
+    // percentile_disc keeps exact per-group value counts (memory grows
+    // with distinct values); percentile_approx is a fixed-size GK
+    // sketch — constant memory per group, mergeable map-side, the only
+    // viable shape at 100 TB. The sketch result itself is not
+    // hash-comparable across engines, so the driver-facing contract is
+    // the ACCURACY GATE: `approx_ok` asserts the sketch lands within 2%
+    // of the exact discrete median computed in the same plan; the
+    // oracle expects literal TRUE. A drifting sketch flips the bit and
+    // fails the hash — the approximation is gated, not just trusted.
+    "q18_approx_quantiles" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p50_exact"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+            .as("p50_approx"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_orderpriority"), col("p50_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) <=
+            col("p50_exact") * lit(0.02)).as("approx_ok"),
+          col("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // -- q19: salted skew join with exact-oracle parity --------------------
+    // The salting mechanism (Joins.saltedJoin: fact rows salted by a
+    // row-unique hash, dimension replicated across salts, shuffle keyed
+    // by (key, salt)) must be SEMANTICS-PRESERVING — this query proves
+    // it by hash-matching the plain unsalted join in the oracle. The
+    // salt bounds the largest shuffle task when a handful of keys hold
+    // most rows (the 100 TB skew case AQE cannot always split).
+    "q19_salted_join" -> { (s, dir) =>
+      val ord = Tables.load(s, dir, "orders")
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Joins.saltedJoin(ord, dim, "o_custkey", "o_orderkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dbl(sum(money(col("o_totalprice")))).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // -- q20: skew-safe exact distinct via two-phase aggregation -----------
+    // event_type is the hot-key shape (a handful of values over the
+    // whole fact table). A direct COUNT(DISTINCT user_id) GROUP BY
+    // event_type funnels each type's full user stream through one
+    // reducer; the two-phase form shuffles phase 1 on the
+    // HIGH-cardinality (event_type, user_id) pair — spreading every hot
+    // key across all partitions — and phase 2 reduces one pre-combined
+    // row per pair. Decimal partial sums keep the money total exact
+    // through both phases, so the oracle's single-phase answer
+    // hash-matches.
+    "q20_skew_agg" -> { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("pn"), sum(money(col("value"))).as("pv"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("pn")).as("n_events"),
+          dbl(sum(col("pv"))).as("total_value"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -417,6 +482,28 @@ object Relational {
         |  PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+    // approx_ok is the Spark-side accuracy gate (sketch within 2% of the
+    // exact median); the oracle's contract is that it always holds.
+    "q18_approx_quantiles" ->
+      """SELECT o_orderpriority,
+        |  PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50_exact,
+        |  TRUE AS approx_ok,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // plain unsalted join — hash equality proves salting preserves semantics
+    "q19_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // single-phase answer — two-phase must be an identity on the result
+    "q20_skew_agg" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

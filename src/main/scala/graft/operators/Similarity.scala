@@ -247,6 +247,33 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-label mean embedding (class centroids — the seed step for
+    * k-means refinement, cluster labeling, or building an IVF codebook
+    * from labeled data). posexplode → groupBy(label, dim): ONE shuffle
+    * of (int, int, long) triples after map-side partial sums — never
+    * the arrays themselves; output is |labels|·Dim rows regardless of
+    * corpus size.
+    *
+    * Cross-engine exactness: float sums are order-dependent, so the
+    * mean is computed over floor(value·1e9) fixed-point BIGINTs — IEEE
+    * double multiply + floor are deterministic and identical on any
+    * engine, the integer sum is exact in any order, and the final
+    * single division returns to double. The ~1e-9 quantization is far
+    * below float32 input precision. */
+  def labelCentroids(vecs: DataFrame): DataFrame = {
+    val fixedPoint = floor(col("v").cast("double") * lit(1e9)).cast("long")
+    vecs
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos").cast("long").as("dim"),
+        fixedPoint.as("fp"))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        (sum(col("fp")).cast("double") / (count(lit(1)) * lit(1e9)))
+          .as("mean_v"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("dim"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> ((s, dir) =>
       embeddingPairs(Tables.load(s, dir, "embeddings"))),
@@ -255,9 +282,22 @@ object Similarity {
     "knn_ivf" -> ((s, dir) =>
       knnIvf(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)),
     "emb_quantize" -> ((s, dir) =>
-      quantizeStats(Tables.load(s, dir, "embeddings"))))
+      quantizeStats(Tables.load(s, dir, "embeddings"))),
+    "emb_centroids" -> ((s, dir) =>
+      labelCentroids(Tables.load(s, dir, "embeddings"))))
 
-  /** All rows-only checks (fixed-seed deterministic output; the
-    * quantization error BOUND is property-tested in SimilaritySpec). */
-  def oracleSql: Map[String, String] = Map.empty
+  /** LSH/kNN entries are rows-only checks (fixed-seed deterministic
+    * output; the quantization error BOUND is property-tested in
+    * SimilaritySpec). emb_centroids is full-oracle: the fixed-point
+    * mean is bit-identical across engines. */
+  def oracleSql: Map[String, String] = Map(
+    "emb_centroids" ->
+      """SELECT label, pos - 1 AS dim,
+        |  CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+        |    / (COUNT(*) * 1e9) AS mean_v,
+        |  COUNT(*) AS n_vecs
+        |FROM (SELECT label, UNNEST(embedding) AS v,
+        |        GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+        |      FROM embeddings) t
+        |GROUP BY label, pos ORDER BY label, dim""".stripMargin)
 }

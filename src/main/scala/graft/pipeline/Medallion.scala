@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, when}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.operators.Cleaning
@@ -51,6 +52,26 @@ object Medallion {
     * (monitor.py:126-204 append UUID-keyed rows, never truncate). */
   def appendWarehouse(df: DataFrame, table: String): Unit =
     df.write.mode("append").saveAsTable(table)
+
+  /** SCD-1 upsert (MERGE INTO without a table format): apply a
+    * changeset to a snapshot — matched keys take the changeset row
+    * (including its explicit NULLs — presence of the KEY decides, not
+    * per-column coalesce), unmatched snapshot rows persist, new keys
+    * insert. ONE shuffle keyed by `key` (full-outer join); AQE splits
+    * skewed keys, and a bucketed snapshot layout (Joins.writeBucketed)
+    * drops the snapshot-side shuffle entirely — the incremental-load
+    * shape a warehouse runs nightly at 100 TB. */
+  def upsert(snapshot: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val cols = snapshot.columns.toIndexedSeq
+    require(changes.columns.toIndexedSeq == cols,
+      s"changeset schema ${changes.columns.toSeq} must match snapshot $cols")
+    val sn = snapshot.select(cols.map(c => col(c).as(s"_sn_$c")): _*)
+    val ch = changes.select(cols.map(c => col(c).as(s"_ch_$c")): _*)
+    sn.join(ch, col(s"_sn_$key") === col(s"_ch_$key"), "full_outer")
+      .select(cols.map(c =>
+        when(col(s"_ch_$key").isNotNull, col(s"_ch_$c"))
+          .otherwise(col(s"_sn_$c")).as(c)): _*)
+  }
 
   /** The trusted layer's schema: the raw schema plus the derived
     * parity-segment column referenceClean appends. */

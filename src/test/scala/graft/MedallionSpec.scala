@@ -45,6 +45,20 @@ class MedallionSpec extends GraftSpec {
     }
   }
 
+  test("upsert: change rows win (nulls included), new keys insert") {
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq((2L, null.asInstanceOf[String], 99.0), (4L, "d", 40.0))
+      .toDF("k", "name", "bal")
+    val got = Medallion.upsert(snap, changes, "k").orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSeq
+    assert(got == Seq(
+      (1L, Some("a"), 10.0),
+      (2L, None, 99.0), // the changeset's explicit NULL wins — no coalesce
+      (3L, Some("c"), 30.0),
+      (4L, Some("d"), 40.0)))
+  }
+
   test("auditedRun persists per-layer audit rows to the warehouse") {
     val root = Files.createTempDirectory(Paths.get("target"), "audited")
       .toString

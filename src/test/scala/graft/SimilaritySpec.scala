@@ -100,6 +100,26 @@ class SimilaritySpec extends GraftSpec {
     assert(set8.subsetOf(set4))
   }
 
+  test("label centroids match a driver-computed mean per (label, dim)") {
+    val cents = Similarity.labelCentroids(vecs).collect()
+    val labels = vecs.select("label").distinct().count()
+    assert(cents.length == labels * Similarity.Dim)
+    val expected = vecs.select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+      .groupBy(_._1).map { case (l, rows) =>
+        val n = rows.length
+        l -> (0 until Similarity.Dim).map(d =>
+          rows.map(_._2(d).toDouble).sum / n)
+      }
+    cents.foreach { r =>
+      val (l, d) = (r.getInt(0), r.getLong(1).toInt)
+      // fixed-point quantization floor() bounds the drift by 1e-9
+      assert(math.abs(r.getDouble(2) - expected(l)(d)) < 1e-8,
+        s"centroid ($l,$d) off: ${r.getDouble(2)} vs ${expected(l)(d)}")
+      assert(r.getLong(3) > 0)
+    }
+  }
+
   test("IVF uses a fixed centroid budget and is deterministic") {
     val a = Similarity.knnIvf(vecs, col("vec_id") < 5, centroidBudget = 32)
       .collect()

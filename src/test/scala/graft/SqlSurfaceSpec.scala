@@ -37,4 +37,12 @@ class SqlSurfaceSpec extends GraftSpec {
       s"partition filter not pushed:\n${plan.take(800)}")
     assert(back.count() == df.filter(col("segmento") === "PRIMARIO").count())
   }
+
+  test("etl_partitioned_write prunes the day-partitioned lake at read time") {
+    val df = graft.operators.Etl.queries("etl_partitioned_write")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"day partition filter not pushed:\n${plan.take(800)}")
+    assert(df.count() > 0)
+  }
 }
