@@ -57,6 +57,34 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Incremental exact dedup — the DAILY ingest shape: a new batch is
+    * deduped against (a) the historical fingerprint store and (b)
+    * itself, WITHOUT rescanning historical text. The store carries
+    * only (content_hash, keep_id) — 16 bytes per historical doc
+    * regardless of document size — and the probe is an equi-join on
+    * the 8-byte hash (AQE broadcasts the batch side when it is small,
+    * the common case; at 10¹⁰-doc history the store join shuffles on
+    * the hash, which is uniformly distributed by construction — no
+    * skew). Verdicts per new doc: dup_of_history, dup_in_batch, and
+    * the resulting keep bit. */
+  def incremental(history: DataFrame, batch: DataFrame): DataFrame = {
+    val store = history
+      .groupBy(xxhash64(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("hist_id"))
+    val hashed = batch.select(col("doc_id"), xxhash64(col("text")).as("h"))
+    val batchKeep = hashed.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("batch_keep"))
+    hashed
+      .join(batchKeep, "h")
+      .join(store, col("h") === col("content_hash"), "left_outer")
+      .select(col("doc_id"),
+        col("hist_id").isNotNull.as("dup_of_history"),
+        (col("doc_id") =!= col("batch_keep")).as("dup_in_batch"),
+        (col("hist_id").isNull && col("doc_id") === col("batch_keep"))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // -- MinHash + LSH banding ---------------------------------------------
 
   val NumHashes = 64
@@ -250,12 +278,35 @@ object Dedup {
     "dedup_minhash" -> ((s, dir) => minhashPairs(Tables.load(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => simhashPairs(Tables.load(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      ngramJaccardPairs(Tables.load(s, dir, "documents"))))
+      ngramJaccardPairs(Tables.load(s, dir, "documents"))),
+    // history = doc_id % 3 != 0, batch = doc_id % 3 == 0 — a
+    // deterministic split that exists at every SF
+    "dedup_incremental" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      incremental(docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0))
+    })
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
-        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
-    // near-dup ops are rows-only: deterministic fixed-seed LSH output
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // the oracle dedups by TEXT equality — it agrees with the Spark
+    // side's 64-bit-hash store unless an actual collision occurs
+    "dedup_incremental" ->
+      """WITH history AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        |batch AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+        |store AS (SELECT text, MIN(doc_id) AS hist_id
+        |          FROM history GROUP BY text),
+        |bk AS (SELECT text, MIN(doc_id) AS batch_keep
+        |       FROM batch GROUP BY text)
+        |SELECT b.doc_id,
+        |  (s.hist_id IS NOT NULL) AS dup_of_history,
+        |  (b.doc_id <> k.batch_keep) AS dup_in_batch,
+        |  (s.hist_id IS NULL AND b.doc_id = k.batch_keep) AS keep
+        |FROM batch b JOIN bk k ON b.text = k.text
+        |LEFT JOIN store s ON b.text = s.text
+        |ORDER BY b.doc_id""".stripMargin
+    // other near-dup ops are rows-only: deterministic fixed-seed LSH
   )
 }

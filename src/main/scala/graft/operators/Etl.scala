@@ -208,6 +208,30 @@ object Etl {
         .orderBy(col("event_type"))
     },
 
+    // -- schema evolution: mixed-epoch parquet under one mergeSchema read --
+    // The lake reality at 100 TB: files written before a column existed
+    // sit next to files written after. Epoch-1 files (odd codigo) carry
+    // (codigo, descricao); epoch-2 files (even codigo) add segmento.
+    // A mergeSchema read unions the footers and backfills NULL for
+    // pre-evolution rows — hash-checked against the oracle's CASE
+    // reconstruction. (mergeSchema costs a footer-read per file; at
+    // scale pin the merged schema in a catalog and pass it explicitly —
+    // the read path below is the same either way.)
+    "etl_schema_evolution" -> { (s, dir) =>
+      val sfName = dir.replaceAll(".*/", "")
+      val root = s"$roundtripRoot/$sfName/schema_evo"
+      val base = cleaned(s, dir)
+      base.filter(col("codigo") % 2 === 1)
+        .select(col("codigo"), col("descricao"))
+        .write.mode("overwrite").parquet(root)
+      base.filter(col("codigo") % 2 === 0)
+        .select(col("codigo"), col("descricao"), col("segmento"))
+        .write.mode("append").parquet(root)
+      s.read.option("mergeSchema", "true").parquet(root)
+        .select(col("codigo"), col("descricao"), col("segmento"))
+        .orderBy(col("codigo"))
+    },
+
     // -- semi-structured extraction: JSON property column ------------------
     // The events table carries a JSON `props` string (the usual shape of
     // landed clickstream/telemetry data). get_json_object is a
@@ -246,6 +270,13 @@ object Etl {
       "etl_jsonl_roundtrip" ->
         s"""SELECT codigo, NULLIF(TRIM(descricao), '') AS descricao,
            |  CASE WHEN codigo % 2 = 1 THEN 'PRIMARIO' ELSE 'SECUNDARIO' END
+           |    AS segmento
+           |FROM ($messy) t ORDER BY codigo""".stripMargin,
+      // pre-evolution (odd) rows never had segmento → NULL; evolved
+      // (even) rows carry the parity value, always SECUNDARIO
+      "etl_schema_evolution" ->
+        s"""SELECT codigo, NULLIF(TRIM(descricao), '') AS descricao,
+           |  CASE WHEN codigo % 2 = 0 THEN 'SECUNDARIO' ELSE NULL END
            |    AS segmento
            |FROM ($messy) t ORDER BY codigo""".stripMargin,
       "etl_upsert" ->

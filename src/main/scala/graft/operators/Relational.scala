@@ -350,6 +350,42 @@ object Relational {
           sum(col("pn")).as("n_events"),
           dbl(sum(col("pv"))).as("total_value"))
         .orderBy(col("event_type"))
+    },
+
+    // -- q21: sketched distinct — the scale path for q8 --------------------
+    // countDistinct is exact but shuffles every distinct value; HLL++
+    // (approx_count_distinct) is a fixed-size mergeable sketch — the
+    // only viable COUNT(DISTINCT) at 100 TB. Same contract shape as
+    // q18: the sketch isn't cross-engine-comparable, so the driver
+    // gate is the exact count (hash-matched) plus an in-plan accuracy
+    // bit asserting the sketch landed within 5% of it (rsd is set to
+    // 2%, so 5% is ~2.5 sigma — deterministic for a fixed dataset).
+    "q21_approx_distinct" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts_exact"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02)
+            .as("n_parts_approx"))
+        .select(col("l_returnflag"), col("n_parts_exact"),
+          (abs(col("n_parts_approx") - col("n_parts_exact")) <=
+            col("n_parts_exact") * lit(0.05)).as("approx_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // -- q22: latest record per key (CDC compaction primitive) -------------
+    // The materialize-current-state step of every changelog consumer:
+    // one shuffle on the key, row_number over (ts, tiebreak) desc, keep
+    // rank 1. No self-join against a max-ts subquery (two scans + a
+    // shuffle more) — the window form is the minimal plan.
+    "q22_latest_by_key" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("event_type").as("last_type"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -504,6 +540,20 @@ object Relational {
         |  COUNT(DISTINCT user_id) AS n_users,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exact distinct hash-matched; approx_ok is the Spark-side 5% gate
+    "q21_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts_exact,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q22_latest_by_key" ->
+      """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        |  event_type AS last_type
+        |FROM (SELECT user_id, event_id, ts, event_type,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }

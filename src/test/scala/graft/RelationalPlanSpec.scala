@@ -40,6 +40,13 @@ class RelationalPlanSpec extends GraftSpec {
       .exists(l => l.contains("ResolvedHint") && l.contains("customer")))
   }
 
+  test("q22 latest-by-key is a single window pass, not a max-ts self-join") {
+    val plan = physical("q22_latest_by_key")
+    assert(plan.contains("Window") || plan.contains("WindowGroupLimit"))
+    assert(!plan.contains("Join"),
+      s"q22 must not self-join:\n${plan.take(1500)}")
+  }
+
   test("every oracle key has a query; every query returns rows at sf0.001") {
     SparkEntry.oracleSql.keys.foreach { k =>
       assert(SparkEntry.queries.contains(k), s"oracle without query: $k")
