@@ -246,6 +246,16 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // Min-propagation labels are monotonically NON-INCREASING per node,
+    // so "any label changed" ⟺ "Σ labels decreased" — convergence is a
+    // one-scalar aggregate over the new labels instead of a
+    // new-vs-old equi-join every superstep (halves the per-superstep
+    // shuffle count; doc_ids are non-negative, so the sum is bounded
+    // and decreases strictly until the fixpoint).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head
+        .getDecimal(0) // decimal: exact at any node count, no wraparound
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -255,10 +265,9 @@ object Dedup {
       val next = labels.union(fromNeighbors)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       iter += 1
     }
