@@ -111,6 +111,18 @@ object Streaming {
           .as("total_value"))
       .orderBy(col("event_type"))
 
+  /** Static-dimension enrichment, batch face: the event stream joined
+    * to a slowly-changing dimension snapshot (customer keyed by
+    * user_id), aggregated per segment. */
+  def batchStaticEnrich(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .orderBy(col("c_mktsegment"))
+
   // -- streaming faces ----------------------------------------------------
 
   /** The events table's on-disk schema (ts is TIMESTAMP(NANOS), read as
@@ -268,6 +280,19 @@ object Streaming {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Streaming face of [[batchStaticEnrich]], join stage only (the agg
+    * parity rides on the batch face's oracle): a STREAM-STATIC
+    * equi-join — no watermark and no join state, because the static
+    * side is wholly available every micro-batch and is re-read then
+    * (picking up dimension updates between batches). Spark broadcasts
+    * the dim when it is small; a fact-scale dim shuffles per
+    * micro-batch — pre-bucket it on the join key instead. */
+  def streamingStaticEnrich(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+        col("value"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> ((s, dir) =>
       batchWindowAgg(Tables.load(s, dir, "events"))),
@@ -278,7 +303,10 @@ object Streaming {
     "stream_stream_join" -> ((s, dir) =>
       batchClickConversions(Tables.load(s, dir, "events"))),
     "stream_dedup" -> ((s, dir) =>
-      batchDedup(Tables.load(s, dir, "events"))))
+      batchDedup(Tables.load(s, dir, "events"))),
+    "stream_static_join" -> ((s, dir) =>
+      batchStaticEnrich(Tables.load(s, dir, "events"),
+        Tables.load(s, dir, "customer"))))
 
   def oracleSql: Map[String, String] = Map(
     "stream_window_agg" ->
@@ -328,5 +356,10 @@ object Streaming {
     "stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_static_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 }

@@ -78,6 +78,26 @@ class StreamingSpec extends GraftSpec {
       s"stream emitted ${got.size} of ${want.size} pairs")
   }
 
+  test("stream-static dim join enriches every matching event") {
+    val stream = Streaming.eventsStream(spark, sf)
+    val customer = Tables.load(spark, sf, "customer")
+    val q = Streaming.streamingStaticEnrich(stream, customer).writeStream
+      .format("memory").queryName("enrich_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("enrich_out").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    val want = Tables.load(spark, sf, "events")
+      .join(customer, org.apache.spark.sql.functions.col("user_id") ===
+        org.apache.spark.sql.functions.col("c_custkey"))
+      .select("event_id", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want) // stateless join: nothing held back at stream end
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionization emits closed sessions matching batch") {
     val stream = Streaming.eventsStream(spark, sf)
     val q = Streaming.sessionizeStream(spark, stream).writeStream
