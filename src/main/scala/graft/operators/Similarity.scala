@@ -217,6 +217,62 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Top principal component of the embedding corpus by distributed
+    * power iteration — the whitening/variance-analysis primitive an
+    * embedding pipeline runs before committing to a quantization or
+    * indexing scheme.
+    *
+    * Per iteration: s = (x−μ)·v per row (codegen'd HOFs over
+    * materialized columns), then Σ s·(x−μ) per dimension via
+    * posexplode + groupBy(dim) — map-side partial aggregation folds
+    * every partition to ≤Dim rows before the shuffle, so each
+    * iteration moves O(Dim · partitions) rows regardless of corpus
+    * size. Driver state is the Dim-float direction vector only (the
+    * same driver-coordination pattern as Dedup.resolveClusters);
+    * iteration count is FIXED — convergence of power iteration is
+    * geometric in the spectral gap, and 15 rounds resolve any
+    * direction worth trusting.
+    *
+    * Sign is canonicalized (largest-|loading| dimension positive) so
+    * output is stable run-to-run; float-sum ordering makes the last
+    * digits environment-dependent, hence rows-only gating with the
+    * eigen-equation property-checked in SimilaritySpec. */
+  def topComponent(vecs: DataFrame, iters: Int = 15): DataFrame = {
+    val n = vecs.count().toDouble
+    require(n > 1, "need at least two vectors")
+    val mean = vecs
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(avg(col("x").cast("double")).as("m"))
+      .orderBy(col("pos")).collect().map(_.getDouble(1))
+    var v = Array.fill(Dim)(1.0 / math.sqrt(Dim))
+    var eig = 0.0
+    for (_ <- 1 to iters) {
+      val mCol = array(mean.toIndexedSeq.map(lit): _*)
+      val vCol = array(v.toIndexedSeq.map(lit): _*)
+      // centered and s materialized as COLUMNS before reuse (HOF
+      // arguments re-evaluate per element — see quantizeStats)
+      val av = vecs
+        .select(zip_with(col("embedding"), mCol,
+          (x, m) => x.cast("double") - m).as("c"))
+        .select(col("c"),
+          aggregate(zip_with(col("c"), vCol, (c, w) => c * w),
+            lit(0.0), (a, e) => a + e).as("s"))
+        .select(posexplode(col("c")).as(Seq("pos", "cx")), col("s"))
+        .groupBy(col("pos")).agg(sum(col("cx") * col("s")).as("av"))
+        .orderBy(col("pos")).collect().map(_.getDouble(1))
+      val norm = math.sqrt(av.map(x => x * x).sum)
+      eig = norm / (n - 1) // Rayleigh estimate: ||C v|| with ||v|| = 1
+      v = av.map(_ / norm)
+    }
+    val flip = if (v(v.indices.maxBy(i => math.abs(v(i)))) < 0) -1.0 else 1.0
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    v.toIndexedSeq.zipWithIndex
+      .map { case (x, i) => (i.toLong, x * flip, eig) }
+      .toDF("dim", "loading", "eigenvalue")
+      .orderBy(col("dim"))
+  }
+
   /** Int8 symmetric quantization audit: per-vector scale factor
     * (127 / max|x|) plus exact reconstruction-error stats — the check a
     * pipeline runs before committing to a quantized embedding store
@@ -284,7 +340,9 @@ object Similarity {
     "emb_quantize" -> ((s, dir) =>
       quantizeStats(Tables.load(s, dir, "embeddings"))),
     "emb_centroids" -> ((s, dir) =>
-      labelCentroids(Tables.load(s, dir, "embeddings"))))
+      labelCentroids(Tables.load(s, dir, "embeddings"))),
+    "emb_pca_power" -> ((s, dir) =>
+      topComponent(Tables.load(s, dir, "embeddings"))))
 
   /** LSH/kNN entries are rows-only checks (fixed-seed deterministic
     * output; the quantization error BOUND is property-tested in

@@ -120,6 +120,35 @@ class SimilaritySpec extends GraftSpec {
     }
   }
 
+  test("power iteration finds the covariance top eigenvector") {
+    val got = Similarity.topComponent(vecs).collect()
+    assert(got.length == Similarity.Dim)
+    val v = got.map(_.getDouble(1))
+    val eig = got.head.getDouble(2)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "unit norm")
+    // driver-side reference: covariance times v must be ~ eig * v
+    val rows = vecs.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = rows.length
+    val d = Similarity.Dim
+    val mean = Array.tabulate(d)(j => rows.map(_(j)).sum / n)
+    val cv = Array.tabulate(d) { j =>
+      rows.map { r =>
+        val s = (0 until d).map(k => (r(k) - mean(k)) * v(k)).sum
+        (r(j) - mean(j)) * s
+      }.sum / (n - 1)
+    }
+    val rayleigh = (0 until d).map(j => cv(j) * v(j)).sum
+    assert(math.abs(rayleigh - eig) / eig < 0.05,
+      s"eigenvalue estimate off: $eig vs $rayleigh")
+    // residual ||Cv - λv|| small relative to λ → v is (close to) an
+    // eigenvector; 15 iterations leave at most a few % residual when
+    // the spectral gap is small, so bound loosely
+    val resid = math.sqrt((0 until d)
+      .map(j => math.pow(cv(j) - rayleigh * v(j), 2)).sum)
+    assert(resid / rayleigh < 0.35, s"residual $resid vs eig $rayleigh")
+  }
+
   test("IVF uses a fixed centroid budget and is deterministic") {
     val a = Similarity.knnIvf(vecs, col("vec_id") < 5, centroidBudget = 32)
       .collect()
