@@ -85,6 +85,32 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination — flag every corpus document sharing a
+    * verbatim word 13-gram with an evaluation set (the GPT-3/PaLM
+    * decontamination rule; 13 is that lineage's published n). The
+    * benchmark side is tiny (eval suites), so its DISTINCT gram-hash
+    * set BROADCASTS; the corpus side is a scan-local explode to
+    * (doc_id, gram-hash) — corpus text never shuffles, and the
+    * broadcast left-semi + per-doc count is the entire data movement.
+    * Gram sets are per-doc distinct (wordShingles), so n_hits counts
+    * distinct contaminated grams. 64-bit gram hashing has the same
+    * collision contract as [[exact]]. */
+  def contamination(corpus: DataFrame, benchPred: Column,
+      n: Int = 13): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), wordShingles(col("toks"), n).as("grams"))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val benchHashes = grams(corpus.filter(benchPred))
+      .select(col("h")).distinct()
+    grams(corpus)
+      .join(broadcast(benchHashes), Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   // -- MinHash + LSH banding ---------------------------------------------
 
   val NumHashes = 64
@@ -294,7 +320,12 @@ object Dedup {
       val docs = Tables.load(s, dir, "documents")
       incremental(docs.filter(col("doc_id") % 3 =!= 0),
         docs.filter(col("doc_id") % 3 === 0))
-    })
+    },
+    // "benchmark" = every 50th doc; members self-match (an eval doc
+    // leaked into the corpus IS contamination), near-dups add more
+    "dedup_contain" -> ((s, dir) =>
+      contamination(Tables.load(s, dir, "documents"),
+        col("doc_id") % 50 === 0)))
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -315,7 +346,20 @@ object Dedup {
         |  (s.hist_id IS NULL AND b.doc_id = k.batch_keep) AS keep
         |FROM batch b JOIN bk k ON b.text = k.text
         |LEFT JOIN store s ON b.text = s.text
-        |ORDER BY b.doc_id""".stripMargin
+        |ORDER BY b.doc_id""".stripMargin,
+    // gram positions i = 1..max(len-11, 1): for docs shorter than 13
+    // words both engines emit the single truncated whole-doc gram
+    // (Spark's slice and DuckDB's list slicing both clip at the end)
+    "dedup_contain" ->
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+12], ' ') AS g
+        |  FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 12, 1) + 1)) AS r(i)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+        |SELECT doc_id, COUNT(*) AS n_hits
+        |FROM grams WHERE g IN (SELECT g FROM bench)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     // other near-dup ops are rows-only: deterministic fixed-seed LSH
   )
 }

@@ -70,6 +70,20 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("contamination flags verbatim 13-gram overlap with the benchmark") {
+    val span = (1 to 15).map(i => s"s$i").mkString(" ") // 15 shared words
+    val benchDoc = span + " " + (1 to 10).map(i => s"b$i").mkString(" ")
+    val leaked = (1 to 5).map(i => s"p$i").mkString(" ") + " " + span
+    val clean = (1 to 30).map(i => s"c$i").mkString(" ")
+    val df = textsDF(0L -> benchDoc, 7L -> leaked, 9L -> clean)
+    val got = Dedup.contamination(df, col("doc_id") === 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(0L), "benchmark doc must self-match")
+    // 15-word shared span → 3 distinct 13-gram starts in each doc
+    assert(got(7L) == 3L, s"leaked doc hits: ${got.get(7L)}")
+    assert(!got.contains(9L), "clean doc must not be flagged")
+  }
+
   test("cluster resolution maps chained pairs to the min id") {
     // components: {1,2,3,9} via chain 9-2, 2-1, 1-3; {5,7}; {8,11}
     val pairs = Seq((2L, 9L), (1L, 2L), (1L, 3L), (5L, 7L), (8L, 11L))
