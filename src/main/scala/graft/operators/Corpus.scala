@@ -13,7 +13,9 @@ import graft.sources.Tables
   *   2. exact dedup    — keep the min doc_id per content hash
   *   3. near-dup dedup — MinHash-LSH pairs → connected components →
   *                       drop every non-canonical cluster member
-  *   4. split + mix    — deterministic hash-bucket train/val/test,
+  *   4. decontaminate  — drop eval-set members and every doc sharing
+  *                       a verbatim 13-gram with them
+  *   5. split + mix    — deterministic hash-bucket train/val/test,
   *                       summarized per (lang, split) with doc and
   *                       token counts
   *
@@ -64,10 +66,26 @@ object Corpus {
       .select(docs.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** The stand-in eval suite for the decontamination stage: every 50th
+    * doc plays the benchmark (a real deployment passes its eval sets).
+    * Members and any doc sharing a verbatim 13-gram with them leave the
+    * training corpus. */
+  val BenchPred: org.apache.spark.sql.Column = col("doc_id") % 50 === 0
+
+  /** Drop every document flagged by [[Dedup.contamination]] — eval-set
+    * members (self-matches) and verbatim leaks both. Anti-join on the
+    * flagged id set; the contamination pass itself moves only gram
+    * hashes (broadcast semi-join, see Dedup.scala). */
+  def dropContaminated(docs: DataFrame): DataFrame = {
+    val flagged = Dedup.contamination(docs, BenchPred)
+      .select(col("doc_id").as("bad_id"))
+    docs.join(flagged, col("doc_id") === col("bad_id"), "left_anti")
+  }
+
   /** The composed pipeline → per-(lang, split) corpus mix summary. */
   def buildSummary(docs: DataFrame): DataFrame = {
     val b = Sampling.hashBucket(col("doc_id"))
-    dropNearDups(dropExactDups(qualityGate(docs)))
+    dropContaminated(dropNearDups(dropExactDups(qualityGate(docs))))
       .select(col("lang"),
         when(b < 800, "train").when(b < 900, "val").otherwise("test")
           .as("split"),

@@ -232,6 +232,22 @@ object Etl {
         .orderBy(col("codigo"))
     },
 
+    // -- small-file compaction with bit-for-bit identity oracle ------------
+    // Manufacture the landing-zone pathology (the events table shredded
+    // into 50 tiny files), compact to size-targeted files, and return
+    // the compacted read — the oracle hash-checks every row against the
+    // original table, so compaction is provably content-preserving.
+    // File-count reduction is asserted in MedallionSpec.
+    "etl_compact" -> { (s, dir) =>
+      val sfName = dir.replaceAll(".*/", "")
+      val root = s"$roundtripRoot/$sfName/compact"
+      Tables.load(s, dir, "events")
+        .repartition(50)
+        .write.mode("overwrite").parquet(s"$root/small")
+      Sinks.compact(s, s"$root/small", s"$root/big")
+      s.read.parquet(s"$root/big").orderBy(col("event_id"))
+    },
+
     // -- semi-structured extraction: JSON property column ------------------
     // The events table carries a JSON `props` string (the usual shape of
     // landed clickstream/telemetry data). get_json_object is a
@@ -330,6 +346,9 @@ object Etl {
           |      AS BIGINT)
           |  FROM lineitem
           |) t ORDER BY table_name""".stripMargin,
+      "etl_compact" ->
+        """SELECT event_id, ts, user_id, event_type, value, props
+          |FROM events ORDER BY event_id""".stripMargin,
       "etl_json_props" ->
         """SELECT event_type, COUNT(k) AS n,
           |  CAST(SUM(k) AS BIGINT) AS sum_k,

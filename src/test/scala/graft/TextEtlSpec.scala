@@ -59,6 +59,21 @@ class TextEtlSpec extends GraftSpec {
     assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("winnow overlap pairs detect partial span reuse") {
+    val span = (0 until 30).map(i => s"shared$i").mkString(" ")
+    val a = span + " " + (0 until 30).map(i => s"atail$i").mkString(" ")
+    val b = (0 until 30).map(i => s"bhead$i").mkString(" ") + " " + span
+    val c = (0 until 60).map(i => s"cword$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowOverlapPairs(df).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // the ~250-char shared span yields many shared winnowed prints
+    assert(pairs.contains((1L, 2L)), s"span reuse not detected: $pairs")
+    assert(pairs((1L, 2L)) >= 3)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc must not pair")
+  }
+
   test("cleaning: trim, empty→NULL, parity segment") {
     val df = Seq((1L, "  x  "), (2L, "   "), (3L, "y"))
       .toDF("codigo", "descricao")
