@@ -386,6 +386,51 @@ object Relational {
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("ts").as("last_ts"), col("event_type").as("last_type"))
         .orderBy(col("user_id"))
+    },
+
+    // -- q23: time-range window frame (trailing 7-day running sum) ---------
+    // RANGE frames are the rolling-feature primitive (trailing spend,
+    // rate limits, fraud velocity). Spark's rangeBetween needs a numeric
+    // order key, so the timestamp orders as epoch seconds; the frame
+    // [t-7d, t] then matches the oracle's INTERVAL frame exactly
+    // (o_orderdate carries no sub-second component). One shuffle on
+    // o_custkey; peers at the same timestamp share a frame, so ties
+    // need no extra ordering key for determinism.
+    "q23_range_window" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("long"))
+        .rangeBetween(-7L * 86400, 0)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          dbl(sum(money(col("o_totalprice"))).over(w)).as("trailing_7d"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // -- q24: binned range join (interval containment without a BNL) -------
+    // "events inside a time window" joins have NO equality key, so
+    // Catalyst's only native plan is BroadcastNestedLoopJoin — O(n·m)
+    // and driver-bounded. The scale-correct shape bins time into days:
+    // each interval explodes to the ≤4 day-bins it touches (bounded by
+    // interval length / bin width), the probe side keys by its single
+    // bin, the join becomes a plain shuffle/hash equi-join on the bin,
+    // and the exact range predicate filters residual bin-mates. A probe
+    // row lands in exactly one bin, so no post-join dedup is needed.
+    // PlanLintSpec asserts no BNL/cartesian anywhere, this included.
+    "q24_range_join" -> { (s, dir) =>
+      val windows = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 495000)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("win_end"))
+        .withColumn("bin",
+          explode(sequence(to_date(col("o_orderdate")), to_date(col("win_end")))))
+      val shipments = Tables.load(s, dir, "lineitem")
+        .select(col("l_shipdate"), to_date(col("l_shipdate")).as("bin"))
+      windows.join(shipments, "bin")
+        .filter(col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("win_end"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(count(lit(1)).as("n_shipped"))
+        .orderBy(col("o_orderkey"))
     }
   )
 
@@ -554,6 +599,21 @@ object Relational {
         |        ROW_NUMBER() OVER (PARTITION BY user_id
         |          ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) t
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q23_range_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS trailing_7d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q24_range_join" ->
+      """SELECT o_orderkey, o_orderdate, COUNT(*) AS n_shipped
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 3 DAYS
+        |WHERE o_totalprice > 495000
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

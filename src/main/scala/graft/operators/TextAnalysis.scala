@@ -137,6 +137,43 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Word-repetition metrics (the Gopher-style repetition filter): how
+    * much of a document is the same word over and over. Heavily
+    * repetitive documents (boilerplate, keyword stuffing, degenerate
+    * scrapes) poison training corpora, and the filter signal is
+    * `top_word_frac` / `dup_word_frac` thresholds.
+    *
+    * Scale shape: the naive plan (explode words → groupBy (doc, word))
+    * shuffles the ENTIRE tokenized corpus — at 100 TB that's the
+    * biggest shuffle in the pipeline for a metric that is purely
+    * per-document. Instead the whole computation is a per-row
+    * projection: sort the word array once, then the longest equal-run
+    * over the sorted array IS the top word count — a single
+    * `aggregate` fold, no shuffle anywhere. Arrays materialize as
+    * columns before the fold (HOF arguments re-evaluate per element —
+    * see Dedup.banded). Fractions are long/long divisions → doubles
+    * bit-identical with the oracle's unnest+groupBy formulation. */
+  def repetition(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("ws", array_sort(col("w")))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        expr(
+          """aggregate(ws,
+            |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+            |  (a, x) -> named_struct(
+            |    'prev', x,
+            |    'run',  IF(a.prev <=> x, a.run + 1L, 1L),
+            |    'best', GREATEST(a.best, IF(a.prev <=> x, a.run + 1L, 1L))),
+            |  a -> a.best)""".stripMargin).as("top_cnt"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"), col("top_cnt"),
+        (col("top_cnt").cast("double") / col("n_words")).as("top_word_frac"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_words"))
+          .as("dup_word_frac"))
+      .orderBy(col("doc_id"))
+
   /** PII patterns: kept to syntax that Java regex (Spark) and RE2
     * (DuckDB oracle) interpret identically — character classes, bounded
     * repetition, no backrefs/lookaround. */
@@ -202,7 +239,9 @@ object TextAnalysis {
     "text_fingerprint" -> ((s, dir) =>
       fingerprint(Tables.load(s, dir, "documents"))),
     "text_winnow_overlap" -> ((s, dir) =>
-      winnowOverlapPairs(Tables.load(s, dir, "documents"))))
+      winnowOverlapPairs(Tables.load(s, dir, "documents"))),
+    "text_rep_words" -> ((s, dir) =>
+      repetition(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
     "text_pii_scrub" ->
@@ -270,7 +309,26 @@ object TextAnalysis {
         |      LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
         |        w -> w IN ('el', 'los', 'las', 'y'))) AS s_es
         |    FROM documents) t) u
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // The oracle states the metric in its naive relational form
+    // (unnest → per-(doc, word) counts); the Spark side computes the
+    // same numbers shuffle-free per row. Identical integers on both
+    // sides ⇒ identical division results.
+    "text_rep_words" ->
+      """SELECT doc_id,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+        |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT)
+        |    AS top_word_frac,
+        |  CAST(1 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(SUM(cnt) AS BIGINT) AS dup_word_frac
+        |FROM (
+        |  SELECT doc_id, word, COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+        |        FROM documents) t
+        |  GROUP BY doc_id, word) c
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     // text_fingerprint: custom rolling hash — rows-only by design
   )
 }
