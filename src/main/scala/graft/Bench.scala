@@ -18,12 +18,22 @@ object Bench {
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Host load snapshot (1/5/15-min loadavg). Benchmarks on a shared VM
+    * have twice been polluted by co-tenant load (2.8-6x over idle truth,
+    * rounds 2-3); recording load in the artifact makes a polluted run
+    * identifiable without a re-measure. */
+  private def loadavg(): String =
+    try Files.readString(Paths.get("/proc/loadavg")).trim.split(" ").take(3).mkString(" ")
+    catch { case _: Throwable => "unavailable" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark: SparkSession = GraftSession.local()
     val names = SparkEntry.queries.keys.toSeq.sorted
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val rawRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val loadBefore = loadavg()
     // Phase 1 — warmup: run EVERY query once untimed. JVM/JIT warmup is
     // global, not per-query; a per-query warmup still taxes whichever
     // queries happen to run first.
@@ -50,8 +60,9 @@ object Bench {
           val t0 = System.nanoTime()
           materialize(SparkEntry.queries(name)(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
-        }.sorted
-        timings(name) = runs(1)
+        }
+        rawRuns(name) = runs
+        timings(name) = runs.sorted.apply(1)
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -63,9 +74,15 @@ object Bench {
     } + "\""
     val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    val rs = rawRuns.map { case (k, v) =>
+      s"${q(k)}:${v.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
     val total = timings.values.sum
+    val loadAfter = loadavg()
+    // "queries" stays median-of-3 (driver contract); "runs" carries the
+    // raw per-run timings and "loadavg" the host load bracketing the run,
+    // so a contention-polluted artifact is self-diagnosing.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"runs":$rs,"loadavg":{"before":${q(loadBefore)},"after":${q(loadAfter)}},"sf":${q(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
     spark.stop()

@@ -391,14 +391,15 @@ object Relational {
     // -- q23: time-range window frame (trailing 7-day running sum) ---------
     // RANGE frames are the rolling-feature primitive (trailing spend,
     // rate limits, fraud velocity). Spark's rangeBetween needs a numeric
-    // order key, so the timestamp orders as epoch seconds; the frame
-    // [t-7d, t] then matches the oracle's INTERVAL frame exactly
-    // (o_orderdate carries no sub-second component). One shuffle on
-    // o_custkey; peers at the same timestamp share a frame, so ties
-    // need no extra ordering key for determinism.
+    // order key; TIMESTAMP_NTZ won't cast to BIGINT directly, so the
+    // order key is unix_seconds over an NTZ→LTZ cast (value-preserving:
+    // the session is pinned UTC). The frame [t-7d, t] then matches the
+    // oracle's INTERVAL frame exactly (o_orderdate carries no sub-second
+    // component). One shuffle on o_custkey; peers at the same timestamp
+    // share a frame, so ties need no extra ordering key for determinism.
     "q23_range_window" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate").cast("long"))
+        .orderBy(unix_seconds(col("o_orderdate").cast("timestamp_ltz")))
         .rangeBetween(-7L * 86400, 0)
       Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
