@@ -102,7 +102,63 @@ object Corpus {
     "pipeline_corpus" -> ((s, dir) =>
       buildSummary(Tables.load(s, dir, "documents"))))
 
-  /** Rows-only: the near-dup stage (MinHash-LSH) is not
-    * SQL-expressible; every component stage carries its own oracle. */
-  def oracleSql: Map[String, String] = Map.empty
+  /** FULL-oracle: the whole five-stage pipeline restated relationally —
+    * quality floors, min-id-per-text exact dedup, all-pairs Jaccard
+    * edges + recursive-CTE connected components for the near-dup stage
+    * (same contract as the dedup_minhash/dedup_cluster oracles: a hash
+    * match also proves LSH recall), 13-gram decontamination, and the
+    * multiplicative-hash split. One hash certifies the COMPOSITION. */
+  def oracleSql: Map[String, String] = Map(
+    "pipeline_corpus" ->
+      """WITH RECURSIVE
+        |q AS (SELECT * FROM documents
+        |      WHERE LEN(STRING_SPLIT(text,' ')) >= 20
+        |        AND LENGTH(text) >= 120),
+        |keepers AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),
+        |ex AS (SELECT q.* FROM q JOIN keepers USING (doc_id)),
+        |toks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t FROM ex),
+        |grams AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2],' ') AS g
+        |          FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t)-2,1)+1)) AS r(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |          FROM grams a JOIN grams b
+        |            ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1,2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT src AS node, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+        |clusters AS (SELECT node AS member_id, MIN(r) AS keep_id
+        |             FROM reach GROUP BY node),
+        |nd AS (SELECT ex.* FROM ex LEFT JOIN clusters ON doc_id = member_id
+        |       WHERE keep_id IS NULL OR keep_id = doc_id),
+        |ndtoks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t FROM nd),
+        |grams13 AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+12],' ') AS g
+        |            FROM ndtoks,
+        |              UNNEST(RANGE(1, GREATEST(LEN(t)-12,1)+1)) AS r(i)),
+        |bench AS (SELECT DISTINCT g FROM grams13 WHERE doc_id % 50 = 0),
+        |bad AS (SELECT DISTINCT doc_id FROM grams13
+        |        WHERE g IN (SELECT g FROM bench)),
+        |clean AS (SELECT nd.* FROM nd
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |final AS (
+        |  SELECT lang,
+        |    CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000 < 800
+        |           THEN 'train'
+        |         WHEN ((doc_id % 1000003) * 2654435761) % 1000 < 900
+        |           THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) AS n_tokens,
+        |    n_chars
+        |  FROM clean)
+        |SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM final GROUP BY lang, split ORDER BY lang, split""".stripMargin)
 }

@@ -359,7 +359,74 @@ object Dedup {
         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
         |SELECT doc_id, COUNT(*) AS n_hits
         |FROM grams WHERE g IN (SELECT g FROM bench)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    // other near-dup ops are rows-only: deterministic fixed-seed LSH
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The oracle brute-forces ALL-pairs Jaccard (fine for DuckDB at
+    // verification scale); the Spark side emits only LSH candidates, so
+    // a hash match also PROVES the banding achieved full recall at the
+    // verification threshold on this corpus — recall drift (a seed or
+    // banding regression) flips the row count and fails the gate.
+    // int/int counts divide to bit-identical doubles on both engines.
+    "dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t
+        |             FROM documents),
+        |grams AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2],' ') AS g
+        |          FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t)-2,1)+1)) AS r(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |          FROM grams a JOIN grams b
+        |            ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1,2)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Same all-pairs-vs-LSH-recall contract, char-5-gram space.
+    "dedup_ngram_jaccard" ->
+      """WITH grams AS (SELECT DISTINCT doc_id, text[i:i+4] AS g
+        |  FROM documents,
+        |    UNNEST(RANGE(1, GREATEST(LEN(text)-4,1)+1)) AS r(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |          FROM grams a JOIN grams b
+        |            ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1,2)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard5
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Connected components rebuilt relationally: the all-pairs Jaccard
+    // edge set (the dedup_minhash oracle) + a recursive-CTE reachability
+    // fixpoint, labeling every node with its min reachable id — the
+    // oracle-side statement of min-label propagation. Checks BOTH the
+    // LSH pair recall and the cluster resolution in one hash.
+    "dedup_cluster" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t
+        |         FROM documents),
+        |grams AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2],' ') AS g
+        |          FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t)-2,1)+1)) AS r(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |          FROM grams a JOIN grams b
+        |            ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1,2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT src AS node, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node)
+        |SELECT node AS doc_id, MIN(r) AS keep_id FROM reach
+        |GROUP BY node ORDER BY doc_id""".stripMargin
+    // remaining near-dup ops (simhash/embedding) are rows-only:
+    // deterministic fixed-seed LSH over hash spaces DuckDB can't replay
   )
 }

@@ -114,8 +114,10 @@ object Etl {
     },
 
     // -- medallion roundtrip: clean → trusted CSV(+BOM) → refined parquet --
-    // Format fidelity is the point (rows-only check): schema-enforced
-    // reads, single-file pipe CSV with header + UTF-8 BOM, snappy parquet.
+    // Format fidelity is the point, and it is FULL-oracle checked: the
+    // roundtrip must be lossless, so the refined read-back hash-matches
+    // the etl_clean oracle (schema-enforced reads, single-file pipe CSV
+    // with header + UTF-8 BOM, doubled-quote contract, snappy parquet).
     "etl_csv_roundtrip" -> { (s, dir) =>
       val sfName = dir.replaceAll(".*/", "")
       val root = s"$roundtripRoot/$sfName"
@@ -132,7 +134,8 @@ object Etl {
     // ZIP landing (scraping.py:55-77) → distributed unzip → iso-8859-1
     // decode (scraping.py:95-109) → utf-8 raw CSV → schema-enforced
     // rawOptions read + clean → trusted pipe CSV → refined parquet
-    // (script.py:40-72, transform.py). Format fidelity → rows-only.
+    // (script.py:40-72, transform.py). FULL-oracle checked: the oracle
+    // rebuilds the fixture relationally from `customer`.
     "etl_raw_roundtrip" -> { (s, dir) =>
       val sfName = dir.replaceAll(".*/", "")
       val root = s"$roundtripRoot/$sfName/rawrt"
@@ -357,8 +360,32 @@ object Etl {
           |FROM (SELECT event_type,
           |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           |      FROM events) t
-          |GROUP BY event_type ORDER BY event_type""".stripMargin
-      // etl_csv_roundtrip / etl_raw_roundtrip: format ops — rows-only
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // identical contract to etl_clean: the CSV leg (doubled-quote
+      // writer ↔ trusted reader, NULL↔empty, BOM) must be LOSSLESS, so
+      // the refined read-back hash-matches the etl_clean oracle — a
+      // quoting/null regression in either direction fails the hash
+      "etl_csv_roundtrip" ->
+        s"""SELECT codigo, NULLIF(TRIM(descricao), '') AS descricao,
+           |  CASE WHEN codigo % 2 = 1 THEN 'PRIMARIO' ELSE 'SECUNDARIO' END
+           |    AS segmento
+           |FROM ($messy) t ORDER BY codigo""".stripMargin,
+      // the ZIP→iso-8859-1→raw→trusted→refined chain rebuilt
+      // relationally: fixture construction (writeFixtureZip's id%5
+      // quoting / id%3 accents over the 100 smallest custkeys) composed
+      // with the reference clean — charset decode, doubled-quote CSV,
+      // and schema-enforced reads are all on the hash
+      "etl_raw_roundtrip" ->
+        """SELECT codigo, NULLIF(TRIM(descricao), '') AS descricao,
+          |  CASE WHEN codigo % 2 = 1 THEN 'PRIMARIO' ELSE 'SECUNDARIO' END
+          |    AS segmento
+          |FROM (
+          |  SELECT c_custkey AS codigo,
+          |    CASE WHEN c_custkey % 5 = 0 THEN c_name || ' "aspas";e|pipe'
+          |         WHEN c_custkey % 3 = 0 THEN c_name || ' çãõé'
+          |         ELSE c_name END AS descricao
+          |  FROM customer ORDER BY c_custkey LIMIT 100) t
+          |ORDER BY codigo""".stripMargin
     )
   }
 }

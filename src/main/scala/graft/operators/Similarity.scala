@@ -333,22 +333,77 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding" -> ((s, dir) =>
       embeddingPairs(Tables.load(s, dir, "embeddings"))),
-    "knn_brute" -> ((s, dir) =>
-      knnBrute(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)),
+    // The library face keeps full-precision cos_sim; the correctness
+    // face rounds it to 4 decimals so the DuckDB oracle's independently
+    // accumulated float dot product (engine diff ~1e-9, boundary margin
+    // ~1e-6 on this corpus) hash-matches. Ranks come from the
+    // UNROUNDED similarity on both sides, so the top-k selection
+    // itself is on the hash, not just the rounded score.
+    "knn_brute" -> { (s, dir) =>
+      knnBrute(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 4).as("cos_r"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
     "knn_ivf" -> ((s, dir) =>
       knnIvf(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)),
-    "emb_quantize" -> ((s, dir) =>
-      quantizeStats(Tables.load(s, dir, "embeddings"))),
+    // The library face (quantizeStats) returns the full error stats;
+    // the gate face keeps the oracle-computable scale on the hash and
+    // converts the error stats into in-plan accuracy bits (same
+    // contract shape as q18/q21): bound_ok asserts the certified bound
+    // max_abs_err <= 0.5/scale, mse_ok its mean-square corollary. A
+    // quantization regression flips a bit and fails the hash.
+    "emb_quantize" -> { (s, dir) =>
+      quantizeStats(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("scale"),
+          (col("max_abs_err") <= lit(0.5) / col("scale")).as("bound_ok"),
+          (col("mse") <= (lit(0.5) / col("scale")) * (lit(0.5) / col("scale")))
+            .as("mse_ok"))
+        .orderBy(col("vec_id"))
+    },
     "emb_centroids" -> ((s, dir) =>
       labelCentroids(Tables.load(s, dir, "embeddings"))),
     "emb_pca_power" -> ((s, dir) =>
       topComponent(Tables.load(s, dir, "embeddings"))))
 
-  /** LSH/kNN entries are rows-only checks (fixed-seed deterministic
-    * output; the quantization error BOUND is property-tested in
-    * SimilaritySpec). emb_centroids is full-oracle: the fixed-point
-    * mean is bit-identical across engines. */
+  /** dedup_embedding / knn_ivf / emb_pca_power stay rows-only
+    * (fixed-seed LSH buckets and xxhash64 centroid selection DuckDB
+    * cannot replay; float-sum iteration order for PCA). knn_brute is
+    * full-oracle at 4-decimal precision with exact ranks;
+    * emb_centroids is full-oracle via the fixed-point mean;
+    * emb_quantize hash-matches the exact per-vector scale plus
+    * in-plan error-bound gates. */
   def oracleSql: Map[String, String] = Map(
+    "knn_brute" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding,
+        |    SQRT(LIST_DOT_PRODUCT(embedding, embedding)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+        |      FROM corpus WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    LIST_DOT_PRODUCT(c.embedding, q.qe) / (c.nrm * q.qn) AS cos_sim
+        |  FROM corpus c, q WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_r,
+        |  CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // float→double cast order mirrors the Spark side: abs/max on FLOAT,
+    // one cast to DOUBLE, one division — bit-identical across engines
+    "emb_quantize" ->
+      """SELECT vec_id,
+        |  127.0 / CAST(LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(x)))
+        |    AS DOUBLE) AS scale,
+        |  TRUE AS bound_ok,
+        |  TRUE AS mse_ok
+        |FROM embeddings
+        |WHERE CAST(LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(x)))
+        |    AS DOUBLE) > 0
+        |ORDER BY vec_id""".stripMargin,
     "emb_centroids" ->
       """SELECT label, pos - 1 AS dim,
         |  CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)

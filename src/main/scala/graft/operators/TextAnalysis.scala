@@ -81,10 +81,9 @@ object TextAnalysis {
     * distinct set is deterministic and order-independent.
     *
     * The raw fingerprint set (array&lt;long&gt;) is an internal column;
-    * downstream consumers and the correctness gate see only scalar
-    * projections: xxhash64 over the sorted set (equal sets ⇒ equal
-    * hash), its size, and its min element.
-    */
+    * downstream consumers see scalar projections: xxhash64 over the
+    * sorted set (equal sets ⇒ equal hash), its size, and its min
+    * element. The CORRECTNESS face is [[fingerprintGate]]. */
   def fingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
     // native graft.functions.RollingHashFingerprint: true O(1)-per-step
     // Rabin-Karp rolling hash + winnowing in one pass per row
@@ -95,6 +94,26 @@ object TextAnalysis {
         xxhash64(col("fingerprint")).as("fp_hash"),
         size(col("fingerprint")).cast("long").as("fp_size"),
         array_min(col("fingerprint")).as("fp_min"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle-gated fingerprint face (q18/q21 contract shape): the hash
+    * values themselves are engine-specific, so the gate puts the
+    * STRUCTURAL guarantees of winnowing in-plan — the set is sorted,
+    * duplicate-free, non-empty, bounded by the k-gram count, and its
+    * head equals its min — alongside the oracle-computable n_chars. A
+    * winnowing regression (lost sort, dup entries, empty/overfull set)
+    * flips fp_ok and fails the hash. */
+  def fingerprintGate(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      call_function("rolling_fingerprint", col("text"), lit(k), lit(w))
+        .as("fp"))
+      .select(col("doc_id"), col("n_chars"),
+        ((col("fp") === array_sort(col("fp"))) &&
+          (size(col("fp")) === size(array_distinct(col("fp")))) &&
+          size(col("fp")).between(
+            lit(1), greatest(col("n_chars") - (k - 1), lit(1))) &&
+          (array_min(col("fp")) === element_at(col("fp"), 1))).as("fp_ok"))
       .orderBy(col("doc_id"))
 
   /** Fingerprint-overlap containment pairs (the winnowing/MOSS shape):
@@ -237,7 +256,7 @@ object TextAnalysis {
     "text_tokens" -> ((s, dir) => tokens(Tables.load(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => langId(Tables.load(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) =>
-      fingerprint(Tables.load(s, dir, "documents"))),
+      fingerprintGate(Tables.load(s, dir, "documents"))),
     "text_winnow_overlap" -> ((s, dir) =>
       winnowOverlapPairs(Tables.load(s, dir, "documents"))),
     "text_rep_words" -> ((s, dir) =>
@@ -328,7 +347,12 @@ object TextAnalysis {
         |  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
         |        FROM documents) t
         |  GROUP BY doc_id, word) c
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    // text_fingerprint: custom rolling hash — rows-only by design
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // hash values are engine-specific; the gate carries winnowing's
+    // structural guarantees in-plan (see fingerprintGate)
+    "text_fingerprint" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        |  TRUE AS fp_ok
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
