@@ -82,10 +82,21 @@ object Corpus {
     docs.join(flagged, col("doc_id") === col("bad_id"), "left_anti")
   }
 
-  /** The composed pipeline → per-(lang, split) corpus mix summary. */
+  /** The composed pipeline → per-(lang, split) corpus mix summary.
+    *
+    * The exact-dedup survivors are localCheckpoint'ed (materialized
+    * once, lineage cut): downstream they are consumed ~5× — the
+    * MinHash signature pipeline, the near-dup survivor join, and the
+    * decontamination stage's two gram passes plus anti-join — and
+    * without the checkpoint each consumer re-ran the scan + quality
+    * gate + exact dedup from the parquet. Same persist-per-round
+    * pattern as Dedup.resolveClusters; the block store holds one copy
+    * of the gated corpus (the working set a corpus build carries
+    * anyway), freed when the query's RDD is collected. */
   def buildSummary(docs: DataFrame): DataFrame = {
     val b = Sampling.hashBucket(col("doc_id"))
-    dropContaminated(dropNearDups(dropExactDups(qualityGate(docs))))
+    val survivors = dropExactDups(qualityGate(docs)).localCheckpoint(true)
+    dropContaminated(dropNearDups(survivors))
       .select(col("lang"),
         when(b < 800, "train").when(b < 900, "val").otherwise("test")
           .as("split"),

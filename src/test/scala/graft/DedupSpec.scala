@@ -94,11 +94,20 @@ class DedupSpec extends GraftSpec {
       7L -> 5L, 8L -> 8L, 9L -> 1L, 11L -> 8L))
   }
 
-  test("cluster resolution converges on a long chain within maxIter") {
-    // path graph 0-1-2-...-12: diameter 12 needs several supersteps
-    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.resolveClusters(pairs).collect()
-    assert(got.length == 13 && got.forall(_.getLong(1) == 0L))
+  test("cluster resolution converges on a long chain in O(log n) rounds") {
+    // 64-node path graph (diameter 63): the chain-shaped dup graph —
+    // serial boilerplate drift — where plain min-label propagation
+    // needs diameter supersteps (63 here, past any sane maxIter).
+    // Large-star/small-star must resolve it in <= 2·log₂(n) rounds.
+    val n = 64
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.resolveClustersCounted(pairs)
+    val got = labels.collect()
+    assert(got.length == n && got.forall(_.getLong(1) == 0L),
+      s"chain not fully resolved: ${got.take(10).mkString(",")}")
+    assert(rounds <= 12, // 2·log₂(64), the Kiveris convergence contract
+      s"needed $rounds rounds on a 64-chain — not O(log n)")
   }
 
   test("no dedup plan contains a cartesian product") {

@@ -26,6 +26,18 @@ class SimilaritySpec extends GraftSpec {
     assert(math.abs(got.getDouble(2) - expectedTop._2) < 1e-9)
   }
 
+  test("IVF cell assignment shuffles no corpus rows") {
+    // the corpus→cell assignment is a per-row argmax over the broadcast
+    // codebook: no exchange keyed by vec_id may appear anywhere (the
+    // pre-fix plan shuffled the n·C crossJoin expansion through
+    // 'Exchange hashpartitioning(vec_id…' to rank centroids per row —
+    // a 65536× row amplification at production C=2^16)
+    val plan = Similarity.knnIvf(vecs, col("vec_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(vec_id"),
+      s"corpus-side shuffle in IVF assignment:\n${plan.take(1500)}")
+  }
+
   test("int8 quantization respects the 0.5/scale reconstruction bound") {
     val stats = Similarity.quantizeStats(vecs).collect()
     assert(stats.length == vecs.count())
