@@ -258,8 +258,8 @@ object Dedup {
     * as (child → parent) with child > parent; large-star hangs every
     * bigger neighbor of a node under the node's min neighbor,
     * small-star re-parents a node's parents under their common min.
-    * Each round is two O(E)-row shuffle pairs (a groupBy-min plus a
-    * same-key join that reuses the exchange) and the edge set is
+    * Each round is ONE linear O(E)-row chain — two whole-partition
+    * window mins and a distinct, three shuffles total, no self-joins —
     * localCheckpoint'ed per round so lineage stays constant. Converges
     * in O(log n) rounds on ANY graph shape — including the long-chain
     * dup graphs (serial boilerplate drift) where plain min-label
@@ -286,31 +286,39 @@ object Dedup {
     def nbrs(e: DataFrame): DataFrame =
       e.union(e.select(col("v"), col("u"))).toDF("n", "nbr")
 
+    // Each star op needs every edge row paired with its group's min —
+    // a whole-partition window min is ONE shuffle of the edge rows,
+    // where the groupBy-min + join formulation would shuffle them
+    // twice. Star roots have cluster-sized partitions; that skew is
+    // identical in either formulation.
+    import org.apache.spark.sql.expressions.Window
+
     // large-star: for node n with m = min(N(n) ∪ {n}), hang every
     // STRICTLY LARGER neighbor under m — emitted edges keep child >
-    // parent because nbr > n >= m
-    def largeStar(e: DataFrame): DataFrame = {
-      val nb = nbrs(e)
-      val mins = nb.groupBy(col("n"))
-        .agg(min(col("nbr")).as("mn"))
-        .select(col("n"), least(col("n"), col("mn")).as("m"))
-      nb.join(mins, "n")
+    // parent because nbr > n >= m. No distinct here: duplicate edges
+    // are harmless to small-star's window-min and die in its final
+    // distinct — one fewer shuffle per round.
+    def largeStar(e: DataFrame): DataFrame =
+      nbrs(e)
+        .withColumn("m",
+          least(col("n"), min(col("nbr")).over(Window.partitionBy(col("n")))))
         .filter(col("nbr") > col("n"))
         .select(col("nbr").as("u"), col("m").as("v"))
-        .distinct()
-    }
 
     // small-star: for child n with parent set P (all < n) and
-    // m = min(P), re-parent n and every p ∈ P\{m} under m
-    def smallStar(e: DataFrame): DataFrame = {
-      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val reparented = e.join(mins, "u")
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-      mins.select(col("u"), col("m").as("v"))
-        .union(reparented)
+    // m = min(P), re-parent n and every p ∈ P\{m} under m. Both
+    // emissions — (n → m) and (p → m) — come out of ONE pass over the
+    // window output via a conditional explode (a union of two selects
+    // would run the window twice).
+    def smallStar(e: DataFrame): DataFrame =
+      e.withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+        .select(explode(when(col("v") =!= col("m"),
+          array(struct(col("u").as("c"), col("m").as("p")),
+            struct(col("v").as("c"), col("m").as("p"))))
+          .otherwise(array(struct(col("u").as("c"), col("m").as("p")))))
+          .as("e"))
+        .select(col("e.c").as("u"), col("e.p").as("v"))
         .distinct()
-    }
 
     // order-independent edge-set signature: (row count, Σ xxhash64) —
     // decimal sum is exact, a collision needs two DIFFERENT edge sets
@@ -325,6 +333,10 @@ object Dedup {
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
+      // one linear chain per round — each star op consumes its input
+      // exactly once (window + explode, no self-joins), so a single
+      // materialization per round suffices: ckpt-scan → window(n) →
+      // window(u) → explode → distinct → ckpt. Three shuffles/round.
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSig = signature(next)
       converged = nextSig == sig
