@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Engine extension point: registers graft's native Catalyst
   * expressions with the session's function registry, so they are
@@ -48,6 +49,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hyperplane_bits",
         "hyperplane_bits(v) - 48 fixed-seed random-hyperplane LSH sign bits"),
       (children: Seq[Expression]) => HyperplaneBits(children.head)))
+    // Spark's runtime-filter bloom expressions are public catalyst
+    // classes but not in the public function registry; expose them so
+    // the incremental-dedup pre-screen can build/probe OR-merged (=
+    // order-independent) fixed-size filters without custom sketch code.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      info("bloom_agg",
+        "bloom_agg(xxh64, est_items, num_bits) - OR-merged bloom filter " +
+          "over 64-bit hashes (binary)"),
+      (children: Seq[Expression]) =>
+        new BloomFilterAggregate(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      info("bloom_contains",
+        "bloom_contains(bloom, xxh64) - membership probe; no false negatives"),
+      (children: Seq[Expression]) =>
+        BloomFilterMightContain(children(0), children(1))))
     // k and w shape the expression itself, so they must be literal at
     // plan time; validate arity and foldability for a clean analysis
     // error instead of a builder ClassCastException.

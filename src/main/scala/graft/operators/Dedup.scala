@@ -85,6 +85,51 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter pre-screen for incremental ingest dedup — the 100 TB
+    * front door in front of [[incremental]]'s exact store join. The
+    * history's content hashes fold into a FIXED-SIZE bloom filter
+    * (bit-OR merge is commutative, so the bits are order- and
+    * partitioning-independent — deterministic on any cluster layout),
+    * which broadcasts as one row; each batch doc probes it map-side.
+    * might_contain has NO false negatives, so pruning is
+    * semantics-preserving: only might-contain survivors reach the
+    * exact hash join, and on a mostly-clean daily batch that join
+    * shrinks from |batch| to ~|dups| + fpp·|batch| rows — the clean
+    * majority of the batch never shuffles at all.
+    *
+    * The emitted is_dup is EXACT: bloom positives are verified against
+    * the store, so the DuckDB oracle (plain text membership) checks
+    * the whole bloom+verify composition — a false negative anywhere
+    * flips a row and fails the hash. */
+  def bloomIncremental(history: DataFrame, batch: DataFrame,
+      expectedItems: Long = 1L << 20, numBits: Long = 8L << 20): DataFrame = {
+    // might_contain requires its filter as a CONSTANT (or scalar
+    // subquery) — so the numBits/8-byte filter is materialized on the
+    // driver (ONE bounded row, the same driver-coordination pattern as
+    // power iteration) and inlined as a binary literal, exactly what
+    // Spark's own InjectRuntimeFilter turns its scalar subquery into.
+    // Size the filter so numBits/8 stays executor-broadcast friendly
+    // (1 MiB at the default); history row count does not matter.
+    val bloomBytes = history
+      .select(xxhash64(col("text")).as("h"))
+      .agg(call_function("bloom_agg", col("h"),
+        lit(expectedItems), lit(numBits)).as("bloom"))
+      .head.getAs[Array[Byte]]("bloom")
+    val probed = batch
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .select(col("doc_id"), col("h"),
+        call_function("bloom_contains", lit(bloomBytes), col("h")).as("might"))
+    val store = history.select(xxhash64(col("text")).as("sh")).distinct()
+    // exact verify ONLY on bloom survivors; dup ids then map back over
+    // the batch (tiny side — AQE broadcasts it)
+    val dupIds = probed.filter(col("might"))
+      .join(store, col("h") === col("sh"), "left_semi")
+      .select(col("doc_id"), lit(true).as("d"))
+    probed.join(dupIds, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("d"), lit(false)).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination — flag every corpus document sharing a
     * verbatim word 13-gram with an evaluation set (the GPT-3/PaLM
     * decontamination rule; 13 is that lineage's published n). The
@@ -373,6 +418,12 @@ object Dedup {
       incremental(docs.filter(col("doc_id") % 3 =!= 0),
         docs.filter(col("doc_id") % 3 === 0))
     },
+    // same deterministic history/batch split as dedup_incremental
+    "dedup_bloom" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      bloomIncremental(docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0))
+    },
     // "benchmark" = every 50th doc; members self-match (an eval doc
     // leaked into the corpus IS contamination), near-dups add more
     "dedup_contain" -> ((s, dir) =>
@@ -399,6 +450,14 @@ object Dedup {
         |FROM batch b JOIN bk k ON b.text = k.text
         |LEFT JOIN store s ON b.text = s.text
         |ORDER BY b.doc_id""".stripMargin,
+    // plain text membership — checks the bloom+verify composition
+    // (a bloom false negative would flip is_dup and fail the hash)
+    "dedup_bloom" ->
+      """WITH history AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        |batch AS (SELECT * FROM documents WHERE doc_id % 3 = 0)
+        |SELECT b.doc_id,
+        |  (b.text IN (SELECT text FROM history)) AS is_dup
+        |FROM batch b ORDER BY b.doc_id""".stripMargin,
     // gram positions i = 1..max(len-11, 1): for docs shorter than 13
     // words both engines emit the single truncated whole-doc gram
     // (Spark's slice and DuckDB's list slicing both clip at the end)

@@ -84,6 +84,21 @@ class DedupSpec extends GraftSpec {
     assert(!got.contains(9L), "clean doc must not be flagged")
   }
 
+  test("bloom pre-screen is exact even when the filter is tiny") {
+    val history = textsDF(1L -> "aa bb", 2L -> "cc dd", 4L -> "ee ff")
+    val batch = textsDF(3L -> "cc dd", 6L -> "gg hh", 9L -> "aa bb",
+      12L -> "ii jj")
+    val expected = Map(3L -> true, 6L -> false, 9L -> true, 12L -> false)
+    // default sizing AND a deliberately saturated 64-bit filter: false
+    // positives are verified away by the store join, false negatives
+    // cannot occur, so is_dup is exact in both regimes
+    Seq((1L << 20, 8L << 20), (4L, 64L)).foreach { case (items, bits) =>
+      val got = Dedup.bloomIncremental(history, batch, items, bits)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == expected, s"items=$items bits=$bits: $got")
+    }
+  }
+
   test("cluster resolution maps chained pairs to the min id") {
     // components: {1,2,3,9} via chain 9-2, 2-1, 1-3; {5,7}; {8,11}
     val pairs = Seq((2L, 9L), (1L, 2L), (1L, 3L), (5L, 7L), (8L, 11L))
