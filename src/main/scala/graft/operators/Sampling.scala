@@ -69,11 +69,54 @@ object Sampling {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** Deterministic per-stratum top-N: the "take exactly N documents
+    * per language" mix primitive (fixed-size eval sets, per-language
+    * probes, pilot corpora) — rate-based sampling can't hit an exact
+    * count. Docs rank by (hash bucket, doc_id): uniform, reproducible
+    * on any engine, no rand(). ONE shuffle keyed by the stratum;
+    * rank<=N compiles to WindowGroupLimit, so each partition retains
+    * only N rows before the exchange at any corpus size. */
+  def topKPerStratum(docs: DataFrame, k: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(hashBucket(col("doc_id")), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** Token-budget packing: fill a per-language token budget by taking
+    * documents in deterministic hash order until the running total
+    * exceeds it — the "give me ~2000 tokens per language" step of
+    * assembling a fixed-size training mix. A doc is kept iff the
+    * cumulative token count THROUGH it stays within budget; the
+    * cumulative sum is monotone, so the kept set is the maximal
+    * prefix, and exact integer window math makes it identical on any
+    * engine. One shuffle keyed by lang; the running sum is a single
+    * ordered window pass. */
+  def tokenBudget(docs: DataFrame, budgetTokens: Long = 2000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(hashBucket(col("doc_id")), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .orderBy(col("lang"), col("cum_tokens"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s, dir) =>
       stratifiedSample(Tables.load(s, dir, "documents"))),
     "sample_split" -> ((s, dir) =>
-      splitCounts(Tables.load(s, dir, "documents"))))
+      splitCounts(Tables.load(s, dir, "documents"))),
+    "sample_topk" -> ((s, dir) =>
+      topKPerStratum(Tables.load(s, dir, "documents"))),
+    "sample_token_budget" -> ((s, dir) =>
+      tokenBudget(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
     "sample_stratified" ->
@@ -89,5 +132,23 @@ object Sampling {
         |    ELSE 'test' END AS split,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM (SELECT lang, $hashBucketSql AS b FROM documents) t
-        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "sample_topk" ->
+      s"""SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY $hashBucketSql, doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 30 ORDER BY lang, rk""".stripMargin,
+    // both engines' running SUM defaults to RANGE ... CURRENT ROW;
+    // the (bucket, doc_id) order key is unique, so RANGE = ROWS
+    "sample_token_budget" ->
+      s"""SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(LEN(STRING_SPLIT(text, ' '))) OVER (
+        |      PARTITION BY lang ORDER BY $hashBucketSql, doc_id)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM documents) t
+        |WHERE cum_tokens <= 2000 ORDER BY lang, cum_tokens""".stripMargin)
 }

@@ -48,6 +48,26 @@ class SamplingSpec extends GraftSpec {
     assert(math.abs(bySplit("test") - 200.0) <= 40)
   }
 
+  test("per-stratum top-N is exact-count, deterministic and rank-limited") {
+    val got = Sampling.topKPerStratum(docs, k = 7).collect()
+    val byLang = got.groupBy(_.getString(1))
+    assert(byLang.size == 5 && byLang.values.forall(_.length == 7))
+    // the plan keeps only N rows per partition BEFORE the exchange
+    val plan = Sampling.topKPerStratum(docs, k = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
+  test("token budget keeps the maximal prefix per language") {
+    val wdocs = docs.withColumn("text",
+      concat_ws(" ", typedLit((1 to 40).map(i => s"w$i"))))
+    val got = Sampling.tokenBudget(wdocs, budgetTokens = 200L).collect()
+    // 40 tokens/doc, budget 200 → exactly 5 docs per language
+    val byLang = got.groupBy(_.getString(1))
+    assert(byLang.size == 5 && byLang.values.forall(_.length == 5))
+    got.foreach(r => assert(r.getLong(3) <= 200L))
+  }
+
   test("sampling plans are shuffle-free scans (filter only)") {
     val plan = Sampling.stratifiedSample(docs)
       .queryExecution.executedPlan.toString
