@@ -154,6 +154,13 @@ object Multimodal {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The correctness face hash-matches the REAL plumbing (round-robin
+    // type assignment, byte length) and carries the stub's output
+    // contract as in-plan gates (q18/q21 shape): dimensions inside the
+    // declared ranges, feature norm inside [0, sqrt(8)] for 8 features
+    // in [-1, 1). The stub internals (checksum/width/height values)
+    // stay engine-specific by design — extractFeatures still returns
+    // them to library callers.
     "mm_metadata" -> { (s, dir) =>
       val feats = extractFeatures(s, mediaTable(Tables.load(s, dir, "documents")))
       feats.toDF()
@@ -161,7 +168,9 @@ object Multimodal {
           sqrt(aggregate(transform(col("feature"), x => x.cast("double") * x),
             lit(0.0), (acc, v) => acc + v)))
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
-          col("checksum"), col("width"), col("height"), col("feat_norm"))
+          (col("width").between(160, 1439) && col("height").between(90, 809))
+            .as("dims_ok"),
+          col("feat_norm").between(lit(0.0), sqrt(lit(8.0))).as("norm_ok"))
         .orderBy(col("doc_id"))
     },
 
@@ -186,11 +195,19 @@ object Multimodal {
       sampleFrames(videoTable(Tables.load(s, dir, "documents")))
     })
 
-  /** mm_metadata (stubbed decode) stays rows-only by design;
-    * mm_image_dims and mm_frame_sample are fully oracled — the oracle
+  /** mm_image_dims and mm_frame_sample are fully oracled — the oracle
     * recomputes the doc_id-derived properties that the Spark side
-    * parses out of the payload bytes. */
+    * parses out of the payload bytes. mm_metadata hash-matches its
+    * real plumbing columns plus the stub's contract gates (the stub
+    * internals are engine-specific by design). */
   def oracleSql: Map[String, String] = Map(
+    "mm_metadata" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+        |  TRUE AS dims_ok, TRUE AS norm_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(f AS INT) AS frame_idx,
         |  CAST(64 + doc_id % 32 AS INT) AS frame_len,
