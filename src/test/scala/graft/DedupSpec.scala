@@ -109,6 +109,35 @@ class DedupSpec extends GraftSpec {
       7L -> 5L, 8L -> 8L, 9L -> 1L, 11L -> 8L))
   }
 
+  test("cluster resolution detects an existing star forest in one round") {
+    // input already in canonical star shape → the first full round is
+    // an identity and the signature check stops the loop immediately
+    val pairs = Seq((0L, 5L), (0L, 9L), (0L, 17L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.resolveClustersCounted(pairs)
+    assert(rounds == 1, s"star input took $rounds rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 5L -> 0L, 9L -> 0L, 17L -> 0L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("bloom filter has no false negatives and a sane FP rate") {
+    val n = 2000
+    val members = spark.range(n).select(col("id").as("h"))
+    val bloom = members
+      .agg(call_function("bloom_agg", col("h"), lit(n.toLong),
+        lit(8L * 8L * n)).as("b")) // ~8 bits/item → fpp ~2%
+      .head.getAs[Array[Byte]]("b")
+    val hits = spark.range(n).select((col("id") + 1000000L).as("h"))
+      .select(call_function("bloom_contains", lit(bloom), col("h")).as("m"))
+      .filter(col("m")).count()
+    assert(hits < n * 0.05, s"FP rate ${hits.toDouble / n} >= 5%")
+    val misses = members
+      .select(call_function("bloom_contains", lit(bloom), col("h")).as("m"))
+      .filter(!col("m")).count()
+    assert(misses == 0, s"bloom dropped $misses true members")
+  }
+
   test("cluster resolution converges on a long chain in O(log n) rounds") {
     // 64-node path graph (diameter 63): the chain-shaped dup graph —
     // serial boilerplate drift — where plain min-label propagation
