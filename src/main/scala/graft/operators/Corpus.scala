@@ -96,7 +96,13 @@ object Corpus {
   def buildSummary(docs: DataFrame): DataFrame = {
     val b = Sampling.hashBucket(col("doc_id"))
     val survivors = dropExactDups(qualityGate(docs)).localCheckpoint(true)
-    dropContaminated(dropNearDups(survivors))
+    // near-dup survivors are checkpointed too: the decontamination
+    // stage consumes them three times (benchmark grams, corpus grams,
+    // anti-join left side) and would otherwise re-run the
+    // survivors⋈clusters join per consumer — one materialization
+    // replaces two full-corpus join re-executions at scale
+    val nearDupFree = dropNearDups(survivors).localCheckpoint(true)
+    dropContaminated(nearDupFree)
       .select(col("lang"),
         when(b < 800, "train").when(b < 900, "val").otherwise("test")
           .as("split"),

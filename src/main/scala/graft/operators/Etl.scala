@@ -170,6 +170,20 @@ object Etl {
       s.read.schema(trustedSchema).json(jsonlDir).orderBy(col("codigo"))
     },
 
+    // -- ORC sink/source losslessness, FULL-oracle checked -----------------
+    // The other columnar lake format Spark ships natively. Same
+    // contract as the JSONL leg: lossless for long/string, so the
+    // roundtrip read hash-matches the etl_clean oracle — sink, schema
+    // read, and the format's NULL handling are all on the gate.
+    "etl_orc_roundtrip" -> { (s, dir) =>
+      val sfName = dir.replaceAll(".*/", "")
+      val orcDir = s"$roundtripRoot/$sfName/orc"
+      cleaned(s, dir)
+        .select(col("codigo"), col("descricao"), col("segmento"))
+        .write.mode("overwrite").option("compression", "zstd").orc(orcDir)
+      s.read.schema(trustedSchema).orc(orcDir).orderBy(col("codigo"))
+    },
+
     // -- SCD-1 upsert: snapshot + changeset → merged state, FULL oracle ----
     // The changeset is derived deterministically from the snapshot
     // (updates: every 10th key gets an uppercased name and +100
@@ -287,6 +301,11 @@ object Etl {
            |FROM ($messy) t ORDER BY codigo""".stripMargin,
       // identical contract to etl_clean — the roundtrip must be lossless
       "etl_jsonl_roundtrip" ->
+        s"""SELECT codigo, NULLIF(TRIM(descricao), '') AS descricao,
+           |  CASE WHEN codigo % 2 = 1 THEN 'PRIMARIO' ELSE 'SECUNDARIO' END
+           |    AS segmento
+           |FROM ($messy) t ORDER BY codigo""".stripMargin,
+      "etl_orc_roundtrip" ->
         s"""SELECT codigo, NULLIF(TRIM(descricao), '') AS descricao,
            |  CASE WHEN codigo % 2 = 1 THEN 'PRIMARIO' ELSE 'SECUNDARIO' END
            |    AS segmento

@@ -262,15 +262,17 @@ object Similarity {
     * iteration moves O(Dim · partitions) rows regardless of corpus
     * size. Driver state is the Dim-float direction vector only (the
     * same driver-coordination pattern as Dedup.resolveClusters);
-    * iteration count is FIXED — convergence of power iteration is
-    * geometric in the spectral gap, and 15 rounds resolve any
-    * direction worth trusting.
+    * convergence of power iteration is geometric in the spectral gap,
+    * so the loop EXITS EARLY once the direction stops moving
+    * (1 − |v·v'| < tol, both unit vectors) and `iters` is only the
+    * cap for gap-free spectra.
     *
     * Sign is canonicalized (largest-|loading| dimension positive) so
     * output is stable run-to-run; float-sum ordering makes the last
     * digits environment-dependent, hence rows-only gating with the
     * eigen-equation property-checked in SimilaritySpec. */
-  def topComponent(vecs: DataFrame, iters: Int = 15): DataFrame = {
+  def topComponent(vecs: DataFrame, iters: Int = 15,
+      tol: Double = 1e-12): DataFrame = {
     val n = vecs.count().toDouble
     require(n > 1, "need at least two vectors")
     val mean = vecs
@@ -279,7 +281,9 @@ object Similarity {
       .orderBy(col("pos")).collect().map(_.getDouble(1))
     var v = Array.fill(Dim)(1.0 / math.sqrt(Dim))
     var eig = 0.0
-    for (_ <- 1 to iters) {
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val mCol = array(mean.toIndexedSeq.map(lit): _*)
       val vCol = array(v.toIndexedSeq.map(lit): _*)
       // centered and s materialized as COLUMNS before reuse (HOF
@@ -295,7 +299,11 @@ object Similarity {
         .orderBy(col("pos")).collect().map(_.getDouble(1))
       val norm = math.sqrt(av.map(x => x * x).sum)
       eig = norm / (n - 1) // Rayleigh estimate: ||C v|| with ||v|| = 1
-      v = av.map(_ / norm)
+      val vNew = av.map(_ / norm)
+      // both unit vectors: |cos| → 1 as the direction stabilizes
+      converged = 1.0 - math.abs(v.zip(vNew).map { case (a, b) => a * b }.sum) < tol
+      v = vNew
+      it += 1
     }
     val flip = if (v(v.indices.maxBy(i => math.abs(v(i)))) < 0) -1.0 else 1.0
     val spark = vecs.sparkSession
