@@ -309,9 +309,10 @@ object Dedup {
     * in O(log n) rounds on ANY graph shape — including the long-chain
     * dup graphs (serial boilerplate drift) where plain min-label
     * propagation needs diameter supersteps (DedupSpec's 64-node path
-    * fixture: 4 rounds here vs 63 propagation steps). Fixpoint = a
-    * star forest, detected by an order-independent (count, hash-sum)
-    * signature staying unchanged across a full round. */
+    * fixture asserts ≤ 2·log₂(n) rounds vs 63 propagation steps).
+    * Fixpoint = a star forest, detected by an order-independent
+    * (count, hash-sum) signature staying unchanged across a full
+    * round. */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
     resolveClustersCounted(pairs, maxIter)._1
 
