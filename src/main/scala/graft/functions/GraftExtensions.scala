@@ -53,19 +53,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // classes but not in the public function registry; expose them so
     // the incremental-dedup pre-screen can build/probe OR-merged (=
     // order-independent) fixed-size filters without custom sketch code.
+    def expectArity(name: String, n: Int, children: Seq[Expression]): Unit =
+      if (children.length != n) throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${children.length}")
     ext.injectFunction((
       FunctionIdentifier("bloom_agg"),
       info("bloom_agg",
         "bloom_agg(xxh64, est_items, num_bits) - OR-merged bloom filter " +
           "over 64-bit hashes (binary)"),
-      (children: Seq[Expression]) =>
-        new BloomFilterAggregate(children(0), children(1), children(2))))
+      (children: Seq[Expression]) => {
+        expectArity("bloom_agg(xxh64, est_items, num_bits)", 3, children)
+        new BloomFilterAggregate(children(0), children(1), children(2))
+      }))
     ext.injectFunction((
       FunctionIdentifier("bloom_contains"),
       info("bloom_contains",
         "bloom_contains(bloom, xxh64) - membership probe; no false negatives"),
-      (children: Seq[Expression]) =>
-        BloomFilterMightContain(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        expectArity("bloom_contains(bloom, xxh64)", 2, children)
+        BloomFilterMightContain(children(0), children(1))
+      }))
     // k and w shape the expression itself, so they must be literal at
     // plan time; validate arity and foldability for a clean analysis
     // error instead of a builder ClassCastException.

@@ -138,6 +138,34 @@ class DedupSpec extends GraftSpec {
     assert(misses == 0, s"bloom dropped $misses true members")
   }
 
+  test("cluster resolution agrees with union-find on random graphs") {
+    // fixed-seed random graphs of mixed shape (cliques, chains, forks)
+    // cross-checked against a local union-find reference — the
+    // strongest equivalence evidence short of the DuckDB oracle
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 20
+      val edges = (1 to n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n.toLong.toInt)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(x => x -> {
+          // path-compress to the true min of the component
+          var r = x.toInt; while (parent(r) != r) r = parent(r); r.toLong
+        }).toMap
+      val got = Dedup.resolveClusters(
+        edges.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (n=$n) mismatch")
+    }
+  }
+
   test("cluster resolution converges on a long chain in O(log n) rounds") {
     // 64-node path graph (diameter 63): the chain-shaped dup graph —
     // serial boilerplate drift — where plain min-label propagation
