@@ -92,9 +92,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rolling_fingerprint",
         "rolling_fingerprint(text, k, w) - winnowed Rabin-Karp k-gram fingerprint"),
       (children: Seq[Expression]) => {
-        if (children.length != 3) throw new IllegalArgumentException(
-          s"rolling_fingerprint(text, k, w) expects 3 arguments, got " +
-            children.length)
+        expectArity("rolling_fingerprint(text, k, w)", 3, children)
         RollingHashFingerprint(children.head,
           intArg(children(1), "k"), intArg(children(2), "w"))
       }))

@@ -110,16 +110,23 @@ object Dedup {
     // Spark's own InjectRuntimeFilter turns its scalar subquery into.
     // Size the filter so numBits/8 stays executor-broadcast friendly
     // (1 MiB at the default); history row count does not matter.
-    val bloomBytes = history
-      .select(xxhash64(col("text")).as("h"))
-      .agg(call_function("bloom_agg", col("h"),
+    // ONE history scan: the distinct hash store is materialized first
+    // and the bloom folds over it (set semantics — duplicate inserts
+    // don't change the bits, so filter(store) ≡ filter(history))
+    val store = history.select(xxhash64(col("text")).as("sh")).distinct()
+      .localCheckpoint(true)
+    val bloomBytes = store
+      .agg(call_function("bloom_agg", col("sh"),
         lit(expectedItems), lit(numBits)).as("bloom"))
       .head.getAs[Array[Byte]]("bloom")
+    // ONE batch scan: the narrow (doc_id, hash, might) projection —
+    // ~17 bytes/row, never the text — is materialized because both the
+    // survivor verify and the final verdict join consume it
     val probed = batch
       .select(col("doc_id"), xxhash64(col("text")).as("h"))
       .select(col("doc_id"), col("h"),
         call_function("bloom_contains", lit(bloomBytes), col("h")).as("might"))
-    val store = history.select(xxhash64(col("text")).as("sh")).distinct()
+      .localCheckpoint(true)
     // exact verify ONLY on bloom survivors; dup ids then map back over
     // the batch (tiny side — AQE broadcasts it)
     val dupIds = probed.filter(col("might"))
@@ -390,14 +397,27 @@ object Dedup {
       edges = next
       iter += 1
     }
+    // a mid-round edge set is NOT a star forest — nodes can carry
+    // conflicting parents and non-minimal roots would self-label, so
+    // an unconverged exit would silently return a corrupt cluster
+    // map. Fail loudly instead (same contract as the embeddingPairs
+    // recall guard).
+    if (!converged) throw new IllegalStateException(
+      s"resolveClusters did not reach the star-forest fixpoint in " +
+        s"$maxIter rounds — raise maxIter (components needing more " +
+        s"rounds than log-scale indicate a pathological pair graph)")
     // fixpoint is a star forest: children point at their component
-    // min; roots (parents that are never children) label themselves
+    // min. Every node of the ORIGINAL pair set gets a label — nodes
+    // absent from the final edge set (roots, and nodes whose only
+    // pairs were reflexive) label themselves.
     val children = edges.select(col("u").as("doc_id"), col("v").as("keep_id"))
-    val roots = edges.select(col("v").as("doc_id")).distinct()
-      .join(edges.select(col("u").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
+    val allNodes = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val selfLabeled = allNodes
+      .join(children.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("keep_id"))
-    (children.union(roots).orderBy(col("doc_id")), iter)
+    (children.union(selfLabeled).orderBy(col("doc_id")), iter)
   }
 
   /** Cluster resolution over the verified MinHash near-dup pairs. */

@@ -394,12 +394,16 @@ object Similarity {
     // contract shape as q18/q21): bound_ok asserts the certified bound
     // max_abs_err <= 0.5/scale, mse_ok its mean-square corollary. A
     // quantization regression flips a bit and fails the hash.
+    // the bound carries a 1-ulp-scale tolerance (same as the
+    // SimilaritySpec property): at an exact .5 rounding boundary the
+    // double-computed error can land one ulp above the double-computed
+    // 0.5/scale, and a tolerance-free bit would flip on valid data
     "emb_quantize" -> { (s, dir) =>
+      val b = lit(0.5) / col("scale") * lit(1 + 1e-9) + lit(1e-12)
       quantizeStats(Tables.load(s, dir, "embeddings"))
         .select(col("vec_id"), col("scale"),
-          (col("max_abs_err") <= lit(0.5) / col("scale")).as("bound_ok"),
-          (col("mse") <= (lit(0.5) / col("scale")) * (lit(0.5) / col("scale")))
-            .as("mse_ok"))
+          (col("max_abs_err") <= b).as("bound_ok"),
+          (col("mse") <= b * b).as("mse_ok"))
         .orderBy(col("vec_id"))
     },
     "emb_centroids" -> ((s, dir) =>

@@ -106,13 +106,17 @@ object TextAnalysis {
   def fingerprintGate(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
     docs.select(col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
+      // the native expression grams over UTF-8 BYTES, so the size
+      // bound must use octet_length — character length undercounts on
+      // non-ASCII text and would flip the gate on valid data
+      octet_length(col("text")).cast("long").as("n_bytes"),
       call_function("rolling_fingerprint", col("text"), lit(k), lit(w))
         .as("fp"))
       .select(col("doc_id"), col("n_chars"),
         ((col("fp") === array_sort(col("fp"))) &&
           (size(col("fp")) === size(array_distinct(col("fp")))) &&
           size(col("fp")).between(
-            lit(1), greatest(col("n_chars") - (k - 1), lit(1))) &&
+            lit(1), greatest(col("n_bytes") - (k - 1), lit(1))) &&
           (array_min(col("fp")) === element_at(col("fp"), 1))).as("fp_ok"))
       .orderBy(col("doc_id"))
 

@@ -138,6 +138,16 @@ class DedupSpec extends GraftSpec {
     assert(misses == 0, s"bloom dropped $misses true members")
   }
 
+  test("cluster resolution labels reflexive-only nodes as their own root") {
+    // a node whose only pair evidence is a self-pair must still appear
+    // in the map, labeled as itself (regression: the star rounds drop
+    // self-pairs, so these nodes exist only in the original pair set)
+    val pairs = Seq((7L, 7L), (1L, 3L), (3L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L, 7L -> 7L))
+  }
+
   test("cluster resolution agrees with union-find on random graphs") {
     // fixed-seed random graphs of mixed shape (cliques, chains, forks)
     // cross-checked against a local union-find reference — the
