@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Corpus, Dedup, Etl, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Etl, Multimodal, Relational, Sampling, Similarity, TextAnalysis, Warehouse}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Etl.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Sampling.queries ++ Streaming.queries ++ Corpus.queries
+      Sampling.queries ++ Streaming.queries ++ Corpus.queries ++
+      Warehouse.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Etl.oracleSql ++ TextAnalysis.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
-      Sampling.oracleSql ++ Streaming.oracleSql ++ Corpus.oracleSql
+      Sampling.oracleSql ++ Streaming.oracleSql ++ Corpus.oracleSql ++
+      Warehouse.oracleSql
 }

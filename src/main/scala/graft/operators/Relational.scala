@@ -432,8 +432,33 @@ object Relational {
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(count(lit(1)).as("n_shipped"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // -- q25: arbitrary grouping sets through the SQL face -----------------
+    // ROLLUP (q12) covers only prefix hierarchies; real reporting wants
+    // independent axes ((status,priority),(status),(priority),()) in ONE
+    // pass. Spark's Expand turns the scan into 4 grouping streams before
+    // a single hash aggregate — one shuffle, versus 4 scans + 4 shuffles
+    // for the UNION ALL a user would otherwise write. Keys go NULL on
+    // their collapsed sets; COALESCE to 'ALL' keeps the output
+    // unambiguous (real values never equal 'ALL') and stably ordered.
+    "q25_grouping_sets" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(groupingSetsSql)
     }
   )
+
+  /** Shared verbatim with the DuckDB oracle — the SQL face must parse
+    * and plan identically on both engines. */
+  private[operators] val groupingSetsSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |  (o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
 
   /** DuckDB-equivalent SQL. Same aliases, same ORDER BY, same
     * DECIMAL(18,2)-exact money math (see SURVEY.md §6). */
@@ -615,6 +640,7 @@ object Relational {
         | AND l_shipdate < o_orderdate + INTERVAL 3 DAYS
         |WHERE o_totalprice > 495000
         |GROUP BY o_orderkey, o_orderdate
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q25_grouping_sets" -> groupingSetsSql
   )
 }

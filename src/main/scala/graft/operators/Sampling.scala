@@ -108,6 +108,47 @@ object Sampling {
       .orderBy(col("lang"), col("cum_tokens"))
   }
 
+  /** Shard count for training-output layout. */
+  val Shards = 16
+
+  /** Epoch-reproducible global shuffle + shard assignment: the last
+    * step before a training corpus is written out. `shuffle_key` is a
+    * full-range multiplicative hash (NOT the permille bucket — the
+    * shuffle needs a fine-grained total order, the sampler needs 1000
+    * coarse bins), `shard = key % Shards` spreads documents uniformly.
+    * Writing is then `repartition(Shards, $"shard")` +
+    * `sortWithinPartitions($"shuffle_key")` + a partitioned write —
+    * each shard lands sorted in its own file with NO global sort; the
+    * order is reproducible on any engine/cluster/run because it derives
+    * from doc_id alone, which is what makes training resumable and
+    * ablations comparable. The correctness face returns the assignment
+    * globally ordered so the oracle can hash it. */
+  def shardAssign(docs: DataFrame, nShards: Int = Shards): DataFrame = {
+    val key = ((col("doc_id") % 1000003L) * lit(2654435761L)) % lit(1000000007L)
+    docs.select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("shard", (col("shuffle_key") % nShards).cast("int"))
+      .orderBy(col("shard"), col("shuffle_key"), col("doc_id"))
+  }
+
+  /** Per-source representation cap: keep at most `cap` documents per
+    * source, preferring the longest (a quality proxy the synthetic
+    * corpus carries precomputed), ties on doc_id. The anti-boilerplate
+    * / anti-domination primitive of corpus curation — one overrepresented
+    * crawl domain otherwise swamps the mixture. Same
+    * WindowGroupLimit shape as topKPerStratum: each map partition
+    * retains ≤cap rows per source BEFORE the exchange, so the shuffle
+    * moves O(sources·cap) rows, not the corpus. */
+  def sourceCap(docs: DataFrame, cap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s, dir) =>
       stratifiedSample(Tables.load(s, dir, "documents"))),
@@ -116,7 +157,11 @@ object Sampling {
     "sample_topk" -> ((s, dir) =>
       topKPerStratum(Tables.load(s, dir, "documents"))),
     "sample_token_budget" -> ((s, dir) =>
-      tokenBudget(Tables.load(s, dir, "documents"))))
+      tokenBudget(Tables.load(s, dir, "documents"))),
+    "sample_shard" -> ((s, dir) =>
+      shardAssign(Tables.load(s, dir, "documents"))),
+    "sample_source_cap" -> ((s, dir) =>
+      sourceCap(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
     "sample_stratified" ->
@@ -150,5 +195,18 @@ object Sampling {
         |      PARTITION BY lang ORDER BY $hashBucketSql, doc_id)
         |      AS BIGINT) AS cum_tokens
         |  FROM documents) t
-        |WHERE cum_tokens <= 2000 ORDER BY lang, cum_tokens""".stripMargin)
+        |WHERE cum_tokens <= 2000 ORDER BY lang, cum_tokens""".stripMargin,
+    "sample_shard" ->
+      """SELECT doc_id,
+        |  ((doc_id % 1000003) * 2654435761) % 1000000007 AS shuffle_key,
+        |  CAST((((doc_id % 1000003) * 2654435761) % 1000000007) % 16
+        |    AS INT) AS shard
+        |FROM documents ORDER BY shard, shuffle_key, doc_id""".stripMargin,
+    "sample_source_cap" ->
+      """SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin)
 }

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Warehouse-layout operators (SURVEY §2A extension): the two
+  * physical-design levers that matter most at 100 TB and that plain
+  * per-query tuning cannot reach — pre-bucketed co-located joins and
+  * dynamic partition pruning over a partitioned lake.
+  *
+  * Reference: load_bq.py:13-73 loads the refined layer into a
+  * warehouse; these operators are the engine-side equivalent of the
+  * warehouse DOING something with that layout (clustered tables,
+  * partition elimination) rather than treating it as a dumb sink.
+  *
+  * Scale design:
+  *  - `etl_bucketed_join`: both fact tables are written ONCE bucketed
+  *    by the join key (8 buckets here; thousands at 100 TB). Every
+  *    subsequent join on that key is exchange-free — the sort-merge
+  *    join reads co-located buckets directly and the follow-up
+  *    aggregation on the same key reuses the distribution, so the
+  *    recurring cost of the pipeline's most frequent join drops from
+  *    "shuffle 100 TB" to zero network. WarehouseSpec asserts the plan
+  *    has NO shuffle exchange under a disabled-broadcast regime.
+  *  - `q26_dpp`: the fact lake is partitioned by day; the dim side
+  *    carries a selective filter. Catalyst's dynamic partition pruning
+  *    turns the dim filter into a runtime IN-subquery over the fact's
+  *    partition column, so only matching day-directories are read at
+  *    all — the difference between scanning 3 days and 3 years.
+  *    WarehouseSpec asserts `dynamicpruning` is in the fact scan's
+  *    partition filters.
+  */
+object Warehouse {
+
+  /** Exact money arithmetic: double → DECIMAL(18,2) (same contract as
+    * Relational.money — duplicated because that helper is private). */
+  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dbl(c: Column): Column = c.cast("double")
+
+  private def sfTag(dir: String): String =
+    dir.replaceAll(".*/", "").replace('.', '_')
+
+  val BucketCount = 8
+
+  /** Write `df` as a bucketed external parquet table. Overwrites any
+    * previous epoch (table identity is per-SF, so concurrent SF runs
+    * don't collide). */
+  def saveBucketed(s: SparkSession, df: DataFrame, key: String,
+      table: String, path: String, buckets: Int = BucketCount): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path).saveAsTable(table)
+  }
+
+  /** Per-order revenue over two bucketed tables. Join key = bucket key
+    * = grouping key, so join AND aggregation run without a single
+    * exchange (buckets are already co-located and sorted). The %20
+    * filter bounds the correctness-face output; it pushes into both
+    * bucketed scans. */
+  def bucketedOrderRevenueCore(li: DataFrame, ord: DataFrame): DataFrame =
+    li.filter(col("l_orderkey") % 20 === 0)
+      .join(ord.filter(col("o_orderkey") % 20 === 0),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        max(col("o_orderpriority")).as("priority"),
+        dbl(sum(money(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount")))))
+          .as("revenue"))
+
+  /** Correctness face: the core plus a globally-ordered output (the
+    * order's range exchange is the ONLY exchange in the whole plan —
+    * WarehouseSpec asserts the core itself has none). */
+  def bucketedOrderRevenue(li: DataFrame, ord: DataFrame): DataFrame =
+    bucketedOrderRevenueCore(li, ord).orderBy(col("l_orderkey"))
+
+  /** Bucketed-table names + lake paths for one SF dir. */
+  def bucketedTables(dir: String): (String, String) = {
+    val t = sfTag(dir)
+    (s"graft_bkt_lineitem_$t", s"graft_bkt_orders_$t")
+  }
+
+  /** End-to-end face: lay out both tables bucketed, then run the
+    * exchange-free join+agg from the catalog tables. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${Etl.roundtripRoot}/${sfTag(dir)}/bucketed"
+    val (liTable, ordTable) = bucketedTables(dir)
+    saveBucketed(s,
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "l_orderkey", liTable, s"$root/lineitem")
+    saveBucketed(s,
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "o_orderkey", ordTable, s"$root/orders")
+    bucketedOrderRevenue(s.table(liTable), s.table(ordTable))
+  }
+
+  /** Lay out the events lake partitioned by day plus a day-dimension,
+    * both under `root`; returns (factPath, dimPath). The dim carries a
+    * `week_part` attribute so queries can select day-subsets without
+    * naming literal dates — the shape that makes DPP earn its keep. */
+  def layoutDailyLake(s: SparkSession, dir: String): (String, String) = {
+    val root = s"${Etl.roundtripRoot}/${sfTag(dir)}/dpp"
+    val events = Tables.load(s, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+    events.write.mode("overwrite").partitionBy("day")
+      .parquet(s"$root/events_by_day")
+    events.select(col("day")).distinct()
+      .withColumn("week_part", (dayofmonth(col("day")) % 7).cast("int"))
+      .write.mode("overwrite").parquet(s"$root/dim_days")
+    (s"$root/events_by_day", s"$root/dim_days")
+  }
+
+  /** Day-subset aggregate through the dim: the selective dim filter
+    * (`week_part = 3`) reaches the fact scan as a dynamic partition
+    * pruning subquery — only ~1/7 of the day-directories are read. */
+  def dppAggregate(fact: DataFrame, dim: DataFrame): DataFrame =
+    fact.join(dim.filter(col("week_part") === 3).select(col("day")), "day")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_bucketed_join" -> ((s, dir) => bucketedJoin(s, dir)),
+    "q26_dpp" -> { (s, dir) =>
+      val (factPath, dimPath) = layoutDailyLake(s, dir)
+      dppAggregate(s.read.parquet(factPath), s.read.parquet(dimPath))
+    })
+
+  def oracleSql: Map[String, String] = Map(
+    "etl_bucketed_join" ->
+      """SELECT l_orderkey, MAX(o_orderpriority) AS priority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey % 20 = 0
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    // dim = distinct days with week_part = day-of-month mod 7; the
+    // join keeps events whose day satisfies week_part = 3
+    "q26_dpp" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE DAYOFMONTH(CAST(ts AS DATE)) % 7 = 3
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

@@ -68,6 +68,33 @@ class SamplingSpec extends GraftSpec {
     got.foreach(r => assert(r.getLong(3) <= 200L))
   }
 
+  test("shard assignment is a deterministic permutation covering all docs") {
+    val got = Sampling.shardAssign(docs).collect()
+    assert(got.length == 2000)
+    // every doc appears once, shards are in range, and the shard split
+    // is roughly uniform (2000/16 = 125 ± noise)
+    assert(got.map(_.getLong(0)).distinct.length == 2000)
+    val byShard = got.groupBy(_.getInt(2)).view.mapValues(_.length).toMap
+    assert(byShard.keys.forall(s => s >= 0 && s < Sampling.Shards))
+    assert(byShard.values.forall(n => math.abs(n - 125) <= 50),
+      byShard.toString)
+    // reruns are bit-identical — the property that makes training
+    // order resumable
+    assert(got.toSeq == Sampling.shardAssign(docs).collect().toSeq)
+  }
+
+  test("source cap keeps exactly `cap` longest docs per source") {
+    val wdocs = docs.withColumn("n_chars", col("doc_id") % 97)
+    val got = Sampling.sourceCap(wdocs, cap = 10).collect()
+    val bySource = got.groupBy(_.getString(1))
+    assert(bySource.size == 3 && bySource.values.forall(_.length == 10))
+    assert(got.forall(_.getLong(2) <= 10))
+    // rank-limited before the exchange, like topKPerStratum
+    val plan = Sampling.sourceCap(wdocs, cap = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
   test("sampling plans are shuffle-free scans (filter only)") {
     val plan = Sampling.stratifiedSample(docs)
       .queryExecution.executedPlan.toString
