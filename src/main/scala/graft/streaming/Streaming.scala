@@ -293,7 +293,83 @@ object Streaming {
       .select(col("event_id"), col("user_id"), col("c_mktsegment"),
         col("value"))
 
+  /** Per-user materialized state, batch face: the table a streaming
+    * upsert sink converges to after consuming the whole stream. */
+  def batchUserState(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .orderBy(col("user_id"))
+
+  /** Streaming face of [[batchUserState]]: a foreachBatch UPSERT sink —
+    * the production pattern for maintaining a keyed materialized view
+    * in a plain-parquet lake (no transactional table format needed).
+    * Each micro-batch reduces to per-user partials (map-side combine:
+    * shuffle is per-batch-sized, not history-sized), merges them into
+    * the persisted state by key, and commits via write-temp + atomic
+    * directory swap so readers never observe a half-written state.
+    * State math is DECIMAL end-to-end — associative merging of double
+    * partial sums would drift across batch boundaries and diverge from
+    * the batch face.
+    *
+    * At scale the state table is partitioned/bucketed by the key so
+    * each merge touches only the partitions a batch's keys hash to;
+    * the read-merge-swap below is the single-directory version of the
+    * same contract. */
+  def foreachBatchUpsert(spark: SparkSession, events: DataFrame,
+      stateDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import java.nio.file.{Files, Paths}
+    val stateSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("n_events", LongType),
+      StructField("last_ts", TimestampType),
+      StructField("total_value", DecimalType(18, 2))))
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // sum over DECIMAL(18,2) widens to (28,2); cast back so the
+      // persisted state schema is stable across batches
+      val partial = batch.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("ts")).as("last_ts"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DecimalType(18, 2)).as("total_value"))
+      val statePath = Paths.get(stateDir)
+      val merged =
+        if (Files.exists(statePath)) {
+          val state = spark.read.schema(stateSchema).parquet(stateDir)
+          state.unionByName(partial)
+            .groupBy(col("user_id"))
+            .agg(sum(col("n_events")).as("n_events"),
+              max(col("last_ts")).as("last_ts"),
+              sum(col("total_value")).cast(DecimalType(18, 2))
+                .as("total_value"))
+        } else partial
+      val next = stateDir + ".next"
+      merged.write.mode("overwrite").parquet(next)
+      // swap: the state dir is replaced between, not during, batches
+      val old = stateDir + ".old"
+      deleteRecursively(Paths.get(old))
+      if (Files.exists(statePath)) Files.move(statePath, Paths.get(old))
+      Files.move(Paths.get(next), statePath)
+      deleteRecursively(Paths.get(old))
+      ()
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally stream.close()
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_upsert_sink" -> ((s, dir) =>
+      batchUserState(Tables.load(s, dir, "events"))),
     "stream_window_agg" -> ((s, dir) =>
       batchWindowAgg(Tables.load(s, dir, "events"))),
     "stream_sliding_agg" -> ((s, dir) =>
@@ -309,6 +385,10 @@ object Streaming {
         Tables.load(s, dir, "customer"))))
 
   def oracleSql: Map[String, String] = Map(
+    "stream_upsert_sink" ->
+      """SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_window_agg" ->
       """SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start,
         |  event_type, COUNT(*) AS n,

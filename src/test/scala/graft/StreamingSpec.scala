@@ -98,6 +98,41 @@ class StreamingSpec extends GraftSpec {
     assert(got.nonEmpty)
   }
 
+  test("foreachBatch upsert sink converges to the batch user state") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "upsert")
+      .toString
+    // split events into 4 files so maxFilesPerTrigger=1 forces 4
+    // incremental micro-batches — a single batch would never exercise
+    // the read-merge-swap path
+    val events = Tables.load(spark, sf, "events")
+    events.withColumn("ts", unix_micros(col("ts")) * 1000) // physical ns-long
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$root/src")
+    val stream = spark.readStream
+      .schema(Streaming.eventsPhysicalSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/src")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Streaming.foreachBatchUpsert(spark, stream, s"$root/state")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/chk")
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$root/state")
+      .select(col("user_id"), col("n_events"),
+        col("last_ts"), col("total_value").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3))).toSet
+    val want = Streaming.batchUserState(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionization emits closed sessions matching batch") {
     val stream = Streaming.eventsStream(spark, sf)
     val q = Streaming.sessionizeStream(spark, stream).writeStream
