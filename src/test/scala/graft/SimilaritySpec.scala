@@ -159,6 +159,23 @@ class SimilaritySpec extends GraftSpec {
     val resid = math.sqrt((0 until d)
       .map(j => math.pow(cv(j) - rayleigh * v(j), 2)).sum)
     assert(resid / rayleigh < 0.35, s"residual $resid vs eig $rayleigh")
+    // the operator's own certificate must agree with this driver-side
+    // recomputation and carry the in-plan bound
+    got.foreach { r =>
+      assert(r.getBoolean(4), s"resid_ok false: ${r.getDouble(3)}")
+      assert(math.abs(r.getDouble(3) - resid / rayleigh) < 0.02)
+    }
+  }
+
+  test("IVF probing every cell is exactly brute force") {
+    // the correctness face's contract: nprobe = centroidBudget makes
+    // IVF centroid-independent and exact — same pairs, same ranks
+    val brute = Similarity.knnBrute(vecs, col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    val full = Similarity.knnIvf(vecs, col("vec_id") < 10,
+        nprobe = Similarity.CentroidBudget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(full == brute)
   }
 
   test("IVF uses a fixed centroid budget and is deterministic") {
