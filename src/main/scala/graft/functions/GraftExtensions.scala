@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "PNG/GIF/BMP headers; NULL for unknown formats"),
       (children: Seq[Expression]) => ImageDims(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("audio_meta"),
+      info("audio_meta",
+        "audio_meta(blob) - struct(fmt, channels, sample_rate, bits, " +
+          "n_frames, duration_ms) parsed from WAV/AIFF headers; NULL " +
+          "for unknown formats"),
+      (children: Seq[Expression]) => AudioMeta(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("hyperplane_bits"),
       info("hyperplane_bits",
         "hyperplane_bits(v) - 48 fixed-seed random-hyperplane LSH sign bits"),

@@ -77,6 +77,61 @@ object Multimodal {
         .as("blob"))
   }
 
+  private def beU16Hex(c: Column): Column = lpad(hex(c), 4, "0")
+
+  /** Binary "audio" corpus with REAL container headers: each document
+    * becomes a complete WAV (RIFF, little-endian, chunk-walked — a
+    * LIST/INFO chunk is interposed between `fmt ` and `data` for every
+    * doc_id%10==4 so offset-hardcoded parsers break) or AIFF (IFF
+    * big-endian, COMM with the sample rate as an 80-bit extended
+    * float) file whose parameters derive from doc_id, so an external
+    * oracle can recompute them arithmetically. The payload is planted
+    * at full declared size (data chunk size = actual bytes), so the
+    * container is well-formed end-to-end; graft recovers the metadata
+    * by PARSING THE BYTES with the native audio_meta expression —
+    * generation and extraction share no code path. */
+  def audioTable(docs: DataFrame): DataFrame = {
+    val channels = (lit(1) + col("doc_id") % 3).cast("int")
+    val rateIdx = ((col("doc_id") % 7) % 4).cast("int")
+    val rate = when(rateIdx === 0, 8000).when(rateIdx === 1, 22050)
+      .when(rateIdx === 2, 44100).otherwise(48000).cast("int")
+    val bits = (lit(8) * (lit(1) + (col("doc_id") % 5) % 3)).cast("int")
+    val align = (channels * bits / lit(8)).cast("int")
+    val frames = (lit(100) + col("doc_id") % 400).cast("long")
+    val dataSize = (frames * align).cast("int")
+    val payload = repeat(lit("x"), dataSize).cast("binary")
+    // canonical 80-bit extended-float encodings of the four rates
+    val rateExtHex = when(rateIdx === 0, "400BFA00000000000000")
+      .when(rateIdx === 1, "400DAC44000000000000")
+      .when(rateIdx === 2, "400EAC44000000000000")
+      .otherwise(lit("400EBB80000000000000"))
+    val listHex = when(col("doc_id") % 10 === 4,
+      "4C49535404000000494E464F").otherwise(lit("")) // LIST + size 4 + INFO
+    val listLen = when(col("doc_id") % 10 === 4, 12).otherwise(lit(0))
+    val wavHdr = concat(
+      lit("52494646"), // RIFF
+      leU32Hex(lit(4) + lit(24) + listLen + lit(8) + dataSize),
+      lit("57415645"), // WAVE
+      lit("666D742010000000"), // "fmt " + size 16
+      lit("0100"), // PCM
+      leU16Hex(channels), leU32Hex(rate), leU32Hex(rate * align),
+      leU16Hex(align), leU16Hex(bits),
+      listHex,
+      lit("64617461"), // data
+      leU32Hex(dataSize))
+    val aiffHdr = concat(
+      lit("464F524D"), // FORM
+      beU32Hex(lit(4) + lit(26) + lit(16) + dataSize),
+      lit("41494646"), // AIFF
+      lit("434F4D4D00000012"), // COMM + size 18
+      beU16Hex(channels), beU32Hex(frames), beU16Hex(bits), rateExtHex,
+      lit("53534E44"), // SSND
+      beU32Hex(lit(8) + dataSize), lit("0000000000000000"))
+    val hdr = when(col("doc_id") % 2 === 0, wavHdr).otherwise(aiffHdr)
+    docs.select(col("doc_id"),
+      concat(to_binary(hdr, lit("hex")), payload).as("blob"))
+  }
+
   /** Binary "video" corpus: each blob is a text container header
     * `VID0|<n_frames>|<frame_len>|` followed by n_frames fixed-size
     * frames whose bytes are a doc_id+index-derived fill — so an
@@ -188,6 +243,23 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // -- real audio-header parsing over binary columns ---------------------
+    // Spark derives (fmt, channels, sample_rate, bits, n_frames,
+    // duration_ms) by chunk-walking actual RIFF/IFF bytes — including
+    // decoding AIFF's 80-bit extended-float sample rate; the oracle
+    // recomputes the planted parameters arithmetically.
+    "mm_audio_meta" -> { (s, dir) =>
+      audioTable(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"),
+          call_function("audio_meta", col("blob")).as("m"))
+        .select(col("doc_id"), col("m.fmt").as("fmt"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bits").as("bits"), col("m.n_frames").as("n_frames"),
+          col("m.duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- strided frame sampling over binary video containers ---------------
     // Spark parses geometry + frame offsets out of the blob bytes; the
     // oracle recomputes the planted per-frame properties arithmetically.
@@ -215,6 +287,18 @@ object Multimodal {
         |FROM (SELECT doc_id, UNNEST(range(0, 4 + doc_id % 4, 2)) AS f
         |      FROM documents) t
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'aiff' END AS fmt,
+        |  CAST(1 + doc_id % 3 AS INT) AS channels,
+        |  CAST(CASE (doc_id % 7) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+        |    WHEN 2 THEN 44100 ELSE 48000 END AS INT) AS sample_rate,
+        |  CAST(8 * (1 + (doc_id % 5) % 3) AS INT) AS bits,
+        |  CAST(100 + doc_id % 400 AS BIGINT) AS n_frames,
+        |  CAST((100 + doc_id % 400) * 1000 //
+        |    (CASE (doc_id % 7) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+        |     WHEN 2 THEN 44100 ELSE 48000 END) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_image_dims" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'

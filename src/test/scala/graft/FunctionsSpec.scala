@@ -80,6 +80,81 @@ class FunctionsSpec extends GraftSpec {
     assert(got(3).isNullAt(1) && got(3).isNullAt(2) && got(3).isNullAt(3))
   }
 
+  test("audio_meta walks real WAV chunk lists and decodes AIFF " +
+    "extended-float rates, NULL otherwise") {
+    // WAV bytes built with ByteBuffer — an independent code path from
+    // the hex-expression fixture generator in Multimodal.audioTable
+    def wav(ch: Int, rate: Int, bits: Int, frames: Int,
+        withList: Boolean): Array[Byte] = {
+      val align = ch * bits / 8
+      val dataSize = frames * align
+      val listLen = if (withList) 12 else 0
+      val bb = java.nio.ByteBuffer.allocate(44 + listLen + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII"))
+      bb.putInt(4 + 24 + listLen + 8 + dataSize)
+      bb.put("WAVEfmt ".getBytes("US-ASCII"))
+      bb.putInt(16); bb.putShort(1)
+      bb.putShort(ch.toShort); bb.putInt(rate); bb.putInt(rate * align)
+      bb.putShort(align.toShort); bb.putShort(bits.toShort)
+      if (withList) {
+        bb.put("LIST".getBytes("US-ASCII")); bb.putInt(4)
+        bb.put("INFO".getBytes("US-ASCII"))
+      }
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
+      bb.put(Array.fill(dataSize)('x'.toByte))
+      bb.array()
+    }
+    // AIFF with the rate hand-encoded as an 80-bit extended float
+    def aiff(ch: Int, rateExtHex: String, bits: Int,
+        frames: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 8 + 18)
+      bb.put("FORM".getBytes("US-ASCII")); bb.putInt(4 + 26)
+      bb.put("AIFFCOMM".getBytes("US-ASCII")); bb.putInt(18)
+      bb.putShort(ch.toShort); bb.putInt(frames); bb.putShort(bits.toShort)
+      bb.put(rateExtHex.grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray)
+      bb.array()
+    }
+    val blobs = Seq(
+      (1L, wav(2, 44100, 16, 500, withList = false)),
+      (2L, wav(1, 8000, 8, 250, withList = true)), // chunk walk required
+      (3L, aiff(2, "400EBB80000000000000", 24, 48000)), // 48 kHz
+      (4L, aiff(1, "400DAC44000000000000", 16, 11025)), // 22.05 kHz
+      (5L, "RIFFxxxxJUNK and then some".getBytes("US-ASCII")))
+      .toDF("id", "blob")
+    val got = blobs
+      .select(col("id"), call_function("audio_meta", col("blob")).as("m"))
+      .selectExpr("id", "m.fmt", "m.channels", "m.sample_rate", "m.bits",
+        "m.n_frames", "m.duration_ms")
+      .orderBy(col("id")).collect()
+    assert(got(0).toSeq.drop(1) == Seq("wav", 2, 44100, 16, 500L, 11L))
+    assert(got(1).toSeq.drop(1) == Seq("wav", 1, 8000, 8, 250L, 31L))
+    assert(got(2).toSeq.drop(1) == Seq("aiff", 2, 48000, 24, 48000L, 1000L))
+    assert(got(3).toSeq.drop(1) == Seq("aiff", 1, 22050, 16, 11025L, 500L))
+    assert(got(4).isNullAt(1))
+  }
+
+  test("audio fixture roundtrip: audioTable headers parse back to the " +
+    "planted parameters") {
+    val docs = spark.range(0, 40).select(col("id").as("doc_id"),
+      lit("t").as("text"), lit("s").as("source"))
+    val got = graft.operators.Multimodal.audioTable(docs)
+      .select(col("doc_id"), call_function("audio_meta", col("blob")).as("m"))
+      .selectExpr("doc_id", "m.fmt", "m.channels", "m.sample_rate",
+        "m.bits", "m.n_frames")
+      .orderBy(col("doc_id")).collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val rate = Seq(8000, 22050, 44100, 48000)(((id % 7) % 4).toInt)
+      assert(r.getString(1) == (if (id % 2 == 0) "wav" else "aiff"))
+      assert(r.getInt(2) == 1 + (id % 3).toInt)
+      assert(r.getInt(3) == rate)
+      assert(r.getInt(4) == 8 * (1 + (id % 5) % 3).toInt)
+      assert(r.getLong(5) == 100 + id % 400)
+    }
+  }
+
   test("expressions survive whole-stage codegen (no fallback errors)") {
     // a wide pipeline through both functions under codegen
     val n = 1000
