@@ -126,14 +126,129 @@ object Warehouse {
         dbl(sum(money(col("value")))).as("total_value"))
       .orderBy(col("event_type"))
 
+  // ---- SCD-2 dimension history ----------------------------------------
+  // The other half of dimension management next to Medallion.upsert
+  // (SCD-1): history-preserving merge. ONE scan of the dimension, one
+  // broadcast join against the (small) changeset, then a 1-or-2-row
+  // inline per key — no self-join, no second dim scan. At 100 TB the
+  // dim side shuffles zero bytes: change keys broadcast, and the
+  // output is written back partition-local.
+
+  /** History-preserving merge: `dim` (open rows of an SCD-2 dimension,
+    * attrs = (name, bal), valid_from carried) + `changes` (new attr
+    * values per changed key, effective `changeDate`) → closed-out old
+    * versions + opened new versions + untouched rows. */
+  def scd2Merge(dim: DataFrame, changes: DataFrame, key: String,
+      changeDate: String): DataFrame = {
+    val chg = broadcast(changes
+      .withColumnRenamed("name", "new_name")
+      .withColumnRenamed("bal", "new_bal"))
+    val nullDate = lit(null).cast("date")
+    val d = to_date(lit(changeDate))
+    dim.join(chg, Seq(key), "left")
+      .select(col(key), inline(
+        when(col("new_name").isNull,
+          array(struct(col("name"), col("bal"),
+            col("valid_from"), nullDate.as("valid_to"),
+            lit(true).as("is_current"))))
+          .otherwise(array(
+            struct(col("name"), col("bal"),
+              col("valid_from"), d.as("valid_to"),
+              lit(false).as("is_current")),
+            struct(col("new_name").as("name"), col("new_bal").as("bal"),
+              d.as("valid_from"), nullDate.as("valid_to"),
+              lit(true).as("is_current"))))))
+  }
+
+  // ---- CDC changelog derivation ----------------------------------------
+  // Inverse of applying a changeset: given two snapshots, recover the
+  // insert/update/delete log. One full-outer shuffle join on the key —
+  // the irreducible cost of snapshot diffing; on bucketed layouts
+  // (etl_bucketed_join) the same code runs exchange-free.
+
+  /** Snapshot diff: rows tagged I (new only), D (old only), U (both,
+    * any attr differs); unchanged rows drop out. */
+  def cdcDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String): DataFrame = {
+    val o = oldSnap.withColumnRenamed("name", "old_name")
+      .withColumnRenamed("bal", "old_bal")
+    val n = newSnap.withColumnRenamed("name", "new_name")
+      .withColumnRenamed("bal", "new_bal")
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("op",
+        when(col("old_name").isNull && col("old_bal").isNull, "I")
+          .when(col("new_name").isNull && col("new_bal").isNull, "D")
+          .when(col("old_name") =!= col("new_name") ||
+            col("old_bal") =!= col("new_bal"), "U"))
+      .filter(col("op").isNotNull)
+      .select(col(key), col("op"), col("old_name"), col("new_name"))
+  }
+
+  /** The customer dim as (key, name, bal) with an epoch-0 valid_from. */
+  private def dimSnapshot(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer").select(
+      col("c_custkey"), col("c_name").as("name"),
+      col("c_acctbal").as("bal"),
+      to_date(lit("2024-01-01")).as("valid_from"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_bucketed_join" -> ((s, dir) => bucketedJoin(s, dir)),
+
+    // -- SCD-2: every 10th key changes name+bal on 2024-06-01 --------------
+    // (same deterministic changeset family as etl_upsert, so DuckDB
+    // rebuilds the exact history relationally; +100 on a double is
+    // IEEE-exact on both engines)
+    "etl_scd2" -> { (s, dir) =>
+      val dim = dimSnapshot(s, dir)
+      val changes = dim.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), upper(col("name")).as("name"),
+          (col("bal") + 100).as("bal"))
+      scd2Merge(dim, changes, "c_custkey", "2024-06-01")
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+
+    // -- CDC diff: recover the I/U/D log between two snapshots -------------
+    // new = old minus every 13th≡1 key (D), every 10th surviving key
+    // uppercased (U), every 97th≡3 key re-keyed past the id space (I).
+    "etl_cdc_diff" -> { (s, dir) =>
+      val old = dimSnapshot(s, dir).drop("valid_from")
+      val updated = old.filter(col("c_custkey") % 13 =!= 1)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, upper(col("name")))
+            .otherwise(col("name")).as("name"), col("bal"))
+      val inserts = old.filter(col("c_custkey") % 97 === 3)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          concat(col("name"), lit(" NEW")).as("name"), lit(0.0).as("bal"))
+      cdcDiff(old, updated.unionAll(inserts), "c_custkey")
+        .orderBy(col("c_custkey"))
+    },
     "q26_dpp" -> { (s, dir) =>
       val (factPath, dimPath) = layoutDailyLake(s, dir)
       dppAggregate(s.read.parquet(factPath), s.read.parquet(dimPath))
     })
 
   def oracleSql: Map[String, String] = Map(
+    "etl_scd2" ->
+      """SELECT c_custkey, c_name AS name, c_acctbal AS bal,
+        |  DATE '2024-01-01' AS valid_from,
+        |  CASE WHEN c_custkey % 10 = 0 THEN DATE '2024-06-01' END AS valid_to,
+        |  c_custkey % 10 <> 0 AS is_current
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, UPPER(c_name), c_acctbal + 100,
+        |  DATE '2024-06-01', NULL, TRUE
+        |FROM customer WHERE c_custkey % 10 = 0
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+    "etl_cdc_diff" ->
+      """SELECT c_custkey, 'D' AS op, c_name AS old_name,
+        |  NULL AS new_name
+        |FROM customer WHERE c_custkey % 13 = 1
+        |UNION ALL
+        |SELECT c_custkey, 'U', c_name, UPPER(c_name)
+        |FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 13 <> 1
+        |UNION ALL
+        |SELECT c_custkey + 1000000, 'I', NULL, c_name || ' NEW'
+        |FROM customer WHERE c_custkey % 97 = 3
+        |ORDER BY c_custkey""".stripMargin,
     "etl_bucketed_join" ->
       """SELECT l_orderkey, MAX(o_orderpriority) AS priority,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -39,6 +39,45 @@ class WarehouseSpec extends GraftSpec {
     assert(bucketed.toSeq == plain.toSeq)
   }
 
+  test("scd2Merge keeps exactly one current row per key and closes " +
+    "history contiguously") {
+    import spark.implicits._
+    val dim = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+      .withColumn("valid_from", to_date(lit("2024-01-01")))
+    val changes = Seq((2L, "B2", 25.0)).toDF("k", "name", "bal")
+    val out = Warehouse.scd2Merge(dim, changes, "k", "2024-06-01")
+      .orderBy("k", "valid_from").collect()
+    assert(out.length == 4) // 2 untouched + closed old + opened new
+    // columns: k, name, bal, valid_from, valid_to, is_current
+    // per key: exactly one is_current, and it has NULL valid_to
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val current = rows.filter(_.getBoolean(5))
+      assert(current.length == 1 && current.head.isNullAt(4))
+    }
+    // the changed key's old version closes exactly at the new version's
+    // valid_from (contiguous history, no gap/overlap)
+    val k2 = out.filter(_.getLong(0) == 2L)
+    val closed = k2.filter(!_.getBoolean(5)).head
+    val opened = k2.filter(_.getBoolean(5)).head
+    assert(closed.getDate(4).toString == "2024-06-01")
+    assert(opened.getDate(3).toString == "2024-06-01")
+    assert(opened.getString(1) == "B2" && opened.getDouble(2) == 25.0)
+  }
+
+  test("cdcDiff applied to the old snapshot reproduces the new one") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0)).toDF("k", "name", "bal")
+    val nw = Seq((1L, "a", 1.0), (2L, "B", 2.0), (4L, "d", 9.0),
+      (5L, "e", 5.0)).toDF("k", "name", "bal")
+    val diff = Warehouse.cdcDiff(old, nw, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(diff == Map(2L -> "U", 3L -> "D", 4L -> "U", 5L -> "I"))
+    // row 1 (unchanged) must be absent
+    assert(!diff.contains(1L))
+  }
+
   test("dim filter reaches the fact scan as dynamic partition pruning") {
     val (factPath, dimPath) = Warehouse.layoutDailyLake(spark, sf)
     val df = Warehouse.dppAggregate(
