@@ -445,8 +445,56 @@ object Relational {
     "q25_grouping_sets" -> { (s, dir) =>
       Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql(groupingSetsSql)
+    },
+
+    // -- q27: correlated scalar subqueries through the SQL face ------------
+    // Orders priced >1.5× their customer's average. Catalyst
+    // DECORRELATES both per-customer subqueries (RewriteCorrelatedScalarSubquery)
+    // into shuffled aggregates on o_custkey joined back to the fact —
+    // NOT a per-row re-scan of orders (which is what a naive engine
+    // executes and what kills this query at 100 TB). Stated
+    // decimal-exactly (price·n > 1.5·sum as 2·price·n > 3·sum) so the
+    // filter compares identically on both engines — no float threshold
+    // at the decision boundary.
+    "q27_correlated_subquery" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(correlatedSubquerySql)
+    },
+
+    // -- q28: INTERSECT / EXCEPT through the SQL face ----------------------
+    // Customers ordering in both 1996 and 1997, minus low-balance
+    // accounts. Set ops compile to left-semi/left-anti hash joins over
+    // hash-distinct inputs — three shuffles on the same key, no
+    // row-comparison sort — and the same statement runs on both
+    // engines (standard set-op precedence made explicit with parens).
+    "q28_set_ops" -> { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(setOpsSql)
     }
   )
+
+  /** Shared verbatim with the DuckDB oracle (q25 pattern). */
+  private[operators] val correlatedSubquerySql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |FROM orders o
+      |WHERE 2 * CAST(o_totalprice AS DECIMAL(18,2)) *
+      |    (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |  > 3 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+      |         FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Shared verbatim with the DuckDB oracle (q25 pattern). */
+  private[operators] val setOpsSql: String =
+    """(SELECT o_custkey AS custkey FROM orders
+      |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+      | INTERSECT
+      | SELECT o_custkey FROM orders
+      |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1997)
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_acctbal < 1000
+      |ORDER BY custkey""".stripMargin
 
   /** Shared verbatim with the DuckDB oracle — the SQL face must parse
     * and plan identically on both engines. */
@@ -641,6 +689,8 @@ object Relational {
         |WHERE o_totalprice > 495000
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY o_orderkey""".stripMargin,
-    "q25_grouping_sets" -> groupingSetsSql
+    "q25_grouping_sets" -> groupingSetsSql,
+    "q27_correlated_subquery" -> correlatedSubquerySql,
+    "q28_set_ops" -> setOpsSql
   )
 }
