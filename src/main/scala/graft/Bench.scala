@@ -29,7 +29,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark: SparkSession = GraftSession.local()
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional trailing args: bench only these keys (dev iteration);
+    // unknown keys fail loudly (same contract as Verify)
+    val unknown = args.toSet.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[bench] unknown query keys: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
+    val names =
+      if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted
+      else args.toSeq.distinct.sorted
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val rawRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -327,13 +327,19 @@ object Dedup {
     * O(log n) convergence contract is itself under test. */
   def resolveClustersCounted(pairs: DataFrame,
       maxIter: Int = 20): (DataFrame, Int) = {
-    // canonical child>parent orientation; self-pairs dropped
-    var edges = pairs
+    // ONE evaluation of the (possibly expensive) pair pipeline: the
+    // canonicalized pair set — reflexive pairs INCLUDED — is
+    // checkpointed first, so both the edge set and the final
+    // self-label node sweep read the materialized copy instead of
+    // re-running `pairs` (re-deriving the node set from `pairs` was
+    // measured re-executing the whole LSH pipeline a second time)
+    val base = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // canonical child>parent orientation; self-pairs dropped
+    var edges = base.filter(col("u") =!= col("v"))
 
     // undirected neighbor view: one row per (node, neighbor)
     def nbrs(e: DataFrame): DataFrame =
@@ -411,8 +417,8 @@ object Dedup {
     // absent from the final edge set (roots, and nodes whose only
     // pairs were reflexive) label themselves.
     val children = edges.select(col("u").as("doc_id"), col("v").as("keep_id"))
-    val allNodes = pairs
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    val allNodes = base
+      .select(explode(array(col("u"), col("v"))).as("doc_id"))
       .distinct()
     val selfLabeled = allNodes
       .join(children.select(col("doc_id")), Seq("doc_id"), "left_anti")
