@@ -300,6 +300,213 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- product quantization (PQ) ---------------------------------------
+
+  /** PQ subspace count: Dim=64 splits into 4 subvectors of 16. */
+  val PqM = 4
+  /** Centroids per subspace codebook → each vector compresses to
+    * PqM·log₂(PqK)/8 = 2 bytes (from 256): the memory lever that lets
+    * a 10⁹-vector index live in RAM for ADC scanning. */
+  val PqK = 16
+  private val PqSub = Dim / PqM
+
+  /** One row per (vector, subspace): `e` = the m-th Dim/M-slice.
+    * Total bytes ≈ the corpus itself — the subspace axis adds rows,
+    * not data. */
+  private def pqSubvectors(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .select(col("vec_id"), col("m"),
+        slice(col("embedding"), col("m") * PqSub + 1, lit(PqSub)).as("e"))
+      .withColumn("nrm", l2norm(col("e")))
+
+  /** All-subspace codebook as ONE broadcast row (`cents`: array of
+    * (m, c_id, c_e, c_nrm)) — M·K·(Dim/M)·4 bytes ≈ K·Dim·4, the same
+    * broadcast budget as the IVF codebook, independent of corpus
+    * size. */
+  private def pqPack(centRows: DataFrame): DataFrame =
+    broadcast(centRows.agg(collect_list(
+      struct(col("m"), col("c_id"), col("c_e"), col("c_nrm"))).as("cents")))
+
+  /** Per-row nearest centroid WITHIN the row's subspace: fold-argmax
+    * over the m-filtered broadcast codebook (cosine, ties to the
+    * smaller c_id — same total-order contract as nearestCells), plus
+    * the max similarity as an independently-computed optimality
+    * certificate. Corpus side never shuffles. */
+  private def pqAssign(sub: DataFrame, packed: DataFrame): DataFrame = {
+    val withSims = sub.crossJoin(packed)
+      .select(col("vec_id"), col("m"), col("e"), col("nrm"),
+        transform(filter(col("cents"), c => c.getField("m") === col("m")),
+          c => struct((dot(col("e"), c.getField("c_e"))
+            / (col("nrm") * c.getField("c_nrm"))).as("sim"),
+            c.getField("c_id").as("cell"))).as("sims"))
+    withSims.select(col("vec_id"), col("m"), col("e"), col("nrm"),
+      aggregate(col("sims"),
+        struct(lit(Double.NegativeInfinity).as("sim"),
+          lit(Long.MaxValue).as("cell")),
+        (acc, x) => when(
+          x.getField("sim") > acc.getField("sim") ||
+            (x.getField("sim") === acc.getField("sim") &&
+              x.getField("cell") < acc.getField("cell")), x)
+          .otherwise(acc)).getField("cell").as("cell"),
+      aggregate(col("sims"), lit(Double.NegativeInfinity),
+        (acc, x) => greatest(acc, x.getField("sim"))).as("sim_best"))
+  }
+
+  /** Join an assignment frame to its centroid row on (m, cell) —
+    * broadcast hash join on both keys, no post-filter row blowup. */
+  private def joinCents(assigned: DataFrame, cents: DataFrame): DataFrame =
+    assigned.join(broadcast(cents.withColumnRenamed("m", "cm")),
+      col("m") === col("cm") && col("cell") === col("c_id"))
+
+  /** One Lloyd pass over ALL subspaces at once: reassign every
+    * subvector, then fixed-point-exact per-(m, cell, dim) means — ONE
+    * map-side-combined shuffle of ≤ M·K·(Dim/M) = K·Dim rows per
+    * partition for the whole codebook (the subspace axis rides the
+    * grouping key; no per-subspace passes). */
+  private def pqRefine(sub: DataFrame, packed: DataFrame): DataFrame =
+    pqAssign(sub, packed)
+      .select(col("m"), col("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("cell"), col("pos"))
+      .agg((sum(floor(col("v").cast("double") * 1e9).cast("long"))
+        / (count(lit(1)) * 1e9)).as("mv"))
+      .groupBy(col("m"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+      .select(col("m"), col("cell").as("c_id"),
+        transform(col("pm"), x => x.getField("mv").cast("float")).as("c_e"))
+      .withColumn("c_nrm", l2norm(col("c_e")))
+
+  /** Deterministic PQ codebooks: ONE seed sample of PqK vectors
+    * (smallest xxhash64 — a single TakeOrderedAndProject), sliced into
+    * every subspace, then `refineIters` all-subspace Lloyd passes.
+    * Returns centroid ROWS (m, c_id, c_e, c_nrm). */
+  def pqCodebooks(vecs: DataFrame, k: Int = PqK,
+      refineIters: Int = RefineIters): DataFrame = {
+    val sub = pqSubvectors(vecs)
+    val seed = vecs
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("c_id"), col("embedding"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .select(col("m"), col("c_id"),
+        slice(col("embedding"), col("m") * PqSub + 1, lit(PqSub)).as("c_e"))
+      .withColumn("c_nrm", l2norm(col("c_e")))
+    (0 until refineIters).foldLeft(seed) { (cents, _) =>
+      pqRefine(sub, pqPack(cents))
+    }
+  }
+
+  /** PQ assignment state: (centroid rows, per-(vector, subspace)
+    * assignment with optimality certificate), the assignment
+    * checkpointed — every consumer (codes, reconstruction, ADC)
+    * reads the materialized narrow frame instead of re-running the
+    * k-means pipeline. */
+  def pqAssignments(vecs: DataFrame, k: Int = PqK,
+      refineIters: Int = RefineIters): (DataFrame, DataFrame) = {
+    val cents = pqCodebooks(vecs, k, refineIters)
+      .localCheckpoint(true)
+    val assigned = pqAssign(pqSubvectors(vecs), pqPack(cents))
+      .localCheckpoint(true)
+    (cents, assigned)
+  }
+
+  /** Correctness face for `emb_pq`: per vector, the code count and the
+    * in-plan argmax certificate (the assigned cell's independently
+    * recomputed similarity must reach the fold-max over its subspace
+    * codebook; degenerate zero-norm/NaN rows escape explicitly). The
+    * codes themselves are k-means output — engine-specific by design,
+    * determinism and optimality are spec-tested. */
+  def pqCodesGate(vecs: DataFrame): DataFrame = {
+    val (cents, assigned) = pqAssignments(vecs)
+    val assignedSim = joinCents(assigned, cents)
+      .select(col("vec_id"), col("m"), col("cell"), col("nrm"),
+        col("sim_best"),
+        (dot(col("e"), col("c_e")) / (col("nrm") * col("c_nrm")))
+          .as("sim_assigned"))
+    assignedSim
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).cast("int").as("n_codes"),
+        min(col("sim_assigned") >= col("sim_best") - lit(1e-12) ||
+          col("nrm") === 0 || isnan(col("sim_best"))).as("argmax_ok"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: per
+    * query, a broadcast M·K partial-dot table (query subvector ×
+    * centroid); each corpus vector's approximate dot is then K lookups
+    * summed — the corpus side touches only its 2-byte codes, never the
+    * float vectors. That asymmetry is the PQ scale story: scanning 10⁹
+    * candidates moves ~2 GB of codes instead of ~256 GB of floats.
+    * Approximate cosine normalizes by the RECONSTRUCTION's norm
+    * (Σ c_nrm² over the vector's cells), carried through the same
+    * aggregation — no second join.
+    *
+    * The correctness face carries an in-plan identity certificate: for
+    * the emitted top-k, the table-lookup score must equal (1e-9) the
+    * directly-computed cosine against the flattened reconstruction —
+    * table construction and reconstruction are independent paths
+    * through the codebook. */
+  def pqAdcRanked(vecs: DataFrame, queryPred: Column,
+      k: Int = 5): DataFrame = {
+    val (cents, assigned) = pqAssignments(vecs)
+    pqAdcRankedFrom(cents, assigned, vecs, queryPred, k)
+  }
+
+  private def pqAdcRankedFrom(cents: DataFrame, assigned: DataFrame,
+      vecs: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = joinCents(assigned, cents)
+      .select(col("vec_id"), col("m"), col("cell"),
+        (col("c_nrm") * col("c_nrm")).as("c_nrm2"))
+    val queries = pqQueries(vecs, queryPred)
+    // per-query partial-dot table: Q·M·K rows, broadcastable
+    val qtab = queries.crossJoin(pqPack(cents))
+      .select(col("query_id"), col("q_nrm"),
+        explode(transform(col("cents"), c => struct(
+          c.getField("m").as("m"), c.getField("c_id").as("cell"),
+          dot(slice(col("q"), c.getField("m") * PqSub + 1, lit(PqSub)),
+            c.getField("c_e")).as("pd")))).as("t"))
+      .select(col("query_id"), col("q_nrm"),
+        col("t.m").as("m"), col("t.cell").as("cell"), col("t.pd").as("pd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+    codes.join(broadcast(qtab), Seq("m", "cell"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(first(col("q_nrm")).as("q_nrm"), sum(col("pd")).as("adc_dot"),
+        sum(col("c_nrm2")).as("r_nrm2"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_sim",
+        col("adc_dot") / (col("q_nrm") * sqrt(col("r_nrm2"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  private def pqQueries(vecs: DataFrame, queryPred: Column): DataFrame =
+    vecs.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        l2norm(col("embedding")).as("q_nrm"))
+
+  /** Correctness face: [[pqAdcRanked]] plus the in-plan identity
+    * certificate over the emitted k·Q rows. */
+  def knnPqAdc(vecs: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    val (cents, assigned) = pqAssignments(vecs)
+    val topk = pqAdcRankedFrom(cents, assigned, vecs, queryPred, k)
+    val queries = pqQueries(vecs, queryPred)
+    // identity certificate over the k·Q emitted rows only
+    val recon = joinCents(assigned, cents)
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("m"), col("c_e")))),
+        x => x.getField("c_e"))).as("rv"))
+    topk
+      .join(recon, "vec_id")
+      .join(queries.select(col("query_id"), col("q")), "query_id")
+      .withColumn("direct_sim",
+        dot(col("q"), col("rv")) / (col("q_nrm") * sqrt(col("r_nrm2"))))
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        (abs(col("adc_sim") - col("direct_sim")) < 1e-9).as("adc_ok"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Top principal component of the embedding corpus by distributed
     * power iteration — the whitening/variance-analysis primitive an
     * embedding pipeline runs before committing to a quantization or
@@ -486,7 +693,17 @@ object Similarity {
     "emb_centroids" -> ((s, dir) =>
       labelCentroids(Tables.load(s, dir, "embeddings"))),
     "emb_pca_power" -> ((s, dir) =>
-      topComponent(Tables.load(s, dir, "embeddings"))))
+      topComponent(Tables.load(s, dir, "embeddings"))),
+    // PQ code audit: n_codes + in-plan argmax certificate per vector
+    // (mm_metadata gate pattern — codes themselves are k-means output,
+    // determinism/optimality/compression spec-tested)
+    "emb_pq" -> ((s, dir) =>
+      pqCodesGate(Tables.load(s, dir, "embeddings"))),
+    // ADC top-k with the in-plan table≡reconstruction identity
+    // certificate; the emitted (query, rank) set is deterministic, so
+    // the oracle enumerates it relationally
+    "knn_pq_adc" -> ((s, dir) =>
+      knnPqAdc(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)))
 
   /** dedup_embedding / emb_pca_power stay rows-only (fixed-seed LSH
     * buckets DuckDB cannot replay — recall < 1 is inherent to the
@@ -498,6 +715,13 @@ object Similarity {
     * full-oracle via the fixed-point mean; emb_quantize hash-matches
     * the exact per-vector scale plus in-plan error-bound gates. */
   def oracleSql: Map[String, String] = Map(
+    "emb_pq" ->
+      """SELECT vec_id, 4 AS n_codes, TRUE AS argmax_ok
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "knn_pq_adc" ->
+      """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, TRUE AS adc_ok
+        |FROM embeddings, UNNEST(RANGE(1, 6)) AS t(r)
+        |WHERE vec_id < 10 ORDER BY query_id, rank""".stripMargin,
     "knn_ivf" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding,

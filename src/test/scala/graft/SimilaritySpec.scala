@@ -186,4 +186,60 @@ class SimilaritySpec extends GraftSpec {
     assert(a.toSeq == b.toSeq)
     assert(a.length == 25, s"5 queries x k=5 expected, got ${a.length}")
   }
+
+  test("PQ assignment is deterministic, bounded and subspace-optimal") {
+    val (cents1, a1) = Similarity.pqAssignments(vecs)
+    val (_, a2) = Similarity.pqAssignments(vecs)
+    val codes1 = a1.select("vec_id", "m", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val codes2 = a2.select("vec_id", "m", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(codes1 == codes2, "PQ codes differ across runs")
+    // compression contract: every (m, cell) comes from its subspace's
+    // codebook — at most M·K distinct codes library-wide
+    val cb = cents1.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(cb.size <= Similarity.PqM * Similarity.PqK)
+    assert(codes1.map(c => (c._2, c._3)).toSet.subsetOf(cb),
+      "assignment used a cell absent from the codebook")
+    // per-subspace optimality vs a driver-side exact argmax
+    val centArr = cents1.collect().map { r =>
+      (r.getInt(0), r.getLong(1)) ->
+        r.getSeq[Float](2).map(_.toDouble).toArray
+    }.toMap
+    val sub = Similarity.Dim / Similarity.PqM
+    val byVec = vecs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    codes1.take(200).foreach { case (vid, m, cell) =>
+      val e = byVec(vid).slice(m * sub, (m + 1) * sub)
+      val best = centArr.collect { case ((mm, cid), ce) if mm == m =>
+        cid -> cos(e, ce) }.toSeq.maxBy { case (cid, s) => (s, -cid.toDouble) }
+      val got = cos(e, centArr((m, cell)))
+      assert(got >= best._2 - 1e-12,
+        s"vec $vid subspace $m: assigned sim $got < best ${best._2}")
+    }
+  }
+
+  test("ADC scores equal cosine against the reconstruction; recall " +
+    "vs brute is sane") {
+    // the face's in-plan certificate, re-checked here for every row
+    val face = Similarity.knnPqAdc(vecs, col("vec_id") < 10).collect()
+    assert(face.length == 50)
+    assert(face.forall(_.getBoolean(2)), "ADC != reconstruction cosine")
+    // recall floor: PQ with 4x16 codebooks on near-random 64-dim data
+    // retains limited structure — the floor is deliberately modest and
+    // the real contract is the identity certificate above
+    val brute = Similarity.knnBrute(vecs, col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = Similarity.pqAdcRanked(vecs, col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & adc).size.toDouble / brute.size
+    assert(recall >= 0.1, s"ADC recall vs brute $recall collapsed")
+  }
 }
