@@ -6,11 +6,12 @@ package graft
   * later edit introduces elsewhere. */
 class PlanLintSpec extends GraftSpec {
 
-  /** knn_brute / knn_ivf broadcast a BOUNDED set (the query set / the
-    * fixed centroid budget) into a crossJoin by design — the only
-    * intentional nested-loop joins in the library, with their scale
-    * contract documented in Similarity.scala. */
-  private val intentionalCross = Set("knn_brute", "knn_ivf")
+  /** knn_brute / knn_ivf / knn_pq_adc broadcast a BOUNDED set (the
+    * query set / the fixed centroid budget / the 1-row packed PQ
+    * codebook) into a crossJoin by design — the only intentional
+    * nested-loop joins in the library, with their scale contract
+    * documented in Similarity.scala. */
+  private val intentionalCross = Set("knn_brute", "knn_ivf", "knn_pq_adc")
 
   test("no query plan contains a cartesian product or stray nested loop") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, q) =>
