@@ -122,41 +122,48 @@ object AudioMeta {
   def parse(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 12) return null
     // ---- WAV: RIFF(le) container, walk chunks for `fmt ` + `data` ----
+    // The walk offset is a LONG advanced AFTER the chunk is consumed: a
+    // declared chunk size is an unsigned 32-bit value up to ~4 GiB, so
+    // an Int offset would wrap negative on an adversarial/corrupt size
+    // and index out of bounds. A size running past the buffer simply
+    // ends the walk (headers are routinely probed from a truncated
+    // prefix of the blob — the trailing `data` payload is not present);
+    // whether that yields a row or NULL is decided by what was parsed.
     if (tag(b, 0, "RIFF") && tag(b, 8, "WAVE")) {
-      var off = 12
+      var off = 12L
       var ch = -1; var rate = -1L; var bits = -1; var align = -1
       var dataSize = -1L
       while (off + 8 <= b.length && (ch < 0 || dataSize < 0)) {
-        val size = le32(b, off + 4)
-        if (tag(b, off, "fmt ") && off + 8 + 16 <= b.length) {
-          ch = le16(b, off + 10)
-          rate = le32(b, off + 12)
-          align = le16(b, off + 20)
-          bits = le16(b, off + 22)
-        } else if (tag(b, off, "data")) {
+        val o = off.toInt // safe: off + 8 <= b.length <= Int.MaxValue
+        val size = le32(b, o + 4)
+        if (tag(b, o, "fmt ") && off + 8 + 16 <= b.length) {
+          ch = le16(b, o + 10)
+          rate = le32(b, o + 12)
+          align = le16(b, o + 20)
+          bits = le16(b, o + 22)
+        } else if (tag(b, o, "data")) {
           dataSize = size
         }
         // chunks are word-aligned: odd sizes carry a pad byte
-        off += 8 + size.toInt + (size.toInt & 1)
-        if (size < 0 || size > Int.MaxValue) return null
+        off += 8L + size + (size & 1L)
       }
       if (ch <= 0 || align <= 0 || dataSize < 0) return null
       return row("wav", ch, rate, bits, dataSize / align)
     }
     // ---- AIFF: FORM(be) container, COMM chunk ------------------------
     if (tag(b, 0, "FORM") && tag(b, 8, "AIFF")) {
-      var off = 12
+      var off = 12L
       while (off + 8 <= b.length) {
-        val size = be32(b, off + 4)
-        if (tag(b, off, "COMM") && off + 8 + 18 <= b.length) {
-          val ch = be16(b, off + 8)
-          val frames = be32(b, off + 10)
-          val bits = be16(b, off + 14)
-          val rate = extended80(b, off + 16)
+        val o = off.toInt
+        val size = be32(b, o + 4)
+        if (tag(b, o, "COMM") && off + 8 + 18 <= b.length) {
+          val ch = be16(b, o + 8)
+          val frames = be32(b, o + 10)
+          val bits = be16(b, o + 14)
+          val rate = extended80(b, o + 16)
           return row("aiff", ch, rate, bits, frames)
         }
-        off += 8 + size.toInt + (size.toInt & 1)
-        if (size < 0 || size > Int.MaxValue) return null
+        off += 8L + size + (size & 1L)
       }
       return null
     }

@@ -140,14 +140,19 @@ object Warehouse {
     * versions + opened new versions + untouched rows. */
   def scd2Merge(dim: DataFrame, changes: DataFrame, key: String,
       changeDate: String): DataFrame = {
+    // `chg` is a PRESENCE flag, not an attribute: a changeset row that
+    // legitimately sets name (or every attr) to NULL must still close
+    // and re-version the key — branching on new_name.isNull would
+    // silently treat it as "key not in changeset".
     val chg = broadcast(changes
       .withColumnRenamed("name", "new_name")
-      .withColumnRenamed("bal", "new_bal"))
+      .withColumnRenamed("bal", "new_bal")
+      .withColumn("chg", lit(true)))
     val nullDate = lit(null).cast("date")
     val d = to_date(lit(changeDate))
     dim.join(chg, Seq(key), "left")
       .select(col(key), inline(
-        when(col("new_name").isNull,
+        when(col("chg").isNull,
           array(struct(col("name"), col("bal"),
             col("valid_from"), nullDate.as("valid_to"),
             lit(true).as("is_current"))))
@@ -167,18 +172,28 @@ object Warehouse {
   // (etl_bucketed_join) the same code runs exchange-free.
 
   /** Snapshot diff: rows tagged I (new only), D (old only), U (both,
-    * any attr differs); unchanged rows drop out. */
+    * any attr differs); unchanged rows drop out.
+    *
+    * NULL-correct by construction: key presence comes from indicator
+    * flags attached to each side BEFORE the full-outer join (attr
+    * nullness is NOT a presence signal — a row whose attrs are
+    * legitimately all NULL must not read as absent), and change
+    * detection is negated null-safe equality, so NULL→value and
+    * value→NULL transitions surface as U instead of vanishing into
+    * three-valued-logic NULL. */
   def cdcDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String): DataFrame = {
     val o = oldSnap.withColumnRenamed("name", "old_name")
       .withColumnRenamed("bal", "old_bal")
+      .withColumn("in_old", lit(true))
     val n = newSnap.withColumnRenamed("name", "new_name")
       .withColumnRenamed("bal", "new_bal")
+      .withColumn("in_new", lit(true))
     o.join(n, Seq(key), "full_outer")
       .withColumn("op",
-        when(col("old_name").isNull && col("old_bal").isNull, "I")
-          .when(col("new_name").isNull && col("new_bal").isNull, "D")
-          .when(col("old_name") =!= col("new_name") ||
-            col("old_bal") =!= col("new_bal"), "U"))
+        when(col("in_old").isNull, "I")
+          .when(col("in_new").isNull, "D")
+          .when(!(col("old_name") <=> col("new_name")) ||
+            !(col("old_bal") <=> col("new_bal")), "U"))
       .filter(col("op").isNotNull)
       .select(col(key), col("op"), col("old_name"), col("new_name"))
   }
@@ -209,13 +224,25 @@ object Warehouse {
     // -- CDC diff: recover the I/U/D log between two snapshots -------------
     // new = old minus every 13th≡1 key (D), every 10th surviving key
     // uppercased (U), every 97th≡3 key re-keyed past the id space (I).
+    // NULL semantics are ON the oracle: every 83rd≡7 key is born with a
+    // NULL name (NULL→'X' when it also hits the %10 update → U), and
+    // every 89th≡5 surviving key has its name nulled (value→NULL → U);
+    // NULL→NULL keys must read unchanged and drop out. DuckDB restates
+    // the diff with IS DISTINCT FROM, so a three-valued-logic regression
+    // in cdcDiff fails the hash.
     "etl_cdc_diff" -> { (s, dir) =>
       val old = dimSnapshot(s, dir).drop("valid_from")
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 83 === 7, lit(null).cast("string"))
+            .otherwise(col("name")).as("name"), col("bal"))
       val updated = old.filter(col("c_custkey") % 13 =!= 1)
         .select(col("c_custkey"),
-          when(col("c_custkey") % 10 === 0, upper(col("name")))
+          when(col("c_custkey") % 89 === 5, lit(null).cast("string"))
+            .when(col("c_custkey") % 10 === 0,
+              upper(coalesce(col("name"), lit("X"))))
             .otherwise(col("name")).as("name"), col("bal"))
-      val inserts = old.filter(col("c_custkey") % 97 === 3)
+      val inserts = dimSnapshot(s, dir)
+        .filter(col("c_custkey") % 97 === 3)
         .select((col("c_custkey") + 1000000).as("c_custkey"),
           concat(col("name"), lit(" NEW")).as("name"), lit(0.0).as("bal"))
       cdcDiff(old, updated.unionAll(inserts), "c_custkey")
@@ -238,16 +265,33 @@ object Warehouse {
         |  DATE '2024-06-01', NULL, TRUE
         |FROM customer WHERE c_custkey % 10 = 0
         |ORDER BY c_custkey, valid_from""".stripMargin,
+    // restates the WHOLE diff relationally (full-outer join + null-safe
+    // IS DISTINCT FROM), not an enumeration of the answer — the NULL
+    // transition cases ride the hash
     "etl_cdc_diff" ->
-      """SELECT c_custkey, 'D' AS op, c_name AS old_name,
-        |  NULL AS new_name
-        |FROM customer WHERE c_custkey % 13 = 1
-        |UNION ALL
-        |SELECT c_custkey, 'U', c_name, UPPER(c_name)
-        |FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 13 <> 1
-        |UNION ALL
-        |SELECT c_custkey + 1000000, 'I', NULL, c_name || ' NEW'
-        |FROM customer WHERE c_custkey % 97 = 3
+      """WITH old AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 83 = 7 THEN NULL ELSE c_name END AS name,
+        |    c_acctbal AS bal
+        |  FROM customer),
+        |new AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 89 = 5 THEN NULL
+        |         WHEN c_custkey % 10 = 0 THEN UPPER(COALESCE(name, 'X'))
+        |         ELSE name END AS name, bal
+        |  FROM old WHERE c_custkey % 13 <> 1
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name || ' NEW', 0.0
+        |  FROM customer WHERE c_custkey % 97 = 3)
+        |SELECT * FROM (
+        |  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+        |    CASE WHEN o.c_custkey IS NULL THEN 'I'
+        |         WHEN n.c_custkey IS NULL THEN 'D'
+        |         WHEN o.name IS DISTINCT FROM n.name
+        |           OR o.bal IS DISTINCT FROM n.bal THEN 'U' END AS op,
+        |    o.name AS old_name, n.name AS new_name
+        |  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey) t
+        |WHERE op IS NOT NULL
         |ORDER BY c_custkey""".stripMargin,
     "etl_bucketed_join" ->
       """SELECT l_orderkey, MAX(o_orderpriority) AS priority,

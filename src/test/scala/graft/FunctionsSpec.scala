@@ -135,6 +135,53 @@ class FunctionsSpec extends GraftSpec {
     assert(got(4).isNullAt(1))
   }
 
+  test("audio_meta returns NULL (never throws) on adversarial chunk " +
+    "sizes, and tolerates a truncated data payload") {
+    // container + one chunk whose DECLARED size is attacker-controlled
+    def riffChunk(container: String, tag4: String, declared: Long,
+        kind: String): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 8)
+        .order(if (kind == "wav") java.nio.ByteOrder.LITTLE_ENDIAN
+          else java.nio.ByteOrder.BIG_ENDIAN)
+      bb.put((if (kind == "wav") "RIFF" else "FORM").getBytes("US-ASCII"))
+      bb.putInt(100)
+      bb.put(container.getBytes("US-ASCII"))
+      bb.put(tag4.getBytes("US-ASCII"))
+      bb.putInt(declared.toInt) // raw 32 bits, read back unsigned
+      bb.array()
+    }
+    // truncated-but-valid WAV: fmt + data header only, payload absent
+    def truncatedWav(): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(1000000)
+      bb.put("WAVEfmt ".getBytes("US-ASCII"))
+      bb.putInt(16); bb.putShort(1)
+      bb.putShort(2.toShort); bb.putInt(44100); bb.putInt(44100 * 4)
+      bb.putShort(4.toShort); bb.putShort(16.toShort)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(400000)
+      bb.array()
+    }
+    val blobs = Seq(
+      // size 0xFFFFFFF0: Int-wraps negative if tracked as toInt
+      (1L, riffChunk("WAVE", "JUNK", 0xFFFFFFF0L, "wav")),
+      // size just under Int.MaxValue: 8 + size overflows Int
+      (2L, riffChunk("WAVE", "JUNK", 0x7FFFFFF8L, "wav")),
+      (3L, riffChunk("AIFF", "JUNK", 0xFFFFFFF0L, "aiff")),
+      (4L, riffChunk("AIFF", "JUNK", 0x7FFFFFF8L, "aiff")),
+      (5L, truncatedWav()))
+      .toDF("id", "blob")
+    val got = blobs
+      .select(col("id"), call_function("audio_meta", col("blob")).as("m"))
+      .selectExpr("id", "m.fmt", "m.channels", "m.sample_rate", "m.bits",
+        "m.n_frames")
+      .orderBy(col("id")).collect()
+    (0 to 3).foreach(i => assert(got(i).isNullAt(1),
+      s"corrupt blob ${i + 1} must yield NULL, got ${got(i)}"))
+    // the truncated header still parses: 400000 bytes / align 4
+    assert(got(4).toSeq.drop(1) == Seq("wav", 2, 44100, 16, 100000L))
+  }
+
   test("audio fixture roundtrip: audioTable headers parse back to the " +
     "planted parameters") {
     val docs = spark.range(0, 40).select(col("id").as("doc_id"),

@@ -78,6 +78,46 @@ class WarehouseSpec extends GraftSpec {
     assert(!diff.contains(1L))
   }
 
+  test("cdcDiff surfaces NULL↔value transitions and treats all-NULL " +
+    "attrs as presence, not absence") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, Some("a"), Some(1.0)),  // value→NULL name: U
+      (2L, None, Some(2.0)),       // NULL→value name: U
+      (3L, None, None),            // all-NULL attrs, unchanged: absent
+      (4L, None, None),            // all-NULL attrs, deleted: D
+      (6L, Some("f"), Some(6.0)))  // unchanged: absent
+      .toDF("k", "name", "bal")
+    val nw = Seq(
+      (1L, None, Some(1.0)),
+      (2L, Some("b"), Some(2.0)),
+      (3L, None, None),
+      (5L, None, None),            // all-NULL attrs, inserted: I
+      (6L, Some("f"), Some(6.0)))
+      .toDF("k", "name", "bal")
+    val diff = Warehouse.cdcDiff(old, nw, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(diff == Map(1L -> "U", 2L -> "U", 4L -> "D", 5L -> "I"))
+  }
+
+  test("scd2Merge versions a key whose changeset sets attrs to NULL") {
+    import spark.implicits._
+    val dim = Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("k", "name", "bal")
+      .withColumn("valid_from", to_date(lit("2024-01-01")))
+    val changes = Seq((2L, Option.empty[String], Option.empty[Double]))
+      .toDF("k", "name", "bal")
+    val out = Warehouse.scd2Merge(dim, changes, "k", "2024-06-01")
+      .orderBy("k", "valid_from").collect()
+    assert(out.length == 3) // untouched k=1 + closed + opened for k=2
+    val k2 = out.filter(_.getLong(0) == 2L)
+    val closed = k2.filter(!_.getBoolean(5)).head
+    val opened = k2.filter(_.getBoolean(5)).head
+    assert(closed.getDate(4).toString == "2024-06-01")
+    assert(opened.getDate(3).toString == "2024-06-01")
+    assert(opened.isNullAt(1) && opened.isNullAt(2) && opened.isNullAt(4))
+  }
+
   test("dim filter reaches the fact scan as dynamic partition pruning") {
     val (factPath, dimPath) = Warehouse.layoutDailyLake(spark, sf)
     val df = Warehouse.dppAggregate(
