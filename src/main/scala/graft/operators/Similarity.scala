@@ -62,6 +62,15 @@ object Similarity {
   /** Native single-pass cosine (graft.functions.CosineSimilarity). */
   def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
+  /** Cosine from a precomputed dot and two norms, degenerate-safe: a
+    * zero-norm side yields -2.0 (strictly below every real cosine, so
+    * such rows sort last and tie-break on id deterministically) instead
+    * of ANSI-mode DIVIDE_BY_ZERO killing the whole query. The branch is
+    * lazy in both codegen and interpreted paths, so the division never
+    * evaluates for the degenerate rows. */
+  private def safeCos(dotCol: Column, na: Column, nb: Column): Column =
+    when(na === 0 || nb === 0, lit(-2.0)).otherwise(dotCol / (na * nb))
+
   /** (vec_id, band, bucket): all 48 sign bits come from ONE native
     * hyperplane_bits call; each band's bucket is plain bit arithmetic.
     * Band count derives from the plane budget: 48/bits bands. */
@@ -79,9 +88,16 @@ object Similarity {
   }
 
   /** Near-dup pairs: hyperplane-LSH candidates verified by exact cosine
-    * >= threshold. Bucket-group + in-bucket pair explosion (same shape
-    * as Dedup.minhashCandidates): the sign-bit pipeline evaluates once,
-    * the only shuffles are the bucket groupBy and the verify joins.
+    * >= threshold. Candidates come from a (band, bucket) equi-self-join
+    * of the banded frame restricted (semi-join) to buckets whose size
+    * is in (1, maxBucket] — no bucket's id list is ever materialized as
+    * one array row (a degenerate bucket at production scale would be a
+    * multi-GB row under a collect_list shape; the join form streams it)
+    * and the pair volume runs in the join's generated loop instead of a
+    * per-pair HOF lambda (measured 2.1 s → join-loop cost at sf0.1 for
+    * the 1.08M-candidate build). The sign-bit pipeline evaluates once;
+    * shuffles are the size aggregation, the self-join, the pair
+    * distinct, and the verify joins — all keyed.
     *
     * Scale tuning: expected bucket occupancy is ~n / 2^bitsPerBand per
     * band, so candidate volume grows as n²/2^bitsPerBand — bitsPerBand
@@ -105,32 +121,51 @@ object Similarity {
   def embeddingPairs(vecs: DataFrame, threshold: Double = 0.4,
       maxBucket: Int = 1024, bitsPerBand: Int = BitsPerBand,
       maxDroppedFraction: Option[Double] = Some(0.5)): DataFrame = {
-    maxDroppedFraction.foreach { bound =>
-      val st = embeddingBucketStats(vecs, maxBucket, bitsPerBand)
-        .collect().head
-      val total = st.getLong(0) // sums are NULL when total is 0
-      val dropped = if (total > 0) st.getLong(1) else 0L
-      val ids = if (total > 0) st.getLong(2) else 0L
-      if (total > 0 && dropped.toDouble / total > bound)
-        throw new IllegalStateException(
-          s"embeddingPairs recall collapse: $dropped of $total LSH " +
-            s"buckets (holding $ids ids) exceed maxBucket=$maxBucket at " +
-            s"bitsPerBand=$bitsPerBand — raise bitsPerBand (or maxBucket) " +
-            "instead of trusting a near-empty result")
+    val banded = maxDroppedFraction match {
+      case Some(bound) =>
+        // ONE evaluation of the sign-bit pipeline for both consumers:
+        // the banded frame is (vec_id, band, bucket) rows — tiny at any
+        // corpus size — so it localCheckpoints cheaply, the guard's
+        // stats aggregation reads the materialized blocks, and the pair
+        // plan below reuses them instead of re-running the hyperplane
+        // projection as a second job (the r4 shape re-ran the whole
+        // pipeline for the stats pass: 5.8 s vs 1.9 s guard-off at
+        // sf0.1; shared, the guard costs one metadata-scale agg).
+        val ck = lshBanded(vecs, bitsPerBand).localCheckpoint(true)
+        val st = bucketStats(ck, maxBucket).collect().head
+        val total = st.getLong(0) // sums are NULL when total is 0
+        val dropped = if (total > 0) st.getLong(1) else 0L
+        val ids = if (total > 0) st.getLong(2) else 0L
+        if (total > 0 && dropped.toDouble / total > bound)
+          throw new IllegalStateException(
+            s"embeddingPairs recall collapse: $dropped of $total LSH " +
+              s"buckets (holding $ids ids) exceed maxBucket=$maxBucket at " +
+              s"bitsPerBand=$bitsPerBand — raise bitsPerBand (or maxBucket) " +
+              "instead of trusting a near-empty result")
+        ck
+      case None => lshBanded(vecs, bitsPerBand)
     }
-    val grouped = lshBanded(vecs, bitsPerBand)
+    // buckets worth pairing: size in (1, maxBucket]; metadata-scale
+    // (≤ bands·2^bits rows), so the semi-join's build side stays small
+    val keep = banded
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("vec_id")).as("ids"))
-    val cands = grouped
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(array_sort(col("ids")).as("ids"))
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2),
-          |  i -> transform(sequence(i + 1, size(ids) - 1),
-          |    j -> struct(ids[i] AS id_a, ids[j] AS id_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val kept = banded.join(keep, Seq("band", "bucket"), "left_semi")
+    val cands = kept.toDF("band", "bucket", "id_a")
+      .join(kept.toDF("band", "bucket", "id_b"), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair can collide in several bands
+    verifyPairs(cands, vecs, threshold)
+  }
+
+  /** Exact-cosine verification of a candidate pair frame: join both
+    * sides' embeddings back (each a keyed equi-join), one native
+    * cosine per candidate, threshold, deterministic order. */
+  private def verifyPairs(cands: DataFrame, vecs: DataFrame,
+      threshold: Double): DataFrame = {
     val embs = vecs.select(col("vec_id"), col("embedding").as("e"))
     val ea = embs.toDF("va", "e_a")
     val eb = embs.toDF("vb", "e_b")
@@ -142,13 +177,74 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Correctness face for `dedup_embedding` (same role as knn_ivf's
+    * full-probe face): pair generation that is provably COMPLETE and
+    * exactly-once — ids hash into `blocks` blocks, each unordered block
+    * pair (i ≤ j) is one band, and a vector joins every band naming its
+    * block. The band equi-self-join then emits a same-block pair from
+    * the diagonal band (i,i) and a cross-block pair from the single
+    * band naming both blocks, so every unordered id pair appears in
+    * EXACTLY one band and the emitted set equals the all-pairs cosine
+    * answer — which DuckDB recomputes independently as the oracle (the
+    * probabilistic LSH face keeps its recall guard and is spec-tested
+    * against this face for recall and subset-ness).
+    *
+    * Quadratic by construction — a verification face, not the scale
+    * path. Shape notes, measured at sf0.1 (n=2000, ~2M pairs):
+    *  - embeddings ride the banded frame, so the whole pair volume
+    *    lives inside ONE codegen'd join stage (join → dedup filter →
+    *    native cosine → threshold), with no per-pair array
+    *    construction and no second join — the collect_list +
+    *    nested-HOF pair explosion this replaces costs ~2 µs per
+    *    generated pair in the lambda interpreter (4.4 s for the
+    *    candidate build alone);
+    *  - the l side takes only band.i's block and the r side only
+    *    band.j's, so the join emits each unordered pair once (plus the
+    *    ordered-pair halving on diagonal bands) instead of 4× that;
+    *  - the explicit repartition by band exists because the fan-out
+    *    inherits the scan's partitioning — a single-file input would
+    *    otherwise run the entire quadratic stage as ONE task (measured
+    *    2.8 s single-task → 0.4 s at 32 slots). */
+  def embeddingPairsExact(vecs: DataFrame, threshold: Double = 0.4,
+      blocks: Int = 16): DataFrame = {
+    val bandsExpr = expr(
+      s"""flatten(transform(sequence(0, ${blocks - 1}),
+         |  i -> transform(sequence(i, ${blocks - 1}),
+         |    j -> struct(i AS i, j AS j))))""".stripMargin)
+    val banded = vecs
+      .select(col("vec_id"), col("embedding"),
+        pmod(xxhash64(col("vec_id")), lit(blocks)).as("blk"))
+      .select(col("vec_id"), col("embedding"), col("blk"),
+        explode(bandsExpr).as("band"))
+      .filter(col("blk") === col("band.i") || col("blk") === col("band.j"))
+      .repartition(col("band"))
+    val l = banded.filter(col("blk") === col("band.i"))
+      .select(col("band"), col("vec_id").as("id_a"),
+        col("embedding").as("e_a"))
+    val r = banded.filter(col("blk") === col("band.j"))
+      .select(col("band"), col("vec_id").as("id_b"),
+        col("embedding").as("e_b"))
+    l.join(r, Seq("band"))
+      // diagonal bands emit both orderings of a same-block pair (and
+      // the self-pair); cross bands emit each straddling pair once
+      .filter(col("band.i") =!= col("band.j") || col("id_a") < col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("vec_a"),
+        greatest(col("id_a"), col("id_b")).as("vec_b"),
+        cosine(col("e_a"), col("e_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Side-output LSH occupancy stats, one row: (total_buckets,
     * dropped_buckets, dropped_ids) for the given maxBucket cut. Counts
     * only — the groupBy shuffles (band, bucket, count) rows, never the
     * id lists, so this stays metadata-scale at any corpus size. */
   def embeddingBucketStats(vecs: DataFrame, maxBucket: Int = 1024,
       bitsPerBand: Int = BitsPerBand): DataFrame =
-    lshBanded(vecs, bitsPerBand)
+    bucketStats(lshBanded(vecs, bitsPerBand), maxBucket)
+
+  private def bucketStats(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("total_buckets"),
@@ -171,7 +267,8 @@ object Similarity {
     corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("e"), col("q_e")) / (col("nrm") * col("q_nrm"))).as("cos_sim"))
+        safeCos(dot(col("e"), col("q_e")), col("nrm"), col("q_nrm"))
+          .as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
@@ -185,17 +282,18 @@ object Similarity {
     * a 65536× row amplification at the documented production C=2^16.)
     *
     * `sims` materializes as a column before the fold/sort (HOF
-    * arguments re-evaluate per element — see Dedup.banded). Spark
-    * totally orders NaN above all numerics and NaN = NaN, so ties
-    * break exactly like a window's (c_sim DESC, c_id ASC) even for
-    * degenerate zero-norm vectors. */
+    * arguments re-evaluate per element — see Dedup.banded). Degenerate
+    * zero-norm rows go through [[safeCos]]: all their sims collapse to
+    * -2.0 and the tie-break assigns the smallest c_id deterministically
+    * (under ANSI mode the raw division would abort the query; pre-ANSI
+    * NaN ordering was run-to-run stable but opaque). */
   private def nearestCells(codebook: DataFrame)(df: DataFrame,
       n: Int): DataFrame = {
     val withSims = df.crossJoin(codebook)
       .select(col("vec_id"), col("e"), col("nrm"),
         transform(col("cents"), c =>
-          struct((dot(col("e"), c.getField("c_e"))
-            / (col("nrm") * c.getField("c_nrm"))).as("sim"),
+          struct(safeCos(dot(col("e"), c.getField("c_e")),
+            col("nrm"), c.getField("c_nrm")).as("sim"),
             c.getField("c_id").as("cell"))).as("sims"))
     val cellCol =
       if (n == 1)
@@ -292,7 +390,7 @@ object Similarity {
     probes.join(assigned, "cell") // shuffle keyed by cell
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("n_e"), col("q_e")) / (col("n_nrm") * col("q_nrm")))
+        safeCos(dot(col("n_e"), col("q_e")), col("n_nrm"), col("q_nrm"))
           .as("cos_sim"))
       .distinct() // a neighbor can appear via several probed cells
       .withColumn("rank", row_number().over(w))
@@ -337,8 +435,8 @@ object Similarity {
     val withSims = sub.crossJoin(packed)
       .select(col("vec_id"), col("m"), col("e"), col("nrm"),
         transform(filter(col("cents"), c => c.getField("m") === col("m")),
-          c => struct((dot(col("e"), c.getField("c_e"))
-            / (col("nrm") * c.getField("c_nrm"))).as("sim"),
+          c => struct(safeCos(dot(col("e"), c.getField("c_e")),
+            col("nrm"), c.getField("c_nrm")).as("sim"),
             c.getField("c_id").as("cell"))).as("sims"))
     withSims.select(col("vec_id"), col("m"), col("e"), col("nrm"),
       aggregate(col("sims"),
@@ -420,7 +518,7 @@ object Similarity {
     val assignedSim = joinCents(assigned, cents)
       .select(col("vec_id"), col("m"), col("cell"), col("nrm"),
         col("sim_best"),
-        (dot(col("e"), col("c_e")) / (col("nrm") * col("c_nrm")))
+        safeCos(dot(col("e"), col("c_e")), col("nrm"), col("c_nrm"))
           .as("sim_assigned"))
     assignedSim
       .groupBy(col("vec_id"))
@@ -474,8 +572,8 @@ object Similarity {
       .agg(first(col("q_nrm")).as("q_nrm"), sum(col("pd")).as("adc_dot"),
         sum(col("c_nrm2")).as("r_nrm2"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc_sim",
-        col("adc_dot") / (col("q_nrm") * sqrt(col("r_nrm2"))))
+      .withColumn("adc_sim", safeCos(col("adc_dot"),
+        col("q_nrm"), sqrt(col("r_nrm2"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -500,8 +598,10 @@ object Similarity {
     topk
       .join(recon, "vec_id")
       .join(queries.select(col("query_id"), col("q")), "query_id")
-      .withColumn("direct_sim",
-        dot(col("q"), col("rv")) / (col("q_nrm") * sqrt(col("r_nrm2"))))
+      // same degenerate-safe form as adc_sim so the identity
+      // certificate compares -2.0 to -2.0 on zero-norm rows
+      .withColumn("direct_sim", safeCos(dot(col("q"), col("rv")),
+        col("q_nrm"), sqrt(col("r_nrm2"))))
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         (abs(col("adc_sim") - col("direct_sim")) < 1e-9).as("adc_ok"))
       .orderBy(col("query_id"), col("rank"))
@@ -646,8 +746,19 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_embedding" -> ((s, dir) =>
-      embeddingPairs(Tables.load(s, dir, "embeddings"))),
+    // Correctness face = the complete block-pair banding (see
+    // embeddingPairsExact): candidate generation, pair explosion and
+    // cosine verify all ride the all-pairs DuckDB hash. The LSH face
+    // (embeddingPairs) is spec-tested against this face for recall and
+    // keeps the bucket-collapse guard. cos rounds to 4 decimals for the
+    // cross-engine float margin (same contract as knn_brute); the
+    // threshold filter runs on the UNROUNDED value on both sides.
+    "dedup_embedding" -> { (s, dir) =>
+      embeddingPairsExact(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_a"), col("vec_b"),
+          round(col("cos_sim"), 4).as("cos_r"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
     // The library face keeps full-precision cos_sim; the correctness
     // face rounds it to 4 decimals so the DuckDB oracle's independently
     // accumulated float dot product (engine diff ~1e-9, boundary margin
@@ -705,16 +816,28 @@ object Similarity {
     "knn_pq_adc" -> ((s, dir) =>
       knnPqAdc(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)))
 
-  /** dedup_embedding / emb_pca_power stay rows-only (fixed-seed LSH
-    * buckets DuckDB cannot replay — recall < 1 is inherent to the
-    * banding, measured 50/59 at the 0.4 threshold on this corpus;
-    * float-sum iteration order for PCA). knn_brute AND knn_ivf are
-    * full-oracle at 4-decimal precision with exact ranks (the IVF
-    * correctness face probes every cell, which is exact by
+  /** emb_pca_power stays rows-only (float-sum iteration order DuckDB
+    * cannot replay; eigen-residual certificate rides the rows instead).
+    * dedup_embedding is full-oracle via the complete block-pair face —
+    * the emitted set IS the all-pairs cosine answer. knn_brute AND
+    * knn_ivf are full-oracle at 4-decimal precision with exact ranks
+    * (the IVF correctness face probes every cell, which is exact by
     * construction and centroid-independent); emb_centroids is
     * full-oracle via the fixed-point mean; emb_quantize hash-matches
     * the exact per-vector scale plus in-plan error-bound gates. */
   def oracleSql: Map[String, String] = Map(
+    "dedup_embedding" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding,
+        |    SQRT(LIST_DOT_PRODUCT(embedding, embedding)) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  ROUND(LIST_DOT_PRODUCT(a.embedding, b.embedding)
+        |    / (a.nrm * b.nrm), 4) AS cos_r
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE LIST_DOT_PRODUCT(a.embedding, b.embedding)
+        |    / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "emb_pq" ->
       """SELECT vec_id, 4 AS n_codes, TRUE AS argmax_ok
         |FROM embeddings ORDER BY vec_id""".stripMargin,

@@ -96,6 +96,37 @@ class SimilaritySpec extends GraftSpec {
     assert(ok.getLong(1) == 0L)
   }
 
+  test("exact block-pair face equals driver-computed all-pairs cosine; " +
+    "LSH face is a verified subset with sane recall") {
+    val rows = vecs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (for {
+      (ia, va) <- rows; (ib, vb) <- rows if ia < ib
+      c = cos(va, vb) if c >= 0.4 - 1e-9
+    } yield (ia, ib)).toSet
+    val exact = Similarity.embeddingPairsExact(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == expected,
+      s"exact face diverges from all-pairs: missing ${expected -- exact}, " +
+        s"extra ${exact -- expected}")
+    // block count must not matter (completeness is structural)
+    val exact4 = Similarity.embeddingPairsExact(vecs, blocks = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact4 == exact)
+    // the probabilistic face can only miss pairs, never invent them,
+    // and at 4-bit banding recall stays usable on this corpus
+    val lsh = Similarity.embeddingPairs(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size.toDouble / exact.size >= 0.5,
+      s"LSH recall collapsed: ${lsh.size}/${exact.size}")
+  }
+
   test("8-bit bands produce a verified subset of 4-bit candidates") {
     // an 8-bit band is two concatenated 4-bit bands over the same 48
     // sign bits: agreement on it implies agreement on both halves, so
@@ -224,6 +255,37 @@ class SimilaritySpec extends GraftSpec {
       assert(got >= best._2 - 1e-12,
         s"vec $vid subspace $m: assigned sim $got < best ${best._2}")
     }
+  }
+
+  test("zero-norm vectors get deterministic assignments instead of " +
+    "ANSI divide-by-zero aborts") {
+    // a degenerate all-zero embedding used to kill the whole query
+    // under ANSI mode (cosine denominators are Spark divisions); it
+    // must instead sort below every real cosine (-2.0) and pick cells
+    // by the deterministic id tie-break
+    val withZero = vecs.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(spark.range(1).select(lit(999999L).as("vec_id"),
+        array_repeat(lit(0.0f), Similarity.Dim).as("embedding"),
+        lit(0).as("label")))
+    // PQ: the zero vector still gets all 4 codes and its certificate
+    // holds (sim_assigned == sim_best == -2.0)
+    val gate = Similarity.pqCodesGate(withZero)
+      .filter(col("vec_id") === 999999L).collect()
+    assert(gate.length == 1)
+    assert(gate.head.getInt(1) == Similarity.PqM)
+    assert(gate.head.getBoolean(2), "argmax certificate broke on zero-norm")
+    // IVF: assignment completes and the zero vector never outranks a
+    // real neighbor for a real query
+    val ivf = Similarity.knnIvf(withZero, col("vec_id") === 0,
+      nprobe = Similarity.CentroidBudget).collect()
+    assert(ivf.length == 5 && ivf.forall(_.getLong(1) != 999999L))
+    // brute force with the zero vector AS the query: still emits k
+    // deterministic rows (all cosines -2.0, ranked by neighbor id)
+    val bruteZero = Similarity.knnBrute(withZero, col("vec_id") === 999999L)
+      .collect()
+    assert(bruteZero.length == 5)
+    assert(bruteZero.forall(_.getDouble(2) == -2.0))
+    assert(bruteZero.map(_.getLong(1)).toSeq == (0L to 4L).toSeq)
   }
 
   test("ADC scores equal cosine against the reconstruction; recall " +
