@@ -400,23 +400,27 @@ object Similarity {
 
   // ---- product quantization (PQ) ---------------------------------------
 
-  /** PQ subspace count: Dim=64 splits into 4 subvectors of 16. */
+  /** Default PQ subspace count: Dim=64 splits into 4 subvectors of 16.
+    * The geometry is a parameter everywhere below — compression and
+    * fidelity trade directly (bytes/vector = m·log₂(k)/8), and the
+    * knn_pq_adc correctness face deliberately runs a finer grid. */
   val PqM = 4
   /** Centroids per subspace codebook → each vector compresses to
     * PqM·log₂(PqK)/8 = 2 bytes (from 256): the memory lever that lets
     * a 10⁹-vector index live in RAM for ADC scanning. */
   val PqK = 16
-  private val PqSub = Dim / PqM
 
-  /** One row per (vector, subspace): `e` = the m-th Dim/M-slice.
+  /** One row per (vector, subspace): `e` = the mth Dim/m-slice.
     * Total bytes ≈ the corpus itself — the subspace axis adds rows,
     * not data. */
-  private def pqSubvectors(vecs: DataFrame): DataFrame =
+  private def pqSubvectors(vecs: DataFrame, m: Int): DataFrame = {
+    val sub = Dim / m
     vecs.select(col("vec_id"), col("embedding"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+        explode(sequence(lit(0), lit(m - 1))).as("m"))
       .select(col("vec_id"), col("m"),
-        slice(col("embedding"), col("m") * PqSub + 1, lit(PqSub)).as("e"))
+        slice(col("embedding"), col("m") * sub + 1, lit(sub)).as("e"))
       .withColumn("nrm", l2norm(col("e")))
+  }
 
   /** All-subspace codebook as ONE broadcast row (`cents`: array of
     * (m, c_id, c_e, c_nrm)) — M·K·(Dim/M)·4 bytes ≈ K·Dim·4, the same
@@ -479,14 +483,16 @@ object Similarity {
     * every subspace, then `refineIters` all-subspace Lloyd passes.
     * Returns centroid ROWS (m, c_id, c_e, c_nrm). */
   def pqCodebooks(vecs: DataFrame, k: Int = PqK,
-      refineIters: Int = RefineIters): DataFrame = {
-    val sub = pqSubvectors(vecs)
+      refineIters: Int = RefineIters, m: Int = PqM): DataFrame = {
+    val subWidth = Dim / m
+    val sub = pqSubvectors(vecs, m)
     val seed = vecs
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
       .select(col("vec_id").as("c_id"), col("embedding"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+        explode(sequence(lit(0), lit(m - 1))).as("m"))
       .select(col("m"), col("c_id"),
-        slice(col("embedding"), col("m") * PqSub + 1, lit(PqSub)).as("c_e"))
+        slice(col("embedding"), col("m") * subWidth + 1, lit(subWidth))
+          .as("c_e"))
       .withColumn("c_nrm", l2norm(col("c_e")))
     (0 until refineIters).foldLeft(seed) { (cents, _) =>
       pqRefine(sub, pqPack(cents))
@@ -499,20 +505,25 @@ object Similarity {
     * reads the materialized narrow frame instead of re-running the
     * k-means pipeline. */
   def pqAssignments(vecs: DataFrame, k: Int = PqK,
-      refineIters: Int = RefineIters): (DataFrame, DataFrame) = {
-    val cents = pqCodebooks(vecs, k, refineIters)
+      refineIters: Int = RefineIters,
+      m: Int = PqM): (DataFrame, DataFrame) = {
+    val cents = pqCodebooks(vecs, k, refineIters, m)
       .localCheckpoint(true)
-    val assigned = pqAssign(pqSubvectors(vecs), pqPack(cents))
+    val assigned = pqAssign(pqSubvectors(vecs, m), pqPack(cents))
       .localCheckpoint(true)
     (cents, assigned)
   }
 
-  /** Correctness face for `emb_pq`: per vector, the code count and the
+  /** Correctness face for `emb_pq`: per vector, the code count, the
     * in-plan argmax certificate (the assigned cell's independently
     * recomputed similarity must reach the fold-max over its subspace
-    * codebook; degenerate zero-norm/NaN rows escape explicitly). The
-    * codes themselves are k-means output — engine-specific by design,
-    * determinism and optimality are spec-tested. */
+    * codebook; degenerate zero-norm/NaN rows escape explicitly), and
+    * the vector's l2 norm recomposed FROM THE SUBSPACE DECOMPOSITION
+    * (‖x‖ = √Σ‖x_m‖²) — a numeric DuckDB recomputes independently from
+    * the raw embedding, so the emitted rows are tied to the actual
+    * vector data and to a correct slicing, not just to row existence.
+    * The codes themselves are k-means output — engine-specific by
+    * design, determinism and optimality are spec-tested. */
   def pqCodesGate(vecs: DataFrame): DataFrame = {
     val (cents, assigned) = pqAssignments(vecs)
     val assignedSim = joinCents(assigned, cents)
@@ -524,7 +535,8 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).cast("int").as("n_codes"),
         min(col("sim_assigned") >= col("sim_best") - lit(1e-12) ||
-          col("nrm") === 0 || isnan(col("sim_best"))).as("argmax_ok"))
+          col("nrm") === 0 || isnan(col("sim_best"))).as("argmax_ok"),
+        round(sqrt(sum(col("nrm") * col("nrm"))), 4).as("nrm_r"))
       .orderBy(col("vec_id"))
   }
 
@@ -544,14 +556,16 @@ object Similarity {
     * table construction and reconstruction are independent paths
     * through the codebook. */
   def pqAdcRanked(vecs: DataFrame, queryPred: Column,
-      k: Int = 5): DataFrame = {
-    val (cents, assigned) = pqAssignments(vecs)
-    pqAdcRankedFrom(cents, assigned, vecs, queryPred, k)
+      k: Int = 5, m: Int = PqM): DataFrame = {
+    val (cents, assigned) = pqAssignments(vecs, m = m)
+    pqAdcRankedFrom(cents, assigned, vecs, queryPred, k, m)
   }
 
   private def pqAdcRankedFrom(cents: DataFrame, assigned: DataFrame,
-      vecs: DataFrame, queryPred: Column, k: Int): DataFrame = {
+      vecs: DataFrame, queryPred: Column, k: Int,
+      m: Int = PqM): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val subWidth = Dim / m
     val codes = joinCents(assigned, cents)
       .select(col("vec_id"), col("m"), col("cell"),
         (col("c_nrm") * col("c_nrm")).as("c_nrm2"))
@@ -561,7 +575,7 @@ object Similarity {
       .select(col("query_id"), col("q_nrm"),
         explode(transform(col("cents"), c => struct(
           c.getField("m").as("m"), c.getField("c_id").as("cell"),
-          dot(slice(col("q"), c.getField("m") * PqSub + 1, lit(PqSub)),
+          dot(slice(col("q"), c.getField("m") * subWidth + 1, lit(subWidth)),
             c.getField("c_e")).as("pd")))).as("t"))
       .select(col("query_id"), col("q_nrm"),
         col("t.m").as("m"), col("t.cell").as("cell"), col("t.pd").as("pd"))
@@ -583,8 +597,68 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         l2norm(col("embedding")).as("q_nrm"))
 
-  /** Correctness face: [[pqAdcRanked]] plus the in-plan identity
-    * certificate over the emitted k·Q rows. */
+  /** Correctness face for `knn_pq_adc`: ADC retrieves `candidates`
+    * top-C per query (the code-scan stage under test), the C survivors
+    * are re-ranked by EXACT cosine against their original vectors, and
+    * the final top-k is emitted with the in-plan ADC≡reconstruction
+    * identity certificate carried per row. When ADC's top-C contains
+    * the true top-k — and this is exactly the retrieve-then-rerank
+    * shape a production PQ index runs (scan 10⁹ codes, fetch C full
+    * vectors, exact-rank those) — the output EQUALS brute-force top-k,
+    * so the DuckDB oracle recomputes the entire answer independently:
+    * a corrupted code, broken ADC table, or skewed scoring perturbs
+    * the candidate set and fails the hash (the r4 oracle only checked
+    * row existence).
+    *
+    * The face runs a FINER grid than the library default (m=32 2-dim
+    * subspaces instead of 4×16-dim; 16 bytes/vector instead of 2,
+    * still 16× under the raw floats) — the same move as knn_ivf's
+    * probe-every-cell face: parameters chosen so the approximation is
+    * faithful enough to gate. On this near-random synthetic corpus the
+    * default geometry ranks true top-5 neighbors as low as ADC rank
+    * 397/500 at sf0.01 (2-byte codes keep almost none of the weak
+    * cosine signal), so NO candidate budget short of the whole corpus
+    * gates it; at m=32 the worst true-top-5 ADC rank measured 41 at
+    * sf0.001, 77 at sf0.01, 123 at sf0.1 — C=200 holds everywhere with
+    * ≥1.6× margin, and the pipeline is deterministic so the margin is
+    * stable run to run. */
+  def knnPqAdcExact(vecs: DataFrame, queryPred: Column, k: Int = 5,
+      candidates: Int = 200, m: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, assigned) = pqAssignments(vecs, m = m)
+    val topC = pqAdcRankedFrom(cents, assigned, vecs, queryPred,
+      candidates, m).drop("rank")
+    val recon = joinCents(assigned, cents)
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("m"), col("c_e")))),
+        x => x.getField("c_e"))).as("rv"))
+    val corpus = vecs.select(col("vec_id"), col("embedding").as("n_e"),
+      l2norm(col("embedding")).as("n_nrm"))
+    val queries = pqQueries(vecs, queryPred)
+      .select(col("query_id"), col("q"), col("q_nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    topC
+      .join(recon, "vec_id")
+      .join(corpus, "vec_id")
+      .join(queries, "query_id")
+      .withColumn("direct_sim", safeCos(dot(col("q"), col("rv")),
+        col("qn"), sqrt(col("r_nrm2"))))
+      .withColumn("cos_sim",
+        safeCos(dot(col("n_e"), col("q")), col("n_nrm"), col("qn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_r"),
+        col("rk").cast("int").as("rank"),
+        (abs(col("adc_sim") - col("direct_sim")) < 1e-9).as("adc_ok"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** [[pqAdcRanked]] plus the in-plan identity certificate over the
+    * emitted k·Q rows (pure-ADC ranking — spec-tested; the registry
+    * face is [[knnPqAdcExact]]). */
   def knnPqAdc(vecs: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
     val (cents, assigned) = pqAssignments(vecs)
     val topk = pqAdcRankedFrom(cents, assigned, vecs, queryPred, k)
@@ -805,16 +879,17 @@ object Similarity {
       labelCentroids(Tables.load(s, dir, "embeddings"))),
     "emb_pca_power" -> ((s, dir) =>
       topComponent(Tables.load(s, dir, "embeddings"))),
-    // PQ code audit: n_codes + in-plan argmax certificate per vector
-    // (mm_metadata gate pattern — codes themselves are k-means output,
+    // PQ code audit: n_codes + in-plan argmax certificate per vector,
+    // plus the subspace-recomposed l2 norm DuckDB recomputes from the
+    // raw embedding (codes themselves are k-means output,
     // determinism/optimality/compression spec-tested)
     "emb_pq" -> ((s, dir) =>
       pqCodesGate(Tables.load(s, dir, "embeddings"))),
-    // ADC top-k with the in-plan table≡reconstruction identity
-    // certificate; the emitted (query, rank) set is deterministic, so
-    // the oracle enumerates it relationally
+    // retrieve-then-rerank: ADC top-C → exact re-rank → top-k equals
+    // brute force, so the oracle recomputes the WHOLE answer; the
+    // table≡reconstruction identity certificate rides each row
     "knn_pq_adc" -> ((s, dir) =>
-      knnPqAdc(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)))
+      knnPqAdcExact(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)))
 
   /** emb_pca_power stays rows-only (float-sum iteration order DuckDB
     * cannot replay; eigen-residual certificate rides the rows instead).
@@ -838,13 +913,33 @@ object Similarity {
         |WHERE LIST_DOT_PRODUCT(a.embedding, b.embedding)
         |    / (a.nrm * b.nrm) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // n_codes/argmax_ok stay in-plan-certified; nrm_r is recomputed
+    // here from the raw embedding, so the row set is tied to the data
     "emb_pq" ->
-      """SELECT vec_id, 4 AS n_codes, TRUE AS argmax_ok
+      """SELECT vec_id, 4 AS n_codes, TRUE AS argmax_ok,
+        |  ROUND(SQRT(LIST_DOT_PRODUCT(embedding, embedding)), 4) AS nrm_r
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // the retrieve-then-rerank face equals brute-force top-k, so the
+    // oracle IS the brute-force recomputation (same SQL as knn_brute,
+    // plus the certificate column)
     "knn_pq_adc" ->
-      """SELECT vec_id AS query_id, CAST(r AS INT) AS rank, TRUE AS adc_ok
-        |FROM embeddings, UNNEST(RANGE(1, 6)) AS t(r)
-        |WHERE vec_id < 10 ORDER BY query_id, rank""".stripMargin,
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding,
+        |    SQRT(LIST_DOT_PRODUCT(embedding, embedding)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+        |      FROM corpus WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    LIST_DOT_PRODUCT(c.embedding, q.qe) / (c.nrm * q.qn) AS cos_sim
+        |  FROM corpus c, q WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_r,
+        |  CAST(rank AS INT) AS rank, TRUE AS adc_ok
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "knn_ivf" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding,

@@ -288,6 +288,18 @@ class SimilaritySpec extends GraftSpec {
     assert(bruteZero.map(_.getLong(1)).toSeq == (0L to 4L).toSeq)
   }
 
+  test("ADC retrieve-then-rerank equals brute-force top-k with the " +
+    "identity certificate on every row") {
+    val brute = Similarity.knnBrute(vecs, col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    val face = Similarity.knnPqAdcExact(vecs, col("vec_id") < 10).collect()
+    assert(face.forall(_.getBoolean(4)), "ADC != reconstruction cosine")
+    assert(face.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+      == brute,
+      "rerank face diverged from brute force — ADC top-C lost a true " +
+        "top-k neighbor (raise candidates or fix the code scan)")
+  }
+
   test("ADC scores equal cosine against the reconstruction; recall " +
     "vs brute is sane") {
     // the face's in-plan certificate, re-checked here for every row
