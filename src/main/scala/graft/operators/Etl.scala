@@ -265,6 +265,65 @@ object Etl {
       s.read.parquet(s"$root/big").orderBy(col("event_id"))
     },
 
+    // -- schema-enforced read with corrupt-row quarantine ------------------
+    // The reference ingests dirty public CSV under an enforced schema
+    // (script.py:40-52); real files carry rows that don't parse. The
+    // fixture plants three malformation families deterministically
+    // (%37: extra columns, %41: unparseable long, %43: missing column)
+    // and the PERMISSIVE quarantine read must (a) keep every parseable
+    // field of a bad row, (b) tag exactly the planted rows — the oracle
+    // rebuilds the good/bad split relationally, so a read that dropped,
+    // died on, or mis-tagged rows fails the hash. Sort key starts with
+    // coalesce(codigo, -1) because the bad-long family NULLs codigo and
+    // the engines disagree on default NULL placement.
+    "etl_bad_records" -> { (s, dir) =>
+      val sfName = dir.replaceAll(".*/", "")
+      val rawDir = s"$roundtripRoot/$sfName/bad_records/raw"
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"),
+          col("c_name").as("name"))
+        .select(
+          when(col("id") % 37 === 0,
+            concat_ws(";", col("id"), col("name"), lit("EXTRA"), lit("COLS")))
+            .when(col("id") % 41 === 0,
+              concat_ws(";", lit("not_a_number"), col("name")))
+            .when(col("id") % 43 === 0, col("id").cast("string"))
+            .otherwise(concat_ws(";", col("id"), col("name"))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(rawDir)
+      CsvIngest.readQuarantine(s, rawDir, rawSchema)
+        .select(col("codigo"), col("descricao"),
+          when(col(CsvIngest.CorruptCol).isNotNull, "quarantined")
+            .otherwise("ok").as("status"))
+        .orderBy(coalesce(col("codigo"), lit(-1L)), col("descricao"))
+    },
+
+    // -- run ledger: per-run per-layer audit rows --------------------------
+    // monitor.py:123-164 writes UUID-keyed rows with start/end
+    // timestamps per layer per run; Medallion.auditedRun is the engine
+    // version. Two audited raw→trusted→refined runs append to the
+    // ledger table; run id and clock are injected deterministically so
+    // DuckDB enumerates the exact ledger (row counts are recomputed
+    // from customer — a miscounted layer fails the hash).
+    "etl_run_ledger" -> { (s, dir) =>
+      val sfName = dir.replaceAll(".*/", "")
+      val root = s"$roundtripRoot/$sfName/ledger"
+      val tbl = s"graft_run_ledger_${sfName.replace('.', '_')}"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long"), col("c_name"))
+        .coalesce(1).write.mode("overwrite")
+        .options(Map("delimiter" -> ";", "header" -> "false"))
+        .csv(s"$root/raw")
+      val tick = new java.util.concurrent.atomic.AtomicInteger(0)
+      val clock = () => f"2024-06-01T00:00:${tick.incrementAndGet()}%02dZ"
+      Seq("run-1", "run-2").foreach { uid =>
+        Medallion.auditedRun(s, uid, "graft", s"$root/raw",
+          s"$root/trusted", s"$root/refined", rawSchema, "codigo",
+          tbl, clock)
+      }
+      s.table(tbl).orderBy(col("dt_start"))
+    },
+
     // -- semi-structured extraction: JSON property column ------------------
     // The events table carries a JSON `props` string (the usual shape of
     // landed clickstream/telemetry data). get_json_object is a
@@ -368,6 +427,41 @@ object Etl {
           |      AS BIGINT)
           |  FROM lineitem
           |) t ORDER BY table_name""".stripMargin,
+      // the good/bad split rebuilt relationally: the planted families
+      // (%37 extra cols keep both parsed fields, %41 bad long NULLs
+      // codigo, %43 short row NULLs descricao) with CASE precedence
+      // mirroring the fixture's when-chain
+      "etl_bad_records" ->
+        """SELECT * FROM (
+          |  SELECT CASE WHEN c_custkey % 37 = 0 THEN c_custkey
+          |              WHEN c_custkey % 41 = 0 THEN NULL
+          |              ELSE c_custkey END AS codigo,
+          |         CASE WHEN c_custkey % 37 <> 0 AND c_custkey % 41 <> 0
+          |                   AND c_custkey % 43 = 0 THEN NULL
+          |              ELSE c_name END AS descricao,
+          |         CASE WHEN c_custkey % 37 = 0 OR c_custkey % 41 = 0
+          |                   OR c_custkey % 43 = 0 THEN 'quarantined'
+          |              ELSE 'ok' END AS status
+          |  FROM customer) t
+          |ORDER BY COALESCE(codigo, -1), descricao""".stripMargin,
+      // the deterministic clock ticks 1-4 inside run-1's auditedRun and
+      // 5-8 inside run-2's; per-layer row counts recompute from customer
+      "etl_run_ledger" ->
+        """WITH n AS (SELECT COUNT(*) AS c FROM customer),
+          |runs AS (SELECT * FROM (VALUES
+          |  ('run-1', 'trusted',
+          |   '2024-06-01T00:00:01Z', '2024-06-01T00:00:02Z'),
+          |  ('run-1', 'refined',
+          |   '2024-06-01T00:00:03Z', '2024-06-01T00:00:04Z'),
+          |  ('run-2', 'trusted',
+          |   '2024-06-01T00:00:05Z', '2024-06-01T00:00:06Z'),
+          |  ('run-2', 'refined',
+          |   '2024-06-01T00:00:07Z', '2024-06-01T00:00:08Z'))
+          |  AS t(uid, step, dt_start, dt_end))
+          |SELECT uid, 'graft' AS nm_project, step,
+          |  CAST(1 AS BIGINT) AS qtd_files, n.c AS qtd_rows,
+          |  dt_start, dt_end
+          |FROM runs, n ORDER BY dt_start""".stripMargin,
       "etl_compact" ->
         """SELECT event_id, ts, user_id, event_type, value, props
           |FROM events ORDER BY event_id""".stripMargin,

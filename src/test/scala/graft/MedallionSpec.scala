@@ -98,4 +98,58 @@ class MedallionSpec extends GraftSpec {
     }
     spark.sql("DROP TABLE IF EXISTS graft_audit_spec")
   }
+
+  test("successive audited runs append distinct ledger rows") {
+    val root = Files.createTempDirectory(Paths.get("target"), "ledger")
+      .toString
+    Files.createDirectories(Paths.get(s"$root/raw"))
+    Files.write(Paths.get(s"$root/raw/data.csv"),
+      "1;alpha\n2;beta".getBytes(StandardCharsets.UTF_8))
+    spark.sql("DROP TABLE IF EXISTS graft_ledger_spec")
+    var tick = 0
+    val clock = () => { tick += 1; f"2026-08-13 00:00:$tick%02d" }
+    Seq("run-1", "run-2", "run-3").foreach { uid =>
+      Medallion.auditedRun(spark, uid, "graft", s"$root/raw",
+        s"$root/trusted", s"$root/refined", Etl.rawSchema, "codigo",
+        "graft_ledger_spec", clock)
+    }
+    val ledger = spark.table("graft_ledger_spec")
+      .orderBy("dt_start").collect()
+    // 3 runs × 2 layers, no overwrites, run identity preserved
+    assert(ledger.length == 6)
+    assert(ledger.map(_.getString(0)).distinct.toSeq ==
+      Seq("run-1", "run-2", "run-3"))
+    // the ledger answers "when did run-2 start/end and what did it do"
+    val run2 = ledger.filter(_.getString(0) == "run-2")
+    assert(run2.map(_.getString(2)).toSeq == Seq("trusted", "refined"))
+    // timestamps are strictly increasing across the whole ledger
+    val stamps = ledger.flatMap(r => Seq(r.getString(5), r.getString(6)))
+    assert(stamps.toSeq == stamps.sorted.toSeq)
+    spark.sql("DROP TABLE IF EXISTS graft_ledger_spec")
+  }
+
+  test("quarantine read keeps parseable fields of bad rows and tags " +
+    "exactly the malformed ones") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "badrec")
+      .toString
+    Files.createDirectories(Paths.get(s"$dir/raw"))
+    Files.write(Paths.get(s"$dir/raw/data.csv"),
+      Seq("1;alice", "37;bob;EXTRA;COLS", "not_a_number;carol", "43",
+        "5;eve").mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val got = CsvIngest.readQuarantine(spark, s"$dir/raw", Etl.rawSchema)
+      .orderBy(coalesce(col("codigo"), lit(-1L)), col("descricao"))
+      .collect()
+    // (-1=bad long) carol, then 1 alice, 5 eve, 37 bob, 43 short
+    assert(got.length == 5)
+    assert(got(0).isNullAt(0) && got(0).getString(1) == "carol" &&
+      !got(0).isNullAt(2))
+    assert(got(1).getLong(0) == 1L && got(1).isNullAt(2))
+    assert(got(2).getLong(0) == 5L && got(2).isNullAt(2))
+    assert(got(3).getLong(0) == 37L && got(3).getString(1) == "bob" &&
+      !got(3).isNullAt(2))
+    assert(got(4).getLong(0) == 43L && got(4).isNullAt(1) &&
+      !got(4).isNullAt(2))
+    // the quarantine column carries the raw line for the audit trail
+    assert(got(0).getString(2) == "not_a_number;carol")
+  }
 }
