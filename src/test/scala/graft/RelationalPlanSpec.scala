@@ -47,6 +47,45 @@ class RelationalPlanSpec extends GraftSpec {
       s"q22 must not self-join:\n${plan.take(1500)}")
   }
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    // q19 proves salted-join PARITY; this proves the engine's other
+    // skew lever actually fires: a sort-merge join whose build of one
+    // key dwarfs the median must come out of AQE as a skew-handled
+    // join, not one straggler task. Thresholds are lowered because the
+    // fixture is MBs, not the production defaults' 256 MB.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold", // force SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(keys(0), "-1")
+      spark.conf.set(keys(1), "64KB")
+      spark.conf.set(keys(2), "2.0")
+      spark.conf.set(keys(3), "32KB")
+      // ~2/3 of the fact lands on key 1; dim is uniform. No agg on the
+      // join key downstream — a same-key aggregate would REQUIRE the
+      // hash distribution, and AQE (correctly) refuses to split skewed
+      // partitions when that breaks a parent's requirement.
+      val fact = spark.range(0, 300000)
+        .select(when(col("id") % 3 =!= 0, lit(1L)).otherwise(col("id"))
+          .as("k"), col("id").as("v"))
+      val dim = spark.range(0, 1000)
+        .select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = fact.join(dim, "k")
+      // execute THIS queryExecution (count() would plan a separate one
+      // and leave this plan unexecuted / non-final)
+      assert(joined.collect().nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(2000)}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("every oracle key has a query; every query returns rows at sf0.001") {
     SparkEntry.oracleSql.keys.foreach { k =>
       assert(SparkEntry.queries.contains(k), s"oracle without query: $k")
