@@ -309,6 +309,17 @@ object Etl {
       val root = s"$roundtripRoot/$sfName/ledger"
       val tbl = s"graft_run_ledger_${sfName.replace('.', '_')}"
       s.sql(s"DROP TABLE IF EXISTS $tbl")
+      // the catalog is in-memory per JVM but the managed location is
+      // not: a previous session's table directory would survive the
+      // no-op DROP and block saveAsTable with LOCATION_ALREADY_EXISTS
+      val loc = new java.io.File(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath,
+        tbl)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (loc.exists) rm(loc)
       Tables.load(s, dir, "customer")
         .select(col("c_custkey").cast("long"), col("c_name"))
         .coalesce(1).write.mode("overwrite")
