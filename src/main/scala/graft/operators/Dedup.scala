@@ -194,24 +194,33 @@ object Dedup {
           lit(RowsPerBand))).as("bucket"))
 
   /** Candidate pairs (doc_a < doc_b) from any shared LSH bucket.
-    * Implemented as groupBy-bucket + in-bucket pair explosion rather
-    * than a self-join: the signature pipeline is evaluated ONCE (a
-    * self-join materializes it for both sides), the only shuffle is the
-    * groupBy keyed on (band, bucket), and pair fan-out stays bounded by
-    * bucket occupancy — never a cross join. */
-  def minhashCandidates(docs: DataFrame): DataFrame =
-    banded(docs)
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(array_sort(col("ids")).as("ids"))
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2),
-          |  i -> transform(sequence(i + 1, size(ids) - 1),
-          |    j -> struct(ids[i] AS doc_a, ids[j] AS doc_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    *
+    * The signature pipeline still evaluates ONCE — the banded frame is
+    * narrow (doc_id, band, bucket) and localCheckpoints cheaply — but
+    * pairs come from a (band, bucket) equi-self-join over the
+    * checkpointed rows restricted (semi-join on metadata-scale counts)
+    * to buckets with >1 member, NOT from collect_list + in-array pair
+    * explosion. Two scale reasons: the join's generated loop emits
+    * pairs without ever materializing a bucket's id list as one array
+    * row (a cluster of boilerplate duplicates at production scale would
+    * be a multi-GB collect_list row on a single executor — the pair
+    * VOLUME for such a cluster is inherent to all-pairs near-dup, the
+    * single giant row is not), and per-pair generation cost drops from
+    * the HOF lambda interpreter (~2 µs/pair) into codegen. Shuffles:
+    * the count agg, the self-join (both keyed on (band, bucket)), and
+    * the pair distinct. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val b = banded(docs).localCheckpoint(true)
+    val keep = b.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col("band"), col("bucket"))
+    val kept = b.join(keep, Seq("band", "bucket"), "left_semi")
+    kept.toDF("band", "bucket", "doc_a")
+      .join(kept.toDF("band", "bucket", "doc_b"), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
+  }
 
   /** Verified near-dup pairs: LSH candidates with exact word-shingle
     * Jaccard >= threshold. */
