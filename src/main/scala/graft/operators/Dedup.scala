@@ -253,8 +253,10 @@ object Dedup {
   /** Near-dup pairs by SimHash hamming distance <= maxDist, bucketed by
     * 16-bit chunks (pigeonhole: distance<=3 guarantees at least one of
     * the 4 chunks is identical, so bucket recall is exact). Same
-    * groupBy-bucket + pair-explosion shape as minhashCandidates: one
-    * signature evaluation, one shuffle keyed by (chunk, value).
+    * checkpoint + bucket-self-join shape as minhashCandidates: one
+    * signature evaluation, shuffles keyed on (chunk, value), pair
+    * generation in the join's codegen loop with no per-bucket array
+    * row.
     *
     * Scale note: random-hash bucket occupancy is ~n/65536 per chunk, so
     * candidate volume grows as n²/65536 — fine to ~10⁸ docs; beyond
@@ -262,29 +264,27 @@ object Dedup {
     * length band) before pairing, or widen chunks to 32 bits with
     * multiple permuted tables (standard simhash sharding). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val hashed = docs
+    val b = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), simHash64(col("toks")).as("simhash"))
-    hashed
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(SimHashChunks - 1))).as("chunk"))
       .select(col("chunk"),
         expr("(simhash >> (16 * chunk)) & 65535").as("chunk_val"),
-        struct(col("doc_id"), col("simhash")).as("x"))
-      .groupBy(col("chunk"), col("chunk_val"))
-      .agg(collect_list(col("x")).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(array_sort(col("xs")).as("xs")) // struct sort: doc_id first
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(xs) - 2),
-          |  i -> transform(sequence(i + 1, size(xs) - 1),
-          |    j -> struct(xs[i].doc_id AS doc_a, xs[j].doc_id AS doc_b,
-          |      bit_count(xs[i].simhash ^ xs[j].simhash) AS hamming))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.hamming").as("hamming"))
-      .distinct()
+        col("doc_id"), col("simhash"))
+      .localCheckpoint(true)
+    val keep = b.groupBy(col("chunk"), col("chunk_val"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col("chunk"), col("chunk_val"))
+    val kept = b.join(keep, Seq("chunk", "chunk_val"), "left_semi")
+    kept.toDF("chunk", "chunk_val", "doc_a", "sim_a")
+      .join(kept.toDF("chunk", "chunk_val", "doc_b", "sim_b"),
+        Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
