@@ -430,15 +430,37 @@ object Similarity {
     broadcast(centRows.agg(collect_list(
       struct(col("m"), col("c_id"), col("c_e"), col("c_nrm"))).as("cents")))
 
-  /** Per-row nearest centroid WITHIN the row's subspace: fold-argmax
-    * over the m-filtered broadcast codebook (cosine, ties to the
-    * smaller c_id — same total-order contract as nearestCells), plus
-    * the max similarity as an independently-computed optimality
-    * certificate. Corpus side never shuffles. */
-  private def pqAssign(sub: DataFrame, packed: DataFrame): DataFrame = {
-    val withSims = sub.crossJoin(packed)
+  /** The same broadcast codebook nested BY SUBSPACE (`centsByM[m+1]` =
+    * that subspace's entries): assignment then reads its own subspace
+    * in O(1) instead of filtering all M·K entries per subvector row —
+    * the flat form costs O(M²·K) interpreted HOF evaluations per
+    * vector, which bites exactly when the geometry is finest (the
+    * knn_pq_adc face's m=32, or a production K=256). Every subspace is
+    * structurally present: each subvector has a nearest cell, so no m
+    * loses all its centroids in a Lloyd pass. */
+  private def pqPackByM(centRows: DataFrame): DataFrame =
+    broadcast(centRows
+      .groupBy(col("m"))
+      .agg(collect_list(
+        struct(col("c_id"), col("c_e"), col("c_nrm"))).as("ents"))
+      .agg(array_sort(collect_list(struct(col("m"), col("ents"))))
+        .as("me"))
+      .select(transform(col("me"), x => x.getField("ents"))
+        .as("centsByM")))
+
+  /** Per-row nearest centroid WITHIN the row's subspace: O(1) lookup of
+    * the row's subspace entries in the by-subspace broadcast codebook,
+    * then a fold-argmax (cosine, ties to the smaller c_id — same
+    * total-order contract as nearestCells), plus the max similarity as
+    * an independently-computed optimality certificate. Corpus side
+    * never shuffles. `ents` materializes as a column before the
+    * transform (HOF arguments re-evaluate per element). */
+  private def pqAssign(sub: DataFrame, packedByM: DataFrame): DataFrame = {
+    val withSims = sub.crossJoin(packedByM)
       .select(col("vec_id"), col("m"), col("e"), col("nrm"),
-        transform(filter(col("cents"), c => c.getField("m") === col("m")),
+        element_at(col("centsByM"), col("m") + 1).as("ents"))
+      .select(col("vec_id"), col("m"), col("e"), col("nrm"),
+        transform(col("ents"),
           c => struct(safeCos(dot(col("e"), c.getField("c_e")),
             col("nrm"), c.getField("c_nrm")).as("sim"),
             c.getField("c_id").as("cell"))).as("sims"))
@@ -495,7 +517,7 @@ object Similarity {
           .as("c_e"))
       .withColumn("c_nrm", l2norm(col("c_e")))
     (0 until refineIters).foldLeft(seed) { (cents, _) =>
-      pqRefine(sub, pqPack(cents))
+      pqRefine(sub, pqPackByM(cents))
     }
   }
 
@@ -509,7 +531,7 @@ object Similarity {
       m: Int = PqM): (DataFrame, DataFrame) = {
     val cents = pqCodebooks(vecs, k, refineIters, m)
       .localCheckpoint(true)
-    val assigned = pqAssign(pqSubvectors(vecs, m), pqPack(cents))
+    val assigned = pqAssign(pqSubvectors(vecs, m), pqPackByM(cents))
       .localCheckpoint(true)
     (cents, assigned)
   }
