@@ -578,8 +578,10 @@ object Similarity {
     * table construction and reconstruction are independent paths
     * through the codebook. */
   def pqAdcRanked(vecs: DataFrame, queryPred: Column,
-      k: Int = 5, m: Int = PqM): DataFrame = {
-    val (cents, assigned) = pqAssignments(vecs, m = m)
+      k: Int = 5, m: Int = PqM,
+      refineIters: Int = RefineIters): DataFrame = {
+    val (cents, assigned) = pqAssignments(vecs, refineIters = refineIters,
+      m = m)
     pqAdcRankedFrom(cents, assigned, vecs, queryPred, k, m)
   }
 
@@ -640,14 +642,20 @@ object Similarity {
     * default geometry ranks true top-5 neighbors as low as ADC rank
     * 397/500 at sf0.01 (2-byte codes keep almost none of the weak
     * cosine signal), so NO candidate budget short of the whole corpus
-    * gates it; at m=32 the worst true-top-5 ADC rank measured 41 at
-    * sf0.001, 77 at sf0.01, 123 at sf0.1 — C=200 holds everywhere with
-    * ≥1.6× margin, and the pipeline is deterministic so the margin is
-    * stable run to run. */
+    * gates it; at m=32 with ONE Lloyd pass the worst true-top-5 ADC
+    * rank measured 45 at sf0.001, 68 at sf0.01, 80 at sf0.1 — C=200
+    * holds everywhere with ≥2.5× margin, and the pipeline is
+    * deterministic so the margin is stable run to run. (One pass also
+    * measured slightly BETTER margins than two on this corpus — at
+    * 2-dim subspaces the seed geometry is already near-converged, and
+    * dropping the second pass removes a full assign+refine job from
+    * the face: 6.1 → ~4 s at sf0.1.) */
   def knnPqAdcExact(vecs: DataFrame, queryPred: Column, k: Int = 5,
-      candidates: Int = 200, m: Int = 32): DataFrame = {
+      candidates: Int = 200, m: Int = 32,
+      refineIters: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (cents, assigned) = pqAssignments(vecs, m = m)
+    val (cents, assigned) = pqAssignments(vecs, refineIters = refineIters,
+      m = m)
     val topC = pqAdcRankedFrom(cents, assigned, vecs, queryPred,
       candidates, m).drop("rank")
     val recon = joinCents(assigned, cents)
