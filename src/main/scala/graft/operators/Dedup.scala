@@ -223,14 +223,21 @@ object Dedup {
   }
 
   /** Verified near-dup pairs: LSH candidates with exact word-shingle
-    * Jaccard >= threshold. */
+    * Jaccard >= threshold.
+    *
+    * The verify stage shingles ONLY candidate-involved documents: the
+    * (tiny) candidate pair frame is checkpointed, its id set semi-joins
+    * the corpus, and the exact shingle arrays are built for that subset
+    * — at production near-dup rates a small fraction of the corpus.
+    * The previous shape materialized every document's shingle array on
+    * BOTH join sides just to look up the few candidate rows. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), wordShingles(col("toks")).as("shingles"))
+    val cands = minhashCandidates(docs).localCheckpoint(true)
+    val sh = candidateShingles(docs, cands,
+      d => wordShingles(split(col("text"), " ")))
     val sa = sh.toDF("id_a", "sh_a")
     val sb = sh.toDF("id_b", "sh_b")
-    minhashCandidates(docs)
+    cands
       .join(sa, col("doc_a") === col("id_a"))
       .join(sb, col("doc_b") === col("id_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -238,6 +245,17 @@ object Dedup {
           / size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** (doc_id, shingles) for exactly the documents named by either side
+    * of a candidate pair frame — the verify stage's input restriction. */
+  private def candidateShingles(docs: DataFrame, cands: DataFrame,
+      mk: DataFrame => Column): DataFrame = {
+    val involved = cands.select(col("doc_a").as("doc_id"))
+      .unionAll(cands.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val subset = docs.join(involved, Seq("doc_id"), "left_semi")
+    subset.select(col("doc_id"), mk(subset).as("shingles"))
   }
 
   // -- SimHash ------------------------------------------------------------
@@ -291,12 +309,14 @@ object Dedup {
   // -- char n-gram Jaccard (verify stage) ---------------------------------
 
   /** Character-5-gram Jaccard computed ONLY on MinHash-LSH candidate
-    * pairs (never all-pairs). */
+    * pairs (never all-pairs), gram arrays built only for
+    * candidate-involved documents (see [[minhashPairs]]). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col("doc_id"), charShingles(col("text")).as("grams"))
+    val cands = minhashCandidates(docs).localCheckpoint(true)
+    val sh = candidateShingles(docs, cands, d => charShingles(col("text")))
     val sa = sh.toDF("id_a", "g_a")
     val sb = sh.toDF("id_b", "g_b")
-    minhashCandidates(docs)
+    cands
       .join(sa, col("doc_a") === col("id_a"))
       .join(sb, col("doc_b") === col("id_b"))
       .select(col("doc_a"), col("doc_b"),
