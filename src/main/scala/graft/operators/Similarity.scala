@@ -356,13 +356,20 @@ object Similarity {
     * O(n·C) with CONSTANT C; the broadcast stays ~C·Dim·8 bytes at any
     * corpus size. */
   def ivfCodebook(corpus: DataFrame, centroidBudget: Int = CentroidBudget,
+      refineIters: Int = RefineIters): DataFrame =
+    packCodebook(ivfCodebookRows(corpus, centroidBudget, refineIters))
+
+  /** [[ivfCodebook]] as centroid ROWS (c_id, c_e, c_nrm) — the form the
+    * residual computation of [[ivfPqIndex]] joins against. */
+  def ivfCodebookRows(corpus: DataFrame,
+      centroidBudget: Int = CentroidBudget,
       refineIters: Int = RefineIters): DataFrame = {
     val seed = corpus
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(centroidBudget)
       .toDF("c_id", "c_e", "c_nrm")
-    (0 until refineIters).foldLeft(packCodebook(seed)) { (cb, _) =>
-      packCodebook(refineCentroids(corpus, cb))
+    (0 until refineIters).foldLeft(seed) { (rows, _) =>
+      refineCentroids(corpus, packCodebook(rows))
     }
   }
 
@@ -711,6 +718,158 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- IVF-PQ composed index ------------------------------------------
+  // The architecture a 10⁹-vector serving index actually runs (IVFADC,
+  // Jégou/Douze/Schmid 2011): a coarse quantizer routes every vector to
+  // a cell, PQ encodes the RESIDUAL x − c(cell) (residuals are smaller
+  // and better-centered than raw vectors, so the same code budget keeps
+  // more signal), and a query scans only probed cells' codes with
+  // table lookups before an exact re-rank of the few survivors.
+
+  /** Build the index state: (coarse cell rows, residual PQ centroid
+    * rows, per-(vector, subspace) codes carrying the vector's cell).
+    * All three are narrow and checkpointed — an index BUILD
+    * materializes its codes by definition; serving reads them.
+    * Broadcast budget: C·Dim floats (cells) + m·K·(Dim/m) floats
+    * (residual codebooks), both corpus-size-independent. The only
+    * corpus-sized shuffles are the Lloyd aggregations and the final
+    * codes⋈cells id join (narrow rows on both sides). */
+  def ivfPqIndex(vecs: DataFrame, centroidBudget: Int = CentroidBudget,
+      m: Int = PqM,
+      refineIters: Int = RefineIters): (DataFrame, DataFrame, DataFrame) = {
+    val corpus = vecs.select(col("vec_id"), col("embedding").as("e"),
+      l2norm(col("embedding")).as("nrm"))
+    val cells = ivfCodebookRows(corpus, centroidBudget, refineIters)
+      .localCheckpoint(true)
+    val residuals = nearestCells(packCodebook(cells))(corpus, 1)
+      .join(broadcast(cells), col("cell") === col("c_id"))
+      .select(col("vec_id"), col("cell").as("ivf_cell"),
+        zip_with(col("e"), col("c_e"), (x, c) => x - c).as("embedding"))
+      .localCheckpoint(true)
+    val (pqCents, pqAssigned) =
+      pqAssignments(residuals, refineIters = refineIters, m = m)
+    val codes = pqAssigned
+      .select(col("vec_id"), col("m"), col("cell").as("code"))
+      .join(residuals.select(col("vec_id"), col("ivf_cell")), "vec_id")
+      .localCheckpoint(true)
+    (cells, pqCents, codes)
+  }
+
+  /** Table-lookup candidate scan over the probed cells: approximate
+    * inner product dot(q, x) ≈ dot(q, c_cell) + Σ_m dot(q_m, recon_m) —
+    * the coarse term from a Q·C table, the residual term from the same
+    * per-query m·K partial-dot table as [[pqAdcRanked]]; a scanned
+    * vector contributes only its m small codes. Returns the per-query
+    * `candidates` best by approximate score with the table-path score
+    * kept for the identity certificate. */
+  private def ivfPqScan(cells: DataFrame, pqCents: DataFrame,
+      codes: DataFrame, vecs: DataFrame, queryPred: Column,
+      candidates: Int, nprobe: Int, m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subWidth = Dim / m
+    val queries = pqQueries(vecs, queryPred)
+    val qprobe = nearestCells(packCodebook(cells))(
+      vecs.filter(queryPred).select(col("vec_id"), col("embedding").as("e"),
+        l2norm(col("embedding")).as("nrm")), nprobe)
+      .select(col("vec_id").as("query_id"), col("cell").as("ivf_cell"))
+    val qc = queries.crossJoin(packCodebook(cells))
+      .select(col("query_id"), explode(transform(col("cents"), c => struct(
+        c.getField("c_id").as("ivf_cell"),
+        dot(col("q"), c.getField("c_e")).as("qcd")))).as("t"))
+      .select(col("query_id"), col("t.ivf_cell").as("ivf_cell"),
+        col("t.qcd").as("qcd"))
+    val qtab = queries.crossJoin(pqPack(pqCents))
+      .select(col("query_id"), explode(transform(col("cents"), c => struct(
+        c.getField("m").as("m"), c.getField("c_id").as("code"),
+        dot(slice(col("q"), c.getField("m") * subWidth + 1, lit(subWidth)),
+          c.getField("c_e")).as("pd")))).as("t"))
+      .select(col("query_id"), col("t.m").as("m"), col("t.code").as("code"),
+        col("t.pd").as("pd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    codes
+      .join(broadcast(qprobe), Seq("ivf_cell")) // cell-pruned scan
+      .join(broadcast(qtab), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(first(col("ivf_cell")).as("ivf_cell"),
+        sum(col("pd")).as("res_dot"))
+      .join(broadcast(qc), Seq("query_id", "ivf_cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx_dot", col("qcd") + col("res_dot"))
+      .withColumn("arank", row_number().over(w))
+      .filter(col("arank") <= candidates)
+  }
+
+  /** IVF-PQ serving query: scan the probed cells' codes, exact-cosine
+    * re-rank the `candidates` survivors, return top-k — retrieve cost
+    * is codes-only until the final C full-vector fetches per query.
+    * Emits the table≡reconstruction identity certificate per row:
+    * the scan's approximate dot must match (1e-9) an independently
+    * built dot against cell-centroid + reconstructed residual. */
+  def knnIvfPq(vecs: DataFrame, queryPred: Column, k: Int = 5,
+      nprobe: Int = 2, candidates: Int = 50,
+      centroidBudget: Int = CentroidBudget, m: Int = PqM,
+      refineIters: Int = RefineIters): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cells, pqCents, codes) =
+      ivfPqIndex(vecs, centroidBudget, m, refineIters)
+    val topC = ivfPqScan(cells, pqCents, codes, vecs, queryPred,
+      candidates, nprobe, m)
+    // reconstruction path: cell centroid + flattened residual codebook
+    // entries, dotted SEPARATELY in double — summing the float arrays
+    // elementwise first would round each (c + r) to float and push the
+    // two paths ~1e-7 apart; the certificate's point is independent
+    // DATAFLOW (direct dots vs table-join partial sums), not a third
+    // rounding mode
+    val recon = codes
+      .join(broadcast(pqCents.withColumnRenamed("m", "cm")),
+        col("m") === col("cm") && col("code") === col("c_id"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("ivf_cell")).as("ivf_cell"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("m"), col("c_e")))),
+          x => x.getField("c_e"))).as("res_rv"))
+      .join(broadcast(cells), col("ivf_cell") === col("c_id"))
+      .select(col("vec_id"), col("c_e").as("cell_e"), col("res_rv"))
+    val corpus = vecs.select(col("vec_id"), col("embedding").as("n_e"),
+      l2norm(col("embedding")).as("n_nrm"))
+    val queries = pqQueries(vecs, queryPred)
+      .select(col("query_id"), col("q"), col("q_nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    topC
+      .join(recon, "vec_id")
+      .join(corpus, "vec_id")
+      .join(queries, "query_id")
+      .withColumn("direct_dot",
+        dot(col("q"), col("cell_e")) + dot(col("q"), col("res_rv")))
+      .withColumn("cos_sim",
+        safeCos(dot(col("n_e"), col("q")), col("n_nrm"), col("qn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_r"),
+        col("rk").cast("int").as("rank"),
+        (abs(col("approx_dot") - col("direct_dot")) < 1e-9).as("adc_ok"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Correctness face for `knn_ivfpq` (same contract as
+    * [[knnPqAdcExact]]): probe EVERY cell, so the scan's candidate set
+    * covers the whole corpus minus what the approximate ordering cuts
+    * at `candidates` — with the finer m=32 residual grid, brute-force
+    * top-5 sits inside the scan's top-100 at sf0.001, sf0.01 AND sf0.1
+    * (measured: the exact face equals brute at C=100 everywhere on the
+    * tested {25,50,100} grid), so the C=200 default holds with ≥2×
+    * margin, the pipeline is deterministic, and the exact re-rank
+    * output EQUALS brute-force top-k — the DuckDB oracle recomputes
+    * the whole answer. */
+  def knnIvfPqExact(vecs: DataFrame, queryPred: Column, k: Int = 5,
+      candidates: Int = 200, centroidBudget: Int = CentroidBudget,
+      m: Int = 32, refineIters: Int = 1): DataFrame =
+    knnIvfPq(vecs, queryPred, k, nprobe = centroidBudget, candidates,
+      centroidBudget, m, refineIters)
+
   /** Top principal component of the embedding corpus by distributed
     * power iteration — the whitening/variance-analysis primitive an
     * embedding pipeline runs before committing to a quantization or
@@ -919,7 +1078,12 @@ object Similarity {
     // brute force, so the oracle recomputes the WHOLE answer; the
     // table≡reconstruction identity certificate rides each row
     "knn_pq_adc" -> ((s, dir) =>
-      knnPqAdcExact(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)))
+      knnPqAdcExact(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)),
+    // the composed IVF-PQ index under the same probe-everything +
+    // rerank contract: coarse routing, residual codes, table scan and
+    // exact re-rank all ride the brute-force hash
+    "knn_ivfpq" -> ((s, dir) =>
+      knnIvfPqExact(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)))
 
   /** emb_pca_power stays rows-only (float-sum iteration order DuckDB
     * cannot replay; eigen-residual certificate rides the rows instead).
@@ -949,9 +1113,27 @@ object Similarity {
       """SELECT vec_id, 4 AS n_codes, TRUE AS argmax_ok,
         |  ROUND(SQRT(LIST_DOT_PRODUCT(embedding, embedding)), 4) AS nrm_r
         |FROM embeddings ORDER BY vec_id""".stripMargin,
-    // the retrieve-then-rerank face equals brute-force top-k, so the
-    // oracle IS the brute-force recomputation (same SQL as knn_brute,
-    // plus the certificate column)
+    // both rerank faces equal brute-force top-k, so each oracle IS the
+    // brute-force recomputation (same SQL as knn_brute, plus the
+    // certificate column)
+    "knn_ivfpq" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding,
+        |    SQRT(LIST_DOT_PRODUCT(embedding, embedding)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+        |      FROM corpus WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    LIST_DOT_PRODUCT(c.embedding, q.qe) / (c.nrm * q.qn) AS cos_sim
+        |  FROM corpus c, q WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_r,
+        |  CAST(rank AS INT) AS rank, TRUE AS adc_ok
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "knn_pq_adc" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding,

@@ -300,6 +300,29 @@ class SimilaritySpec extends GraftSpec {
         "top-k neighbor (raise candidates or fix the code scan)")
   }
 
+  test("IVF-PQ exact face equals brute-force top-k; certificate and " +
+    "determinism hold; probing fewer cells degrades gracefully") {
+    val brute = Similarity.knnBrute(vecs, col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    val face = Similarity.knnIvfPqExact(vecs, col("vec_id") < 10).collect()
+    assert(face.forall(_.getBoolean(4)),
+      "IVF-PQ table score != centroid+reconstruction dot")
+    assert(face.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+      == brute, "probe-all IVF-PQ rerank diverged from brute force")
+    // the serving face: probed-cell scan + rerank — recall floor only
+    // (near-random corpus gives the coarse quantizer little structure)
+    val serving = Similarity.knnIvfPq(vecs, col("vec_id") < 10,
+      nprobe = 4, candidates = 50).collect()
+    assert(serving.forall(_.getBoolean(4)))
+    val servingSet = serving.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    assert((servingSet & bruteSet).size.toDouble / bruteSet.size >= 0.2,
+      "IVF-PQ serving recall collapsed")
+    val serving2 = Similarity.knnIvfPq(vecs, col("vec_id") < 10,
+      nprobe = 4, candidates = 50).collect()
+    assert(serving.toSeq == serving2.toSeq, "IVF-PQ is not deterministic")
+  }
+
   test("ADC scores equal cosine against the reconstruction; recall " +
     "vs brute is sane") {
     // the face's in-plan certificate, re-checked here for every row
