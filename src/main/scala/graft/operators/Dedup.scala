@@ -326,6 +326,53 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // -- cross-corpus segment dedup (the C4 "duplicate lines" stage) --------
+
+  /** Remove every repeated SEGMENT across the whole corpus, keeping
+    * only its first occurrence (smallest (doc_id, position)) — the
+    * C4/RefinedWeb "discard duplicate lines across the corpus" stage,
+    * which kills boilerplate (headers, navigation, license blocks)
+    * that document-level dedup can never touch because the surrounding
+    * text differs. Documents without line structure are chunked into
+    * fixed `segWords`-word windows, which is what real pipelines do to
+    * unstructured text. Returns one row per document: segment counts
+    * and the reassembled surviving text (NULL when nothing survived).
+    *
+    * Shape: explode to (doc_id, seg_idx, seg) — corpus-sized but
+    * narrow; one groupBy(seg) keeps the global min (doc_id, seg_idx)
+    * per distinct segment; survivors reassemble with a per-doc sorted
+    * collect. The gated face groups on the segment TEXT so DuckDB
+    * replays it exactly; at 100 TB the grouping/join key becomes
+    * xxhash64(seg) — identical semantics modulo 2⁻⁶⁴ collisions — so
+    * only (8B hash, 8B doc, 4B idx) rows shuffle, never the text. */
+  def segmentDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(size(toks) / ${segWords}.0) as int) - 1),
+           |  i -> array_join(slice(toks, i * $segWords + 1, $segWords), ' '))"""
+          .stripMargin)).as(Seq("seg_idx", "seg")))
+    val firsts = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+    val kept = segs.join(firsts, "seg")
+      .filter(col("doc_id") === col("first.doc_id") &&
+        col("seg_idx") === col("first.seg_idx"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("seg_idx"), col("seg")))), x => x.getField("seg")), " ")
+          .as("text_kept"))
+    docs
+      .select(col("doc_id"),
+        ceil(size(split(col("text"), " ")) / segWords.toDouble).cast("long")
+          .as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("text_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   // -- cluster resolution (pairs → canonical doc per cluster) -------------
 
   /** Connected-component resolution over an undirected near-dup pair
@@ -463,6 +510,8 @@ object Dedup {
     "dedup_cluster" -> ((s, dir) =>
       nearDupClusters(Tables.load(s, dir, "documents"))),
     "dedup_exact" -> ((s, dir) => exact(Tables.load(s, dir, "documents"))),
+    "dedup_segments" -> ((s, dir) =>
+      segmentDedup(Tables.load(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) => minhashPairs(Tables.load(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => simhashPairs(Tables.load(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -487,6 +536,32 @@ object Dedup {
         col("doc_id") % 50 === 0)))
 
   def oracleSql: Map[String, String] = Map(
+    // the whole stage replayed: chunking, global first-occurrence per
+    // segment, per-doc reassembly — a dropped or misordered segment
+    // anywhere fails the hash
+    "dedup_segments" ->
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        |segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    ARRAY_TO_STRING(t[i*10+1 : i*10+10], ' ') AS seg
+        |  FROM toks,
+        |    UNNEST(RANGE(0, CAST(CEIL(LEN(t)/10.0) AS BIGINT))) AS r(i)),
+        |kept AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |    ROW_NUMBER() OVER (PARTITION BY seg
+        |      ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs),
+        |rebuilt AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    STRING_AGG(seg, ' ' ORDER BY seg_idx) AS text_kept
+        |  FROM kept WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(CEIL(LEN(STRING_SPLIT(d.text, ' '))/10.0) AS BIGINT)
+        |    AS n_segs,
+        |  COALESCE(r.n_kept, 0) AS n_kept, r.text_kept
+        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

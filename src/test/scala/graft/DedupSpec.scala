@@ -192,6 +192,37 @@ class DedupSpec extends GraftSpec {
       s"needed $rounds rounds on a 64-chain — not O(log n)")
   }
 
+  test("segment dedup keeps exactly the first occurrence of every " +
+    "segment and conserves the distinct-segment count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j K L M N O P Q R S T"), // 2 segments
+      (2L, "a b c d e f g h i j x y z"),     // seg 1 dups doc 1, tail unique
+      (3L, "K L M N O P Q R S T"),           // whole doc dups doc 1 seg 2
+      (4L, "a b c d e f g h i j"))           // whole doc dups doc 1 seg 1
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // doc 1 keeps everything (it is the first occurrence of both segs)
+    assert(got(0).getLong(2) == 2 &&
+      got(0).getString(3) == "a b c d e f g h i j K L M N O P Q R S T")
+    // doc 2 loses its first window, keeps the unique tail
+    assert(got(1).getLong(2) == 1 && got(1).getString(3) == "x y z")
+    // docs 3 and 4 vanish entirely (NULL text, zero kept)
+    assert(got(2).getLong(2) == 0 && got(2).isNullAt(3))
+    assert(got(3).getLong(2) == 0 && got(3).isNullAt(3))
+    // conservation: kept segments == distinct segments in the corpus
+    val distinctSegs = docs.as[(Long, String)].collect()
+      .flatMap { case (_, t) => t.split(" ").grouped(10).map(_.mkString(" ")) }
+      .distinct.length
+    assert(got.map(_.getLong(2)).sum == distinctSegs)
+    // corpus-scale sanity: deterministic and non-vacuous on documents
+    val big = Dedup.segmentDedup(
+      graft.sources.Tables.load(spark, sf, "documents")).collect()
+    assert(big.nonEmpty && big.exists(r => r.getLong(2) < r.getLong(1)),
+      "segment dedup dropped nothing on the near-dup-bearing corpus")
+  }
+
   test("no dedup plan contains a cartesian product") {
     Seq("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
       "dedup_embedding").foreach { q =>
