@@ -251,7 +251,41 @@ object TextAnalysis {
       lit(" contact user"), col("doc_id"),
       lit("@example.com or +1-555-"), col("doc_id")))
 
+  /** Corpus-unigram log-probability score per document — the
+    * CCNet/Gopher-style "unusual word distribution" quality signal: a
+    * document whose words are globally rare (gibberish, code dumps,
+    * wrong-language text) scores far below the corpus norm, and the
+    * filter thresholds on that score. score(d) = mean_w ln P(w) with
+    * P(w) the corpus unigram frequency.
+    *
+    * Scale shape: one map-side-combined groupBy builds the unigram
+    * table — VOCABULARY-sized, not corpus-sized — which then
+    * BROADCASTS into the per-token lookup join, so the token stream
+    * never shuffles (at web scale, cap the table to the top-K words
+    * and give out-of-vocabulary tokens a floor count — the shape is
+    * identical). Cross-engine exactness uses the fixed-point trick
+    * from labelCentroids: per-token ln(count) quantizes to
+    * floor(·1e6) BIGINTs whose sum is order-independent; the single
+    * trailing − ln N is engine-libm-identical to well under the
+    * 6-decimal rounding. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(words(col("text"))).as("w"))
+    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = toks.count()
+    toks.join(broadcast(counts), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(floor(log(col("cnt").cast("double")) * 1e6)
+            .cast("long")).cast("double")
+          / (count(lit(1)) * 1e6) - lit(math.log(total.toDouble)), 6)
+          .as("mean_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_logprob" -> ((s, dir) =>
+      unigramLogProb(Tables.load(s, dir, "documents"))),
     "text_pii_scrub" -> ((s, dir) =>
       piiScrub(withSyntheticPii(Tables.load(s, dir, "documents")))),
     "text_ngram_stats" -> ((s, dir) =>
@@ -267,6 +301,20 @@ object TextAnalysis {
       repetition(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // the whole signal recomputed: unigram table, per-token ln-count
+    // fixed-point sum, corpus-total normalizer
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+        |  FROM documents),
+        |counts AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+        |total AS (SELECT COUNT(*) AS n FROM toks)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(SUM(CAST(FLOOR(LN(CAST(cnt AS DOUBLE)) * 1e6)
+        |      AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6)
+        |    - LN(CAST((SELECT n FROM total) AS DOUBLE)), 6) AS mean_logp
+        |FROM toks JOIN counts USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_pii_scrub" ->
       """SELECT doc_id,
         |  REGEXP_REPLACE(REGEXP_REPLACE(text2,

@@ -74,6 +74,38 @@ class TextEtlSpec extends GraftSpec {
       "disjoint doc must not pair")
   }
 
+  test("unigram log-prob matches a driver-side recompute and the " +
+    "vocab table broadcasts (token stream never shuffles by word)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "the the cat"), // common words → high mean logp
+      (2L, "zyx qwv jjk")) // singletons → low mean logp
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs).collect()
+    // corpus: the=2, cat=1, zyx=1, qwv=1, jjk=1; N=6
+    def score(cnts: Seq[Int]): Double = {
+      val s = cnts.map(c => math.floor(math.log(c.toDouble) * 1e6).toLong).sum
+      val v = s.toDouble / (cnts.length * 1e6) - math.log(6.0)
+      math.rint(v * 1e6) / 1e6
+    }
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 3L)
+    assert(got(0).getDouble(2) == score(Seq(2, 2, 1)))
+    assert(got(1).getDouble(2) == score(Seq(1, 1, 1)))
+    assert(got(0).getDouble(2) > got(1).getDouble(2),
+      "rare-word doc must score below common-word doc")
+    val plan = TextAnalysis.unigramLogProb(
+      graft.sources.Tables.load(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    // the vocab BUILD legitimately shuffles (vocab-sized after map-side
+    // combine); the per-token LOOKUP must be a broadcast probe, never a
+    // sort-merge join repartitioning the token stream by word
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab lookup is not a broadcast join:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"token stream shuffles into a sort-merge join:\n${plan.take(1200)}")
+  }
+
   test("cleaning: trim, empty→NULL, parity segment") {
     val df = Seq((1L, "  x  "), (2L, "   "), (3L, "y"))
       .toDF("codigo", "descricao")
