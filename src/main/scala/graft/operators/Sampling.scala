@@ -149,7 +149,39 @@ object Sampling {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Temperature-based mixture reweighting (the mT5/XLM-R sampling
+    * rule): source i gets probability p_i^α / Σ p_j^α where p_i is its
+    * share of the corpus MASS (characters here — temperature sampling
+    * reweights token mass, and the synthetic sources have uniform doc
+    * counts, which would make a doc-count gate vacuous). α<1 flattens
+    * the mixture toward low-resource sources; α=1 is proportional,
+    * α=0 uniform. Emits per source: mass, 6-decimal mixture weight,
+    * and the document target for a `budget`-doc epoch computed FROM
+    * the rounded weight (half-up on a 1-decimal product — both
+    * engines round positives identically, and the rounding makes the
+    * value cross-engine-exact where raw pow() is libm-dependent in
+    * the last ulp).
+    *
+    * Scale shape: one map-side-combined groupBy to source cardinality,
+    * then unpartitioned windows over that SOURCE-sized frame (bounded
+    * by the number of sources at any corpus size, never by rows). */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.7,
+      budget: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("mass"))
+      .withColumn("pw",
+        pow(col("mass") / sum(col("mass")).over(all), lit(alpha)))
+      .withColumn("weight", round(col("pw") / sum(col("pw")).over(all), 6))
+      .select(col("source"), col("mass"), col("weight"),
+        round(col("weight") * budget, 0).cast("long").as("target_docs"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_temperature" -> ((s, dir) =>
+      temperatureMix(Tables.load(s, dir, "documents"))),
     "sample_stratified" -> ((s, dir) =>
       stratifiedSample(Tables.load(s, dir, "documents"))),
     "sample_split" -> ((s, dir) =>
@@ -164,6 +196,21 @@ object Sampling {
       sourceCap(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // full relational replay: mass shares, tempered power weights,
+    // renormalization, budget targets
+    "sample_temperature" ->
+      """WITH c AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, mass,
+        |    POWER(CAST(mass AS DOUBLE) / SUM(mass) OVER (), 0.7) AS pw
+        |  FROM c)
+        |SELECT source, mass,
+        |  ROUND(pw / SUM(pw) OVER (), 6) AS weight,
+        |  CAST(ROUND(ROUND(pw / SUM(pw) OVER (), 6) * 100000, 0)
+        |    AS BIGINT) AS target_docs
+        |FROM w ORDER BY source""".stripMargin,
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents
         |WHERE $hashBucketSql <

@@ -95,6 +95,36 @@ class SamplingSpec extends GraftSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(800))
   }
 
+  test("temperature mix: weights normalize, α interpolates between " +
+    "proportional and uniform, flattening favors small sources") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "big", 900L), (2L, "big", 900L), (3L, "big", 900L),
+      (4L, "mid", 600L), (5L, "small", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    def mix(alpha: Double) =
+      Sampling.temperatureMix(fixture, alpha, budget = 1000)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val prop = mix(1.0); val flat = mix(0.0); val temp = mix(0.7)
+    Seq(prop, flat, temp).foreach { m =>
+      assert(math.abs(m.values.sum - 1.0) < 1e-5, s"not normalized: $m")
+    }
+    // α=1: exact corpus shares (2700/3400, 600/3400, 100/3400)
+    assert(math.abs(prop("big") - 2700.0 / 3400) < 1e-6)
+    assert(math.abs(prop("small") - 100.0 / 3400) < 1e-6)
+    // α=0: uniform over sources
+    assert(flat.values.forall(w => math.abs(w - 1.0 / 3) < 1e-6))
+    // 0<α<1: strictly between — small source gains, big loses
+    assert(temp("small") > prop("small") && temp("small") < flat("small"))
+    assert(temp("big") < prop("big") && temp("big") > flat("big"))
+    // targets follow the weights on the real corpus
+    val real = Sampling.temperatureMix(
+      graft.sources.Tables.load(spark, sf, "documents")).collect()
+    assert(real.map(_.getLong(3)).sum > 0)
+    real.foreach(r => assert(
+      math.abs(r.getLong(3) - r.getDouble(2) * 100000) <= 0.5 + 1e-6))
+  }
+
   test("sampling plans are shuffle-free scans (filter only)") {
     val plan = Sampling.stratifiedSample(docs)
       .queryExecution.executedPlan.toString
