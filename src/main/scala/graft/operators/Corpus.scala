@@ -115,7 +115,31 @@ object Corpus {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** Corpus datasheet — the per-(source, language) composition report
+    * every released training set ships with: document and token
+    * volume, character mass, mean document length, and the longest
+    * document per cell. One groupBy with map-side partial aggregation:
+    * token counts are computed in the scan projection, so only
+    * (source, lang, 4 longs) rows shuffle — text never moves. The
+    * mean is integer-sum / count in one final double division —
+    * order-independent and engine-exact (no float accumulation). */
+  def datasheet(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)))
+          .as("avg_chars"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("source"), col("lang"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_stats" -> ((s, dir) =>
+      datasheet(Tables.load(s, dir, "documents"))),
     "pipeline_corpus" -> ((s, dir) =>
       buildSummary(Tables.load(s, dir, "documents"))))
 
@@ -126,6 +150,15 @@ object Corpus {
     * match also proves LSH recall), 13-gram decontamination, and the
     * multiplicative-hash split. One hash certifies the COMPOSITION. */
   def oracleSql: Map[String, String] = Map(
+    "corpus_stats" ->
+      """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT))
+        |    AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  CAST(MAX(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS max_tokens
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
     "pipeline_corpus" ->
       """WITH RECURSIVE
         |q AS (SELECT * FROM documents

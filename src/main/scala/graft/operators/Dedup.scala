@@ -57,6 +57,26 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Normalization-collapsed exact dedup — the C4/RefinedWeb
+    * "fuzzy-exact" stage that runs between byte-exact dedup and
+    * MinHash: case, punctuation and whitespace differences collapse
+    * into one group (strip to [A-Za-z0-9 ], squeeze space runs, trim,
+    * lowercase — ASCII-only lowercase after the strip, so both
+    * engines' case folding is trivially identical). Same
+    * (hash, 8B-id) groupBy shuffle shape as [[exact]]: the normalized
+    * text never leaves the map side. md5 rather than xxhash64 because
+    * the hash itself is on the gate — the oracle engine recomputes
+    * the identical digest from the identical normalization chain. */
+  def normalizedExact(docs: DataFrame): DataFrame = {
+    val norm = lower(trim(regexp_replace(
+      regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""), " +", " ")))
+    docs.groupBy(md5(norm.cast("binary")).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("norm_hash"), col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
   /** Incremental exact dedup — the DAILY ingest shape: a new batch is
     * deduped against (a) the historical fingerprint store and (b)
     * itself, WITHOUT rescanning historical text. The store carries
@@ -510,6 +530,8 @@ object Dedup {
     "dedup_cluster" -> ((s, dir) =>
       nearDupClusters(Tables.load(s, dir, "documents"))),
     "dedup_exact" -> ((s, dir) => exact(Tables.load(s, dir, "documents"))),
+    "dedup_normalized" -> ((s, dir) =>
+      normalizedExact(Tables.load(s, dir, "documents"))),
     "dedup_segments" -> ((s, dir) =>
       segmentDedup(Tables.load(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) => minhashPairs(Tables.load(s, dir, "documents"))),
@@ -565,6 +587,16 @@ object Dedup {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // the md5 digest itself is on the gate: DuckDB recomputes it from
+    // the same strip→squeeze→trim→lower chain ('g' flag — DuckDB
+    // replaces first match by default where Spark replaces all)
+    "dedup_normalized" ->
+      """SELECT
+        |  MD5(LOWER(TRIM(REGEXP_REPLACE(
+        |    REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g')))) AS norm_hash,
+        |  MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     // the oracle dedups by TEXT equality — it agrees with the Spark
     // side's 64-bit-hash store unless an actual collision occurs
     "dedup_incremental" ->

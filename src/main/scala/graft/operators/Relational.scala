@@ -471,8 +471,95 @@ object Relational {
       Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
       Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
       s.sql(setOpsSql)
-    }
+    },
+
+    // -- q29: batch sessionization (gaps-and-islands) ----------------------
+    // Classic event-log sessionization: a new session starts when a
+    // user's gap to the previous event exceeds 4 hours. lag + running
+    // sum of session-start flags + groupBy — all three steps cluster on
+    // user_id, so the window's single hash exchange carries the whole
+    // query (HashPartitioning(user_id) satisfies the (user_id, sess_idx)
+    // aggregation's clustered distribution; no second shuffle). The
+    // strict ts comparison is exact at microsecond precision on both
+    // engines — no float boundary. Ties order by (ts, event_id) so the
+    // lag is deterministic under equal timestamps.
+    "q29_sessionize" -> ((s, dir) =>
+      sessionize(Tables.load(s, dir, "events"))),
+
+    // -- q30: ordered funnel (view → click → purchase) ---------------------
+    // Loose-funnel semantics on first-touch timestamps: a user counts
+    // for a stage when their FIRST click follows their FIRST view (and
+    // so on). One pass: conditional min per user (map-side partial agg,
+    // one shuffle on user_id), then a single global rollup row. NULL
+    // stage timestamps fall out of the count via three-valued logic —
+    // `t2 > t1` is NULL when either side is NULL and count(when(...))
+    // skips it, exactly DuckDB's FILTER semantics.
+    "q30_funnel" -> ((s, dir) =>
+      funnel(Tables.load(s, dir, "events"))),
+
+    // -- q31: weekly cohort retention --------------------------------------
+    // Cohort = ISO week of a user's first event; matrix cell (cohort,
+    // offset) counts distinct users active offset weeks later. The
+    // per-user min rides a window over ONE shuffle on user_id; the
+    // distinct-count's expand shuffles only (date, long, long) triples.
+    // week_offset arithmetic stays on whole days between Monday-aligned
+    // dates (always an exact multiple of 7), so the divide-then-cast is
+    // exact on both engines.
+    "q31_retention" -> ((s, dir) =>
+      retention(Tables.load(s, dir, "events")))
   )
+
+  /** q29 — see the registry comment above for the one-shuffle plan
+    * argument. Gap threshold is a SQL interval literal so the fixture
+    * tests can tighten it. */
+  def sessionize(events: DataFrame,
+      gap: String = "INTERVAL 4 HOURS"): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(gap), 1L)
+          .otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** q30 — first-touch loose funnel (see registry comment). */
+  def funnel(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t1"),
+        min(when(col("event_type") === "click", col("ts"))).as("t2"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_viewed"),
+        count(when(col("t2") > col("t1"), 1)).as("n_clicked"),
+        count(when(col("t3") > col("t2") && col("t2") > col("t1"), 1))
+          .as("n_purchased"))
+
+  /** q31 — weekly cohort retention (see registry comment). */
+  def retention(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .withColumn("cohort",
+        min(col("wk")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / lit(7)).cast("long")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("week_offset"))
 
   /** Shared verbatim with the DuckDB oracle (q25 pattern). */
   private[operators] val correlatedSubquerySql: String =
@@ -691,6 +778,45 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin,
     "q25_grouping_sets" -> groupingSetsSql,
     "q27_correlated_subquery" -> correlatedSubquerySql,
-    "q28_set_ops" -> setOpsSql
+    "q28_set_ops" -> setOpsSql,
+    "q29_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    SUM(CASE WHEN prev_ts IS NULL
+        |               OR ts > prev_ts + INTERVAL 4 HOURS THEN 1
+        |             ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS sess_idx
+        |  FROM g)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM m GROUP BY user_id, sess_idx
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q30_funnel" ->
+      """WITH u AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users, COUNT(t1) AS n_viewed,
+        |  COUNT(*) FILTER (t2 > t1) AS n_clicked,
+        |  COUNT(*) FILTER (t3 > t2 AND t2 > t1) AS n_purchased
+        |FROM u""".stripMargin,
+    "q31_retention" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(DATE_TRUNC('week', ts) AS DATE) AS wk FROM events),
+        |c AS (SELECT user_id, wk,
+        |    MIN(wk) OVER (PARTITION BY user_id) AS cohort FROM e)
+        |SELECT cohort,
+        |  CAST(DATE_DIFF('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY cohort, week_offset
+        |ORDER BY cohort, week_offset""".stripMargin
   )
 }

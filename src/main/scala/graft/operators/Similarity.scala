@@ -1008,6 +1008,36 @@ object Similarity {
       .orderBy(col("label"), col("dim"))
   }
 
+  /** Distance-to-class-centroid outlier flags — the embedding-space
+    * quality gate a labeled corpus runs before training: a vector
+    * whose cosine to its OWN class centroid falls below 0 is
+    * anti-correlated with its class (mislabel / junk candidate).
+    * Centroids come from [[labelCentroids]]'s fixed-point-exact mean
+    * (engine-identical doubles), folded into |labels| Dim-arrays — a
+    * bounded broadcast, so the corpus pass is map-only; the only
+    * data-proportional shuffle in the plan is the centroid
+    * aggregation's (label, dim, long) triples. cos rounds to 4
+    * decimals under the knn_brute cross-engine contract; the outlier
+    * flag compares the UNROUNDED cosine on both sides (fixture margin
+    * to the 0.0 threshold is ~1e-3 — six orders above engine float
+    * drift). */
+  def centroidOutliers(vecs: DataFrame): DataFrame = {
+    val cvecs = labelCentroids(vecs)
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mean_v")))),
+        s => s.getField("mean_v")).as("cvec"))
+    vecs
+      .join(broadcast(cvecs), "label")
+      .select(col("vec_id"), col("label"),
+        safeCos(dot(col("embedding"), col("cvec")),
+          l2norm(col("embedding")), l2norm(col("cvec"))).as("c"))
+      .select(col("vec_id"), col("label"),
+        round(col("c"), 4).as("cos_r"),
+        (col("c") < 0.0).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Correctness face = the complete block-pair banding (see
     // embeddingPairsExact): candidate generation, pair explosion and
@@ -1066,6 +1096,8 @@ object Similarity {
     },
     "emb_centroids" -> ((s, dir) =>
       labelCentroids(Tables.load(s, dir, "embeddings"))),
+    "emb_outlier" -> ((s, dir) =>
+      centroidOutliers(Tables.load(s, dir, "embeddings"))),
     "emb_pca_power" -> ((s, dir) =>
       topComponent(Tables.load(s, dir, "embeddings"))),
     // PQ code audit: n_codes + in-plan argmax certificate per vector,
@@ -1208,5 +1240,30 @@ object Similarity {
         |FROM (SELECT label, UNNEST(embedding) AS v,
         |        GENERATE_SUBSCRIPTS(embedding, 1) AS pos
         |      FROM embeddings) t
-        |GROUP BY label, pos ORDER BY label, dim""".stripMargin)
+        |GROUP BY label, pos ORDER BY label, dim""".stripMargin,
+    // same fixed-point centroid as emb_centroids, then an independent
+    // list-level cosine recompute; the flag rides the unrounded value
+    "emb_outlier" ->
+      """WITH cent AS (
+        |  SELECT label, pos - 1 AS dim,
+        |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e9) AS BIGINT))
+        |      AS DOUBLE) / (COUNT(*) * 1e9) AS mean_v
+        |  FROM (SELECT label, UNNEST(embedding) AS v,
+        |          GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+        |        FROM embeddings) t
+        |  GROUP BY label, pos),
+        |carr AS (SELECT label, LIST(mean_v ORDER BY dim) AS cvec
+        |         FROM cent GROUP BY label),
+        |cosd AS (
+        |  SELECT vec_id, e.label,
+        |    LIST_DOT_PRODUCT(
+        |        LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)), cvec)
+        |      / (SQRT(LIST_DOT_PRODUCT(
+        |            LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)),
+        |            LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))))
+        |         * SQRT(LIST_DOT_PRODUCT(cvec, cvec))) AS c
+        |  FROM embeddings e JOIN carr USING (label))
+        |SELECT vec_id, label, ROUND(c, 4) AS cos_r,
+        |  c < 0.0 AS is_outlier
+        |FROM cosd ORDER BY vec_id""".stripMargin)
 }

@@ -1,0 +1,148 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Corpus, Dedup, Relational, Similarity}
+
+/** Fixture tests for the round-5 analytics/pipeline additions:
+  * sessionization, funnel, cohort retention, normalized dedup,
+  * centroid-outlier flags and the corpus datasheet. Each fixture
+  * exercises a boundary the sf testdata cannot (exact gap threshold,
+  * click-before-view, NULL stages, normalization collapse, a
+  * constructed anti-correlated vector).
+  */
+class AnalyticsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // (event_id, ts, user_id, event_type)
+  private def eventsDf(rows: (Long, String, Long, String)*) =
+    rows.map { case (id, t, u, e) => (id, ts(t), u, e) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+
+  test("sessionize splits strictly after the gap and keeps the boundary") {
+    val ev = eventsDf(
+      // user 1: 1h gap (same session), then 4h+1s gap (new session)
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 01:00:00", 1L, "click"),
+      (3L, "2024-01-01 05:00:01", 1L, "view"),
+      // user 2: gap of EXACTLY 4h — strict '>' keeps one session
+      (4L, "2024-01-02 00:00:00", 2L, "view"),
+      (5L, "2024-01-02 04:00:00", 2L, "click"),
+      // user 3: single event
+      (6L, "2024-01-03 12:00:00", 3L, "view"))
+    val got = Relational.sessionize(ev).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), 2L),
+      (1L, ts("2024-01-01 05:00:01"), ts("2024-01-01 05:00:01"), 1L),
+      (2L, ts("2024-01-02 00:00:00"), ts("2024-01-02 04:00:00"), 2L),
+      (3L, ts("2024-01-03 12:00:00"), ts("2024-01-03 12:00:00"), 1L)))
+  }
+
+  test("sessionize plans exactly one exchange (window feeds the agg)") {
+    val ev = eventsDf((1L, "2024-01-01 00:00:00", 1L, "view"))
+    val df = Relational.sessionize(ev)
+    df.collect()
+    // hashpartitioning(user_id) must satisfy the (user_id, sess_idx)
+    // aggregation's clustering — a second hash exchange means the
+    // whole query pays a redundant shuffle at corpus scale. AQE's
+    // toString appends the pre-adaptive plan after an "Initial Plan"
+    // marker — count only the final-plan section.
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange:\n$plan")
+  }
+
+  test("funnel counts first-touch ordering and skips NULL stages") {
+    val ev = eventsDf(
+      // A: full ordered funnel
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 00:01:00", 1L, "click"),
+      (3L, "2024-01-01 00:02:00", 1L, "purchase"),
+      // B: click BEFORE first view — not a converted click
+      (4L, "2024-01-01 00:00:00", 2L, "click"),
+      (5L, "2024-01-01 00:01:00", 2L, "view"),
+      // C: view only
+      (6L, "2024-01-01 00:00:00", 3L, "view"),
+      // D: purchase only (no view/click — NULL t1/t2)
+      (7L, "2024-01-01 00:00:00", 4L, "purchase"))
+    val r = Relational.funnel(ev).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (4L, 3L, 1L, 1L))
+  }
+
+  test("retention builds the cohort-offset matrix over ISO weeks") {
+    val ev = eventsDf(
+      (1L, "2024-01-01 10:00:00", 1L, "view"), // w0 cohort
+      (2L, "2024-01-16 10:00:00", 1L, "view"), // w2 activity
+      (3L, "2024-01-03 10:00:00", 2L, "view"), // w0 cohort, w0 only
+      (4L, "2024-01-10 10:00:00", 3L, "view"), // w1 cohort
+      (5L, "2024-01-17 10:00:00", 3L, "view")) // w1 offset 1
+    val got = Relational.retention(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
+  }
+
+  test("normalized dedup collapses case/punctuation/whitespace variants") {
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),
+      (3L, "HELLO   WORLD."),
+      (4L, "a different doc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.normalizedExact(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L), (4L, 1L)))
+    // digest is the ASCII md5 of the canonical form — pinned so a
+    // normalization-chain change cannot slip past the oracle contract
+    val h = Dedup.normalizedExact(docs)
+      .filter(col("keep_id") === 1).collect().head.getString(0)
+    assert(h == java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+  }
+
+  test("centroid outliers flag anti-correlated vectors only") {
+    val vecs = Seq(
+      // label 0: two aligned vectors and one pointing the other way
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(-1.0f, -0.1f), 0),
+      // label 1: all aligned — no outliers
+      (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(vecs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true,
+      4L -> false, 5L -> false))
+    // cosine column is the real similarity, rounded to 4 decimals
+    val c1 = Similarity.centroidOutliers(vecs)
+      .filter(col("vec_id") === 1).collect().head.getDouble(2)
+    assert(c1 > 0.9 && c1 <= 1.0)
+  }
+
+  test("datasheet aggregates exact token/char mass per (source, lang)") {
+    val docs = Seq(
+      (1L, "one two three", "en", "web", 13L),
+      (2L, "four five", "en", "web", 9L),
+      (3L, "six", "de", "web", 3L),
+      (4L, "seven eight nine ten", "en", "books", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Corpus.datasheet(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getLong(6)))).toMap
+    assert(got(("web", "en")) == ((2L, 5L, 22L, 11.0, 3L)))
+    assert(got(("web", "de")) == ((1L, 1L, 3L, 3.0, 1L)))
+    assert(got(("books", "en")) == ((1L, 4L, 20L, 20.0, 4L)))
+  }
+}
