@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cosine_sim(a, b) - cosine similarity of two array<double> vectors"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("outer_upper"),
+      info("outer_upper",
+        "outer_upper(v) - upper-triangle outer product of v (row-major) with v appended"),
+      (children: Seq[Expression]) => OuterUpper(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig",
         "minhash_sig(shingles) - 64-element MinHash signature of array<string>"),

@@ -172,3 +172,58 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
 }
+
+/** Flattened upper-triangle outer product x·xᵀ (diagonal included,
+  * row-major), with the raw vector APPENDED: positions
+  * [0, d(d+1)/2) hold x_i·x_j for i ≤ j, positions [d(d+1)/2,
+  * d(d+1)/2 + d) hold x itself. One posexplode + sum over this array
+  * accumulates the Gram matrix AND the per-dimension sums in a single
+  * distributed pass — exactly the sufficient statistics (Σxxᵀ, Σx, n)
+  * a covariance/PCA pass needs, so the driver can run the whole
+  * eigensolve locally on a Dim×Dim matrix instead of paying one
+  * cluster round-trip per power-iteration step. A fused primitive
+  * loop in whole-stage codegen; d(d+3)/2 doubles per row (2144 at
+  * d = 64). */
+case class OuterUpper(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorInput.isVector(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double|float>, got " +
+        child.dataType.catalogString)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "outer_upper"
+
+  @transient private lazy val f = VectorInput.isFloat(child.dataType)
+
+  def compute(a: ArrayData): ArrayData = {
+    val d = a.numElements()
+    val out = new Array[Double](d * (d + 1) / 2 + d)
+    var k = 0
+    var i = 0
+    while (i < d) {
+      val xi = VectorInput.get(a, i, f)
+      var j = i
+      while (j < d) {
+        out(k) = xi * VectorInput.get(a, j, f); j += 1; k += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < d) { out(k) = VectorInput.get(a, i, f); k += 1; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("outerExpr", this)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OuterUpper =
+    copy(child = newChild)
+}

@@ -870,36 +870,69 @@ object Similarity {
     knnIvfPq(vecs, queryPred, k, nprobe = centroidBudget, candidates,
       centroidBudget, m, refineIters)
 
-  /** Top principal component of the embedding corpus by distributed
-    * power iteration — the whitening/variance-analysis primitive an
-    * embedding pipeline runs before committing to a quantization or
-    * indexing scheme.
+  /** Top principal component of the embedding corpus — the
+    * whitening/variance-analysis primitive an embedding pipeline runs
+    * before committing to a quantization or indexing scheme.
     *
-    * Per iteration: s = (x−μ)·v per row (codegen'd HOFs over
-    * materialized columns), then Σ s·(x−μ) per dimension via
-    * posexplode + groupBy(dim) — map-side partial aggregation folds
-    * every partition to ≤Dim rows before the shuffle, so each
-    * iteration moves O(Dim · partitions) rows regardless of corpus
-    * size. Driver state is the Dim-float direction vector only (the
-    * same driver-coordination pattern as Dedup.resolveClusters);
-    * convergence of power iteration is geometric in the spectral gap,
-    * so the loop EXITS EARLY once the direction stops moving
-    * (1 − |v·v'| < tol, both unit vectors) and `iters` is only the
-    * cap for gap-free spectra.
+    * ONE distributed pass collects the sufficient statistics: the
+    * native outer_upper expression emits each row's upper-triangle
+    * x·xᵀ with x appended (d(d+3)/2 doubles), posexplode +
+    * groupBy(pos) folds every partition to ≤d(d+3)/2 partial sums
+    * map-side, and only (pos, sum, count) triples — O(Dim²),
+    * corpus-size independent — reach the driver. The covariance is
+    * then C = (Σxxᵀ − n·μμᵀ)/(n−1) and the ENTIRE power iteration
+    * runs on the driver's Dim×Dim copy (microseconds at Dim=64).
+    * The previous shape paid one full cluster pass — scan, center,
+    * matvec, Dim-row collect — PER iteration step (up to 16 jobs);
+    * this is the textbook distributed-PCA split: data passes for
+    * statistics, driver flops for the eigensolve. Centering in
+    * covariance space trades a cancellation hazard only when
+    * ‖μ‖² ≫ variance — embeddings are near-zero-mean, the same
+    * tradeoff Spark MLlib's computeCovariance makes. The driver-side
+    * loop EXITS EARLY once the direction stops moving (1 − |v·v'| <
+    * tol, both unit vectors); `iters` is only the cap for gap-free
+    * spectra, and driver flops are cheap enough to raise it 20×.
+    *
+    * The a-posteriori certificate stays a DISTRIBUTED pass over the
+    * raw data (explicit centered matvec, an independent computation
+    * path from the Gram statistics): total cluster work is exactly
+    * two jobs regardless of iteration count.
     *
     * Sign is canonicalized (largest-|loading| dimension positive) so
     * output is stable run-to-run; float-sum ordering makes the last
     * digits environment-dependent, hence rows-only gating with the
     * eigen-equation property-checked in SimilaritySpec. */
-  def topComponent(vecs: DataFrame, iters: Int = 15,
+  def topComponent(vecs: DataFrame, iters: Int = 300,
       tol: Double = 1e-12): DataFrame = {
-    val n = vecs.count().toDouble
+    val tri = Dim * (Dim + 1) / 2
+    val stats = vecs
+      .select(posexplode(
+        call_function("outer_upper", col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+      .orderBy(col("pos")).collect()
+    require(stats.length == tri + Dim,
+      s"expected ${tri + Dim} statistic rows, got ${stats.length}")
+    val n = stats.head.getLong(2).toDouble
     require(n > 1, "need at least two vectors")
-    val mean = vecs
-      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("pos")).agg(avg(col("x").cast("double")).as("m"))
-      .orderBy(col("pos")).collect().map(_.getDouble(1))
-    // one distributed pass: Σ ((x−μ)·v) (x−μ) — i.e. (n−1)·C v
+    val sums = stats.map(_.getDouble(1))
+    val mean = Array.tabulate(Dim)(i => sums(tri + i) / n)
+    val cov = Array.ofDim[Double](Dim, Dim)
+    var k = 0
+    var ci = 0
+    while (ci < Dim) {
+      var cj = ci
+      while (cj < Dim) {
+        val v = (sums(k) - n * mean(ci) * mean(cj)) / (n - 1)
+        cov(ci)(cj) = v; cov(cj)(ci) = v
+        k += 1; cj += 1
+      }
+      ci += 1
+    }
+    // distributed pass over the RAW data: Σ ((x−μ)·v) (x−μ) — i.e.
+    // (n−1)·C v. Used only for the final certificate; its computation
+    // path (explicit centering + matvec) shares nothing with the Gram
+    // statistics the iteration ran on.
     def cvPass(v: Array[Double]): Array[Double] = {
       val mCol = array(mean.toIndexedSeq.map(lit): _*)
       val vCol = array(v.toIndexedSeq.map(lit): _*)
@@ -915,14 +948,21 @@ object Similarity {
         .groupBy(col("pos")).agg(sum(col("cx") * col("s")).as("av"))
         .orderBy(col("pos")).collect().map(_.getDouble(1))
     }
+    // driver-side matvec against the Dim×Dim covariance copy
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(Dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < Dim) { s += cov(i)(j) * v(j); j += 1 }
+        s
+      }
     var v = Array.fill(Dim)(1.0 / math.sqrt(Dim))
     var eig = 0.0
     var it = 0
     var converged = false
     while (it < iters && !converged) {
-      val av = cvPass(v)
+      val av = matvec(v)
       val norm = math.sqrt(av.map(x => x * x).sum)
-      eig = norm / (n - 1) // Rayleigh estimate: ||C v|| with ||v|| = 1
+      eig = norm // Rayleigh estimate: ||C v|| with ||v|| = 1
       val vNew = av.map(_ / norm)
       // both unit vectors: |cos| → 1 as the direction stabilizes
       converged = 1.0 - math.abs(v.zip(vNew).map { case (a, b) => a * b }.sum) < tol

@@ -16,6 +16,20 @@ class FunctionsSpec extends GraftSpec {
     assert(got(1) == 0.0)
   }
 
+  test("outer_upper emits the row-major upper triangle plus the vector") {
+    val got = df.limit(1)
+      .select(call_function("outer_upper", col("a")))
+      .collect().head.getSeq[Double](0)
+    // a = [1,2,3]: triangle (1,2,3,4,6,9) then the vector itself
+    assert(got == Seq(1.0, 2.0, 3.0, 4.0, 6.0, 9.0, 1.0, 2.0, 3.0))
+    // float input widens element-by-element (same values)
+    import spark.implicits._
+    val gotF = Seq(Tuple1(Array(0.5f, -1.0f))).toDF("v")
+      .select(call_function("outer_upper", col("v")))
+      .collect().head.getSeq[Double](0)
+    assert(gotF == Seq(0.25, -0.5, 1.0, 0.5, -1.0))
+  }
+
   test("cosine_sim matches the composed dot/norm formula") {
     val got = df.select(call_function("cosine_sim", col("a"), col("b")))
       .collect().map(_.getDouble(0))
