@@ -74,6 +74,25 @@ object Streaming {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Native session windows (session_window), batch face. Same
+    * gaps-and-islands semantics as [[batchSessionize]] EXCEPT the
+    * boundary: Spark's session window spans [first_ts, last_ts + gap),
+    * so an event at exactly last_ts + gap starts a NEW session (the
+    * custom-state variant keeps it — its condition is gap > threshold).
+    * Emitted session_end is last_ts + gap (the window bound, not the
+    * last event), matching the streaming face bit-for-bit; the oracle
+    * restates both choices relationally. One shuffle keyed by user_id;
+    * Spark merges overlapping candidate windows inside the
+    * session-window aggregation. */
+  def batchSessionWindow(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** Click→purchase conversions: every (click, purchase) pair of the
     * same user with the purchase inside [click, click+gap]. Batch face
     * of the stream-stream interval join — an equi-join on user_id plus
@@ -184,6 +203,22 @@ object Streaming {
           .as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Watermarked NATIVE session windows — the streaming face of
+    * [[batchSessionWindow]]. Spark's SessionWindowStateStore merges
+    * overlapping per-user windows across micro-batches and closes a
+    * session when the watermark passes its end — the built-in
+    * counterpart of the flatMapGroupsWithState variant below (which
+    * demonstrates custom state; this one demonstrates that the
+    * declarative form suffices when gap semantics are all you need).
+    * State per active user is the open session's bounds only. */
+  def streamingSessionWindow(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
 
   // state carried per user between micro-batches: open session bounds.
   // Timestamps travel as epoch MICROS end-to-end — converting through
@@ -376,6 +411,8 @@ object Streaming {
       batchSlidingAgg(Tables.load(s, dir, "events"))),
     "stream_sessionize" -> ((s, dir) =>
       batchSessionize(Tables.load(s, dir, "events"))),
+    "stream_session_window" -> ((s, dir) =>
+      batchSessionWindow(Tables.load(s, dir, "events"))),
     "stream_stream_join" -> ((s, dir) =>
       batchClickConversions(Tables.load(s, dir, "events"))),
     "stream_dedup" -> ((s, dir) =>
@@ -423,6 +460,28 @@ object Streaming {
         |        THEN 1 ELSE 0 END AS new_sess
         |    FROM events) t) u
         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // >= at the boundary (vs the custom-state face's >): an event at
+    // exactly last_ts + gap falls OUTSIDE the [start, last+gap) window
+    "stream_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    SUM(CASE WHEN prev_us IS NULL
+        |               OR EPOCH_US(ts) - prev_us >= 1800000000 THEN 1
+        |             ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS sid
+        |  FROM g)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM m GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "stream_stream_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
         |  c.user_id, c.ts AS click_ts, p.ts AS purchase_ts

@@ -158,4 +158,30 @@ class StreamingSpec extends GraftSpec {
       .select("user_id").distinct().count()
     assert(got.size >= batch.size - users)
   }
+
+  test("native session windows: closed streaming sessions match batch") {
+    val stream = Streaming.eventsStream(spark, sf)
+    val q = Streaming.streamingSessionWindow(stream).writeStream
+      .format("memory").queryName("sw_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("sw_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    val batch = Streaming
+      .batchSessionWindow(Tables.load(spark, sf, "events")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    // append mode emits only sessions the final watermark closed —
+    // every emission must be a batch session, and at most one open
+    // session per user may be withheld
+    assert(got.nonEmpty, "stream emitted no sessions")
+    assert(got.subsetOf(batch),
+      s"stream emitted sessions absent from batch: ${(got -- batch).take(3)}")
+    val users = Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(got.size >= batch.size - users)
+  }
 }
