@@ -130,6 +130,43 @@ object Sampling {
       .orderBy(col("shard"), col("shuffle_key"), col("doc_id"))
   }
 
+  /** Concat-and-chunk sequence packing — the GPT-pretraining layout
+    * step: each shard's documents concatenate (in the epoch-
+    * reproducible shuffle order of [[shardAssign]]) into one token
+    * stream that is cut every `capacity` tokens into training
+    * sequences; a document's placement is the sequence index and
+    * token offset of its START position (documents straddling a cut
+    * are split by the trainer mid-document — the standard packing
+    * contract, zero padding waste). One running-sum window per shard
+    * — shards pack independently, so the plan is Shards parallel
+    * ordered passes after a single shard-keyed shuffle; no global
+    * sort, no sequential bin state (next-fit bin packing would need
+    * it; start-offset chunking is the closed form the window can
+    * compute). Exact integer math end to end — identical on any
+    * engine. */
+  def packSequences(docs: DataFrame, capacity: Long = 2048L,
+      nShards: Int = Shards): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = ((col("doc_id") % 1000003L) * lit(2654435761L)) % lit(1000000007L)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        key.as("shuffle_key"))
+      .withColumn("shard", (col("shuffle_key") % nShards).cast("int"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("shard"),
+        // explicit floor: DuckDB's double→BIGINT cast ROUNDS where
+        // Spark's truncates — floor-then-cast agrees on both engines
+        floor(col("start_tok") / capacity).cast("long").as("seq_id"),
+        (col("start_tok") % capacity).as("seq_offset"),
+        col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source representation cap: keep at most `cap` documents per
     * source, preferring the longest (a quality proxy the synthetic
     * corpus carries precomputed), ties on doc_id. The anti-boilerplate
@@ -192,6 +229,8 @@ object Sampling {
       tokenBudget(Tables.load(s, dir, "documents"))),
     "sample_shard" -> ((s, dir) =>
       shardAssign(Tables.load(s, dir, "documents"))),
+    "sample_pack" -> ((s, dir) =>
+      packSequences(Tables.load(s, dir, "documents"))),
     "sample_source_cap" -> ((s, dir) =>
       sourceCap(Tables.load(s, dir, "documents"))))
 
@@ -249,6 +288,27 @@ object Sampling {
         |  CAST((((doc_id % 1000003) * 2654435761) % 1000000007) % 16
         |    AS INT) AS shard
         |FROM documents ORDER BY shard, shuffle_key, doc_id""".stripMargin,
+    "sample_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ((doc_id % 1000003) * 2654435761) % 1000000007 AS shuffle_key
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tokens, shuffle_key,
+        |    CAST(shuffle_key % 16 AS INT) AS shard
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY shuffle_key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_tok
+        |  FROM s)
+        |SELECT doc_id, shard,
+        |  CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS seq_id,
+        |  start_tok % 2048 AS seq_offset, n_tokens
+        |FROM p ORDER BY doc_id""".stripMargin,
     "sample_source_cap" ->
       """SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT doc_id, source,

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Corpus, Dedup, Relational, Similarity}
+import graft.operators.{Corpus, Dedup, Relational, Sampling, Similarity}
 
 /** Fixture tests for the round-5 analytics/pipeline additions:
   * sessionization, funnel, cohort retention, normalized dedup,
@@ -128,6 +128,52 @@ class AnalyticsSpec extends GraftSpec {
     val c1 = Similarity.centroidOutliers(vecs)
       .filter(col("vec_id") === 1).collect().head.getDouble(2)
     assert(c1 > 0.9 && c1 <= 1.0)
+  }
+
+  test("semantic dedup flags within-cell near-dups, skips cross-cell pairs") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.01f), 0),   // ~identical to 1, same cell → dup
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.73f, 0.70f), 1))  // cell 1; cos to 3 is 0.72 < 0.9
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticDedup(vecs, threshold = 0.9).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // cells follow the nearest fixed-point centroid; only the
+    // within-cell pair (1,2) crosses the threshold — the min id wins.
+    // (1,4) also sits above 0.4 cosine but lives in another cell: a
+    // SemDeDup miss by design, the cluster restriction IS the operator
+    assert(got == Map(1L -> ((0L, false)), 2L -> ((0L, true)),
+      3L -> ((1L, false)), 4L -> ((1L, false))))
+    // deterministic on re-run (checkpointed assignment, no rand)
+    assert(Similarity.semanticDedup(vecs, threshold = 0.9).collect().toSeq ==
+      Similarity.semanticDedup(vecs, threshold = 0.9).collect().toSeq)
+  }
+
+  test("sequence packing places docs by exact start-offset chunking") {
+    val docs = Seq(
+      (1L, "a b c"),        // 3 tokens
+      (2L, "d e f g"),      // 4 tokens
+      (3L, "h i"),          // 2 tokens
+      (4L, "j k l m n"))    // 5 tokens
+      .toDF("doc_id", "text")
+    // one shard → a single stream in shuffle_key order; capacity 4
+    val got = Sampling.packSequences(docs, capacity = 4L, nShards = 1)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // recompute the expected placement from the same hash order
+    val order = Seq(1L, 2L, 3L, 4L)
+      .sortBy(id => ((id % 1000003L) * 2654435761L % 1000000007L, id))
+    val nTok = Map(1L -> 3L, 2L -> 4L, 3L -> 2L, 4L -> 5L)
+    var cum = 0L
+    val expected = order.map { id =>
+      val start = cum; cum += nTok(id)
+      id -> ((0, start / 4, start % 4, nTok(id)))
+    }.toMap
+    assert(got == expected)
+    // every token of every doc is accounted for exactly once
+    assert(got.values.map(_._4).sum == nTok.values.sum)
   }
 
   test("datasheet aggregates exact token/char mass per (source, lang)") {
