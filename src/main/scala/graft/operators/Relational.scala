@@ -506,7 +506,59 @@ object Relational {
     // dates (always an exact multiple of 7), so the divide-then-cast is
     // exact on both engines.
     "q31_retention" -> ((s, dir) =>
-      retention(Tables.load(s, dir, "events")))
+      retention(Tables.load(s, dir, "events"))),
+
+    // -- q32: NATIVE pivot (RelationalGroupedDataset.pivot) ----------------
+    // The relational pivot API surface itself (q13 is the manual
+    // CASE-WHEN formulation): explicit value list, so the plan is a
+    // single pass — no distinct-values pre-query — and compiles to
+    // exactly q13's conditional aggregation (one shuffle, map-side
+    // partial agg). Explicit values are also the 100 TB contract: an
+    // unlisted pivot would scan once just to discover the columns.
+    "q32_pivot" -> { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    },
+
+    // -- q33: fixed-width histogram ----------------------------------------
+    // Value-distribution binning (the monitoring/data-profiling
+    // primitive): bin = floor(value/width) — a row-local expression,
+    // so the only shuffle is the (type, bin)-keyed aggregation of
+    // partial counts. IEEE double divide + floor are engine-exact;
+    // boundary values (exact multiples of 50 exist in the data) land
+    // identically on both engines.
+    "q33_histogram" -> { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") / lit(50.0)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(money(col("value")))).as("bin_value"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+
+    // -- q34: ntile + cume_dist distribution windows -----------------------
+    // Equal-frequency decile assignment and cumulative distribution
+    // over account balance — the quantile-bucketing counterpart of
+    // q17's exact quantile VALUES. One shuffle: both windows share the
+    // (global-order) sort; at 100 TB a global NTILE is a two-pass
+    // range-partitioned sort, which Spark's window exchange plans
+    // (single range boundary computation), not a driver sort.
+    // Tie-break on c_custkey makes decile deterministic; cume_dist
+    // ties are the SQL-standard peer-group value on both engines.
+    "q34_ntile" -> { (s, dir) =>
+      val byBal = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      val peers = Window.orderBy(col("c_acctbal"))
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("decile", ntile(10).over(byBal))
+        .withColumn("cd", cume_dist().over(peers))
+        .orderBy(col("c_custkey"))
+    }
   )
 
   /** q29 — see the registry comment above for the one-shuffle plan
@@ -808,6 +860,25 @@ object Relational {
         |  COUNT(*) FILTER (t2 > t1) AS n_clicked,
         |  COUNT(*) FILTER (t3 > t2 AND t2 > t1) AS n_purchased
         |FROM u""".stripMargin,
+    "q32_pivot" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q33_histogram" ->
+      """SELECT event_type,
+        |  CAST(FLOOR(value / 50.0) AS BIGINT) AS bin, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bin_value
+        |FROM events GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
+    "q34_ntile" ->
+      """SELECT c_custkey, c_acctbal,
+        |  NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile,
+        |  CUME_DIST() OVER (ORDER BY c_acctbal) AS cd
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q31_retention" ->
       """WITH e AS (SELECT user_id,
         |    CAST(DATE_TRUNC('week', ts) AS DATE) AS wk FROM events),

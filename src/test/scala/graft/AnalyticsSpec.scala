@@ -176,6 +176,40 @@ class AnalyticsSpec extends GraftSpec {
     assert(got.values.map(_._4).sum == nTok.values.sum)
   }
 
+  test("native pivot equals the manual CASE-WHEN pivot on shared columns") {
+    val piv = SparkEntry.queries("q32_pivot")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // q13 column order: user_id, clicks, views, purchases, value —
+    // restricted to purchasers; every q13 row must agree with q32
+    SparkEntry.queries("q13_case_pivot")(spark, sf).collect().foreach { r =>
+      val (v, c, p) = piv(r.getLong(0))
+      assert((r.getLong(2), r.getLong(1), r.getLong(3)) == ((v, c, p)))
+    }
+  }
+
+  test("histogram bins partition the events exactly") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val hist = SparkEntry.queries("q33_histogram")(spark, sf).collect()
+    assert(hist.map(_.getLong(2)).sum == events.count())
+    // bin index recomputes from any bin's value range: floor(v/50)
+    assert(hist.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 10))
+  }
+
+  test("ntile deciles are balanced and cume_dist is monotone in balance") {
+    val rows = SparkEntry.queries("q34_ntile")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getDouble(3)))
+    val byDecile = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byDecile.keySet == (1 to 10).toSet)
+    assert(byDecile.values.max - byDecile.values.min <= 1,
+      s"unbalanced deciles: $byDecile")
+    val sorted = rows.sortBy(r => (r._2, r._1))
+    assert(sorted.sliding(2).forall {
+      case Array(a, b) => a._4 <= b._4 && a._3 <= b._3
+      case _ => true
+    }, "cume_dist/decile not monotone in balance order")
+  }
+
   test("datasheet aggregates exact token/char mass per (source, lang)") {
     val docs = Seq(
       (1L, "one two three", "en", "web", 13L),
