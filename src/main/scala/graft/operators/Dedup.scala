@@ -267,6 +267,65 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Incremental NEAR-dup dedup — the daily-ingest counterpart of
+    * [[incremental]] for near duplicates: a new batch probes the
+    * persisted LSH store of historical band/bucket rows (16 bytes per
+    * doc per band, text never re-scanned) AND itself, then only
+    * candidate-involved documents are shingled for the exact-Jaccard
+    * verify. Verdicts per batch doc: dup_of_history (a historical
+    * near-dup exists at J ≥ threshold), dup_in_batch (a SMALLER-id
+    * batch near-dup exists), and the keep bit.
+    *
+    * Scale shape: the store probe is an equi-join on (band, bucket) —
+    * uniformly hashed keys, no skew; a mostly-novel daily batch
+    * produces few candidates, so the expensive shingle verify touches
+    * a small id set (candidateShingles). The oracle replays the TRUE
+    * all-pairs Jaccard answer over the same split, so a green hash
+    * also proves LSH recall across the history×batch boundary — the
+    * dedup_minhash contract extended to the incremental shape. */
+  def incrementalNear(history: DataFrame, batch: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val store = banded(history).withColumnRenamed("doc_id", "hist_id")
+      .localCheckpoint(true)
+    val probe = banded(batch).localCheckpoint(true)
+    val histCands = probe.join(store, Seq("band", "bucket"))
+      .select(col("doc_id").as("doc_a"), col("hist_id").as("doc_b"))
+      .distinct()
+    val p2 = probe.select(col("band"), col("bucket"), col("doc_id"))
+    val batchCands = p2.toDF("band", "bucket", "doc_a")
+      .join(p2.toDF("band", "bucket", "doc_b"), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val corpus = history.unionByName(batch)
+    def survivors(cands0: DataFrame): DataFrame = {
+      val cands = cands0.localCheckpoint(true)
+      val sh = candidateShingles(corpus, cands,
+        d => wordShingles(split(col("text"), " ")))
+      val sa = sh.toDF("id_a", "sh_a")
+      val sb = sh.toDF("id_b", "sh_b")
+      cands.join(sa, col("doc_a") === col("id_a"))
+        .join(sb, col("doc_b") === col("id_b"))
+        .filter((size(array_intersect(col("sh_a"), col("sh_b")))
+          / size(array_union(col("sh_a"), col("sh_b")))) >= threshold)
+        .select(col("doc_a"), col("doc_b"))
+    }
+    val histDup = survivors(histCands)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("doh", lit(true))
+    val batchDup = survivors(batchCands)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("dib", lit(true))
+    batch.select(col("doc_id"))
+      .join(histDup, Seq("doc_id"), "left_outer")
+      .join(batchDup, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("doh"), lit(false)).as("dup_of_history"),
+        coalesce(col("dib"), lit(false)).as("dup_in_batch"),
+        (!coalesce(col("doh"), lit(false)) &&
+          !coalesce(col("dib"), lit(false))).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** (doc_id, shingles) for exactly the documents named by either side
     * of a candidate pair frame — the verify stage's input restriction. */
   private def candidateShingles(docs: DataFrame, cands: DataFrame,
@@ -545,6 +604,12 @@ object Dedup {
       incremental(docs.filter(col("doc_id") % 3 =!= 0),
         docs.filter(col("doc_id") % 3 === 0))
     },
+    // same split; the near-dup counterpart probing the LSH store
+    "dedup_incremental_near" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      incrementalNear(docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0))
+    },
     // same deterministic history/batch split as dedup_incremental
     "dedup_bloom" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
@@ -640,6 +705,36 @@ object Dedup {
     // verification threshold on this corpus — recall drift (a seed or
     // banding regression) flips the row count and fails the gate.
     // int/int counts divide to bit-identical doubles on both engines.
+    // the TRUE all-pairs answer over the same %3 split — a green hash
+    // proves LSH recall across the history×batch boundary too
+    "dedup_incremental_near" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t
+        |             FROM documents),
+        |grams AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2],' ') AS g
+        |          FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t)-2,1)+1)) AS r(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |          FROM grams a JOIN grams b
+        |            ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1,2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+        |sym AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |b AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |doh AS (SELECT DISTINCT x AS doc_id FROM sym
+        |        WHERE x % 3 = 0 AND y % 3 <> 0),
+        |dib AS (SELECT DISTINCT x AS doc_id FROM sym
+        |        WHERE x % 3 = 0 AND y % 3 = 0 AND y < x)
+        |SELECT b.doc_id,
+        |  doh.doc_id IS NOT NULL AS dup_of_history,
+        |  dib.doc_id IS NOT NULL AS dup_in_batch,
+        |  (doh.doc_id IS NULL AND dib.doc_id IS NULL) AS keep
+        |FROM b LEFT JOIN doh ON b.doc_id = doh.doc_id
+        |LEFT JOIN dib ON b.doc_id = dib.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "dedup_minhash" ->
       """WITH toks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t
         |             FROM documents),

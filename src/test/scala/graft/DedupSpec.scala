@@ -60,6 +60,31 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("incremental near-dup verdicts: history probe, batch probe, keep") {
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the sun sets slowly behind the quiet green hills today"
+    val history = textsDF(
+      1L -> base,
+      2L -> "completely different historical text about glaciers and ice")
+    val novel = "a novel batch document about submarine volcanoes that " +
+      "erupt deep below the pacific surface forming new islands of " +
+      "black basalt rock over many thousand patient years"
+    val batch = textsDF(
+      3L -> (base + " extra"),            // near-dup of history doc 1
+      6L -> (novel + " indeed"),
+      9L -> (novel + " truly"),
+      12L -> "nothing like anything else in either corpus at all here")
+    val got = Dedup.incrementalNear(history, batch).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got(3L) == ((true, false, false)), s"3: ${got(3L)}")
+    // 6 and 9 differ only in the final token, which lives in exactly
+    // one 3-shingle: J = 24/26 ≈ 0.92 ≥ 0.8 — min id keeps
+    assert(got(6L) == ((false, false, true)), s"6: ${got(6L)}")
+    assert(got(9L) == ((false, true, false)), s"9: ${got(9L)}")
+    assert(got(12L) == ((false, false, true)), s"12: ${got(12L)}")
+  }
+
   test("simhash pairs respect the hamming bound and ordering") {
     val pairs = Dedup.simhashPairs(
       graft.sources.Tables.load(spark, sf, "documents")).collect()
