@@ -296,23 +296,27 @@ object Dedup {
       .join(p2.toDF("band", "bucket", "doc_b"), Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
+    // ONE tagged verify pass for both candidate families — the
+    // corpus is scanned once for the shingle lookup, not once per
+    // family (candidateShingles ignores the tag column)
     val corpus = history.unionByName(batch)
-    def survivors(cands0: DataFrame): DataFrame = {
-      val cands = cands0.localCheckpoint(true)
-      val sh = candidateShingles(corpus, cands,
-        d => wordShingles(split(col("text"), " ")))
-      val sa = sh.toDF("id_a", "sh_a")
-      val sb = sh.toDF("id_b", "sh_b")
-      cands.join(sa, col("doc_a") === col("id_a"))
-        .join(sb, col("doc_b") === col("id_b"))
-        .filter((size(array_intersect(col("sh_a"), col("sh_b")))
-          / size(array_union(col("sh_a"), col("sh_b")))) >= threshold)
-        .select(col("doc_a"), col("doc_b"))
-    }
-    val histDup = survivors(histCands)
+    val cands = histCands.withColumn("from_history", lit(true))
+      .unionByName(batchCands.withColumn("from_history", lit(false)))
+      .localCheckpoint(true)
+    val sh = candidateShingles(corpus, cands,
+      d => wordShingles(split(col("text"), " ")))
+    val sa = sh.toDF("id_a", "sh_a")
+    val sb = sh.toDF("id_b", "sh_b")
+    val ver = cands.join(sa, col("doc_a") === col("id_a"))
+      .join(sb, col("doc_b") === col("id_b"))
+      .filter((size(array_intersect(col("sh_a"), col("sh_b")))
+        / size(array_union(col("sh_a"), col("sh_b")))) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("from_history"))
+      .localCheckpoint(true)
+    val histDup = ver.filter(col("from_history"))
       .select(col("doc_a").as("doc_id")).distinct()
       .withColumn("doh", lit(true))
-    val batchDup = survivors(batchCands)
+    val batchDup = ver.filter(!col("from_history"))
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("dib", lit(true))
     batch.select(col("doc_id"))
