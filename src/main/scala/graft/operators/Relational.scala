@@ -544,12 +544,15 @@ object Relational {
     // -- q34: ntile + cume_dist distribution windows -----------------------
     // Equal-frequency decile assignment and cumulative distribution
     // over account balance — the quantile-bucketing counterpart of
-    // q17's exact quantile VALUES. One shuffle: both windows share the
-    // (global-order) sort; at 100 TB a global NTILE is a two-pass
-    // range-partitioned sort, which Spark's window exchange plans
-    // (single range boundary computation), not a driver sort.
-    // Tie-break on c_custkey makes decile deterministic; cume_dist
-    // ties are the SQL-standard peer-group value on both engines.
+    // q17's exact quantile VALUES. Both windows share one sort.
+    // SCALE HONESTY: Spark executes an unpartitioned window on a
+    // SINGLE partition (WindowExec warns), so this exact-SQL face is
+    // for dimension-sized inputs; at fact scale the same buckets come
+    // from q17's percentile boundaries broadcast back as a map-only
+    // range compare (±1-row tie handling aside), or a
+    // repartitionByRange + per-partition-offset rank. Tie-break on
+    // c_custkey makes decile deterministic; cume_dist ties are the
+    // SQL-standard peer-group value on both engines.
     "q34_ntile" -> { (s, dir) =>
       val byBal = Window.orderBy(col("c_acctbal"), col("c_custkey"))
       val peers = Window.orderBy(col("c_acctbal"))
