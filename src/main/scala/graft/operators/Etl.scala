@@ -335,6 +335,70 @@ object Etl {
       s.table(tbl).orderBy(col("dt_start"))
     },
 
+    // -- composed daily-ingest pipeline ------------------------------------
+    // The ETL-side counterpart of pipeline_corpus: one lineage through
+    // four individually-gated operators — (1) PERMISSIVE quarantine
+    // read of a dirty CSV drop (etl_bad_records' planted malformation
+    // families), (2) the reference clean (trim → empty→NULL → parity
+    // segment, etl_clean), (3) incremental new-vs-known verdict
+    // against the warehouse store via a real key join
+    // (dedup_incremental's shape on the natural key), (4) per-(status,
+    // segment, is_new) load summary. The oracle restates the entire
+    // composition — malformation split, clean, store join, rollup — in
+    // one statement, so a regression ANYWHERE in the chain fails one
+    // hash. Scale shape: quarantine read and clean are scan-time
+    // projections; the store join is an equi-join on the natural key
+    // (AQE-broadcast when the day's batch is small); the summary is a
+    // tiny map-side-combined rollup.
+    "pipeline_ingest" -> { (s, dir) =>
+      val sfName = dir.replaceAll(".*/", "")
+      val rawDir = s"$roundtripRoot/$sfName/pipeline_ingest/raw"
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"),
+          col("c_name").as("name"))
+        .select(
+          when(col("id") % 37 === 0,
+            concat_ws(";", col("id"), col("name"), lit("EXTRA"), lit("COLS")))
+            .when(col("id") % 41 === 0,
+              concat_ws(";", lit("not_a_number"), col("name")))
+            .when(col("id") % 43 === 0, col("id").cast("string"))
+            .otherwise(concat_ws(";", col("id"), col("name"))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(rawDir)
+      // materialize the quarantine read ONCE before filtering on the
+      // corrupt column: Spark re-parses per consumer with a pruned
+      // schema, and a corrupt-col filter + other-field projection over
+      // the raw source drops the bad rows' parseable fields (the
+      // documented _corrupt_record query limitation). The checkpoint
+      // is also the operational shape — a quarantine audit persists
+      // the parse verdicts, it doesn't re-read the raw file per query.
+      val parsed = CsvIngest.readQuarantine(s, rawDir, rawSchema)
+        .localCheckpoint(true)
+      val clean = Cleaning.referenceClean(
+        parsed.filter(col(CsvIngest.CorruptCol).isNull)
+          .select(col("codigo"), col("descricao")), "codigo")
+      val store = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").cast("long").as("hist_id"))
+      val okSummary = clean
+        .join(store, col("codigo") === col("hist_id"), "left_outer")
+        .groupBy(col("segmento"), col("hist_id").isNull.as("is_new"))
+        .agg(count(lit(1)).as("n"),
+          min(col("codigo")).as("min_codigo"),
+          max(col("codigo")).as("max_codigo"))
+        .select(lit("ok").as("status"), col("segmento"), col("is_new"),
+          col("n"), col("min_codigo"), col("max_codigo"))
+      val badSummary = parsed
+        .filter(col(CsvIngest.CorruptCol).isNotNull)
+        .agg(count(lit(1)).as("n"),
+          min(col("codigo")).as("min_codigo"),
+          max(col("codigo")).as("max_codigo"))
+        .select(lit("quarantined").as("status"), lit("NONE").as("segmento"),
+          lit(false).as("is_new"), col("n"),
+          col("min_codigo"), col("max_codigo"))
+      okSummary.unionByName(badSummary)
+        .orderBy(col("status"), col("segmento"), col("is_new"))
+    },
+
     // -- semi-structured extraction: JSON property column ------------------
     // The events table carries a JSON `props` string (the usual shape of
     // landed clickstream/telemetry data). get_json_object is a
@@ -442,6 +506,39 @@ object Etl {
       // (%37 extra cols keep both parsed fields, %41 bad long NULLs
       // codigo, %43 short row NULLs descricao) with CASE precedence
       // mirroring the fixture's when-chain
+      // the full ingest composition in one statement: malformation
+      // split → clean → store membership (REAL join replay) → rollup
+      "pipeline_ingest" ->
+        """WITH parsed AS (
+          |  SELECT CASE WHEN c_custkey % 37 = 0 THEN c_custkey
+          |              WHEN c_custkey % 41 = 0 THEN NULL
+          |              ELSE c_custkey END AS codigo,
+          |         CASE WHEN c_custkey % 37 <> 0 AND c_custkey % 41 <> 0
+          |                   AND c_custkey % 43 = 0 THEN NULL
+          |              ELSE c_name END AS descricao,
+          |         CASE WHEN c_custkey % 37 = 0 OR c_custkey % 41 = 0
+          |                   OR c_custkey % 43 = 0 THEN 'quarantined'
+          |              ELSE 'ok' END AS status
+          |  FROM customer),
+          |clean AS (
+          |  SELECT codigo, NULLIF(TRIM(descricao), '') AS descricao,
+          |    CASE WHEN codigo % 2 = 1 THEN 'PRIMARIO'
+          |         ELSE 'SECUNDARIO' END AS segmento
+          |  FROM parsed WHERE status = 'ok'),
+          |store AS (SELECT c_custkey AS hist_id FROM customer
+          |          WHERE c_custkey % 3 <> 0),
+          |v AS (SELECT segmento, hist_id IS NULL AS is_new, codigo
+          |      FROM clean LEFT JOIN store ON codigo = hist_id)
+          |SELECT * FROM (
+          |  SELECT 'ok' AS status, segmento, is_new,
+          |    COUNT(*) AS n, MIN(codigo) AS min_codigo,
+          |    MAX(codigo) AS max_codigo
+          |  FROM v GROUP BY segmento, is_new
+          |  UNION ALL
+          |  SELECT 'quarantined', 'NONE', FALSE, COUNT(*),
+          |    MIN(codigo), MAX(codigo)
+          |  FROM parsed WHERE status = 'quarantined') u
+          |ORDER BY status, segmento, is_new""".stripMargin,
       "etl_bad_records" ->
         """SELECT * FROM (
           |  SELECT CASE WHEN c_custkey % 37 = 0 THEN c_custkey

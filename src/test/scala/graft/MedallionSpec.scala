@@ -152,4 +152,24 @@ class MedallionSpec extends GraftSpec {
     // the quarantine column carries the raw line for the audit trail
     assert(got(0).getString(2) == "not_a_number;carol")
   }
+
+  test("ingest pipeline conserves rows across quarantine/clean/verdict") {
+    val rows = SparkEntry.queries("pipeline_ingest")(spark, sf).collect()
+    val customers = spark.read.parquet(s"$sf/customer.parquet").count()
+    // every raw line lands in exactly one summary bucket
+    assert(rows.map(_.getLong(3)).sum == customers)
+    val byStatus = rows.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(3)).sum).toMap
+    // quarantined = the planted families, recomputed from actual keys
+    val planted = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+      .count(i => i % 37 == 0 || i % 41 == 0 || i % 43 == 0).toLong
+    assert(byStatus("quarantined") == planted)
+    assert(byStatus("ok") == customers - planted)
+    // both verdict values and both segments appear (non-vacuous join)
+    val okRows = rows.filter(_.getString(0) == "ok")
+    assert(okRows.map(_.getBoolean(2)).toSet == Set(true, false))
+    assert(okRows.map(_.getString(1)).toSet ==
+      Set("PRIMARIO", "SECUNDARIO"))
+  }
 }
