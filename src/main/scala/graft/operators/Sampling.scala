@@ -146,6 +146,8 @@ object Sampling {
     * engine. */
   def packSequences(docs: DataFrame, capacity: Long = 2048L,
       nShards: Int = Shards): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     import org.apache.spark.sql.expressions.Window
     val key = ((col("doc_id") % 1000003L) * lit(2654435761L)) % lit(1000000007L)
     val w = Window.partitionBy(col("shard"))

@@ -210,6 +210,37 @@ class AnalyticsSpec extends GraftSpec {
     }, "cume_dist/decile not monotone in balance order")
   }
 
+  test("semantic dedup evaluates the assignment pipeline exactly once") {
+    // the cell-assignment frame is checkpointed and feeds all three
+    // consumers (both pair-join sides and the verdict join) as
+    // ExistingRDD scans — the plan must NOT contain the centroid or
+    // cosine pipeline itself (that would mean a re-evaluation, the
+    // doubled-pipeline defect the r4 verdict flagged on
+    // dedup_embedding). Assignment shuffle-freedom is covered by the
+    // IVF test (same nearestCells path).
+    val vecs = Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val plan = Similarity.semanticDedup(vecs)
+      .queryExecution.executedPlan.toString
+    assert("Scan ExistingRDD".r.findAllIn(plan).length >= 3,
+      s"expected >=3 checkpoint consumers:\n${plan.take(1500)}")
+    assert(!plan.contains("posexplode"),
+      s"centroid pipeline re-evaluated in the final plan:\n${plan.take(1500)}")
+  }
+
+  test("sequence packing plans one hash exchange before the final sort") {
+    val docs = Seq((1L, "a b"), (2L, "c d e")).toDF("doc_id", "text")
+    val df = Sampling.packSequences(docs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the shard-keyed window is the only hash exchange; the trailing
+    // orderBy adds a range exchange, which is fine
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange:\n$plan")
+  }
+
   test("datasheet aggregates exact token/char mass per (source, lang)") {
     val docs = Seq(
       (1L, "one two three", "en", "web", 13L),
