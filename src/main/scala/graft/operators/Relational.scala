@@ -603,6 +603,31 @@ object Relational {
         count(when(col("t3") > col("t2") && col("t2") > col("t1"), 1))
           .as("n_purchased"))
 
+  /** The fact-scale decile formulation q34's comment names: one
+    * percentile_disc aggregation computes the n−1 boundary VALUES
+    * (bounded driver state — n−1 doubles), which inline as a literal
+    * array for a map-only bucket compare: bucket = 1 + #{boundaries
+    * strictly below the value}. No global-order window, no single
+    * partition — the corpus pass is embarrassingly parallel.
+    * Equals NTILE exactly when no tied value straddles a boundary
+    * (NTILE splits peer groups ±1 row by tie-break order; boundary
+    * bucketing keeps peers together — the usual analytics preference).
+    * Proven against NTILE on unique values in AnalyticsSpec. */
+  def bucketByBoundaries(df: DataFrame, valueCol: String,
+      n: Int = 10): DataFrame = {
+    require(n > 1, s"need at least 2 buckets, got $n")
+    val aggs = (1 until n).map(k => expr(
+      s"percentile_disc(${k.toDouble / n}) WITHIN GROUP " +
+        s"(ORDER BY $valueCol)").as(s"b$k"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bounds = array((0 until n - 1).map(i =>
+      lit(row.getDouble(i))): _*)
+    df.withColumn("bucket",
+      (lit(1) + aggregate(bounds, lit(0),
+        (acc, b) => acc + when(col(valueCol) > b, 1).otherwise(0)))
+        .cast("int"))
+  }
+
   /** q31 — weekly cohort retention (see registry comment). */
   def retention(events: DataFrame): DataFrame =
     events

@@ -196,6 +196,24 @@ class AnalyticsSpec extends GraftSpec {
     assert(hist.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 10))
   }
 
+  test("boundary bucketing equals NTILE on unique values, no global window") {
+    import org.apache.spark.sql.expressions.Window
+    // 977 is coprime to 1000: v is a permutation of 1..1000 (unique)
+    val df = (1 to 1000).map(i => (i.toLong, ((i * 977) % 1000 + 1).toDouble))
+      .toDF("id", "v")
+    val viaBounds = Relational.bucketByBoundaries(df, "v").collect()
+      .map(r => r.getDouble(1) -> r.getInt(2)).toMap
+    val viaNtile = df.withColumn("nt",
+        ntile(10).over(Window.orderBy(col("v"), col("id")))).collect()
+      .map(r => r.getDouble(1) -> r.getInt(2)).toMap
+    assert(viaBounds == viaNtile)
+    // and the corpus pass has NO unpartitioned window: only the one-row
+    // boundary aggregation appears, never a single-partition sort of df
+    val plan = Relational.bucketByBoundaries(df, "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window in bucket pass:\n$plan")
+  }
+
   test("ntile deciles are balanced and cume_dist is monotone in balance") {
     val rows = SparkEntry.queries("q34_ntile")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getDouble(3)))
