@@ -399,6 +399,36 @@ object Etl {
         .orderBy(col("status"), col("segmento"), col("is_new"))
     },
 
+    // -- in-flight metrics via the Observation API -------------------------
+    // Spark-native monitoring: observe() aggregates accumulate DURING
+    // the clean pass itself — no second scan, unlike the reference's
+    // monitor.py which re-queries every layer it audits. The metrics
+    // row becomes the result; the oracle recomputes each number from
+    // the fixture relationally, so a metric that drifted from the data
+    // it claims to describe fails the hash. A fresh Observation per
+    // invocation (they are one-shot by design).
+    "etl_observe" -> { (s, dir) =>
+      val obs = new org.apache.spark.sql.Observation(
+        s"ingest_${java.util.UUID.randomUUID}")
+      val df = cleaned(s, dir).observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("descricao").isNull, 1L).otherwise(0L))
+          .as("n_null_desc"),
+        count(when(col("segmento") === "PRIMARIO", 1)).as("n_primario"),
+        min(col("codigo")).as("min_codigo"),
+        max(col("codigo")).as("max_codigo"))
+      df.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("n_null_desc").asInstanceOf[Long],
+        m("n_primario").asInstanceOf[Long],
+        m("min_codigo").asInstanceOf[Long],
+        m("max_codigo").asInstanceOf[Long]))
+        .toDF("n_rows", "n_null_desc", "n_primario",
+          "min_codigo", "max_codigo")
+    },
+
     // -- semi-structured extraction: JSON property column ------------------
     // The events table carries a JSON `props` string (the usual shape of
     // landed clickstream/telemetry data). get_json_object is a
@@ -433,6 +463,15 @@ object Etl {
            |  CASE WHEN codigo % 2 = 1 THEN 'PRIMARIO' ELSE 'SECUNDARIO' END
            |    AS segmento
            |FROM ($messy) t ORDER BY codigo""".stripMargin,
+      // every observed metric recomputed from the fixture
+      "etl_observe" ->
+        s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN NULLIF(TRIM(descricao), '') IS NULL
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_null_desc,
+           |  CAST(COUNT(CASE WHEN codigo % 2 = 1 THEN 1 END) AS BIGINT)
+           |    AS n_primario,
+           |  MIN(codigo) AS min_codigo, MAX(codigo) AS max_codigo
+           |FROM ($messy) t""".stripMargin,
       // identical contract to etl_clean — the roundtrip must be lossless
       "etl_jsonl_roundtrip" ->
         s"""SELECT codigo, NULLIF(TRIM(descricao), '') AS descricao,

@@ -153,6 +153,17 @@ class MedallionSpec extends GraftSpec {
     assert(got(0).getString(2) == "not_a_number;carol")
   }
 
+  test("observed in-flight metrics agree with the cleaned frame") {
+    val m = SparkEntry.queries("etl_observe")(spark, sf).collect().head
+    val clean = SparkEntry.queries("etl_clean")(spark, sf)
+    assert(m.getLong(0) == clean.count())
+    assert(m.getLong(1) ==
+      clean.filter(col("descricao").isNull).count())
+    assert(m.getLong(2) ==
+      clean.filter(col("segmento") === "PRIMARIO").count())
+    assert(m.getLong(3) <= m.getLong(4))
+  }
+
   test("ingest pipeline conserves rows across quarantine/clean/verdict") {
     val rows = SparkEntry.queries("pipeline_ingest")(spark, sf).collect()
     val customers = spark.read.parquet(s"$sf/customer.parquet").count()
