@@ -1130,6 +1130,53 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Incremental embedding dedup — the vector-store ingestion shape:
+    * verdicts for a new batch of vectors against the historical corpus
+    * (dup_of_history: some historical vector sits at cosine ≥
+    * threshold) and against itself (dup_in_batch: a SMALLER-id batch
+    * vector does), plus the keep bit — the embedding-space member of
+    * the incremental family (exact: [[Dedup.incremental]], bloom:
+    * [[Dedup.bloomIncremental]], text near-dup:
+    * [[Dedup.incrementalNear]]).
+    *
+    * The default face derives verdicts from [[embeddingPairsExact]]'s
+    * complete block-pair cosine — exact by construction, so the DuckDB
+    * all-pairs oracle replays the WHOLE operator; `exact = false`
+    * swaps in the banded-LSH pair pipeline ([[embeddingPairs]]) — the
+    * production path when the store is large and recall is traded
+    * against candidate volume (recall vs the exact face is
+    * spec-asserted for the corpus's regime). */
+  def incrementalEmbedding(vecs: DataFrame, batchPred: Column,
+      threshold: Double = 0.4, exact: Boolean = true): DataFrame = {
+    val pairs =
+      (if (exact) embeddingPairsExact(vecs, threshold)
+       else embeddingPairs(vecs, threshold))
+        .select(col("vec_a"), col("vec_b"))
+    val sym = pairs.unionAll(
+      pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+    val ids = vecs.select(col("vec_id"), batchPred.as("in_batch"))
+    val ann = sym.toDF("x", "y")
+      .join(ids.toDF("x", "x_b"), "x")
+      .join(ids.toDF("y", "y_b"), "y")
+      .filter(col("x_b"))
+      .localCheckpoint(true)
+    val doh = ann.filter(!col("y_b"))
+      .select(col("x").as("vec_id")).distinct()
+      .withColumn("doh", lit(true))
+    val dib = ann.filter(col("y_b") && col("y") < col("x"))
+      .select(col("x").as("vec_id")).distinct()
+      .withColumn("dib", lit(true))
+    vecs.filter(batchPred).select(col("vec_id"))
+      .join(doh, Seq("vec_id"), "left_outer")
+      .join(dib, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("doh"), lit(false)).as("dup_of_history"),
+        coalesce(col("dib"), lit(false)).as("dup_in_batch"),
+        (!coalesce(col("doh"), lit(false)) &&
+          !coalesce(col("dib"), lit(false))).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Correctness face = the complete block-pair banding (see
     // embeddingPairsExact): candidate generation, pair explosion and
@@ -1192,6 +1239,10 @@ object Similarity {
       centroidOutliers(Tables.load(s, dir, "embeddings"))),
     "dedup_semantic" -> ((s, dir) =>
       semanticDedup(Tables.load(s, dir, "embeddings"))),
+    // same %3 history/batch split as the text-side incremental keys
+    "dedup_incremental_emb" -> ((s, dir) =>
+      incrementalEmbedding(Tables.load(s, dir, "embeddings"),
+        col("vec_id") % 3 === 0)),
     "emb_pca_power" -> ((s, dir) =>
       topComponent(Tables.load(s, dir, "embeddings"))),
     // PQ code audit: n_codes + in-plan argmax certificate per vector,
@@ -1335,6 +1386,30 @@ object Similarity {
         |        GENERATE_SUBSCRIPTS(embedding, 1) AS pos
         |      FROM embeddings) t
         |GROUP BY label, pos ORDER BY label, dim""".stripMargin,
+    // the true all-pairs cosine answer over the %3 split: dup flags
+    // replayed with the same >= threshold the exact face applies
+    "dedup_incremental_emb" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding,
+        |    SQRT(LIST_DOT_PRODUCT(embedding, embedding)) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS x, b.vec_id AS y
+        |  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+        |  WHERE LIST_DOT_PRODUCT(a.embedding, b.embedding)
+        |      / (a.nrm * b.nrm) >= 0.4),
+        |b AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0),
+        |doh AS (SELECT DISTINCT x AS vec_id FROM pairs
+        |        WHERE x % 3 = 0 AND y % 3 <> 0),
+        |dib AS (SELECT DISTINCT x AS vec_id FROM pairs
+        |        WHERE x % 3 = 0 AND y % 3 = 0 AND y < x)
+        |SELECT b.vec_id,
+        |  doh.vec_id IS NOT NULL AS dup_of_history,
+        |  dib.vec_id IS NOT NULL AS dup_in_batch,
+        |  (doh.vec_id IS NULL AND dib.vec_id IS NULL) AS keep
+        |FROM b LEFT JOIN doh ON b.vec_id = doh.vec_id
+        |LEFT JOIN dib ON b.vec_id = dib.vec_id
+        |ORDER BY b.vec_id""".stripMargin,
     // full SemDeDup replay: fixed-point centroids, argmax assignment
     // (ties → lowest cell), within-cell pairs, min-id-survivor verdict
     "dedup_semantic" ->

@@ -26,6 +26,31 @@ class SimilaritySpec extends GraftSpec {
     assert(math.abs(got.getDouble(2) - expectedTop._2) < 1e-9)
   }
 
+  test("incremental embedding verdicts: LSH face is a sound subset of exact") {
+    import org.apache.spark.sql.functions.col
+    def flags(exact: Boolean) =
+      Similarity.incrementalEmbedding(vecs, col("vec_id") % 3 === 0,
+          exact = exact).collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2))))
+        .toMap
+    val e = flags(exact = true)
+    val l = flags(exact = false)
+    assert(e.keySet == l.keySet)
+    // the LSH face's verify stage is exact cosine, so it can MISS a
+    // dup (bucket recall) but never invent one
+    l.foreach { case (id, (dh, db)) =>
+      assert(!dh || e(id)._1, s"LSH false-positive history dup at $id")
+      assert(!db || e(id)._2, s"LSH false-positive batch dup at $id")
+    }
+    // the fixture exercises both verdicts on the exact face
+    assert(e.values.exists(_._1) && e.values.exists(_._2))
+    // keep bit is the negation of the dup flags on every row
+    Similarity.incrementalEmbedding(vecs, col("vec_id") % 3 === 0)
+      .collect().foreach { r =>
+        assert(r.getBoolean(3) == (!r.getBoolean(1) && !r.getBoolean(2)))
+      }
+  }
+
   test("IVF cell assignment shuffles no corpus rows") {
     // the corpus→cell assignment is a per-row argmax over the broadcast
     // codebook: no exchange keyed by vec_id may appear anywhere (the
