@@ -620,8 +620,14 @@ object Relational {
       s"percentile_disc(${k.toDouble / n}) WITHIN GROUP " +
         s"(ORDER BY $valueCol)").as(s"b$k"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // percentile_disc returns the INPUT column's type (it picks an
+    // actual value) — widen any numeric to double for the compare
     val bounds = array((0 until n - 1).map(i =>
-      lit(row.getDouble(i))): _*)
+      lit(row.getAs[Any](i) match {
+        case d: java.lang.Number => d.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"$valueCol must be numeric, got $other")
+      })): _*)
     df.withColumn("bucket",
       (lit(1) + aggregate(bounds, lit(0),
         (acc, b) => acc + when(col(valueCol) > b, 1).otherwise(0)))
