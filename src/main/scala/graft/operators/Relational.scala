@@ -509,19 +509,23 @@ object Relational {
       retention(Tables.load(s, dir, "events"))),
 
     // -- q32: NATIVE pivot (RelationalGroupedDataset.pivot) ----------------
-    // The relational pivot API surface itself (q13 is the manual
-    // CASE-WHEN formulation): explicit value list, so the plan is a
-    // single pass — no distinct-values pre-query — and compiles to
-    // exactly q13's conditional aggregation (one shuffle, map-side
-    // partial agg). Explicit values are also the 100 TB contract: an
-    // unlisted pivot would scan once just to discover the columns.
+    // The relational pivot API surface itself. Explicit value list, so
+    // there is no distinct-values pre-query — the 100 TB contract (an
+    // unlisted pivot scans once just to discover the columns). PLAN
+    // HONESTY: Spark plans pivot as aggregate-then-pivotfirst — TWO
+    // hash exchanges ((user_id, event_type) then user_id) where q13's
+    // manual CASE-WHEN form needs one; both are map-side-combined and
+    // key-uniform, but the conditional-aggregation formulation remains
+    // the cheaper plan when the pivot values are known. fill(0) is
+    // scoped to the pivot output columns (an unscoped na.fill would
+    // also rewrite NULL grouping keys).
     "q32_pivot" -> { (s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy(col("user_id"))
         .pivot("event_type",
           Seq("view", "click", "purchase", "signup", "error"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        .na.fill(0L, Seq("view", "click", "purchase", "signup", "error"))
         .orderBy(col("user_id"))
     },
 
