@@ -184,6 +184,25 @@ object Etl {
       s.read.schema(trustedSchema).orc(orcDir).orderBy(col("codigo"))
     },
 
+    // -- XML sink + schema-enforced source losslessness --------------------
+    // Spark 4's built-in XML data source (the spark-xml donation) —
+    // the interchange format government/legacy feeds actually ship.
+    // Same contract as the JSONL face: the writer omits NULL fields,
+    // the schema-enforced reader restores them, and the roundtrip
+    // hash-matches the etl_clean oracle. Not a lake format — an
+    // EXCHANGE format; the scale note is that read/write are still
+    // per-file parallel like any text source.
+    "etl_xml_roundtrip" -> { (s, dir) =>
+      val sfName = dir.replaceAll(".*/", "")
+      val xmlDir = s"$roundtripRoot/$sfName/xml"
+      cleaned(s, dir)
+        .select(col("codigo"), col("descricao"), col("segmento"))
+        .write.mode("overwrite").option("rowTag", "registro")
+        .format("xml").save(xmlDir)
+      s.read.option("rowTag", "registro").schema(trustedSchema)
+        .format("xml").load(xmlDir).orderBy(col("codigo"))
+    },
+
     // -- SCD-1 upsert: snapshot + changeset → merged state, FULL oracle ----
     // The changeset is derived deterministically from the snapshot
     // (updates: every 10th key gets an uppercased name and +100
@@ -479,6 +498,12 @@ object Etl {
            |    AS segmento
            |FROM ($messy) t ORDER BY codigo""".stripMargin,
       "etl_orc_roundtrip" ->
+        s"""SELECT codigo, NULLIF(TRIM(descricao), '') AS descricao,
+           |  CASE WHEN codigo % 2 = 1 THEN 'PRIMARIO' ELSE 'SECUNDARIO' END
+           |    AS segmento
+           |FROM ($messy) t ORDER BY codigo""".stripMargin,
+      // identical contract — the XML roundtrip must be lossless too
+      "etl_xml_roundtrip" ->
         s"""SELECT codigo, NULLIF(TRIM(descricao), '') AS descricao,
            |  CASE WHEN codigo % 2 = 1 THEN 'PRIMARIO' ELSE 'SECUNDARIO' END
            |    AS segmento
