@@ -161,9 +161,10 @@ object Sampling {
         coalesce(sum(col("n_tokens"))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("doc_id"), col("shard"),
-        // explicit floor: DuckDB's double→BIGINT cast ROUNDS where
-        // Spark's truncates — floor-then-cast agrees on both engines
-        floor(col("start_tok") / capacity).cast("long").as("seq_id"),
+        // pure BIGINT division (`div` = IntegralDivide): no double
+        // intermediate exists for the engines to represent differently
+        // (oracle mirrors with DuckDB's integer `//`)
+        expr(s"start_tok div $capacity").as("seq_id"),
         (col("start_tok") % capacity).as("seq_offset"),
         col("n_tokens"))
       .orderBy(col("doc_id"))
@@ -308,7 +309,7 @@ object Sampling {
         |      AS start_tok
         |  FROM s)
         |SELECT doc_id, shard,
-        |  CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS seq_id,
+        |  start_tok // 2048 AS seq_id,
         |  start_tok % 2048 AS seq_offset, n_tokens
         |FROM p ORDER BY doc_id""".stripMargin,
     "sample_source_cap" ->
