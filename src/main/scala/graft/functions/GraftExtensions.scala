@@ -44,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "simhash64(tokens) - 64-bit SimHash of array<string>"),
       (children: Seq[Expression]) => SimHash64(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("poly_simhash"),
+      info("poly_simhash",
+        "poly_simhash(tokens) - 60-bit SimHash over codepoint-polynomial " +
+          "token hashes; exactly replayable in standard SQL"),
+      (children: Seq[Expression]) => PolySimHash(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("image_dims"),
       info("image_dims",
         "image_dims(blob) - struct(fmt, width, height) parsed from " +
@@ -106,6 +112,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         expectArity("rolling_fingerprint(text, k, w)", 3, children)
         RollingHashFingerprint(children.head,
+          intArg(children(1), "k"), intArg(children(2), "w"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("poly_fingerprint"),
+      info("poly_fingerprint",
+        "poly_fingerprint(text, k, w) - winnowed codepoint-polynomial " +
+          "k-gram fingerprint; exactly replayable in standard SQL"),
+      (children: Seq[Expression]) => {
+        expectArity("poly_fingerprint(text, k, w)", 3, children)
+        PolyFingerprint(children.head,
           intArg(children(1), "k"), intArg(children(2), "w"))
       }))
   }

@@ -171,6 +171,180 @@ case class RollingHashFingerprint(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Codepoint-polynomial hashes shared by the ORACLE-REPLAYABLE sketch
+  * faces ([[PolySimHash]], [[PolyFingerprint]]): h = fold over code
+  * points of (acc·B + cp) mod p. Pure BIGINT arithmetic any SQL engine
+  * evaluates identically (DuckDB: `list_reduce(list_prepend(0, codes),
+  * (acc, x) -> (acc*B + x) % p)`), unlike the UTF-8-byte FNV+fmix
+  * family above, which only the JVM computes. acc < p ≤ 2³⁰ and
+  * cp ≤ 0x10FFFF keep every intermediate far inside signed-64 range —
+  * no overflow semantics to disagree on. */
+private[functions] object PolyHash {
+  val B1 = 31L;  val P1 = 1000000007L
+  val B2 = 37L;  val P2 = 998244353L
+  // simhash folds start from a large seed so even 1–2-char tokens wrap
+  // mod p on the first step — an unseeded fold leaves short tokens with
+  // tiny hashes whose high bits are constant 0, which collapses the
+  // majority vote for those bits (observed 371 hamming<=3 pairs over
+  // 500 docs vs ~15 with well-spread bits)
+  val S1 = 888888883L   // < P1
+  val S2 = 777777777L   // < P2
+
+  /** Code points of s, in order (surrogate-pair correct). */
+  def codePoints(s: UTF8String): Array[Int] = {
+    val str = s.toString
+    val out = new Array[Int](str.codePointCount(0, str.length))
+    var i = 0; var j = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      out(j) = cp; j += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  def hash(cps: Array[Int], from: Int, until: Int, b: Long, p: Long,
+      seed: Long = 0L): Long = {
+    var h = seed; var i = from
+    while (i < until) { h = (h * b + cps(i)) % p; i += 1 }
+    h
+  }
+}
+
+/** 60-bit SimHash whose token hashes are the two [[PolyHash]]
+  * polynomials (bits 0–29 from B=31 mod 1000000007, bits 30–59 from
+  * B=37 mod 998244353): bit i is set iff strictly more than half the
+  * token occurrences have bit i set in the corresponding token hash
+  * (2·c > n; ties clear the bit). Same ±1-vote semantics as
+  * [[SimHash64]], but every step is exact integer SQL — DuckDB
+  * recomputes the identical signature, so the near-dup PAIR SET can be
+  * hash-gated against an all-pairs oracle instead of rows-only. The
+  * 64-bit face remains the production sketch (denser bits); this is
+  * the correctness face. */
+case class PolySimHash(child: Expression)
+    extends UnaryExpression with StringArrayInput {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "poly_simhash"
+
+  def compute(input: ArrayData): Long = {
+    import PolyHash._
+    val counts = new Array[Int](60)
+    val n = input.numElements()
+    var j = 0
+    while (j < n) {
+      val cps = codePoints(input.getUTF8String(j))
+      val h1 = hash(cps, 0, cps.length, B1, P1, S1)
+      val h2 = hash(cps, 0, cps.length, B2, P2, S2)
+      var i = 0
+      while (i < 30) {
+        counts(i) += ((h1 >>> i) & 1L).toInt
+        counts(i + 30) += ((h2 >>> i) & 1L).toInt
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 60) { if (2 * counts(i) > n) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("polySimhashExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolySimHash =
+    copy(child = newChild)
+}
+
+/** Winnowed fingerprint over [[PolyHash]] k-gram hashes — the
+  * oracle-replayable counterpart of [[RollingHashFingerprint]]: gram i
+  * hashes the CHARACTER window [i, i+k) with the B=31 mod-1000000007
+  * polynomial (no mixing — the raw mod-p value IS the fingerprint, so
+  * DuckDB reproduces it from substr + list_reduce), window-min per
+  * sliding window of w grams, distinct + sorted. Rolling O(1) update
+  * per gram with modular subtract (add p·B before subtracting to stay
+  * non-negative); a document shorter than k grams contributes its
+  * single whole-string hash, shorter than w windows a single
+  * whole-range min — same clipping as the production expression. */
+case class PolyFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "poly_fingerprint"
+
+  import PolyHash.{B1, P1}
+
+  // B^(k-1) mod p, for the rolling window subtract
+  private lazy val basePowK: Long = {
+    var pow = 1L; var i = 0
+    while (i < k - 1) { pow = (pow * B1) % P1; i += 1 }
+    pow
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val cps = PolyHash.codePoints(input)
+    val n = cps.length
+    val nGrams = math.max(n - k + 1, 1)
+    val gramHashes = new Array[Long](nGrams)
+    if (n < k) {
+      gramHashes(0) = PolyHash.hash(cps, 0, n, B1, P1)
+    } else {
+      var h = PolyHash.hash(cps, 0, k, B1, P1)
+      gramHashes(0) = h
+      var i = k
+      while (i < n) {
+        // (h - cp_out·B^(k-1))·B + cp_in  (mod p), kept non-negative
+        h = ((h + P1 - (cps(i - k) * basePowK) % P1) % P1 * B1 + cps(i)) % P1
+        gramHashes(i - k + 1) = h
+        i += 1
+      }
+    }
+    val nWin = math.max(nGrams - w + 1, 1)
+    val winnowed = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    while (j < nWin) {
+      var m = Long.MaxValue
+      var t = j
+      val end = math.min(j + w, nGrams)
+      while (t < end) { if (gramHashes(t) < m) m = gramHashes(t); t += 1 }
+      winnowed.add(m)
+      j += 1
+    }
+    val out = new Array[Long](winnowed.size())
+    val it = winnowed.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("polyFingerprintExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolyFingerprint =
+    copy(child = newChild)
+}
+
 /** Native 64-bit SimHash over a token array (SURVEY §4's SimHash64):
   * hash each token once, accumulate ±1 per bit, sign → bit. ~n·64
   * primitive ops per row vs the doubly-nested interpreted aggregate

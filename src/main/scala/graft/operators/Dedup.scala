@@ -364,26 +364,59 @@ object Dedup {
     * that, split the corpus by a cheap partition key (e.g. language or
     * length band) before pairing, or widen chunks to 32 bits with
     * multiple permuted tables (standard simhash sharding). */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val b = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), simHash64(col("toks")).as("simhash"))
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashPairsFrom(
+      docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), simHash64(col("toks")).as("simhash")),
+      chunkBits = 16, maxDist = maxDist)
+
+  /** Oracle-gated SimHash face: identical bucketing/pair semantics to
+    * [[simhashPairs]], but the signature is the 60-bit
+    * graft.functions.PolySimHash (codepoint-polynomial token hashes,
+    * majority vote per bit) — exact integer math a SQL engine replays
+    * verbatim, so the emitted pair set hash-matches an ALL-PAIRS
+    * hamming oracle. A green gate therefore proves the signature, the
+    * pigeonhole bucket recall (4×15-bit chunks are exact for
+    * hamming<=3), and the distance filter in one hash. The 64-bit
+    * production face keeps its property spec (denser bits for
+    * 100 TB bucket occupancy); this face is the correctness contract. */
+  def polySimhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashPairsFrom(
+      docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          call_function("poly_simhash", col("toks")).as("simhash")),
+      chunkBits = 15, maxDist = maxDist)
+
+  /** Chunk-bucketed hamming pair generation over a (doc_id, simhash)
+    * frame: explode into [[SimHashChunks]] chunk keys of `chunkBits`
+    * bits, keep multi-occupant buckets, pair within buckets, filter by
+    * hamming. Columns are renamed BY NAME before the self-join — the
+    * USING-join output order is an analyzer detail no correctness
+    * should ride on. */
+  private def simhashPairsFrom(sigs: DataFrame, chunkBits: Int,
+      maxDist: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1
+    val b = sigs
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(SimHashChunks - 1))).as("chunk"))
       .select(col("chunk"),
-        expr("(simhash >> (16 * chunk)) & 65535").as("chunk_val"),
+        expr(s"(simhash >> ($chunkBits * chunk)) & $mask").as("chunk_val"),
         col("doc_id"), col("simhash"))
       .localCheckpoint(true)
     val keep = b.groupBy(col("chunk"), col("chunk_val"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
       .select(col("chunk"), col("chunk_val"))
     val kept = b.join(keep, Seq("chunk", "chunk_val"), "left_semi")
-    kept.toDF("chunk", "chunk_val", "doc_a", "sim_a")
-      .join(kept.toDF("chunk", "chunk_val", "doc_b", "sim_b"),
-        Seq("chunk", "chunk_val"))
+      .select(col("chunk"), col("chunk_val"), col("doc_id"), col("simhash"))
+    val a = kept
+      .withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sim_a"))
+    val c = kept
+      .withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sim_b"))
+    a.join(c, Seq("chunk", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+          .cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
@@ -598,7 +631,9 @@ object Dedup {
     "dedup_segments" -> ((s, dir) =>
       segmentDedup(Tables.load(s, dir, "documents"))),
     "dedup_minhash" -> ((s, dir) => minhashPairs(Tables.load(s, dir, "documents"))),
-    "dedup_simhash" -> ((s, dir) => simhashPairs(Tables.load(s, dir, "documents"))),
+    // the oracle-replayable poly-simhash face is the gated one; the
+    // 64-bit production sketch keeps its property spec (DedupSpec)
+    "dedup_simhash" -> ((s, dir) => polySimhashPairs(Tables.load(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(Tables.load(s, dir, "documents"))),
     // history = doc_id % 3 != 0, batch = doc_id % 3 == 0 — a
@@ -798,8 +833,41 @@ object Dedup {
         |  UNION
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node)
         |SELECT node AS doc_id, MIN(r) AS keep_id FROM reach
-        |GROUP BY node ORDER BY doc_id""".stripMargin
-    // remaining near-dup ops (simhash/embedding) are rows-only:
-    // deterministic fixed-seed LSH over hash spaces DuckDB can't replay
+        |GROUP BY node ORDER BY doc_id""".stripMargin,
+    // The 60-bit poly-simhash recomputed entirely in SQL (token
+    // codepoint-polynomials via list_reduce, one majority-vote CASE per
+    // bit), then ALL-pairs hamming — the Spark side emits only
+    // chunk-bucket candidates, so a green hash also proves the
+    // pigeonhole recall is exact, LSH-oracle style.
+    "dedup_simhash" -> {
+      val bitTerms = (0 until 60).map { i =>
+        val (h, sh) = if (i < 30) ("h1", i) else ("h2", i - 30)
+        s"(CASE WHEN 2*SUM(($h >> $sh) & 1) > COUNT(*) THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n      + ")
+      s"""WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    LIST_REDUCE(LIST_PREPEND(CAST(888888883 AS BIGINT),
+        |      LIST_TRANSFORM(STRING_SPLIT(t, ''),
+        |        c -> CAST(UNICODE(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h1,
+        |    LIST_REDUCE(LIST_PREPEND(CAST(777777777 AS BIGINT),
+        |      LIST_TRANSFORM(STRING_SPLIT(t, ''),
+        |        c -> CAST(UNICODE(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 37 + x) % 998244353) AS h2
+        |  FROM tok),
+        |sh AS (
+        |  SELECT doc_id,
+        |      $bitTerms
+        |    AS sim
+        |  FROM th GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(BIT_COUNT(XOR(a.sim, b.sim)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE BIT_COUNT(XOR(a.sim, b.sim)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
+    }
   )
 }
