@@ -303,10 +303,10 @@ object Sampling {
         |  FROM t),
         |p AS (
         |  SELECT doc_id, shard, n_tokens,
-        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
         |      ORDER BY shuffle_key, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS start_tok
+        |      AS BIGINT) AS start_tok
         |  FROM s)
         |SELECT doc_id, shard,
         |  start_tok // 2048 AS seq_id,

@@ -160,6 +160,40 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Oracle-gated winnow-overlap face: identical plan shape to
+    * [[winnowOverlapPairs]] but fingerprinting with the replayable
+    * codepoint-polynomial [[graft.functions.PolyFingerprint]] (B=31
+    * mod 1000000007, seed 0 — pure BIGINT math DuckDB recomputes
+    * verbatim from the character list), so the FULL pipeline — k-gram
+    * hashes, window-min winnowing, posting-list cutoff, pair
+    * generation, shared-print counts — is hash-gated against SQL,
+    * the dedup_simhash pattern. The byte-level Rabin-Karp face
+    * ([[winnowOverlapPairs]]) keeps its structural spec; this face is
+    * the correctness contract. Corpus precondition (holds for the
+    * generated documents table, checked in TextEtlSpec): ASCII,
+    * non-empty, single-spaced text — DuckDB's per-character split +
+    * UNICODE() then reproduces the JVM codePointAt fold exactly. */
+  def winnowOverlapPairsPoly(docs: DataFrame, minShared: Int = 5,
+      k: Int = 16, w: Int = 8, maxPosting: Int = 16): DataFrame =
+    docs
+      .select(col("doc_id"),
+        call_function("poly_fingerprint", col("text"), lit(k), lit(w))
+          .as("fp"))
+      .select(col("doc_id"), explode(col("fp")).as("f"))
+      .groupBy(col("f"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxPosting))
+      .select(array_sort(col("ids")).as("ids"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(sequence(i + 1, size(ids) - 1),
+          |    j -> struct(ids[i] AS doc_a, ids[j] AS doc_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Word-repetition metrics (the Gopher-style repetition filter): how
     * much of a document is the same word over and over. Heavily
     * repetitive documents (boilerplate, keyword stuffing, degenerate
@@ -296,7 +330,7 @@ object TextAnalysis {
     "text_fingerprint" -> ((s, dir) =>
       fingerprintGate(Tables.load(s, dir, "documents"))),
     "text_winnow_overlap" -> ((s, dir) =>
-      winnowOverlapPairs(Tables.load(s, dir, "documents"))),
+      winnowOverlapPairsPoly(Tables.load(s, dir, "documents"))),
     "text_rep_words" -> ((s, dir) =>
       repetition(Tables.load(s, dir, "documents"))))
 
@@ -405,6 +439,45 @@ object TextAnalysis {
     "text_fingerprint" ->
       """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
         |  TRUE AS fp_ok
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The full winnowing pipeline recomputed in SQL against the
+    // replayable PolyFingerprint face: codepoint list per doc, k-gram
+    // polynomial hashes via list_reduce over list slices (seed 0,
+    // B=31 mod 1000000007 — exact BIGINT math), window-min winnowing
+    // as a bounded-frame MIN window, distinct fingerprints, posting
+    // lists capped to [2, 16], all pairs within postings, shared-print
+    // counts >= 5 — the dedup_simhash oracle pattern. Gram-range and
+    // window clipping (docs shorter than k chars / w grams) mirror the
+    // expression's max(·, 1) exactly: DuckDB list slices clamp, the
+    // ROWS frame clips, and the i <= GREATEST(ng - 7, 1) predicate
+    // keeps the same single-window fallback.
+    "text_winnow_overlap" ->
+      """WITH cps AS (
+        |  SELECT doc_id,
+        |    LIST_TRANSFORM(STRING_SPLIT(text, ''),
+        |      c -> CAST(UNICODE(c) AS BIGINT)) AS cp,
+        |    LENGTH(text) AS n
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i,
+        |    LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+        |        cp[CAST(i AS INT):CAST(i + 15 AS INT)]),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        |  FROM cps, UNNEST(RANGE(1, GREATEST(n - 15, 1) + 1)) AS r(i)),
+        |wm AS (
+        |  SELECT doc_id, i,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS f,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM grams),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, f FROM wm
+        |  WHERE i <= GREATEST(ng - 7, 1)),
+        |pf AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 16)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+        |WHERE a.f IN (SELECT f FROM pf)
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

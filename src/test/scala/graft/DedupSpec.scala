@@ -91,7 +91,7 @@ class DedupSpec extends GraftSpec {
     assert(pairs.nonEmpty)
     pairs.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
-      assert(r.getInt(2) <= 3)
+      assert(r.getLong(2) <= 3L)
     }
   }
 

@@ -57,6 +57,54 @@ class FunctionsSpec extends GraftSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("poly_fingerprint matches an independent reference recompute, " +
+    "including short-input clipping") {
+    // straight-line reference: codepoint polynomial per k-gram
+    // (seed 0, B=31 mod 1e9+7), min per w-window, distinct sorted
+    def ref(s: String, k: Int, w: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      val nGrams = math.max(cps.length - k + 1, 1)
+      val hs = (0 until nGrams).map { i =>
+        cps.slice(i, math.min(i + k, cps.length))
+          .foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+      }
+      (0 until math.max(nGrams - w + 1, 1))
+        .map(j => hs.slice(j, math.min(j + w, nGrams)).min)
+        .distinct.sorted
+    }
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "ab"),        // shorter than k: single whole-string hash
+      (3L, "abcdefg"))   // >= k grams but fewer than w windows
+    val got = rows.toDF("id", "t")
+      .select(col("id"),
+        call_function("poly_fingerprint", col("t"), lit(4), lit(3)))
+      .orderBy(col("id"))
+      .collect().map(_.getSeq[Long](1).toList)
+    rows.zip(got).foreach { case ((_, s), fp) =>
+      assert(fp == ref(s, 4, 3).toList, s"mismatch for '$s'")
+    }
+    assert(got(1) ==
+      List("ab".codePoints().toArray
+        .foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)))
+  }
+
+  test("poly_simhash: identical texts collide, values fit in 60 bits, " +
+    "near-duplicates are close in hamming distance") {
+    val base = (0 until 40).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word7", "wird7")
+    val far = (0 until 40).map(i => s"other$i").mkString(" ")
+    val sims = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("id", "t")
+      .select(col("id"), call_function("poly_simhash", split(col("t"), " ")))
+      .orderBy(col("id")).collect().map(_.getLong(1))
+    sims.foreach(s => assert(s >= 0L && s < (1L << 60)))
+    assert(sims(0) == sims(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(0), sims(2)) < ham(sims(0), sims(3)),
+      "one-token edit must be closer than a disjoint text")
+  }
+
   test("image_dims parses real PNG/GIF/BMP headers, NULL otherwise") {
     def png(w: Int, h: Int): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(33)

@@ -74,6 +74,35 @@ class TextEtlSpec extends GraftSpec {
       "disjoint doc must not pair")
   }
 
+  test("winnow oracle corpus precondition: documents are ASCII, " +
+    "non-empty, single-spaced") {
+    // the text_winnow_overlap / dedup_simhash oracles replay the JVM
+    // codePointAt fold via DuckDB's per-character split + UNICODE();
+    // empty tokens (double spaces), empty docs, and combining
+    // sequences are the known divergence surfaces — assert the
+    // generated corpus stays clear of them so the gates stay honest
+    val bad = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(col("text").isNull || col("text") === "" ||
+        col("text").contains("  ") ||
+        col("text").rlike("[^\\x20-\\x7E]"))
+      .count()
+    assert(bad == 0, s"$bad documents violate the oracle precondition")
+  }
+
+  test("poly winnow overlap face detects the same planted span reuse") {
+    val span = (0 until 30).map(i => s"shared$i").mkString(" ")
+    val a = span + " " + (0 until 30).map(i => s"atail$i").mkString(" ")
+    val b = (0 until 30).map(i => s"bhead$i").mkString(" ") + " " + span
+    val c = (0 until 60).map(i => s"cword$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowOverlapPairsPoly(df).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.contains((1L, 2L)), s"span reuse not detected: $pairs")
+    assert(pairs((1L, 2L)) >= 3)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc must not pair")
+  }
+
   test("unigram log-prob matches a driver-side recompute and the " +
     "vocab table broadcasts (token stream never shuffles by word)") {
     import spark.implicits._
