@@ -235,8 +235,9 @@ object Dedup {
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
       .select(col("band"), col("bucket"))
     val kept = b.join(keep, Seq("band", "bucket"), "left_semi")
-    kept.toDF("band", "bucket", "doc_a")
-      .join(kept.toDF("band", "bucket", "doc_b"), Seq("band", "bucket"))
+    kept.withColumnRenamed("doc_id", "doc_a")
+      .join(kept.withColumnRenamed("doc_id", "doc_b"),
+        Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()

@@ -331,9 +331,16 @@ object Etl {
       // the catalog is in-memory per JVM but the managed location is
       // not: a previous session's table directory would survive the
       // no-op DROP and block saveAsTable with LOCATION_ALREADY_EXISTS
-      val loc = new java.io.File(
-        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath,
-        tbl)
+      val warehouse = new java.io.File(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
+      val loc = new java.io.File(warehouse, tbl)
+      // guard the recursive delete: only ever remove the one managed
+      // table directory directly under the warehouse root — a
+      // misconfigured warehouse.dir (e.g. resolving to "/") must fail
+      // loudly rather than recurse into it
+      require(loc.getCanonicalFile.getParentFile ==
+          warehouse.getCanonicalFile && loc.getName == tbl,
+        s"refusing recursive delete outside the warehouse: $loc")
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(): Unit

@@ -545,28 +545,42 @@ object Relational {
         .orderBy(col("event_type"), col("bin"))
     },
 
-    // -- q34: ntile + cume_dist distribution windows -----------------------
-    // Equal-frequency decile assignment and cumulative distribution
-    // over account balance — the quantile-bucketing counterpart of
-    // q17's exact quantile VALUES. Both windows share one sort.
-    // SCALE HONESTY: Spark executes an unpartitioned window on a
-    // SINGLE partition (WindowExec warns), so this exact-SQL face is
-    // for dimension-sized inputs; at fact scale the same buckets come
-    // from q17's percentile boundaries broadcast back as a map-only
-    // range compare (±1-row tie handling aside), or a
-    // repartitionByRange + per-partition-offset rank. Tie-break on
-    // c_custkey makes decile deterministic; cume_dist ties are the
-    // SQL-standard peer-group value on both engines.
+    // -- q34: equal-frequency deciles, fact-scale formulation --------------
+    // Decile assignment over account balance WITHOUT a global-order
+    // window: one percentile_disc aggregation computes the 9 boundary
+    // VALUES (bounded driver state — 9 doubles), which inline as
+    // literals for a map-only bucket compare, so the corpus pass is
+    // embarrassingly parallel (see [[bucketByBoundaries]]). Equals
+    // NTILE exactly on unique values (AnalyticsSpec proves parity);
+    // where a tied value straddles an NTILE split, boundary bucketing
+    // keeps the peer group together — the usual analytics preference.
+    // The exact-SQL NTILE+CUME_DIST face this replaces (correct, but a
+    // single-partition WindowExec — dimension-sized inputs only)
+    // survives as [[ntileCumeDist]] under its own spec.
     "q34_ntile" -> { (s, dir) =>
-      val byBal = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      val peers = Window.orderBy(col("c_acctbal"))
-      Tables.load(s, dir, "customer")
-        .select(col("c_custkey"), col("c_acctbal"))
-        .withColumn("decile", ntile(10).over(byBal))
-        .withColumn("cd", cume_dist().over(peers))
+      bucketByBoundaries(
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal")), "c_acctbal")
+        .withColumnRenamed("bucket", "decile")
         .orderBy(col("c_custkey"))
     }
   )
+
+  /** The dimension-sized exact-SQL distribution windows q34 previously
+    * gated: NTILE(10) and CUME_DIST share one global sort, which Spark
+    * executes on a SINGLE partition (WindowExec warns) — correct only
+    * for inputs that fit one task. The registered q34 face is
+    * [[bucketByBoundaries]]; this face remains for spec coverage of
+    * the window semantics (balance, cume_dist monotonicity). */
+  def ntileCumeDist(customer: DataFrame): DataFrame = {
+    val byBal = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    val peers = Window.orderBy(col("c_acctbal"))
+    customer
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("decile", ntile(10).over(byBal))
+      .withColumn("cd", cume_dist().over(peers))
+      .orderBy(col("c_custkey"))
+  }
 
   /** q29 — see the registry comment above for the one-shuffle plan
     * argument. Gap threshold is a SQL interval literal so the fixture
@@ -912,11 +926,22 @@ object Relational {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bin_value
         |FROM events GROUP BY event_type, bin
         |ORDER BY event_type, bin""".stripMargin,
+    // mirrors bucketByBoundaries: ANSI percentile_disc boundaries
+    // (both engines pick the smallest value whose cume_dist >= p, an
+    // ACTUAL input double — exact equality replays), then a map-side
+    // strictly-greater count. CAST to INTEGER matches Spark's int.
     "q34_ntile" ->
-      """SELECT c_custkey, c_acctbal,
-        |  NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile,
-        |  CUME_DIST() OVER (ORDER BY c_acctbal) AS cd
-        |FROM customer ORDER BY c_custkey""".stripMargin,
+      ("""WITH b AS (SELECT
+        |""" + (1 to 9).map(k =>
+        s"  percentile_disc(0.$k) WITHIN GROUP (ORDER BY c_acctbal)" +
+          s" AS b$k").mkString(",\n") + """
+        |  FROM customer)
+        |SELECT c_custkey, c_acctbal,
+        |  CAST(1 """ + (1 to 9).map(k =>
+        s"+ (CASE WHEN c_acctbal > b$k THEN 1 ELSE 0 END)")
+        .mkString(" ") + """ AS INTEGER) AS decile
+        |FROM customer CROSS JOIN b
+        |ORDER BY c_custkey""").stripMargin,
     "q31_retention" ->
       """WITH e AS (SELECT user_id,
         |    CAST(DATE_TRUNC('week', ts) AS DATE) AS wk FROM events),

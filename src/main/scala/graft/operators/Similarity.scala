@@ -143,7 +143,10 @@ object Similarity {
               s"bitsPerBand=$bitsPerBand — raise bitsPerBand (or maxBucket) " +
               "instead of trusting a near-empty result")
         ck
-      case None => lshBanded(vecs, bitsPerBand)
+      // checkpoint here too: `banded` feeds both the size aggregation
+      // and the semi-join below — uncheckpointed, the hyperplane
+      // projection would run twice
+      case None => lshBanded(vecs, bitsPerBand).localCheckpoint(true)
     }
     // buckets worth pairing: size in (1, maxBucket]; metadata-scale
     // (≤ bands·2^bits rows), so the semi-join's build side stays small
@@ -153,8 +156,9 @@ object Similarity {
       .filter(col("n") > 1 && col("n") <= maxBucket)
       .select(col("band"), col("bucket"))
     val kept = banded.join(keep, Seq("band", "bucket"), "left_semi")
-    val cands = kept.toDF("band", "bucket", "id_a")
-      .join(kept.toDF("band", "bucket", "id_b"), Seq("band", "bucket"))
+    val cands = kept.withColumnRenamed("vec_id", "id_a")
+      .join(kept.withColumnRenamed("vec_id", "id_b"),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct() // a pair can collide in several bands

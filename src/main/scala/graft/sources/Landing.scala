@@ -16,6 +16,54 @@ import org.apache.spark.sql.functions._
   */
 object Landing {
 
+  // -- acquisition seam ---------------------------------------------------
+  // The reference's discovery+download step (scraping.py:24-101:
+  // requests GET of an HTML directory index, BeautifulSoup walk of
+  // <a> tags for href == "Cnaes.zip", streamed download). Transport is
+  // a pluggable `fetch: String => Array[Byte]` — the engine never
+  // hard-wires a network stack; tests inject file:// fixtures and a
+  // deployment injects its HTTP client of choice.
+
+  /** Anchor hrefs of an HTML index page, in document order. Regex
+    * extraction is deliberate: directory indexes are machine-emitted
+    * single-pattern pages, not general HTML — no parser dependency. */
+  private val href = """(?is)<a\s[^>]*href\s*=\s*["']([^"']+)["']""".r
+  def indexLinks(html: String): Seq[String] =
+    href.findAllMatchIn(html).map(_.group(1)).toSeq
+
+  /** Locate `target` among the index's anchors and resolve it against
+    * the index URL (scraping.py:38-47: href == target → absolute URL).
+    * None when the listing lacks the target — the reference's
+    * log-and-return-False branch. */
+  def locate(indexHtml: String, indexUrl: String,
+      target: String): Option[String] =
+    indexLinks(indexHtml).find(_ == target)
+      .map(h => java.net.URI.create(indexUrl).resolve(h).toString)
+
+  /** Default transport: any java.net-resolvable URL — file:// for
+    * fixtures and air-gapped replays, http(s):// in deployments. */
+  def urlFetch(url: String): Array[Byte] = {
+    val in = java.net.URI.create(url).toURL.openStream()
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** The full acquire step behind the fetch seam: fetch the index
+    * page, locate the target archive, fetch it, land the raw bytes at
+    * `landingDir/target`. Driver-side by design — ONE archive lands
+    * per call (the reference downloads one ZIP per run); everything
+    * distributed (unzip fan-out, charset decode, CSV parse) starts
+    * from [[readBinary]]/[[unzipEntries]] over the landing dir. */
+  def acquireArchive(fetch: String => Array[Byte], indexUrl: String,
+      target: String, landingDir: String): Option[java.nio.file.Path] = {
+    val index = new String(fetch(indexUrl),
+      java.nio.charset.StandardCharsets.UTF_8)
+    locate(index, indexUrl, target).map { url =>
+      val dir = java.nio.file.Paths.get(landingDir)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve(target), fetch(url))
+    }
+  }
+
   /** One row per file: (path, modificationTime, length, content). */
   def readBinary(spark: SparkSession, pathGlob: String): DataFrame =
     spark.read.format("binaryFile").load(pathGlob)

@@ -215,7 +215,9 @@ class AnalyticsSpec extends GraftSpec {
   }
 
   test("ntile deciles are balanced and cume_dist is monotone in balance") {
-    val rows = SparkEntry.queries("q34_ntile")(spark, sf).collect()
+    // the dimension-sized exact-window face (no longer the gated q34)
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    val rows = Relational.ntileCumeDist(customer).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getDouble(3)))
     val byDecile = rows.groupBy(_._3).view.mapValues(_.length).toMap
     assert(byDecile.keySet == (1 to 10).toSet)
@@ -226,6 +228,29 @@ class AnalyticsSpec extends GraftSpec {
       case Array(a, b) => a._4 <= b._4 && a._3 <= b._3
       case _ => true
     }, "cume_dist/decile not monotone in balance order")
+  }
+
+  test("gated q34 deciles are windowless and balanced up to tie groups") {
+    val df = SparkEntry.queries("q34_ntile")(spark, sf)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(rows.map(_._3).toSet == (1 to 10).toSet)
+    val sorted = rows.sortBy(r => (r._2, r._1))
+    assert(sorted.sliding(2).forall {
+      case Array(a, b) => a._3 <= b._3
+      case _ => true
+    }, "decile not monotone in balance order")
+    // boundary bucketing keeps tie groups together, so balance can
+    // drift by at most the largest tie group's size
+    val maxTie = rows.groupBy(_._2).values.map(_.size).max
+    val byDecile = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byDecile.values.max - byDecile.values.min <= math.max(1, maxTie),
+      s"deciles off by more than the tie bound $maxTie: $byDecile")
+    // the corpus pass must not contain any window operator — that is
+    // the whole point of the swap (the old face was a single-partition
+    // WindowExec)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in gated q34 plan:\n$plan")
   }
 
   test("semantic dedup evaluates the assignment pipeline exactly once") {

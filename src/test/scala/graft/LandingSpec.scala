@@ -3,6 +3,10 @@ package graft
 import java.nio.charset.Charset
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Etl
+import graft.pipeline.Medallion
 import graft.sources.Landing
 
 class LandingSpec extends GraftSpec {
@@ -18,6 +22,53 @@ class LandingSpec extends GraftSpec {
     assert(got == legacy)
     val lines = Landing.toLines(decoded).collect()
     assert(lines.length == 1 && lines.head.getString(1) == legacy)
+  }
+
+  test("acquire seam: index discovery over file:// lands the archive " +
+    "and drives raw→trusted→refined") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "acquire")
+      .toAbsolutePath
+    val iso = Charset.forName("ISO-8859-1")
+    // a machine-generated directory index: a decoy anchor plus the
+    // target, single-quoted/attribute-noise variants included
+    Files.write(dir.resolve("index.html"),
+      ("<html><body><a href=\"Empresas.zip\">Empresas.zip</a>\n" +
+        "<a class='x' href='Cnaes.zip'>Cnaes.zip</a></body></html>")
+        .getBytes("UTF-8"))
+    val zos = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(dir.resolve("Cnaes.zip")))
+    zos.putNextEntry(new java.util.zip.ZipEntry("F.K03200$Z.CNAE.CSV"))
+    zos.write("1;Cultivo de café\n2;Produção".getBytes(iso))
+    zos.closeEntry()
+    zos.close()
+    val indexUrl = s"file://$dir/index.html"
+    // discovery + fetch through the pluggable transport
+    val landed = Landing.acquireArchive(Landing.urlFetch, indexUrl,
+      "Cnaes.zip", s"$dir/landing")
+    assert(landed.exists(p => p.getFileName.toString == "Cnaes.zip" &&
+      Files.size(p) > 0))
+    // absent target → None, nothing landed (the reference's
+    // log-and-return-False branch)
+    assert(Landing.acquireArchive(Landing.urlFetch, indexUrl,
+      "Socios.zip", s"$dir/landing2").isEmpty)
+    assert(!Files.exists(dir.resolve("landing2/Socios.zip")))
+    // distributed continuation: unzip → decode → raw utf-8 CSV →
+    // trusted → refined, the reference's full chain on the landed file
+    val rawText = Landing.decodeText(Landing.unzipEntries(
+        Landing.readBinary(spark, s"$dir/landing/*.zip")))
+      .filter(col("entry").endsWith(".CSV"))
+      .select("text").collect().head.getString(0)
+    Files.createDirectories(dir.resolve("raw"))
+    Files.write(dir.resolve("raw/Cnaes.csv"), rawText.getBytes("UTF-8"))
+    Medallion.rawToTrusted(spark, s"$dir/raw", s"$dir/trusted",
+      Etl.rawSchema, "codigo")
+    Medallion.trustedToRefined(spark, s"$dir/trusted", s"$dir/refined",
+      Medallion.trustedSchemaOf(Etl.rawSchema))
+    val refined = spark.read.parquet(s"$dir/refined")
+      .orderBy("codigo").collect()
+    assert(refined.length == 2)
+    assert(refined.head.getLong(0) == 1L &&
+      refined.head.getString(1) == "Cultivo de café")
   }
 
   test("distributed unzip explodes archive entries to decoded rows") {

@@ -128,6 +128,54 @@ class MedallionSpec extends GraftSpec {
     spark.sql("DROP TABLE IF EXISTS graft_ledger_spec")
   }
 
+  test("retrying a failed run is idempotent: distinct attempt rows, " +
+    "identical refined content") {
+    // dag.py:56-60 gives every task retries=1 — a mid-chain failure
+    // re-executes the whole raw→trusted→refined chain as a new
+    // attempt. The engine contract that makes that safe: every layer
+    // write is overwrite-mode (re-runs replace partial output, never
+    // append to it) while the run ledger is append-only (each attempt
+    // leaves its own audit rows).
+    val root = Files.createTempDirectory(Paths.get("target"), "retry")
+      .toString
+    Files.createDirectories(Paths.get(s"$root/raw"))
+    Files.write(Paths.get(s"$root/raw/data.csv"),
+      "1;alpha\n2;beta\n3;gamma".getBytes(StandardCharsets.UTF_8))
+    spark.sql("DROP TABLE IF EXISTS graft_retry_spec")
+    var tick = 0
+    val clock = () => { tick += 1; f"2026-08-13 01:00:$tick%02d" }
+    // attempt 1 dies between trusted and refined: trusted is written,
+    // refined is a partial directory from the crashed write
+    Medallion.rawToTrusted(spark, s"$root/raw", s"$root/trusted",
+      Etl.rawSchema, "codigo")
+    Files.createDirectories(Paths.get(s"$root/refined"))
+    Files.write(Paths.get(s"$root/refined/part-crashed.parquet"),
+      "not parquet".getBytes(StandardCharsets.UTF_8))
+    def runAttempt(uid: String) =
+      Medallion.auditedRun(spark, uid, "graft", s"$root/raw",
+        s"$root/trusted", s"$root/refined", Etl.rawSchema, "codigo",
+        "graft_retry_spec", clock)
+    def refinedContent(): Seq[String] =
+      spark.read.parquet(s"$root/refined")
+        .orderBy("codigo").collect().map(_.mkString("|")).toSeq
+    runAttempt("run-7-attempt-2") // the retry after the failure
+    val afterRetry = refinedContent()
+    runAttempt("run-7-attempt-3") // an operator re-trigger on success
+    // refined output is content-identical across attempts — the stray
+    // partial file is gone, nothing appended twice
+    assert(refinedContent() == afterRetry)
+    assert(afterRetry.length == 3)
+    val ledger = spark.table("graft_retry_spec").orderBy("dt_start")
+      .collect()
+    // the ledger holds BOTH attempts, each with its own uid and the
+    // same recomputed layer row counts
+    assert(ledger.length == 4)
+    assert(ledger.map(_.getString(0)).distinct.toSeq ==
+      Seq("run-7-attempt-2", "run-7-attempt-3"))
+    assert(ledger.forall(_.getLong(4) == 3L))
+    spark.sql("DROP TABLE IF EXISTS graft_retry_spec")
+  }
+
   test("quarantine read keeps parseable fields of bad rows and tags " +
     "exactly the malformed ones") {
     val dir = Files.createTempDirectory(Paths.get("target"), "badrec")
