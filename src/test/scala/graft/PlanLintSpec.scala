@@ -24,4 +24,32 @@ class PlanLintSpec extends GraftSpec {
           s"$k compiles to a nested-loop join:\n${plan.take(1200)}")
     }
   }
+
+  /** sample_temperature's two global-sum windows run AFTER
+    * groupBy(source) — the frame is source-cardinality-sized (bounded
+    * at any corpus size, never rows), per the scale note on
+    * Sampling.temperatureMix. Every other registered plan must be
+    * free of unpartitioned windows: Spark executes them on ONE
+    * partition, the exact scale-killer q34's gate shed in round 7. */
+  private val boundedFrameWindows = Set("sample_temperature")
+
+  private def physOps(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      physOps(a.executedPlan)
+    case other => other +: other.children.flatMap(physOps)
+  }
+
+  test("no query plan carries an unpartitioned window over an unbounded frame") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (k, _) => boundedFrameWindows(k) }
+      .foreach { case (k, q) =>
+        val bad = physOps(q(spark, sf).queryExecution.executedPlan)
+          .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        assert(bad.isEmpty,
+          s"$k moves all rows to one partition for a global window:\n" +
+            bad.map(_.toString.take(300)).mkString("\n"))
+      }
+  }
 }
