@@ -317,7 +317,84 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 ranked retrieval over the corpus — the token-side serving
+    * complement to the embedding kNN family (benchmark-similar doc
+    * lookup, decontamination triage, eval-set retrieval):
+    * score(q,d) = Σ_{w∈q} idf(w) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with idf(w) = ln((N−df+0.5)/(df+0.5)+1) — the always-positive
+    * Robertson/Lucene form — at the standard k1=1.2, b=0.75. The query
+    * set derives deterministically from the corpus (every `every`-th
+    * document's first `qTerms` distinct words), so the WHOLE stage —
+    * postings, document stats, idf, scoring, per-query top-k — replays
+    * in SQL and the gate hash-checks it end to end.
+    *
+    * Scale shape: ONE corpus tokenize feeds the (doc,term) tf postings
+    * (map-side-combined groupBy); per-doc lengths reduce FROM the
+    * postings (postings-sized, not token-sized); corpus totals are a
+    * 2-value scalar aggregate (bounded driver state — the
+    * bucketByBoundaries pattern). The query-term table BROADCASTS into
+    * a probe that prunes postings to query terms BEFORE df counting
+    * and scoring — everything downstream of the prune is
+    * query-hit-sized, the corpus never shuffles again, and the
+    * per-query top-k compiles to WindowGroupLimit. Cross-engine
+    * exactness: fractional constants enter BOTH engines as the same
+    * literals forced to DOUBLE (DuckDB would otherwise compute
+    * DECIMAL-exact intermediates where Spark rounds in binary),
+    * per-term scores quantize to floor(·1e6) BIGINTs — the
+    * labelCentroids fixed-point trick — so sums are order-independent,
+    * and ranks compute on the exact integer sum with doc_id
+    * tie-break. */
+  def bm25TopK(docs: DataFrame, every: Long = 100, qTerms: Int = 8,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // doc lengths come straight off the scan (size of the word array —
+    // identical to summing per-term tf), so corpus stats are a
+    // shuffle-free scalar aggregate
+    val dl = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val qw = docs.filter(col("doc_id") % every === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(words(col("text")), 1, qTerms))).as("w"))
+    // prune the token stream to query terms BEFORE any shuffle: the
+    // broadcast semi-join evaluates map-side, so the (doc, term)
+    // aggregation only ever shuffles query-term hits — the corpus
+    // token stream itself never crosses the wire
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .join(broadcast(qw.select(col("w")).distinct()), Seq("w"), "left_semi")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val probe = tf.join(broadcast(qw), "w")
+    // df per query term over ALL docs holding it: tf is already one
+    // row per (doc, term), so a per-term count IS the document
+    // frequency, shared across queries holding the term
+    val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    probe
+      .join(broadcast(dfq), "w")
+      .join(dl, "doc_id")
+      .withColumn("s", floor(
+        log((lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0))
+          * (col("tf") * lit(2.2))
+          / (col("tf")
+            + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
+          * lit(1e6)).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("isum"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("isum").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        round(col("isum").cast("double") / lit(1e6), 6).as("score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> ((s, dir) =>
+      bm25TopK(Tables.load(s, dir, "documents"))),
     "text_unigram_logprob" -> ((s, dir) =>
       unigramLogProb(Tables.load(s, dir, "documents"))),
     "text_pii_scrub" -> ((s, dir) =>
@@ -335,6 +412,57 @@ object TextAnalysis {
       repetition(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // the whole retrieval stage recomputed: postings, doc lengths,
+    // corpus stats, per-term idf, fixed-point BM25 term scores, exact
+    // integer rank. Fractional literals are CAST to DOUBLE so DuckDB's
+    // DECIMAL arithmetic can't diverge from Spark's binary doubles;
+    // the operation ORDER mirrors bm25TopK exactly.
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |st AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM dl),
+        |qw AS (
+        |  SELECT DISTINCT query_id, w FROM (
+        |    SELECT doc_id AS query_id, UNNEST(t[1:8]) AS w FROM (
+        |      SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+        |      FROM documents WHERE doc_id % 100 = 0))),
+        |probe AS (
+        |  SELECT q.query_id, t.doc_id, t.w, t.tf
+        |  FROM tf t JOIN qw q USING (w)),
+        |dfq AS (
+        |  SELECT w, COUNT(*) AS df FROM (
+        |    SELECT DISTINCT w, doc_id FROM probe) GROUP BY w),
+        |sc AS (
+        |  SELECT p.query_id, p.doc_id,
+        |    SUM(CAST(FLOOR(
+        |      LN((CAST((SELECT n FROM st) AS DOUBLE) - f.df
+        |            + CAST(0.5 AS DOUBLE))
+        |          / (f.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |        * (p.tf * CAST(2.2 AS DOUBLE))
+        |        / (p.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * d.dl
+        |              / (SELECT avgdl FROM st)))
+        |        * 1e6) AS BIGINT)) AS isum
+        |  FROM probe p
+        |  JOIN dfq f USING (w)
+        |  JOIN dl d ON p.doc_id = d.doc_id
+        |  GROUP BY p.query_id, p.doc_id),
+        |rk AS (
+        |  SELECT query_id, doc_id, isum,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY isum DESC, doc_id) AS rk
+        |  FROM sc)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id,
+        |  ROUND(CAST(isum AS DOUBLE) / 1e6, 6) AS score
+        |FROM rk WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
     // the whole signal recomputed: unigram table, per-token ln-count
     // fixed-point sum, corpus-total normalizer
     "text_unigram_logprob" ->

@@ -103,6 +103,65 @@ class TextEtlSpec extends GraftSpec {
       "disjoint doc must not pair")
   }
 
+  test("bm25 retrieval: dense ranks, non-increasing scores, a " +
+    "driver-side brute-force recompute of one query, and a " +
+    "hand-checked score") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val rows = TextAnalysis.bm25TopK(docs).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 100L, 200L, 300L, 400L))
+    byQuery.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to 5L),
+        s"query $q ranks not dense")
+      val scores = sorted.map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse, s"query $q not sorted")
+    }
+    // brute-force query 0 over the whole corpus on the driver, same
+    // formula and operation order, and require the FULL top-5 to
+    // match — an oracle-independent check of the distributed plan
+    val all = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val n = all.length
+    val dlm = all.map { case (id, ws) => (id, ws.length.toLong) }.toMap
+    val avgdl = dlm.values.sum.toDouble / n
+    val q0 = all.find(_._1 == 0L).get._2.take(8).distinct
+    val dfm = q0.map(t => t -> all.count(_._2.contains(t)).toLong).toMap
+    val bf = all.flatMap { case (id, ws) =>
+      val tfm = ws.groupBy(identity).map { case (w, a) => (w, a.length.toLong) }
+      val hits = q0.filter(tfm.contains)
+      if (hits.isEmpty) None
+      else Some((id, hits.map { t =>
+        val tf = tfm(t); val d = dfm(t)
+        math.floor(math.log((n.toDouble - d + 0.5) / (d + 0.5) + 1.0)
+          * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlm(id) / avgdl))
+          * 1e6).toLong
+      }.sum))
+    }.sortBy { case (id, s) => (-s, id) }.take(5)
+    val got = byQuery(0L).sortBy(_.getLong(1))
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    val exp = bf.map { case (id, s) =>
+      (id, BigDecimal(s / 1e6).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
+    assert(got == exp, s"query-0 top-5 mismatch:\n got $got\n exp $exp")
+    // hand-check one score: a 2-doc corpus where the query doc holds
+    // both query terms once. N=2, df=1 per term ->
+    // idf = ln((2-1+0.5)/(1+0.5)+1) = ln(2); dl=2, avgdl=2.5
+    val tiny = Seq((0L, "alpha beta"), (1L, "gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val tr = TextAnalysis.bm25TopK(tiny, every = 2).collect()
+      .filter(r => r.getLong(0) == 0L && r.getLong(2) == 0L)
+    assert(tr.length == 1)
+    val idf = math.log((2.0 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    val term = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 2 / 2.5))
+    val tinyExp = math.floor(term * 1e6).toLong * 2 // two terms, tf=1
+    assert(tr.head.getDouble(3) ==
+      BigDecimal(tinyExp / 1e6).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"hand-checked score mismatch: ${tr.head.getDouble(3)}")
+  }
+
   test("unigram log-prob matches a driver-side recompute and the " +
     "vocab table broadcasts (token stream never shuffles by word)") {
     import spark.implicits._
