@@ -48,8 +48,11 @@ object Bench {
     // global, not per-query; a per-query warmup still taxes whichever
     // queries happen to run first.
     names.foreach { name =>
-      try materialize(SparkEntry.queries(name)(spark, sfDir))
-      catch { case _: Throwable => () } // failure re-surfaces in phase 2
+      try {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        materialize(SparkEntry.queries(name)(spark, sfDir))
+      } catch { case _: Throwable => () } // failure re-surfaces in phase 2
     }
     // Phase 2 — timed: MEDIAN of 3 runs per query, so a shared-VM load
     // spike can't fabricate a regression. The timer starts BEFORE query
@@ -65,6 +68,14 @@ object Bench {
     // scan+groupBy measuring 93 s with a clean plan on an idle host).
     names.foreach { name =>
       try {
+        // release the previous query's localCheckpoint blocks
+        // DETERMINISTICALLY: ContextCleaner cleanup is async (System.gc
+        // only enqueues it), so checkpoint blocks otherwise accumulate
+        // in the block manager across ~330 executions and inflate
+        // mid-run keys 1.5-2x over their idle spot-run truth (observed
+        // on dedup_bloom/dedup_cluster, code unchanged)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         System.gc()
         val runs = Seq.fill(3) {
           val t0 = System.nanoTime()
