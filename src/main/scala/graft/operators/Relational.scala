@@ -643,6 +643,9 @@ object Relational {
     val bounds = array((0 until n - 1).map(i =>
       lit(row.getAs[Any](i) match {
         case d: java.lang.Number => d.doubleValue()
+        case null => throw new IllegalArgumentException(
+          s"cannot bucket an empty (or all-NULL $valueCol) frame: " +
+            "percentile boundaries are undefined")
         case other => throw new IllegalArgumentException(
           s"$valueCol must be numeric, got $other")
       })): _*)

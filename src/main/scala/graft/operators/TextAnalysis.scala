@@ -354,6 +354,12 @@ object TextAnalysis {
       size(words(col("text"))).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
     val n = stats.getLong(0)
+    if (n == 0) // empty corpus: empty result, usual schema
+      return docs.sparkSession.emptyDataFrame.select(
+        lit(null).cast("long").as("query_id"),
+        lit(null).cast("long").as("rk"),
+        lit(null).cast("long").as("doc_id"),
+        lit(null).cast("double").as("score"))
     val avgdl = stats.getLong(1).toDouble / n
     val qw = docs.filter(col("doc_id") % every === 0)
       .select(col("doc_id").as("query_id"),

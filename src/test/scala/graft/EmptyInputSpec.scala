@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, Relational, Sampling, TextAnalysis}
+
+/** Empty-corpus contract for the library faces a user calls directly:
+  * an operator fed zero rows returns zero rows WITH ITS USUAL SCHEMA —
+  * never an opaque driver-side exception out of an eager `.head()` /
+  * `.collect()`. Purely-declarative faces satisfy this for free; the
+  * tests pin the driver-state faces (boundary bucketing, BM25 corpus
+  * stats) that have to handle it explicitly.
+  */
+class EmptyInputSpec extends GraftSpec {
+
+  private def emptyDocs: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))))
+
+  test("per-row and shuffle faces: empty in, empty out, schema intact") {
+    val faces: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "quality" -> TextAnalysis.quality _,
+      "tokens" -> TextAnalysis.tokens _,
+      "langId" -> TextAnalysis.langId _,
+      "repetition" -> TextAnalysis.repetition _,
+      "unigramLogProb" -> TextAnalysis.unigramLogProb _,
+      "winnowOverlapPairsPoly" ->
+        ((d: DataFrame) => TextAnalysis.winnowOverlapPairsPoly(d)),
+      "exact" -> Dedup.exact _,
+      "minhashPairs" -> ((d: DataFrame) => Dedup.minhashPairs(d)),
+      "simhashPairs" -> ((d: DataFrame) => Dedup.simhashPairs(d)),
+      "nearDupClusters" -> Dedup.nearDupClusters _,
+      "stratifiedSample" ->
+        ((d: DataFrame) => Sampling.stratifiedSample(d)),
+      "topKPerStratum" -> ((d: DataFrame) => Sampling.topKPerStratum(d)),
+      "packSequences" -> ((d: DataFrame) => Sampling.packSequences(d)),
+      "temperatureMix" -> ((d: DataFrame) => Sampling.temperatureMix(d)))
+    faces.foreach { case (name, f) =>
+      val out = f(emptyDocs)
+      assert(out.schema.nonEmpty, s"$name lost its schema")
+      assert(out.count() == 0, s"$name fabricated rows from nothing")
+    }
+  }
+
+  test("bm25 over an empty corpus returns an empty, correctly-typed frame") {
+    val out = TextAnalysis.bm25TopK(emptyDocs)
+    assert(out.columns.toSeq == Seq("query_id", "rk", "doc_id", "score"))
+    assert(out.schema("score").dataType == DoubleType)
+    assert(out.count() == 0)
+  }
+
+  test("bucketByBoundaries rejects an empty frame with a clear error") {
+    val df = emptyDocs.select(col("doc_id"), col("n_chars"))
+    val e = intercept[IllegalArgumentException] {
+      Relational.bucketByBoundaries(df, "n_chars")
+    }
+    assert(e.getMessage.contains("empty"),
+      s"error should name the empty input, got: ${e.getMessage}")
+  }
+}
