@@ -152,6 +152,39 @@ object Etl {
       s.read.parquet(s"$root/refined").orderBy(col("codigo"))
     },
 
+    // -- the reference's acquisition path as a gated key -------------------
+    // HTML-index discovery + download through the pluggable transport
+    // (reference: src/utils/scraping.py:24-101) land the archive —
+    // file:// fixtures here, an HTTP client in deployments — then the
+    // SAME distributed chain as etl_raw_roundtrip (unzip → charset
+    // decode → raw → trusted → refined) runs on the landed bytes.
+    // Shares that key's oracle: a green hash proves the acquisition
+    // seam changes NOTHING about the data. A decoy anchor and
+    // attribute noise in the index exercise the discovery walk.
+    "etl_acquire" -> { (s, dir) =>
+      val sfName = dir.replaceAll(".*/", "")
+      val root = s"$roundtripRoot/$sfName/acquire"
+      val zip = writeFixtureZip(s, dir, s"$root/remote")
+      val remote = java.nio.file.Paths.get(zip).getParent
+      java.nio.file.Files.write(remote.resolve("index.html"),
+        ("<html><body><a href=\"Empresas.zip\">decoy</a>\n" +
+          "<a class='x' href='cnaes.zip'>cnaes</a></body></html>")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val landed = Landing.acquireArchive(Landing.urlFetch,
+        s"file://$remote/index.html", "cnaes.zip", s"$root/landing")
+      require(landed.nonEmpty, "acquire: target absent from the index")
+      val decoded = Landing.decodeText(
+        Landing.unzipEntries(Landing.readBinary(s, s"$root/landing/*.zip")))
+      val rawDir = s"$root/raw"
+      decoded.select(col("text")).coalesce(1)
+        .write.mode("overwrite").text(rawDir)
+      Medallion.rawToTrusted(s, rawDir, s"$root/trusted", rawSchema, "codigo")
+      Medallion.trustedToRefined(
+        s, s"$root/trusted", s"$root/refined",
+        Medallion.trustedSchemaOf(rawSchema))
+      s.read.parquet(s"$root/refined").orderBy(col("codigo"))
+    },
+
     // -- JSONL sink/source losslessness, FULL-oracle checked ---------------
     // The trusted CSV leg is rows-only (format fidelity); JSONL is
     // lossless for long/string, so the roundtrip read can hash-match
@@ -668,6 +701,19 @@ object Etl {
       // with the reference clean — charset decode, doubled-quote CSV,
       // and schema-enforced reads are all on the hash
       "etl_raw_roundtrip" ->
+        """SELECT codigo, NULLIF(TRIM(descricao), '') AS descricao,
+          |  CASE WHEN codigo % 2 = 1 THEN 'PRIMARIO' ELSE 'SECUNDARIO' END
+          |    AS segmento
+          |FROM (
+          |  SELECT c_custkey AS codigo,
+          |    CASE WHEN c_custkey % 5 = 0 THEN c_name || ' "aspas";e|pipe'
+          |         WHEN c_custkey % 3 = 0 THEN c_name || ' çãõé'
+          |         ELSE c_name END AS descricao
+          |  FROM customer ORDER BY c_custkey LIMIT 100) t
+          |ORDER BY codigo""".stripMargin,
+      // same refined data through the acquisition seam — discovery and
+      // transport must be invisible to the output
+      "etl_acquire" ->
         """SELECT codigo, NULLIF(TRIM(descricao), '') AS descricao,
           |  CASE WHEN codigo % 2 = 1 THEN 'PRIMARIO' ELSE 'SECUNDARIO' END
           |    AS segmento
