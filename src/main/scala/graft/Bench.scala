@@ -59,6 +59,14 @@ object Bench {
     // construction — some queries (etl_*_roundtrip) perform their layer
     // writes eagerly there, and that work is part of the operator.
     //
+    // The three runs are INTERLEAVED as full passes over the registry
+    // (round 7): back-to-back runs of one key all land inside the same
+    // ~5 s window, so a co-tenant burst pollutes all three and the
+    // median keeps it (observed: one burst put nine consecutive keys
+    // 2-4x over baseline while the rest of the same run sat at 1.2x).
+    // Spread minutes apart, a burst hits at most one of a key's three
+    // samples and the median rejects it.
+    //
     // The explicit GC between queries is load-bearing: ContextCleaner
     // reclaims broadcast/shuffle state only when the driver happens to
     // collect old-gen (its periodicGC fallback defaults to 30 min —
@@ -66,27 +74,37 @@ object Bench {
     // otherwise accumulate state until allocation stalls surface as
     // 10-100x timings on whichever query runs next (observed: a 1 s
     // scan+groupBy measuring 93 s with a clean plan on an idle host).
-    names.foreach { name =>
-      try {
-        // release the previous query's localCheckpoint blocks
-        // DETERMINISTICALLY: ContextCleaner cleanup is async (System.gc
-        // only enqueues it), so checkpoint blocks otherwise accumulate
-        // in the block manager across ~330 executions and inflate
-        // mid-run keys 1.5-2x over their idle spot-run truth (observed
-        // on dedup_bloom/dedup_cluster, code unchanged)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        System.gc()
-        val runs = Seq.fill(3) {
+    val acc = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Double]]()
+    (1 to 3).foreach { _ =>
+      names.foreach { name =>
+        if (!errors.contains(name)) try {
+          // release the previous query's localCheckpoint blocks
+          // DETERMINISTICALLY: ContextCleaner cleanup is async
+          // (System.gc only enqueues it), so checkpoint blocks
+          // otherwise accumulate in the block manager across ~330
+          // executions and inflate mid-run keys 1.5-8x over their idle
+          // spot-run truth (observed on dedup_bloom/dedup_cluster/
+          // stream_window_agg, code unchanged)
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          System.gc()
           val t0 = System.nanoTime()
           materialize(SparkEntry.queries(name)(spark, sfDir))
-          (System.nanoTime() - t0) / 1e9
+          acc.getOrElseUpdate(name,
+            scala.collection.mutable.ArrayBuffer[Double]()) +=
+            (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(name) =
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
-        rawRuns(name) = runs
+      }
+    }
+    names.foreach { name =>
+      acc.get(name).filter(_.size == 3).foreach { runs =>
+        rawRuns(name) = runs.toSeq
         timings(name) = runs.sorted.apply(1)
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
     def q(s: String): String = "\"" + s.flatMap {
