@@ -19,6 +19,13 @@ object GraftSession {
       // native graft expressions (dot_product, cosine_sim) — see
       // graft.functions.GraftExtensions
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // the whole-stage-codegen class cache defaults to 100 entries;
+      // the registry holds 110 queries, so a pass over all of them
+      // evicts every compiled plan and each re-execution pays a
+      // ~0.2-0.3 s recompile (surfaced by the interleaved bench —
+      // cheap keys read 2-3x their back-to-back timings). Size it to
+      // hold the full registry with headroom.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
