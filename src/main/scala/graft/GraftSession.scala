@@ -16,6 +16,12 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read as long and convert in Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts is parquet timestamp[us] with isAdjustedToUTC=false,
+      // which Spark 4 infers as TIMESTAMP_NTZ by default. The engine's
+      // time semantics (unix_micros, window(), watermarks) are defined
+      // over instants, so read it as TimestampType instead — under the
+      // UTC session timezone the micros values are bit-identical.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // native graft expressions (dot_product, cosine_sim) — see
       // graft.functions.GraftExtensions
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
@@ -37,7 +43,8 @@ object GraftSession {
     // loudly rather than produce timezone-shifted or unreadable results.
     val critical = Seq(
       "spark.sql.session.timeZone" -> "UTC",
-      "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
     critical.foreach { case (k, v) =>
       val actual = spark.conf.get(k, "<unset>")
       require(actual == v,

@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Star-schema loader for the driver-generated TPC-H-ish tables.
   *
@@ -31,7 +31,17 @@ object Tables {
         // `div` = integral division (plain `/` would go through double
         // and lose precision above 2^53 — epoch-nanos is ~1.7e18).
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df
+      case _ =>
+        // Defense in depth for sessions not built via GraftSession: if
+        // the parquet micros timestamp was inferred as TIMESTAMP_NTZ
+        // (isAdjustedToUTC=false + inferTimestampNTZ on), cast it to an
+        // instant. Under the UTC session timezone the cast is a no-op on
+        // the underlying micros, matching what GraftSession's
+        // inferTimestampNTZ=false setting reads directly.
+        df.schema.fields.find(f => f.name == "ts" && f.dataType == TimestampNTZType) match {
+          case Some(_) => df.withColumn("ts", col("ts").cast(TimestampType))
+          case None    => df
+        }
     }
   }
 

@@ -144,8 +144,9 @@ object Streaming {
 
   // -- streaming faces ----------------------------------------------------
 
-  /** The events table's on-disk schema (ts is TIMESTAMP(NANOS), read as
-    * long under nanosAsLong — converted to micros like Tables.load). */
+  /** The events table's schema with ts as a raw nanos long — the shape
+    * the nanosAsLong shim yields for TIMESTAMP(NANOS) files (and the
+    * shape the upsert spec writes its staged micro-batch files in). */
   val eventsPhysicalSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -157,8 +158,14 @@ object Streaming {
   /** events table as a stream. FileStreamSource lists DIRECTORIES, and
     * the testdata ships one flat file per table — so stage a hard link
     * to the file under a scratch directory (a real deployment points
-    * this at its landing directory instead). Schema enforced,
-    * nanos→micros conversion as in Tables.load. */
+    * this at its landing directory instead).
+    *
+    * The stream source needs an explicit schema, so probe the file's
+    * actual timestamp encoding with a batch read first (the driver has
+    * shipped both TIMESTAMP(NANOS) — surfaced as a nanos long under the
+    * nanosAsLong shim — and plain micros timestamps across rounds) and
+    * normalize ts to a micros TimestampType instant either way, exactly
+    * like Tables.load. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val sfName = sfDir.replaceAll(".*/", "")
@@ -167,16 +174,32 @@ object Streaming {
       "stream_src", sfName)
     Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
-    if (!Files.exists(link)) {
-      try Files.createLink(link, Paths.get(sfDir, "events.parquet"))
+    val src = Paths.get(sfDir, "events.parquet")
+    // the stage dir outlives testdata regeneration; a stale hard link
+    // keeps the OLD inode alive, so refresh unless it is the same file
+    val fresh = Files.exists(link) &&
+      (try Files.isSameFile(link, src) catch { case _: Exception => false })
+    if (!fresh) {
+      Files.deleteIfExists(link)
+      try Files.createLink(link, src)
       catch { case _: Exception => // cross-device: fall back to a copy
-        Files.copy(Paths.get(sfDir, "events.parquet"), link)
+        Files.copy(src, link)
       }
     }
-    spark.readStream
-      .schema(eventsPhysicalSchema)
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsOnDisk = spark.read.parquet(stage.toString).schema("ts").dataType
+    if (tsOnDisk == LongType)
+      spark.readStream
+        .schema(eventsPhysicalSchema)
+        .parquet(stage.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else {
+      val schema = StructType(eventsPhysicalSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = tsOnDisk) else f))
+      spark.readStream
+        .schema(schema)
+        .parquet(stage.toString)
+        .withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Watermarked tumbling-window agg — the streaming face of
