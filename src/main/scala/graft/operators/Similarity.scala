@@ -908,50 +908,7 @@ object Similarity {
     * eigen-equation property-checked in SimilaritySpec. */
   def topComponent(vecs: DataFrame, iters: Int = 300,
       tol: Double = 1e-12): DataFrame = {
-    val tri = Dim * (Dim + 1) / 2
-    val stats = vecs
-      .select(posexplode(
-        call_function("outer_upper", col("embedding"))).as(Seq("pos", "x")))
-      .groupBy(col("pos"))
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
-      .orderBy(col("pos")).collect()
-    require(stats.length == tri + Dim,
-      s"expected ${tri + Dim} statistic rows, got ${stats.length}")
-    val n = stats.head.getLong(2).toDouble
-    require(n > 1, "need at least two vectors")
-    val sums = stats.map(_.getDouble(1))
-    val mean = Array.tabulate(Dim)(i => sums(tri + i) / n)
-    val cov = Array.ofDim[Double](Dim, Dim)
-    var k = 0
-    var ci = 0
-    while (ci < Dim) {
-      var cj = ci
-      while (cj < Dim) {
-        val v = (sums(k) - n * mean(ci) * mean(cj)) / (n - 1)
-        cov(ci)(cj) = v; cov(cj)(ci) = v
-        k += 1; cj += 1
-      }
-      ci += 1
-    }
-    // distributed pass over the RAW data: Σ ((x−μ)·v) (x−μ) — i.e.
-    // (n−1)·C v. Used only for the final certificate; its computation
-    // path (explicit centering + matvec) shares nothing with the Gram
-    // statistics the iteration ran on.
-    def cvPass(v: Array[Double]): Array[Double] = {
-      val mCol = array(mean.toIndexedSeq.map(lit): _*)
-      val vCol = array(v.toIndexedSeq.map(lit): _*)
-      // centered and s materialized as COLUMNS before reuse (HOF
-      // arguments re-evaluate per element — see quantizeStats)
-      vecs
-        .select(zip_with(col("embedding"), mCol,
-          (x, m) => x.cast("double") - m).as("c"))
-        .select(col("c"),
-          aggregate(zip_with(col("c"), vCol, (c, w) => c * w),
-            lit(0.0), (a, e) => a + e).as("s"))
-        .select(posexplode(col("c")).as(Seq("pos", "cx")), col("s"))
-        .groupBy(col("pos")).agg(sum(col("cx") * col("s")).as("av"))
-        .orderBy(col("pos")).collect().map(_.getDouble(1))
-    }
+    val (cov, mean, n) = covarianceOf(vecs)
     // driver-side matvec against the Dim×Dim covariance copy
     def matvec(v: Array[Double]): Array[Double] =
       Array.tabulate(Dim) { i =>
@@ -983,7 +940,7 @@ object Similarity {
     // sf0.001, 0.028 at sf0.01 with the 15-iteration cap); a real
     // embedding corpus with any dominant direction converges far
     // below it.
-    val cvFinal = cvPass(v).map(_ / (n - 1))
+    val cvFinal = centeredMatvecPass(vecs, mean, v).map(_ / (n - 1))
     val resid = math.sqrt(
       v.indices.map(i => math.pow(cvFinal(i) - eig * v(i), 2)).sum) / eig
     val flip = if (v(v.indices.maxBy(i => math.abs(v(i)))) < 0) -1.0 else 1.0
@@ -993,6 +950,108 @@ object Similarity {
       .map { case (x, i) => (i.toLong, x * flip, eig, resid, resid < 0.10) }
       .toDF("dim", "loading", "eigenvalue", "resid_rel", "resid_ok")
       .orderBy(col("dim"))
+  }
+
+  /** Oracle face of [[topComponent]]: identical covariance and update
+    * rule, but the power iteration runs EXACTLY `iters` steps with no
+    * early exit, and loadings/eigenvalue are rounded to 4 decimals.
+    * A fixed-step iterate v_K = C^K v_0 / ‖·‖ is a smooth function of
+    * C with only ~K-fold error amplification — unlike
+    * run-to-convergence, whose sensitivity is 1/spectral-gap — so an
+    * independent engine recomputing C from the raw embeddings in a
+    * different summation order (~1e-15 relative) lands within ~1e-12
+    * of the same iterate, and the 4-decimal rounding absorbs it. The
+    * DuckDB oracle replays the identical recursion as a recursive CTE
+    * over the covariance it derives itself from the embeddings table —
+    * a data-tied replay of the certificate, not a copy of the answer. */
+  def topComponentCertified(vecs: DataFrame, iters: Int = 60): DataFrame = {
+    val (cov, mean, n) = covarianceOf(vecs)
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(Dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < Dim) { s += cov(i)(j) * v(j); j += 1 }
+        s
+      }
+    var v = Array.fill(Dim)(1.0 / math.sqrt(Dim))
+    var eig = 0.0
+    var it = 0
+    while (it < iters) {
+      val av = matvec(v)
+      val norm = math.sqrt(av.map(x => x * x).sum)
+      eig = norm
+      v = av.map(_ / norm)
+      it += 1
+    }
+    // same independent-path certificate as topComponent: distributed
+    // centered matvec over the raw data, not the Gram statistics
+    val cvFinal = centeredMatvecPass(vecs, mean, v).map(_ / (n - 1))
+    val resid = math.sqrt(
+      v.indices.map(i => math.pow(cvFinal(i) - eig * v(i), 2)).sum) / eig
+    val flip = if (v(v.indices.maxBy(i => math.abs(v(i)))) < 0) -1.0 else 1.0
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    v.toIndexedSeq.zipWithIndex
+      .map { case (x, i) => (i.toLong, x * flip, eig, resid < 0.10) }
+      .toDF("dim", "loading", "eigenvalue", "resid_ok")
+      .select(col("dim"), round(col("loading"), 4).as("loading"),
+        round(col("eigenvalue"), 4).as("eigenvalue"), col("resid_ok"))
+      .orderBy(col("dim"))
+  }
+
+  /** ONE distributed pass for the PCA sufficient statistics (see
+    * [[topComponent]]): outer_upper emits each row's upper-triangle
+    * x·xᵀ with x appended, posexplode + groupBy(pos) folds partials
+    * map-side, and only O(Dim²) (pos, sum, count) triples reach the
+    * driver, where C = (Σxxᵀ − n·μμᵀ)/(n−1) is assembled. */
+  private def covarianceOf(vecs: DataFrame)
+      : (Array[Array[Double]], Array[Double], Double) = {
+    val tri = Dim * (Dim + 1) / 2
+    val stats = vecs
+      .select(posexplode(
+        call_function("outer_upper", col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+      .orderBy(col("pos")).collect()
+    require(stats.length == tri + Dim,
+      s"expected ${tri + Dim} statistic rows, got ${stats.length}")
+    val n = stats.head.getLong(2).toDouble
+    require(n > 1, "need at least two vectors")
+    val sums = stats.map(_.getDouble(1))
+    val mean = Array.tabulate(Dim)(i => sums(tri + i) / n)
+    val cov = Array.ofDim[Double](Dim, Dim)
+    var k = 0
+    var ci = 0
+    while (ci < Dim) {
+      var cj = ci
+      while (cj < Dim) {
+        val v = (sums(k) - n * mean(ci) * mean(cj)) / (n - 1)
+        cov(ci)(cj) = v; cov(cj)(ci) = v
+        k += 1; cj += 1
+      }
+      ci += 1
+    }
+    (cov, mean, n)
+  }
+
+  /** Distributed pass over the RAW data: Σ ((x−μ)·v) (x−μ) — i.e.
+    * (n−1)·C v. Used only for the eigen certificate; its computation
+    * path (explicit centering + matvec) shares nothing with the Gram
+    * statistics the iteration ran on. */
+  private def centeredMatvecPass(vecs: DataFrame, mean: Array[Double],
+      v: Array[Double]): Array[Double] = {
+    val mCol = array(mean.toIndexedSeq.map(lit): _*)
+    val vCol = array(v.toIndexedSeq.map(lit): _*)
+    // centered and s materialized as COLUMNS before reuse (HOF
+    // arguments re-evaluate per element — see quantizeStats)
+    vecs
+      .select(zip_with(col("embedding"), mCol,
+        (x, m) => x.cast("double") - m).as("c"))
+      .select(col("c"),
+        aggregate(zip_with(col("c"), vCol, (c, w) => c * w),
+          lit(0.0), (a, e) => a + e).as("s"))
+      .select(posexplode(col("c")).as(Seq("pos", "cx")), col("s"))
+      .groupBy(col("pos")).agg(sum(col("cx") * col("s")).as("av"))
+      .orderBy(col("pos")).collect().map(_.getDouble(1))
   }
 
   /** Int8 symmetric quantization audit: per-vector scale factor
@@ -1247,8 +1306,10 @@ object Similarity {
     "dedup_incremental_emb" -> ((s, dir) =>
       incrementalEmbedding(Tables.load(s, dir, "embeddings"),
         col("vec_id") % 3 === 0)),
+    // fixed-step certified face: DuckDB replays the same 60-step
+    // power iteration from its own covariance (see oracle below)
     "emb_pca_power" -> ((s, dir) =>
-      topComponent(Tables.load(s, dir, "embeddings"))),
+      topComponentCertified(Tables.load(s, dir, "embeddings"))),
     // PQ code audit: n_codes + in-plan argmax certificate per vector,
     // plus the subspace-recomposed l2 norm DuckDB recomputes from the
     // raw embedding (codes themselves are k-means output,
@@ -1266,8 +1327,12 @@ object Similarity {
     "knn_ivfpq" -> ((s, dir) =>
       knnIvfPqExact(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)))
 
-  /** emb_pca_power stays rows-only (float-sum iteration order DuckDB
-    * cannot replay; eigen-residual certificate rides the rows instead).
+  /** emb_pca_power is full-oracle: the registered face runs a FIXED
+    * 60-step power iteration (no early exit), and the oracle replays
+    * the identical recursion in a recursive CTE over the covariance
+    * DuckDB recomputes from the raw embeddings — fixed-step iterates
+    * agree across engines to ~1e-12 and the 4-decimal rounding
+    * absorbs it (see topComponentCertified).
     * dedup_embedding is full-oracle via the complete block-pair face —
     * the emitted set IS the all-pairs cosine answer. knn_brute AND
     * knn_ivf are full-oracle at 4-decimal precision with exact ranks
@@ -1276,6 +1341,60 @@ object Similarity {
     * full-oracle via the fixed-point mean; emb_quantize hash-matches
     * the exact per-vector scale plus in-plan error-bound gates. */
   def oracleSql: Map[String, String] = Map(
+    // replay of topComponentCertified: covariance recomputed from the
+    // raw embeddings (C = (Σxxᵀ − n·μμᵀ)/(n−1), exactly the Scala
+    // formula), then the SAME 60-step fixed power iteration as a
+    // recursive CTE. The state is the UNNORMALIZED iterate av — C·v is
+    // linear, so (C·av)/‖av‖ = C·(av/‖av‖) and one division inside the
+    // matvec replaces a separate normalize step; v_K = av_K/‖av_K‖ and
+    // λ = ‖av_K‖ = ‖C·v_{K-1}‖ match the Scala update rule. 4-decimal
+    // rounding absorbs the ~1e-12 cross-engine summation-order drift.
+    "emb_pca_power" ->
+      """WITH RECURSIVE nn AS (SELECT COUNT(*)::DOUBLE AS n FROM embeddings),
+        |idx AS (SELECT UNNEST(RANGE(1, 65)) AS i),
+        |mu AS (
+        |  SELECT i, SUM(embedding[i]::DOUBLE) / (SELECT n FROM nn) AS m
+        |  FROM embeddings, idx GROUP BY i),
+        |xs AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    SUM(e.embedding[a.i]::DOUBLE * e.embedding[b.i]::DOUBLE) AS sxx
+        |  FROM embeddings e, idx a, idx b
+        |  GROUP BY a.i, b.i),
+        |cov AS (
+        |  SELECT x.i, x.j,
+        |    (x.sxx - (SELECT n FROM nn) * ma.m * mb.m)
+        |      / ((SELECT n FROM nn) - 1) AS c
+        |  FROM xs x JOIN mu ma ON ma.i = x.i JOIN mu mb ON mb.i = x.j),
+        |covm AS (
+        |  SELECT LIST(cl ORDER BY i) AS m
+        |  FROM (SELECT i, LIST(c ORDER BY j) AS cl FROM cov GROUP BY i) t),
+        |p(step, av) AS (
+        |  SELECT 0, LIST_TRANSFORM(RANGE(1, 65), i -> 1.0/SQRT(64.0))
+        |  UNION ALL
+        |  SELECT p.step + 1,
+        |    LIST_TRANSFORM(RANGE(1,65), i ->
+        |      LIST_SUM(LIST_TRANSFORM(RANGE(1,65), j -> covm.m[i][j] * p.av[j]))
+        |        / SQRT(LIST_SUM(LIST_TRANSFORM(p.av, y -> y*y))))
+        |  FROM p, covm WHERE p.step < 60),
+        |fin AS (
+        |  SELECT LIST_TRANSFORM(av, x ->
+        |           x / SQRT(LIST_SUM(LIST_TRANSFORM(av, y -> y*y)))) AS v,
+        |         SQRT(LIST_SUM(LIST_TRANSFORM(av, y -> y*y))) AS eig
+        |  FROM p WHERE step = 60),
+        |res AS (
+        |  SELECT SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1,65), i ->
+        |    POWER(LIST_SUM(LIST_TRANSFORM(RANGE(1,65), j ->
+        |      covm.m[i][j] * fin.v[j])) - fin.eig * fin.v[i], 2)
+        |  ))) / fin.eig AS r
+        |  FROM fin, covm),
+        |am AS (SELECT i FROM idx, fin ORDER BY ABS(fin.v[i]) DESC, i LIMIT 1),
+        |fl AS (SELECT CASE WHEN fin.v[(SELECT i FROM am)] < 0
+        |              THEN -1.0 ELSE 1.0 END AS f FROM fin)
+        |SELECT idx.i - 1 AS dim,
+        |  ROUND((SELECT f FROM fl) * fin.v[idx.i], 4) AS loading,
+        |  ROUND(fin.eig, 4) AS eigenvalue,
+        |  (SELECT r FROM res) < 0.10 AS resid_ok
+        |FROM idx, fin ORDER BY dim""".stripMargin,
     "dedup_embedding" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding,

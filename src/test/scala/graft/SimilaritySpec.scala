@@ -223,6 +223,26 @@ class SimilaritySpec extends GraftSpec {
     }
   }
 
+  test("certified fixed-step face agrees with the converged component") {
+    val free = Similarity.topComponent(vecs).collect()
+    val cert = Similarity.topComponentCertified(vecs).collect()
+    assert(cert.length == Similarity.Dim)
+    // schema: (dim, loading, eigenvalue, resid_ok), loadings rounded
+    cert.foreach(r => assert(r.getBoolean(3), "certificate failed"))
+    val vFree = free.map(_.getDouble(1))
+    val vCert = cert.map(_.getDouble(1))
+    // both sign-canonicalized unit-ish vectors of the same matrix:
+    // the fixed 60-step iterate must point (nearly) the same way as
+    // the run-to-convergence one
+    val dot = vFree.zip(vCert).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) > 0.999, s"direction disagrees: |cos|=$dot")
+    assert(math.abs(cert.head.getDouble(2) - free.head.getDouble(2))
+      < 0.01 * free.head.getDouble(2) + 1e-4, "eigenvalue disagrees")
+    // rounding really applied: 4 decimals survive a *10^4 roundtrip
+    vCert.foreach(x =>
+      assert(math.abs(x * 10000 - math.rint(x * 10000)) < 1e-6))
+  }
+
   test("IVF probing every cell is exactly brute force") {
     // the correctness face's contract: nprobe = centroidBudget makes
     // IVF centroid-independent and exact — same pairs, same ranks
