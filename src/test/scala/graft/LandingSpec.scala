@@ -71,6 +71,60 @@ class LandingSpec extends GraftSpec {
       refined.head.getString(1) == "Cultivo de café")
   }
 
+  test("acquire seam: the same transport walks a real HTTP index on " +
+    "loopback") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val iso = Charset.forName("ISO-8859-1")
+    val zipBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      zos.putNextEntry(new java.util.zip.ZipEntry("F.K03200$Z.CNAE.CSV"))
+      zos.write("7;Comércio de café\n8;Extração".getBytes(iso))
+      zos.closeEntry()
+      zos.close()
+      bos.toByteArray
+    }
+    val indexBytes =
+      ("<html><body><a href=\"Empresas.zip\">Empresas.zip</a>\n" +
+        "<a href='Cnaes.zip'>Cnaes.zip</a></body></html>").getBytes("UTF-8")
+    // loopback-only server, OS-assigned port — no fixed-port flake
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, body: Array[Byte], status: Int = 200): Unit =
+      server.createContext(path, new HttpHandler {
+        def handle(ex: HttpExchange): Unit = {
+          ex.sendResponseHeaders(status, body.length.toLong)
+          ex.getResponseBody.write(body)
+          ex.close()
+        }
+      })
+    serve("/data/index.html", indexBytes)
+    serve("/data/Cnaes.zip", zipBytes)
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val indexUrl = s"http://127.0.0.1:$port/data/index.html"
+      val dir = Files.createTempDirectory(Paths.get("target"), "httpacq")
+        .toAbsolutePath
+      // identical call as the file:// face — only the URL scheme moves
+      val landed = Landing.acquireArchive(Landing.urlFetch, indexUrl,
+        "Cnaes.zip", s"$dir/landing")
+      assert(landed.exists(p => p.getFileName.toString == "Cnaes.zip"))
+      assert(landed.exists(p =>
+        java.util.Arrays.equals(Files.readAllBytes(p), zipBytes)),
+        "landed bytes differ from what the server sent")
+      // target absent from the index → None, no spurious GET lands
+      assert(Landing.acquireArchive(Landing.urlFetch, indexUrl,
+        "Socios.zip", s"$dir/landing2").isEmpty)
+      // distributed continuation off the HTTP-landed archive
+      val decoded = Landing.decodeText(Landing.unzipEntries(
+          Landing.readBinary(spark, s"$dir/landing/*.zip")))
+        .filter(col("entry").endsWith(".CSV"))
+        .select("text").collect().head.getString(0)
+      assert(decoded == "7;Comércio de café\n8;Extração")
+    } finally server.stop(0)
+  }
+
   test("distributed unzip explodes archive entries to decoded rows") {
     val dir = Files.createTempDirectory(Paths.get("target"), "zipland")
     val iso = Charset.forName("ISO-8859-1")
