@@ -108,9 +108,9 @@ def main(out_dir: str) -> None:
     replicate(emb, ["vec_id"], transform).to_parquet(
         f"{out_dir}/embeddings.parquet", index=False)
 
+    import pyarrow.parquet as pq
     for t in ["orders", "lineitem", "events", "documents", "embeddings"]:
-        n = len(pd.read_parquet(f"{out_dir}/{t}.parquet",
-                                columns=[]))
+        n = pq.read_metadata(f"{out_dir}/{t}.parquet").num_rows
         print(f"{t}: {n} rows")
 
 
