@@ -54,6 +54,46 @@ object TextAnalysis {
         .cast("long").as("n_re_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Token-window chunking defaults: 64-token windows advancing 48
+    * tokens (16-token overlap) — the document→training-sequence step
+    * every LLM data pipeline runs between cleaning and packing. */
+  val ChunkWidth = 64
+  val ChunkStride = 48
+
+  /** Fixed-size token chunking with stride: chunk i covers tokens
+    * [i·stride, i·stride + width); the last start is the first that
+    * reaches the tail, so n_chunks = 1 + max(0, ⌈(n − width)/stride⌉)
+    * and the tail is emitted exactly once (no degenerate chunks fully
+    * inside their predecessor). Integer arithmetic only — both engines
+    * compute the identical chunk count, so the full reassembled chunk
+    * TEXT rides the oracle hash.
+    *
+    * Pure per-row projection (split → sequence → transform-slice →
+    * posexplode), no shuffle: a 100 TB corpus chunks linearly in its
+    * input splits, and downstream packing (sample_pack) consumes the
+    * (doc_id, chunk_idx) keyed output without re-tokenizing. */
+  def chunk(docs: DataFrame, width: Int = ChunkWidth,
+      stride: Int = ChunkStride): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride <= width, got width=$width stride=$stride")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), words(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        // integer ceil((n - width)/stride), clipped at 0: `div`
+        // truncation vs floor can only differ on negatives, which the
+        // greatest() clips identically on both engines
+        expr(s"1 + greatest(0L, (size(toks) - $width + ${stride - 1}) " +
+          s"div $stride)").as("n_chunks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), (col("n_chunks") - 1).cast("int"))))
+      .select(col("doc_id"), col("col").cast("long").as("chunk_idx"),
+        least(lit(width), size(col("toks")) - col("col") * stride)
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("toks"), col("col") * stride + 1, lit(width)), " ")
+          .as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Language ID: score = marker-stopword hits per language; predict
     * the argmax, 'und' when no marker hits. Ties break in LangMarkers
     * order (en first) — deterministic. */
@@ -415,9 +455,27 @@ object TextAnalysis {
     "text_winnow_overlap" -> ((s, dir) =>
       winnowOverlapPairsPoly(Tables.load(s, dir, "documents"))),
     "text_rep_words" -> ((s, dir) =>
-      repetition(Tables.load(s, dir, "documents"))))
+      repetition(Tables.load(s, dir, "documents"))),
+    "text_chunk" -> ((s, dir) =>
+      chunk(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // the whole chunking stage replayed: token split, the shared
+    // integer chunk-count formula, 1-based inclusive list slices, and
+    // the reassembled chunk TEXT itself rides the hash — a dropped,
+    // shifted, or mis-sliced window anywhere fails it
+    "text_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (
+        |  SELECT doc_id, t, LEN(t) AS n FROM toks)
+        |SELECT doc_id, i AS chunk_idx,
+        |  LEAST(64, n - i*48) AS n_tokens,
+        |  ARRAY_TO_STRING(t[i*48+1 : i*48+64], ' ') AS chunk
+        |FROM n, UNNEST(RANGE(0,
+        |  CAST(1 + GREATEST(0, (n - 64 + 47) // 48) AS BIGINT))) AS r(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // the whole retrieval stage recomputed: postings, doc lengths,
     // corpus stats, per-term idf, fixed-point BM25 term scores, exact
     // integer rank. Fractional literals are CAST to DOUBLE so DuckDB's

@@ -31,6 +31,7 @@ class EmptyInputSpec extends GraftSpec {
       "tokens" -> TextAnalysis.tokens _,
       "langId" -> TextAnalysis.langId _,
       "repetition" -> TextAnalysis.repetition _,
+      "chunk" -> ((d: DataFrame) => TextAnalysis.chunk(d)),
       "unigramLogProb" -> TextAnalysis.unigramLogProb _,
       "winnowOverlapPairsPoly" ->
         ((d: DataFrame) => TextAnalysis.winnowOverlapPairsPoly(d)),

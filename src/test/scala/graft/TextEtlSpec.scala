@@ -36,6 +36,36 @@ class TextEtlSpec extends GraftSpec {
     assert(got(3L) == "und")
   }
 
+  test("token chunking: stride overlap, exact tail coverage, short docs") {
+    // 10 tokens, width 4, stride 3 -> n_chunks = 1 + ceil(6/3) = 3
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      1L -> ten,
+      2L -> "a b",          // shorter than width: one chunk, whole doc
+      3L -> null.asInstanceOf[String] // NULL text: contributes nothing
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(df, width = 4, stride = 3).collect()
+    val byDoc = got.groupBy(_.getLong(0))
+    assert(!byDoc.contains(3L))
+    assert(byDoc(2L).map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq == Seq((0L, 2L, "a b")))
+    val c1 = byDoc(1L).sortBy(_.getLong(1))
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(c1 == Seq(
+      (0L, 4L, "t1 t2 t3 t4"),
+      (1L, 4L, "t4 t5 t6 t7"),   // 1-token overlap at stride 3
+      (2L, 4L, "t7 t8 t9 t10"))) // tail covered exactly once
+    // every token appears in at least one chunk; no chunk exceeds width
+    val covered = c1.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    assert(c1.forall(_._2 <= 4))
+    // width-boundary doc: exactly one chunk, not a degenerate second
+    val exact = TextAnalysis.chunk(
+      Seq(9L -> (1 to 4).map(i => s"x$i").mkString(" ")).toDF("doc_id", "text"),
+      width = 4, stride = 3).collect()
+    assert(exact.length == 1 && exact.head.getLong(2) == 4L)
+  }
+
   test("pii scrub redacts emails and phones and counts matches") {
     val df = Seq(
       (1L, "mail a.user+tag@sub.example.org and b@x.io please"),
