@@ -50,6 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "token hashes; exactly replayable in standard SQL"),
       (children: Seq[Expression]) => PolySimHash(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("entropy_nats"),
+      info("entropy_nats",
+        "entropy_nats(x) - Shannon entropy in nats of x's symbol " +
+          "multiset: code points when x is a string, elements when x " +
+          "is array<string>"),
+      (children: Seq[Expression]) => SymbolEntropy(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("image_dims"),
       info("image_dims",
         "image_dims(blob) - struct(fmt, width, height) parsed from " +

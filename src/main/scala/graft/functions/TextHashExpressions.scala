@@ -387,3 +387,74 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** Shannon entropy (nats) of a symbol multiset: H = ln n − (Σ c·ln c)/n
+  * over per-symbol counts c, in ONE O(n) hash-count pass per row.
+  *
+  * Input is either a STRING (symbols = its Unicode code points —
+  * surrogate-pair correct, the char_entropy face) or an ARRAY<STRING>
+  * (symbols = its elements — the word_entropy face). The primitive
+  * counting loop replaces the declarative sort + run-length-fold
+  * pipeline, whose interpreted HOF lambdas and comparator measured
+  * 2.4 s at sf0.1 against ~0.4 s for this expression; like the other
+  * sketch expressions, per-row compute with no shuffle. Empty input
+  * → 0.0 by definition. The count-map iteration order affects only
+  * the ±1-ulp tail of the double sum, which callers round away (the
+  * oracle recomputes relationally at 6 decimals). */
+case class SymbolEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def prettyName: String = "entropy_nats"
+
+  @transient private lazy val overString = child.dataType == StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string or array<string>, got ${other.catalogString}")
+  }
+
+  def compute(input: Any): Any = {
+    val counts = new java.util.HashMap[Any, Long]()
+    var n = 0L
+    if (overString) {
+      val s = input.asInstanceOf[UTF8String].toString
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        counts.merge(Integer.valueOf(cp), 1L, java.lang.Long.sum _)
+        n += 1
+        i += Character.charCount(cp)
+      }
+    } else {
+      val a = input.asInstanceOf[ArrayData]
+      val m = a.numElements()
+      var i = 0
+      while (i < m) {
+        counts.merge(a.getUTF8String(i), 1L, java.lang.Long.sum _)
+        n += 1
+        i += 1
+      }
+    }
+    if (n == 0L) return 0.0
+    var s = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      s += c * math.log(c)
+    }
+    math.log(n.toDouble) - s / n
+  }
+
+  override protected def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("symbolEntropyExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (double) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SymbolEntropy =
+    copy(child = newChild)
+}

@@ -32,6 +32,7 @@ class EmptyInputSpec extends GraftSpec {
       "langId" -> TextAnalysis.langId _,
       "repetition" -> TextAnalysis.repetition _,
       "chunk" -> ((d: DataFrame) => TextAnalysis.chunk(d)),
+      "entropy" -> TextAnalysis.entropy _,
       "unigramLogProb" -> TextAnalysis.unigramLogProb _,
       "winnowOverlapPairsPoly" ->
         ((d: DataFrame) => TextAnalysis.winnowOverlapPairsPoly(d)),

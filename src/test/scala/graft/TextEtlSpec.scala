@@ -36,6 +36,30 @@ class TextEtlSpec extends GraftSpec {
     assert(got(3L) == "und")
   }
 
+  test("entropy: exact values on crafted docs, zero/NULL edges") {
+    val df = Seq(
+      1L -> "aabb",          // chars: H = ln 2, 1 bit/char; one word: Hw = 0
+      2L -> "abcd",          // uniform 4 chars: H = ln 4, 2 bits/char
+      3L -> "aaaa",          // single symbol: 0 entropy
+      4L -> "x y x y",       // words x,y,x,y (+3 spaces in chars)
+      5L -> "",              // empty: zeros by definition
+      6L -> null.asInstanceOf[String] // NULL propagates
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.entropy(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def d(r: org.apache.spark.sql.Row, i: Int) = r.getDouble(i)
+    assert(math.abs(d(got(1L), 1) - math.log(2)) < 1e-6)
+    assert(d(got(1L), 2) == 0.0)
+    assert(math.abs(d(got(1L), 3) - 1.0) < 1e-6)
+    assert(math.abs(d(got(2L), 1) - math.log(4)) < 1e-6)
+    assert(math.abs(d(got(2L), 3) - 2.0) < 1e-6)
+    assert(d(got(3L), 1) == 0.0 && d(got(3L), 3) == 0.0)
+    // doc 4 words: {x:2, y:2} of 4 -> ln 2
+    assert(math.abs(d(got(4L), 2) - math.log(2)) < 1e-6)
+    assert(d(got(5L), 1) == 0.0 && d(got(5L), 2) == 0.0)
+    assert(got(6L).isNullAt(1) && got(6L).isNullAt(2) && got(6L).isNullAt(3))
+  }
+
   test("token chunking: stride overlap, exact tail coverage, short docs") {
     // 10 tokens, width 4, stride 3 -> n_chunks = 1 + ceil(6/3) = 3
     val ten = (1 to 10).map(i => s"t$i").mkString(" ")
