@@ -20,9 +20,9 @@ Usage:
       dedup_simhash dedup_minhash dedup_ngram_jaccard ..."
   python3 scripts/localcheck.py target/verify_adv <out_dir> dedup_simhash ...
 
-Verified green (round 9) for all 18 documents-table keys:
+Verified green (round 9) for all 20 documents-table keys:
 dedup_{exact,normalized,segments,minhash,ngram_jaccard,incremental,
-incremental_near,bloom,contain}, text_{fingerprint,winnow_overlap,
+incremental_near,bloom,contain}, text_{fingerprint,winnow_overlap,chunk,entropy,
 tokens,langid,quality,ngram_stats,pii_scrub,rep_words,unigram_logprob}
 — with the three planted dup pairs emitted at hamming 0 by
 dedup_simhash and the NFC variant NOT aliasing its NFD twin.
