@@ -90,6 +90,32 @@ class TextEtlSpec extends GraftSpec {
     assert(exact.length == 1 && exact.head.getLong(2) == 4L)
   }
 
+  test("chunk output feeds sequence packing without re-tokenizing") {
+    // the docs claim chunk -> sample_pack composes; prove it: chunks
+    // become pack units keyed (doc_id, chunk_idx), every chunk lands
+    // in exactly one sequence, and no sequence exceeds capacity
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(col("text").isNotNull).limit(200)
+    val chunks = TextAnalysis.chunk(docs)
+    val asUnits = chunks.select(
+      (col("doc_id") * 10000 + col("chunk_idx")).as("doc_id"),
+      col("chunk").as("text"))
+    val capacity = 256L
+    val packed = graft.operators.Sampling.packSequences(asUnits, capacity)
+    assert(packed.count() == chunks.count(), "a chunk was dropped")
+    val perSeq = packed.groupBy(col("shard"), col("seq_id"))
+      .agg(sum(col("n_tokens")).as("toks")).collect()
+    // packSequences allows one unit to straddle a boundary (greedy
+    // running-sum packing); chunks are <= 64 tokens, so a sequence
+    // never exceeds capacity + 63
+    assert(perSeq.forall(_.getLong(2) <= capacity + 63),
+      "a packed sequence exceeds capacity + chunk width")
+    // chunk n_tokens must agree with what packing re-derives
+    val n1 = chunks.agg(sum(col("n_tokens"))).collect().head.getLong(0)
+    val n2 = packed.agg(sum(col("n_tokens"))).collect().head.getLong(0)
+    assert(n1 == n2, s"token accounting diverged: $n1 vs $n2")
+  }
+
   test("pii scrub redacts emails and phones and counts matches") {
     val df = Seq(
       (1L, "mail a.user+tag@sub.example.org and b@x.io please"),
