@@ -664,12 +664,26 @@ object Similarity {
   def knnPqAdcExact(vecs: DataFrame, queryPred: Column, k: Int = 5,
       candidates: Int = 200, m: Int = 32,
       refineIters: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (cents, assigned) = pqAssignments(vecs, refineIters = refineIters,
       m = m)
-    val topC = pqAdcRankedFrom(cents, assigned, vecs, queryPred,
+    knnPqAdcFrom(cents, assigned, vecs, queryPred, k, candidates, m)
+  }
+
+  /** The retrieve-then-rerank SERVING path of [[knnPqAdcExact]], taking
+    * PREBUILT index state: `cents` = PQ centroid rows (m, c_id, c_e,
+    * c_nrm), `codes` = per-(vector, subspace) assignments — only
+    * (vec_id, m, cell) is read, so a parquet-persisted code store
+    * (2 narrow ints + an id per row) drives it directly. No k-means,
+    * no codebook derivation: the cost is the code scan + C full-vector
+    * fetches per query — the split a production index runs (build once,
+    * serve many). */
+  def knnPqAdcFrom(cents: DataFrame, codes: DataFrame, vecs: DataFrame,
+      queryPred: Column, k: Int = 5, candidates: Int = 200,
+      m: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topC = pqAdcRankedFrom(cents, codes, vecs, queryPred,
       candidates, m).drop("rank")
-    val recon = joinCents(assigned, cents)
+    val recon = joinCents(codes, cents)
       .groupBy(col("vec_id"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("m"), col("c_e")))),
@@ -814,9 +828,22 @@ object Similarity {
       nprobe: Int = 2, candidates: Int = 50,
       centroidBudget: Int = CentroidBudget, m: Int = PqM,
       refineIters: Int = RefineIters): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (cells, pqCents, codes) =
       ivfPqIndex(vecs, centroidBudget, m, refineIters)
+    knnIvfPqFrom(cells, pqCents, codes, vecs, queryPred, k, nprobe,
+      candidates, m)
+  }
+
+  /** The cell-pruned scan + exact re-rank SERVING path of [[knnIvfPq]],
+    * taking PREBUILT index state (the three frames [[ivfPqIndex]]
+    * materializes: coarse cells, residual PQ centroids, per-(vector,
+    * subspace) codes). No coarse or residual k-means runs here — the
+    * cost is the probed cells' code scan, the broadcast query tables,
+    * and C full-vector fetches per query. */
+  def knnIvfPqFrom(cells: DataFrame, pqCents: DataFrame, codes: DataFrame,
+      vecs: DataFrame, queryPred: Column, k: Int = 5, nprobe: Int = 2,
+      candidates: Int = 50, m: Int = PqM): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val topC = ivfPqScan(cells, pqCents, codes, vecs, queryPred,
       candidates, nprobe, m)
     // reconstruction path: cell centroid + flattened residual codebook
@@ -873,6 +900,130 @@ object Similarity {
       m: Int = 32, refineIters: Int = 1): DataFrame =
     knnIvfPq(vecs, queryPred, k, nprobe = centroidBudget, candidates,
       centroidBudget, m, refineIters)
+
+  // ---- persisted index: build once, serve many ------------------------
+  // At 100 TB an ANN index is built ONCE (the k-means + codebook +
+  // encode phase — hours of cluster time) and served millions of times
+  // (codes-only scans — milliseconds to seconds). The knn_* build faces
+  // above conflate the two costs inside one query; this section is the
+  // production split: `build*Index` materializes the index frames as
+  // parquet (the vector-store counterpart of the dedup_incremental*
+  // text stores), and the `*Serve` faces read them back and run ONLY
+  // the serving plan. Build is idempotent and crash/race-safe: the
+  // index is written to a scratch directory and atomically renamed into
+  // place, so concurrent builders (two test suites, bench + verify)
+  // converge on one complete index and a killed build never leaves a
+  // half-index behind the marker.
+
+  /** Index store root — same scratch-root contract as
+    * [[graft.operators.Etl.roundtripRoot]]; never under /root/testdata. */
+  def indexRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft_tmp") +
+      "/ann_index"
+
+  private def sfTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** On-disk location of the PQ index for a dataset directory. The
+    * geometry rides the path, so parameter changes can never serve a
+    * stale-geometry index. */
+  def pqIndexPath(dir: String, m: Int = 32, refineIters: Int = 1): String =
+    s"$indexRoot/${sfTag(dir)}/pq_m${m}_r$refineIters"
+
+  def ivfPqIndexPath(dir: String, centroidBudget: Int = CentroidBudget,
+      m: Int = 32, refineIters: Int = 1): String =
+    s"$indexRoot/${sfTag(dir)}/ivfpq_c${centroidBudget}_m${m}_r$refineIters"
+
+  private val IndexMarker = "_GRAFT_INDEX_OK"
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** Run `build` into a scratch sibling of `path` and atomically rename
+    * it into place, unless a COMPLETE index (marker present) already
+    * sits there. Losing a build race is fine — the winner's index is
+    * byte-equivalent (the whole pipeline is deterministic); a complete
+    * index is never rebuilt, which is what makes the serve faces
+    * measure serving: the bench warmup pass builds, the timed runs
+    * only read. */
+  def ensureIndex(path: String)(build: String => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val p = Paths.get(path)
+    if (!Files.exists(p.resolve(IndexMarker))) {
+      val tmp = Paths.get(
+        s"$path.build-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      build(tmp.toString)
+      Files.createFile(tmp.resolve(IndexMarker))
+      Files.createDirectories(p.getParent)
+      try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          // target appeared since the check: either a complete index
+          // (another builder won — use theirs) or a markerless corpse
+          // from a killed build (replace it)
+          if (Files.exists(p.resolve(IndexMarker))) deleteRecursively(tmp)
+          else {
+            deleteRecursively(p)
+            Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+          }
+      }
+    }
+    path
+  }
+
+  /** Materialize the PQ index (exact-face geometry by default): centroid
+    * rows + the narrow (vec_id, m, cell) code store. */
+  def buildPqIndex(vecs: DataFrame, path: String, k: Int = PqK,
+      refineIters: Int = 1, m: Int = 32): Unit = {
+    val (cents, assigned) = pqAssignments(vecs, k, refineIters, m)
+    cents.write.mode("overwrite").parquet(s"$path/cents")
+    assigned.select(col("vec_id"), col("m"), col("cell"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Materialize the IVF-PQ index: coarse cells, residual PQ centroids,
+    * and the (vec_id, m, code, ivf_cell) code store. */
+  def buildIvfPqIndex(vecs: DataFrame, path: String,
+      centroidBudget: Int = CentroidBudget, m: Int = 32,
+      refineIters: Int = 1): Unit = {
+    val (cells, pqCents, codes) =
+      ivfPqIndex(vecs, centroidBudget, m, refineIters)
+    cells.write.mode("overwrite").parquet(s"$path/cells")
+    pqCents.write.mode("overwrite").parquet(s"$path/pq_cents")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Serve-only PQ top-k: ensure the persisted index exists (built on
+    * first touch — in a bench run that lands in the untimed warmup
+    * pass), then run [[knnPqAdcFrom]] against the parquet-backed code
+    * store. Exact-face geometry (m=32, C=200) ⇒ output equals
+    * brute-force top-k and rides the same full oracle. */
+  def knnPqServe(vecs: DataFrame, queryPred: Column, path: String,
+      k: Int = 5, candidates: Int = 200, m: Int = 32): DataFrame = {
+    ensureIndex(path)(tmp => buildPqIndex(vecs, tmp, m = m))
+    val spark = vecs.sparkSession
+    knnPqAdcFrom(spark.read.parquet(s"$path/cents"),
+      spark.read.parquet(s"$path/codes"), vecs, queryPred, k, candidates, m)
+  }
+
+  /** Serve-only IVF-PQ top-k from the persisted index — the IVFADC
+    * serving plan alone. The registry face probes every cell (exact
+    * contract); a production deployment serves nprobe ≪ C. */
+  def knnIvfPqServe(vecs: DataFrame, queryPred: Column, path: String,
+      k: Int = 5, nprobe: Int = CentroidBudget, candidates: Int = 200,
+      m: Int = 32): DataFrame = {
+    ensureIndex(path)(tmp => buildIvfPqIndex(vecs, tmp, m = m))
+    val spark = vecs.sparkSession
+    knnIvfPqFrom(spark.read.parquet(s"$path/cells"),
+      spark.read.parquet(s"$path/pq_cents"),
+      spark.read.parquet(s"$path/codes"),
+      vecs, queryPred, k, nprobe, candidates, m)
+  }
 
   /** Top principal component of the embedding corpus — the
     * whitening/variance-analysis primitive an embedding pipeline runs
@@ -1325,7 +1476,40 @@ object Similarity {
     // rerank contract: coarse routing, residual codes, table scan and
     // exact re-rank all ride the brute-force hash
     "knn_ivfpq" -> ((s, dir) =>
-      knnIvfPqExact(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)))
+      knnIvfPqExact(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)),
+    // serve-only faces: the persisted index is built on first touch
+    // (bench warmup / first verify), so the timed path is the SERVING
+    // plan alone — code scan, broadcast query tables, C-bounded exact
+    // re-rank. Same exact-face geometry ⇒ same brute-force oracle as
+    // the build faces.
+    "knn_pq_serve" -> ((s, dir) =>
+      knnPqServe(Tables.load(s, dir, "embeddings"), col("vec_id") < 10,
+        pqIndexPath(dir))),
+    "knn_ivfpq_serve" -> ((s, dir) =>
+      knnIvfPqServe(Tables.load(s, dir, "embeddings"), col("vec_id") < 10,
+        ivfPqIndexPath(dir))))
+
+  /** The brute-force top-k recomputation with the identity-certificate
+    * column — the shared oracle of all four retrieve-then-rerank faces
+    * (knn_pq_adc / knn_ivfpq and their serve-only splits). */
+  private val bruteWithCertSql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding,
+      |    SQRT(LIST_DOT_PRODUCT(embedding, embedding)) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+      |      FROM corpus WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT query_id, c.vec_id AS neighbor_id,
+      |    LIST_DOT_PRODUCT(c.embedding, q.qe) / (c.nrm * q.qn) AS cos_sim
+      |  FROM corpus c, q WHERE c.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_r,
+      |  CAST(rank AS INT) AS rank, TRUE AS adc_ok
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** emb_pca_power is full-oracle: the registered face runs a FIXED
     * 60-step power iteration (no early exit), and the oracle replays
@@ -1413,45 +1597,13 @@ object Similarity {
       """SELECT vec_id, 4 AS n_codes, TRUE AS argmax_ok,
         |  ROUND(SQRT(LIST_DOT_PRODUCT(embedding, embedding)), 4) AS nrm_r
         |FROM embeddings ORDER BY vec_id""".stripMargin,
-    // both rerank faces equal brute-force top-k, so each oracle IS the
-    // brute-force recomputation (same SQL as knn_brute, plus the
-    // certificate column)
-    "knn_ivfpq" ->
-      """WITH corpus AS (
-        |  SELECT vec_id, embedding,
-        |    SQRT(LIST_DOT_PRODUCT(embedding, embedding)) AS nrm
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
-        |      FROM corpus WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT query_id, c.vec_id AS neighbor_id,
-        |    LIST_DOT_PRODUCT(c.embedding, q.qe) / (c.nrm * q.qn) AS cos_sim
-        |  FROM corpus c, q WHERE c.vec_id <> q.query_id),
-        |ranked AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_r,
-        |  CAST(rank AS INT) AS rank, TRUE AS adc_ok
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    "knn_pq_adc" ->
-      """WITH corpus AS (
-        |  SELECT vec_id, embedding,
-        |    SQRT(LIST_DOT_PRODUCT(embedding, embedding)) AS nrm
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
-        |      FROM corpus WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT query_id, c.vec_id AS neighbor_id,
-        |    LIST_DOT_PRODUCT(c.embedding, q.qe) / (c.nrm * q.qn) AS cos_sim
-        |  FROM corpus c, q WHERE c.vec_id <> q.query_id),
-        |ranked AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_r,
-        |  CAST(rank AS INT) AS rank, TRUE AS adc_ok
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // every rerank face (build AND serve) equals brute-force top-k, so
+    // each oracle IS the brute-force recomputation (same SQL as
+    // knn_brute, plus the certificate column)
+    "knn_ivfpq" -> bruteWithCertSql,
+    "knn_pq_adc" -> bruteWithCertSql,
+    "knn_ivfpq_serve" -> bruteWithCertSql,
+    "knn_pq_serve" -> bruteWithCertSql,
     "knn_ivf" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding,

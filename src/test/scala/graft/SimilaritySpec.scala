@@ -368,6 +368,38 @@ class SimilaritySpec extends GraftSpec {
     assert(serving.toSeq == serving2.toSeq, "IVF-PQ is not deterministic")
   }
 
+  test("serve faces read the persisted index: equal to build faces, " +
+    "no rebuild on a second call, corpse dirs are replaced") {
+    import java.nio.file.{Files, Paths}
+    val pqPath = Similarity.pqIndexPath(sf)
+    val ivfPath = Similarity.ivfPqIndexPath(sf)
+    // a markerless corpse (killed build) must be replaced, not served
+    val corpse = Paths.get(pqPath)
+    if (!Files.exists(corpse.resolve("_GRAFT_INDEX_OK"))) {
+      Files.createDirectories(corpse)
+    }
+    val pqServe = Similarity.knnPqServe(vecs, col("vec_id") < 10, pqPath)
+      .collect()
+    val pqBuild = Similarity.knnPqAdcExact(vecs, col("vec_id") < 10)
+      .collect()
+    assert(pqServe.toSeq == pqBuild.toSeq,
+      "knnPqServe diverged from the build face on the same geometry")
+    val ivfServe = Similarity.knnIvfPqServe(vecs, col("vec_id") < 10,
+      ivfPath).collect()
+    val ivfBuild = Similarity.knnIvfPqExact(vecs, col("vec_id") < 10)
+      .collect()
+    assert(ivfServe.toSeq == ivfBuild.toSeq,
+      "knnIvfPqServe diverged from the build face on the same geometry")
+    // second call serves the EXISTING index — the marker's mtime pins it
+    val marker = Paths.get(pqPath, "_GRAFT_INDEX_OK")
+    val mtime = Files.getLastModifiedTime(marker)
+    val again = Similarity.knnPqServe(vecs, col("vec_id") < 10, pqPath)
+      .collect()
+    assert(again.toSeq == pqServe.toSeq, "serve is not deterministic")
+    assert(Files.getLastModifiedTime(marker) == mtime,
+      "second serve rebuilt a complete index")
+  }
+
   test("ADC scores equal cosine against the reconstruction; recall " +
     "vs brute is sane") {
     // the face's in-plan certificate, re-checked here for every row
