@@ -33,8 +33,27 @@ object Similarity {
     * is calibrated for the synthetic corpus's moderate-cosine (≥0.4)
     * threshold at test scale; PRODUCTION near-dup passes (cosine ≥0.9,
     * ≥10⁶ vectors) should run 8-16 — candidate volume grows as
-    * n²/2^bits, so bits must grow with log₂(n). */
+    * n²/2^bits, so bits must grow with log₂(n). [[autoBitsPerBand]]
+    * encodes exactly that rule; the registered production face
+    * (dedup_embedding_lsh) derives its bits from the corpus count. */
   val BitsPerBand = 4
+
+  /** Expected band-bucket occupancy [[autoBitsPerBand]] targets. */
+  val TargetOccupancy = 32
+
+  /** bitsPerBand for an n-vector corpus: the smallest b with
+    * TargetOccupancy·2^b ≥ n — i.e. ⌈log₂(n/TargetOccupancy)⌉ computed
+    * in INTEGER arithmetic (a float log2 could round differently from
+    * the DuckDB oracle's replay at exact powers of two), clamped to
+    * [4,16]. Expected occupancy stays ~TargetOccupancy, so candidate
+    * volume is ~bands·n·occ/2 — LINEAR in n — instead of the
+    * fixed-bits n²/2^bits blowup (the one super-linear key in the
+    * round-9 sf1 audit: 12.5× at 10× data). */
+  def autoBitsPerBand(n: Long): Int = {
+    var b = 0
+    while (b < 16 && (TargetOccupancy.toLong << b) < n) b += 1
+    math.max(4, b)
+  }
 
   /** Fixed IVF centroid budget — corpus-size-INDEPENDENT: the centroid
     * broadcast and the O(n·C) assignment cost have CONSTANT C at any
@@ -1405,6 +1424,21 @@ object Similarity {
           round(col("cos_sim"), 4).as("cos_r"))
         .orderBy(col("vec_a"), col("vec_b"))
     },
+    // the PRODUCTION near-dup path as its own gated key: banded
+    // hyperplane LSH with bitsPerBand derived from the corpus count
+    // (autoBitsPerBand — candidate volume stays linear in n), recall
+    // guard armed. Full oracle: the fixed-seed hyperplanes are inlined
+    // into the SQL, so DuckDB replays sign bits, banding, bucket-size
+    // cut, candidate pairs and cosine verify EXACTLY (see
+    // lshReplaySql) — the probabilistic face is hash-gated, not just
+    // subset-tested.
+    "dedup_embedding_lsh" -> { (s, dir) =>
+      val vecs = Tables.load(s, dir, "embeddings")
+      embeddingPairs(vecs, bitsPerBand = autoBitsPerBand(vecs.count()))
+        .select(col("vec_a"), col("vec_b"),
+          round(col("cos_sim"), 4).as("cos_r"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
     // The library face keeps full-precision cos_sim; the correctness
     // face rounds it to 4 decimals so the DuckDB oracle's independently
     // accumulated float dot product (engine diff ~1e-9, boundary margin
@@ -1488,6 +1522,71 @@ object Similarity {
     "knn_ivfpq_serve" -> ((s, dir) =>
       knnIvfPqServe(Tables.load(s, dir, "embeddings"), col("vec_id") < 10,
         ivfPqIndexPath(dir))))
+
+  /** The 48 fixed-seed hyperplanes as SQL row literals — generated from
+    * the SAME array the native hyperplane_bits expression evaluates
+    * (graft.functions.HyperplaneBits.Planes), so the oracle replays the
+    * engine's actual LSH family, not a re-derivation. Double.toString
+    * is shortest-round-trip, and DuckDB's literal parse is
+    * correctly-rounded, so the planes are bit-identical on both
+    * engines. */
+  private def planeLiterals: String =
+    graft.functions.HyperplaneBits.Planes.zipWithIndex.map {
+      case (pl, p) => s"($p, [${pl.mkString(", ")}])"
+    }.mkString(",\n")
+
+  /** Full SQL replay of the dedup_embedding_lsh face: sign bits from
+    * the inlined hyperplanes (float→double element casts mirror the
+    * native expression's accumulation; a sign flip would need
+    * |dot| < ~1e-13 — probability ~1e-14 per (vector, plane) for
+    * Gaussian planes), integer-exact autoBitsPerBand (smallest b with
+    * 32·2^b ≥ n), banding/bucket arithmetic, the (1, maxBucket]
+    * bucket-size cut, a<b candidate pairs distinct across bands, and
+    * the unrounded cosine ≥ 0.4 verify. */
+  private lazy val lshReplaySql: String =
+    s"""WITH planes AS (SELECT * FROM (VALUES
+       |$planeLiterals) t(p, pl)),
+       |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |bits AS (
+       |  SELECT GREATEST(4, COALESCE(MIN(b), 16)) AS b
+       |  FROM RANGE(0, 17) t(b), nn
+       |  WHERE (32::BIGINT << b) >= nn.n),
+       |hb AS (
+       |  SELECT e.vec_id,
+       |    SUM(CASE WHEN LIST_DOT_PRODUCT(
+       |          LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)),
+       |          p.pl) > 0
+       |        THEN (1::BIGINT << p.p) ELSE 0 END) AS hb
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id),
+       |banded AS (
+       |  SELECT h.vec_id, r.band,
+       |    (h.hb >> (r.band * bits.b))
+       |      & ((1::BIGINT << bits.b) - 1) AS bucket
+       |  FROM hb h, RANGE(0, 12) r(band), bits
+       |  WHERE r.band < 48 // bits.b),
+       |keep AS (
+       |  SELECT band, bucket FROM banded GROUP BY band, bucket
+       |  HAVING COUNT(*) > 1 AND COUNT(*) <= 1024),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM banded a
+       |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id
+       |  JOIN keep k ON k.band = a.band AND k.bucket = a.bucket),
+       |corpus AS (
+       |  SELECT vec_id, embedding,
+       |    SQRT(LIST_DOT_PRODUCT(embedding, embedding)) AS nrm
+       |  FROM embeddings)
+       |SELECT c.id_a AS vec_a, c.id_b AS vec_b,
+       |  ROUND(LIST_DOT_PRODUCT(ea.embedding, eb.embedding)
+       |    / (ea.nrm * eb.nrm), 4) AS cos_r
+       |FROM cand c
+       |JOIN corpus ea ON ea.vec_id = c.id_a
+       |JOIN corpus eb ON eb.vec_id = c.id_b
+       |WHERE LIST_DOT_PRODUCT(ea.embedding, eb.embedding)
+       |    / (ea.nrm * eb.nrm) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** The brute-force top-k recomputation with the identity-certificate
     * column — the shared oracle of all four retrieve-then-rerank faces
@@ -1579,6 +1678,9 @@ object Similarity {
         |  ROUND(fin.eig, 4) AS eigenvalue,
         |  (SELECT r FROM res) < 0.10 AS resid_ok
         |FROM idx, fin ORDER BY dim""".stripMargin,
+    // exact engine-replay of the banded-LSH production face — planes
+    // inlined, bits derived from COUNT(*) with the same integer rule
+    "dedup_embedding_lsh" -> lshReplaySql,
     "dedup_embedding" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding,

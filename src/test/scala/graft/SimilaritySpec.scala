@@ -368,6 +368,33 @@ class SimilaritySpec extends GraftSpec {
     assert(serving.toSeq == serving2.toSeq, "IVF-PQ is not deterministic")
   }
 
+  test("autoBitsPerBand: integer ceil-log2 of n/occupancy, clamped") {
+    assert(Similarity.autoBitsPerBand(1) == 4)
+    assert(Similarity.autoBitsPerBand(500) == 4)
+    assert(Similarity.autoBitsPerBand(512) == 4) // 32*2^4 = 512 exactly
+    assert(Similarity.autoBitsPerBand(513) == 5)
+    assert(Similarity.autoBitsPerBand(2000) == 6)
+    assert(Similarity.autoBitsPerBand(20000) == 10)
+    assert(Similarity.autoBitsPerBand(Long.MaxValue) == 16)
+    // monotone: more data never means fewer bits
+    val pts = Seq(1L, 100L, 1000L, 10000L, 100000L, 1000000L)
+    assert(pts.map(Similarity.autoBitsPerBand) ==
+      pts.map(Similarity.autoBitsPerBand).sorted)
+  }
+
+  test("auto-bits LSH face is a verified subset of the exact face " +
+    "with the guard still armed") {
+    val n = vecs.count()
+    val auto = Similarity.embeddingPairs(vecs,
+      bitsPerBand = Similarity.autoBitsPerBand(n)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.embeddingPairsExact(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(exact),
+      "LSH emitted a pair the all-pairs face does not have")
+    assert(auto.nonEmpty, "auto-bits LSH found nothing at fixture SF")
+  }
+
   test("serve faces read the persisted index: equal to build faces, " +
     "no rebuild on a second call, corpse dirs are replaced") {
     import java.nio.file.{Files, Paths}
