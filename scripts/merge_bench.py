@@ -14,14 +14,22 @@ out_path, runs = sys.argv[1], sys.argv[2:]
 arts = [json.load(open(p)) for p in runs]
 keys = sorted({k for a in arts for k in a["queries"]})
 merged = {
-    "metric": arts[0].get("metric", "bench_total_sec"),
+    # Bench.scala writes metric "total" — keep that as the fallback too
+    "metric": arts[0].get("metric", "total"),
     "unit": "sec",
     "sf": arts[0].get("sf"),
     "queries": {},
     "source_runs": {},
     "loadavg": {f"run{i+1}": a.get("loadavg") for i, a in enumerate(arts)},
-    "errors": {k: v for a in arts for k, v in a.get("errors", {}).items()},
+    "errors": {},
 }
+for i, a in enumerate(arts):
+    for k, v in a.get("errors", {}).items():
+        if k in merged["errors"] and merged["errors"][k] != v:
+            print(f"WARNING: error for '{k}' differs across runs; "
+                  f"keeping the first ({runs[i]} overridden)")
+        else:
+            merged["errors"][k] = v
 for k in keys:
     medians = [(a["queries"][k], i) for i, a in enumerate(arts)
                if k in a["queries"]]

@@ -41,28 +41,31 @@ object Bench {
       try loadavg().split(" ").head.toDouble catch { case _: Throwable => 0.0 }
     val t0 = System.nanoTime()
     var waited = 0
-    while (load1() >= threshold && waited < maxWaitSec) {
+    var l = load1()
+    while (l >= threshold && waited < maxWaitSec) {
       System.err.println(
-        s"[bench] loadavg ${load1()} >= $threshold — waiting for idle " +
+        s"[bench] loadavg $l >= $threshold — waiting for idle " +
           s"($waited/${maxWaitSec}s)")
       Thread.sleep(30000)
       waited += 30
+      l = load1()
     }
     (System.nanoTime() - t0) / 1000000000L
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val idleWaitSec = awaitIdle()
-    val spark: SparkSession = GraftSession.local()
     // optional trailing args: bench only these keys (dev iteration);
-    // unknown keys fail loudly (same contract as Verify)
+    // unknown keys fail loudly (same contract as Verify) — BEFORE the
+    // idle gate, so a typo'd key doesn't wait 10 minutes to be rejected
     val unknown = args.toSet.diff(SparkEntry.queries.keySet)
     if (unknown.nonEmpty) {
       System.err.println(
         s"[bench] unknown query keys: ${unknown.mkString(", ")}")
       sys.exit(2)
     }
+    val idleWaitSec = awaitIdle()
+    val spark: SparkSession = GraftSession.local()
     val names =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted
       else args.toSeq.distinct.sorted

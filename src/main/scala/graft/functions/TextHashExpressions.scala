@@ -398,7 +398,9 @@ case class SimHash64(child: Expression)
   * pipeline, whose interpreted HOF lambdas and comparator measured
   * 2.4 s at sf0.1 against ~0.4 s for this expression; like the other
   * sketch expressions, per-row compute with no shuffle. Empty input
-  * → 0.0 by definition. The count-map iteration order affects only
+  * → 0.0 by definition; NULL array elements are SKIPPED (absent data,
+  * not a symbol — entropy_nats(array('a', NULL)) = 0.0, same as a
+  * one-symbol multiset). The count-map iteration order affects only
   * the ±1-ulp tail of the double sum, which callers round away (the
   * oracle recomputes relationally at 6 decimals). */
 case class SymbolEntropy(child: Expression) extends UnaryExpression {
@@ -432,8 +434,13 @@ case class SymbolEntropy(child: Expression) extends UnaryExpression {
       val m = a.numElements()
       var i = 0
       while (i < m) {
-        counts.merge(a.getUTF8String(i), 1L, java.lang.Long.sum _)
-        n += 1
+        // NULL elements are absent data, not a symbol: skip them
+        // (counting them would hand the HashMap a null key and give
+        // entropy_nats(array('a', NULL)) undocumented semantics)
+        if (!a.isNullAt(i)) {
+          counts.merge(a.getUTF8String(i), 1L, java.lang.Long.sum _)
+          n += 1
+        }
         i += 1
       }
     }

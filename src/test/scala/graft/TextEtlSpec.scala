@@ -58,6 +58,16 @@ class TextEtlSpec extends GraftSpec {
     assert(math.abs(d(got(4L), 2) - math.log(2)) < 1e-6)
     assert(d(got(5L), 1) == 0.0 && d(got(5L), 2) == 0.0)
     assert(got(6L).isNullAt(1) && got(6L).isNullAt(2) && got(6L).isNullAt(3))
+    // user-callable SQL face: NULL array elements are skipped, not
+    // counted as a distinct symbol (documented SymbolEntropy contract)
+    val sql = spark.sql(
+      """SELECT entropy_nats(array('a', CAST(NULL AS STRING), 'a')) AS h1,
+        |       entropy_nats(array('a', 'a')) AS h2,
+        |       entropy_nats(array(CAST(NULL AS STRING))) AS h3
+        |""".stripMargin).head()
+    assert(sql.getDouble(0) == 0.0 && sql.getDouble(1) == 0.0 &&
+      sql.getDouble(2) == 0.0,
+      "NULL array elements must be skipped by entropy_nats")
   }
 
   test("token chunking: stride overlap, exact tail coverage, short docs") {
