@@ -1,0 +1,57 @@
+#!/bin/bash
+# Per-round bench loop (BASELINE.md protocol): one idle-gated
+# full-registry run at sf0.1, then one idle-gated SCALE run at sf1
+# over the scale-sensitive key set — so scale regressions are caught
+# every round, not one-shot. Artifacts land in bench_records/<round>/.
+#
+# Usage: scripts/round_bench.sh r10
+# The sf1 dataset is synthesized on demand (scripts/gen_sf1.py) until
+# the driver ships a real one.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+ROUND=${1:?usage: round_bench.sh rN}
+OUT=bench_records/$ROUND
+mkdir -p "$OUT"
+CP="/opt/spark/jars/*:target/scala-2.13/classes"
+
+# Scale-sensitive key set (round 10): the round-9 27-key set, PLUS the
+# streaming + ETL-fact families (events is the largest table and its
+# consumers were not scale-validated before round 10), PLUS the ANN
+# serve splits and the auto-bits LSH key.
+SF1_KEYS=(
+  # round-9 set
+  dedup_bloom dedup_cluster dedup_contain dedup_embedding dedup_exact
+  dedup_incremental dedup_incremental_emb dedup_incremental_near
+  dedup_minhash dedup_ngram_jaccard dedup_normalized dedup_segments
+  dedup_semantic dedup_simhash emb_pca_power emb_pq etl_bucketed_join
+  knn_brute knn_ivf knn_ivfpq knn_pq_adc pipeline_corpus
+  q19_salted_join q20_skew_agg q26_dpp text_bm25 text_winnow_overlap
+  # streaming family (batch faces over the 10x events table)
+  stream_window_agg stream_sessionize stream_session_window
+  stream_sliding_agg stream_stream_join stream_dedup stream_static_join
+  stream_upsert_sink
+  # ETL fact family
+  etl_partitioned_write etl_compact
+  # event-table relational keys
+  q22_latest_by_key q23_range_window q29_sessionize q30_funnel
+  q31_retention
+  # round-10 additions
+  knn_pq_serve knn_ivfpq_serve dedup_embedding_lsh
+)
+
+echo "[round_bench] full registry at sf0.1 ..."
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  java -Xmx8g -cp "$CP" graft.Bench
+mv BENCH.json "$OUT/bench_${ROUND}_sf01.json"
+
+if [ ! -f target/sf1/embeddings.parquet ] && [ ! -d target/sf1/embeddings.parquet ]; then
+  echo "[round_bench] synthesizing sf1 ..."
+  python3 scripts/gen_sf1.py
+fi
+
+echo "[round_bench] scale set (${#SF1_KEYS[@]} keys) at sf1 ..."
+SPARK_GRAFT_SF_DIR="$PWD/target/sf1" SPARK_GRAFT_CPUS=32 \
+  java -Xmx8g -cp "$CP" graft.Bench "${SF1_KEYS[@]}"
+mv BENCH.json "$OUT/bench_${ROUND}_sf1.json"
+
+echo "[round_bench] artifacts in $OUT"

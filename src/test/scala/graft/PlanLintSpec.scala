@@ -6,13 +6,16 @@ package graft
   * later edit introduces elsewhere. */
 class PlanLintSpec extends GraftSpec {
 
-  /** knn_brute / knn_ivf / knn_pq_adc / knn_ivfpq broadcast a BOUNDED
-    * set (the query set / the fixed centroid budget / the 1-row packed
-    * PQ codebook) into a crossJoin by design — the only intentional
-    * nested-loop joins in the library, with their scale contract
-    * documented in Similarity.scala. */
+  /** knn_brute / knn_ivf / knn_pq_adc / knn_ivfpq — and their
+    * serve-only splits, which run the same query-table construction
+    * against the loaded index — broadcast a BOUNDED set (the query
+    * set / the fixed centroid budget / the 1-row packed PQ codebook)
+    * into a crossJoin by design — the only intentional nested-loop
+    * joins in the library, with their scale contract documented in
+    * Similarity.scala. */
   private val intentionalCross =
-    Set("knn_brute", "knn_ivf", "knn_pq_adc", "knn_ivfpq")
+    Set("knn_brute", "knn_ivf", "knn_pq_adc", "knn_ivfpq",
+      "knn_pq_serve", "knn_ivfpq_serve")
 
   test("no query plan contains a cartesian product or stray nested loop") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, q) =>
