@@ -219,6 +219,64 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Named target weights for the mixture solver; sources not listed
+    * fall back to [[MixDefaultWeight]]. Integer weights, so every
+    * downstream quantity stays in exact BIGINT arithmetic. */
+  val MixWeights: Seq[(String, Long)] = Seq(
+    "src0" -> 8L, "src1" -> 5L, "src2" -> 4L)
+  val MixDefaultWeight = 1L
+
+  /** Domain-mixture solver + deterministic sampler: given target
+    * mixture weights per source, find the LARGEST total token budget T
+    * the corpus can serve at those proportions without oversampling
+    * any source (T = min_s ⌊toks_s · W / w_s⌋ — the binding source is
+    * taken whole, every other source is down-sampled), then convert
+    * each source's share into a permille keep-rate and apply it with
+    * the hash-bucket sampler. The report carries the solve (weight,
+    * permille) and the realized sample (n_kept, kept_toks) per source
+    * — the "hit the paper's data mixture" step of corpus assembly.
+    *
+    * Everything is exact integer arithmetic (`div` = IntegralDivide;
+    * permille floors, so a source is never oversampled past its
+    * target), reproducible on any engine — no rand(), no floats.
+    * Scale shape: two map-side-combined source-keyed aggregations
+    * over the scan (stats, then the kept re-count), unpartitioned
+    * windows only over the SOURCE-sized frame (the temperatureMix
+    * contract), and the per-row keep decision joins the
+    * source-cardinality rate table back by BROADCAST — the corpus
+    * never shuffles. */
+  def mixtureRates(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val wcol = MixWeights.reverse.foldLeft(lit(MixDefaultWeight): Column) {
+      case (acc, (src, w)) => when(col("source") === src, w).otherwise(acc)
+    }
+    val toks = docs.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val rates = toks
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
+      .withColumn("weight", wcol)
+      .withColumn("w_total", sum(col("weight")).over(all))
+      .withColumn("t_max", min(expr("toks * w_total div weight")).over(all))
+      .withColumn("permille", least(lit(1000L),
+        expr("1000 * t_max * weight div (w_total * toks)")))
+    val kept = toks
+      .join(broadcast(rates.select(col("source"), col("permille"))), "source")
+      .filter(hashBucket(col("doc_id")) < col("permille"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("kept_toks"))
+    rates
+      .select(col("source"), col("n_docs"), col("toks"), col("weight"),
+        col("permille"))
+      .join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("toks"), col("weight"),
+        col("permille"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_toks"), lit(0L)).as("kept_toks"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_temperature" -> ((s, dir) =>
       temperatureMix(Tables.load(s, dir, "documents"))),
@@ -235,7 +293,9 @@ object Sampling {
     "sample_pack" -> ((s, dir) =>
       packSequences(Tables.load(s, dir, "documents"))),
     "sample_source_cap" -> ((s, dir) =>
-      sourceCap(Tables.load(s, dir, "documents"))))
+      sourceCap(Tables.load(s, dir, "documents"))),
+    "sample_mixture" -> ((s, dir) =>
+      mixtureRates(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
     // full relational replay: mass shares, tempered power weights,
@@ -253,6 +313,39 @@ object Sampling {
         |  CAST(ROUND(ROUND(pw / SUM(pw) OVER (), 6) * 100000, 0)
         |    AS BIGINT) AS target_docs
         |FROM w ORDER BY source""".stripMargin,
+    // full relational replay of the mixture solve: per-source token
+    // stats, the min-over-sources feasible budget, floored permille
+    // rates (DuckDB `//` = Spark `div` on the all-positive operands),
+    // and the hash-bucket keep re-count
+    "sample_mixture" ->
+      """WITH stats AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |ws AS (
+        |  SELECT source, n_docs, toks,
+        |    CAST(CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 5
+        |      WHEN 'src2' THEN 4 ELSE 1 END AS BIGINT) AS weight
+        |  FROM stats),
+        |tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_total FROM ws),
+        |tm AS (SELECT MIN(toks * (SELECT w_total FROM tot) // weight)
+        |  AS t_max FROM ws),
+        |rates AS (
+        |  SELECT source, n_docs, toks, weight,
+        |    CAST(LEAST(1000, (1000 * (SELECT t_max FROM tm) * weight)
+        |      // ((SELECT w_total FROM tot) * toks)) AS BIGINT) AS permille
+        |  FROM ws),
+        |kept AS (
+        |  SELECT d.source, COUNT(*) AS n_kept,
+        |    CAST(SUM(LEN(STRING_SPLIT(d.text, ' '))) AS BIGINT) AS kept_toks
+        |  FROM documents d JOIN rates r USING (source)
+        |  WHERE ((d.doc_id % 1000003) * 2654435761) % 1000 < r.permille
+        |  GROUP BY d.source)
+        |SELECT r.source, r.n_docs, r.toks, r.weight, r.permille,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  COALESCE(k.kept_toks, 0) AS kept_toks
+        |FROM rates r LEFT JOIN kept k USING (source)
+        |ORDER BY r.source""".stripMargin,
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents
         |WHERE $hashBucketSql <

@@ -387,6 +387,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity bucketing: documents split per language
+    * into head / middle / tail terciles of the corpus-unigram
+    * log-probability score ([[unigramLogProb]] standing in for the
+    * KenLM perplexity of the published pipeline — same signal shape:
+    * high score = "looks like the corpus norm"). Downstream pipelines
+    * keep head+middle, or sample tail at a reduced rate — bucketing is
+    * the standard first-pass quality partition for web-scale corpora.
+    *
+    * Determinism: buckets come from ntile(3) over the ROUNDED
+    * (6-decimal) score with doc_id tie-break, so the total order — and
+    * therefore every bucket boundary — is identical in any engine that
+    * reproduces the rounded score (which the text_unigram_logprob gate
+    * already proves). Scale shape: the scoring stage is
+    * unigramLogProb's broadcast-lookup plan (token stream never
+    * shuffles); bucketing adds one lang-keyed window. The per-language
+    * partition is the documented seam: a single language's documents
+    * sort on one partition, so at web scale swap ntile for broadcast
+    * approx-quantile cutoffs (the q18 machinery) with identical output
+    * shape — the tercile RULE stays the contract either way. */
+  def pplBucket(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("mean_logp").desc, col("doc_id"))
+    unigramLogProb(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("t", ntile(3).over(byLang))
+      .select(col("doc_id"), col("lang"), col("mean_logp"),
+        when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 ranked retrieval over the corpus — the token-side serving
     * complement to the embedding kNN family (benchmark-similar doc
     * lookup, decontamination triage, eval-set retrieval):
@@ -489,7 +521,9 @@ object TextAnalysis {
     "text_chunk" -> ((s, dir) =>
       chunk(Tables.load(s, dir, "documents"))),
     "text_entropy" -> ((s, dir) =>
-      entropy(Tables.load(s, dir, "documents"))))
+      entropy(Tables.load(s, dir, "documents"))),
+    "text_ppl_bucket" -> ((s, dir) =>
+      pplBucket(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
     // both entropies recomputed from scratch via the same
@@ -609,6 +643,29 @@ object TextAnalysis {
         |    - LN(CAST((SELECT n FROM total) AS DOUBLE)), 6) AS mean_logp
         |FROM toks JOIN counts USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the scoring CTEs restate text_unigram_logprob; NTILE replays the
+    // rounded-score-desc, doc_id-asc total order per language
+    "text_ppl_bucket" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+        |  FROM documents),
+        |counts AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+        |total AS (SELECT COUNT(*) AS n FROM toks),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ROUND(CAST(SUM(CAST(FLOOR(LN(CAST(cnt AS DOUBLE)) * 1e6)
+        |        AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6)
+        |      - LN(CAST((SELECT n FROM total) AS DOUBLE)), 6) AS mean_logp
+        |  FROM toks JOIN counts USING (w) GROUP BY doc_id),
+        |b AS (
+        |  SELECT s.doc_id, d.lang, s.mean_logp,
+        |    NTILE(3) OVER (PARTITION BY d.lang
+        |      ORDER BY s.mean_logp DESC, s.doc_id) AS t
+        |  FROM scored s JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, mean_logp,
+        |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS ppl_bucket
+        |FROM b ORDER BY doc_id""".stripMargin,
     "text_pii_scrub" ->
       """SELECT doc_id,
         |  REGEXP_REPLACE(REGEXP_REPLACE(text2,

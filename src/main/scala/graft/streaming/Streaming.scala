@@ -142,6 +142,66 @@ object Streaming {
           .as("total_value"))
       .orderBy(col("c_mktsegment"))
 
+  /** Watermark-lateness accounting, batch face: how many rows a
+    * `withWatermark(delay)` pipeline would drop, and how late they are.
+    *
+    * The shipped events table arrives perfectly time-ordered (zero
+    * out-of-orderness), so the operator first simulates the event-time
+    * vs arrival-time skew every real ingest has: each row's OBSERVED
+    * event time is `ts` minus a deterministic per-row jitter in
+    * [0, 3600) s (Knuth multiplicative hash of event_id — the engine's
+    * standard derandomized-randomness trick, see Sampling.hashBucket),
+    * while ARRIVAL order stays event_id. A row is late iff its observed
+    * event time is more than [[LateDelayMs]] behind the watermark — the
+    * running max of observed event time over all STRICTLY EARLIER
+    * arrivals (Spark advances the watermark from the previous batch's
+    * max, so the current row never moves its own watermark).
+    *
+    * Scale shape — a running max over global arrival order is the
+    * textbook anti-scale window (one partition sorts everything), so
+    * the operator computes it as a DISTRIBUTED PREFIX SCAN instead:
+    * arrival order is range-chunked (event_id div [[LateChunk]]);
+    * within-chunk strict-prefix maxes parallelize per chunk, per-chunk
+    * maxes form a chunk-count-sized frame whose own prefix max is
+    * computed on that tiny frame and broadcast-joined back. The events
+    * scan never single-partitions. (At 10^11+ rows, raise LateChunk so
+    * the chunk frame stays small — the decomposition nests.) The
+    * DuckDB oracle computes the same watermark with the naive global
+    * window, so the hash gate PROVES the chunked scan ≡ the
+    * single-window definition on real data. */
+  val LateDelayMs = 600000L // 10-minute watermark delay
+  val LateChunk = 1000L
+
+  def batchLateAudit(events: DataFrame): DataFrame = {
+    val obs = events.select(
+      col("event_id"), col("event_type"),
+      (unix_millis(col("ts")) -
+        ((col("event_id") % 1000003L) * 2654435761L % 3600L) * 1000L)
+        .as("tms"),
+      expr(s"event_id div $LateChunk").as("chunk"))
+    val inChunk = Window.partitionBy(col("chunk")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkMax = obs.groupBy(col("chunk")).agg(max(col("tms")).as("cmax"))
+    val prevChunks = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = chunkMax
+      .select(col("chunk"), max(col("cmax")).over(prevChunks).as("pmax"))
+    val wm = obs.join(broadcast(prefix), "chunk")
+      .withColumn("watermark_ms",
+        greatest(max(col("tms")).over(inChunk), col("pmax")))
+    wm.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("tms") < col("watermark_ms") - LateDelayMs, 1))
+          .as("n_late"),
+        sum(when(col("tms") < col("watermark_ms") - LateDelayMs,
+          col("watermark_ms") - LateDelayMs - col("tms")).otherwise(0L))
+          .as("late_ms_sum"),
+        max(when(col("tms") < col("watermark_ms") - LateDelayMs,
+          col("watermark_ms") - LateDelayMs - col("tms")).otherwise(0L))
+          .as("late_ms_max"))
+      .orderBy(col("event_type"))
+  }
+
   // -- streaming faces ----------------------------------------------------
 
   /** The events table's schema with ts as a raw nanos long — the shape
@@ -442,7 +502,9 @@ object Streaming {
       batchDedup(Tables.load(s, dir, "events"))),
     "stream_static_join" -> ((s, dir) =>
       batchStaticEnrich(Tables.load(s, dir, "events"),
-        Tables.load(s, dir, "customer"))))
+        Tables.load(s, dir, "customer"))),
+    "stream_late_audit" -> ((s, dir) =>
+      batchLateAudit(Tables.load(s, dir, "events"))))
 
   def oracleSql: Map[String, String] = Map(
     "stream_upsert_sink" ->
@@ -523,5 +585,30 @@ object Streaming {
       """SELECT c_mktsegment, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the oracle computes the watermark with the NAIVE single global
+    // window — hash equality proves the Spark side's distributed
+    // chunked prefix scan is the same function
+    "stream_late_audit" ->
+      """WITH obs AS (
+        |  SELECT event_id, event_type,
+        |    EPOCH_MS(ts)
+        |      - (((event_id % 1000003) * 2654435761) % 3600) * 1000 AS tms
+        |  FROM events),
+        |wm AS (
+        |  SELECT event_type, tms,
+        |    MAX(tms) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS watermark_ms
+        |  FROM obs)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(COUNT(*) FILTER (WHERE tms < watermark_ms - 600000)
+        |    AS BIGINT) AS n_late,
+        |  CAST(COALESCE(SUM(CASE WHEN tms < watermark_ms - 600000
+        |      THEN watermark_ms - 600000 - tms ELSE 0 END), 0) AS BIGINT)
+        |    AS late_ms_sum,
+        |  CAST(COALESCE(MAX(CASE WHEN tms < watermark_ms - 600000
+        |      THEN watermark_ms - 600000 - tms ELSE 0 END), 0) AS BIGINT)
+        |    AS late_ms_max
+        |FROM wm GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -28,13 +28,18 @@ class PlanLintSpec extends GraftSpec {
     }
   }
 
-  /** sample_temperature's two global-sum windows run AFTER
-    * groupBy(source) — the frame is source-cardinality-sized (bounded
-    * at any corpus size, never rows), per the scale note on
-    * Sampling.temperatureMix. Every other registered plan must be
-    * free of unpartitioned windows: Spark executes them on ONE
-    * partition, the exact scale-killer q34's gate shed in round 7. */
-  private val boundedFrameWindows = Set("sample_temperature")
+  /** sample_temperature's and sample_mixture's global windows run
+    * AFTER groupBy(source) — the frame is source-cardinality-sized
+    * (bounded at any corpus size, never rows), per the scale notes on
+    * Sampling.temperatureMix / mixtureRates. stream_late_audit's
+    * chunk-prefix window runs AFTER groupBy(chunk) — a
+    * rows/LateChunk-sized frame, the tiny upper level of its
+    * distributed prefix scan (Streaming.batchLateAudit). Every other
+    * registered plan must be free of unpartitioned windows: Spark
+    * executes them on ONE partition, the exact scale-killer q34's
+    * gate shed in round 7. */
+  private val boundedFrameWindows =
+    Set("sample_temperature", "sample_mixture", "stream_late_audit")
 
   private def physOps(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {

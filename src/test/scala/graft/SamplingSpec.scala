@@ -125,6 +125,43 @@ class SamplingSpec extends GraftSpec {
       math.abs(r.getLong(3) - r.getDouble(2) * 100000) <= 0.5 + 1e-6))
   }
 
+  test("mixture solver: exact integer solve, no source oversampled, " +
+    "binding source taken (nearly) whole") {
+    import spark.implicits._
+    // 3 sources, token masses chosen so src1 (weight 5) binds:
+    // toks/weight = 4000/8=500 (src0), 1000/5=200 (src1), 9000/1=9000
+    val fixture = (0L until 140L).map { i =>
+      val (src, nTok) =
+        if (i < 20) ("src0", 200) // 4000 tokens
+        else if (i < 40) ("src1", 50) // 1000 tokens
+        else ("src9", 90) // 9000 tokens
+      (i, src, Seq.fill(nTok)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = Sampling.mixtureRates(fixture).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val w = Map("src0" -> 8L, "src1" -> 5L, "src9" -> 1L)
+    val toks = Map("src0" -> 4000L, "src1" -> 1000L, "src9" -> 9000L)
+    val wTotal = w.values.sum // 14
+    val tMax = w.keys.map(s => toks(s) * wTotal / w(s)).min // 2800 via src1
+    w.keys.foreach { s =>
+      val r = out(s)
+      assert(r.getLong(2) === toks(s), s"toks $s")
+      assert(r.getLong(3) === w(s), s"weight $s")
+      val permille = 1000L.min(1000L * tMax * w(s) / (wTotal * toks(s)))
+      assert(r.getLong(4) === permille, s"permille $s")
+      // floored permille never oversamples past the target share
+      assert(permille * toks(s) <= 1000L * tMax * w(s) / wTotal + 1000L)
+    }
+    // the binding source's rate is ~1000‰ (floor can shave a point)
+    assert(out("src1").getLong(4) >= 995L)
+    // realized kept counts respect the rate on the hash sampler
+    w.keys.foreach { s =>
+      val r = out(s)
+      assert(r.getLong(5) <= r.getLong(1), s"kept>docs $s")
+      if (r.getLong(4) == 1000L) assert(r.getLong(5) === r.getLong(1))
+    }
+  }
+
   test("sampling plans are shuffle-free scans (filter only)") {
     val plan = Sampling.stratifiedSample(docs)
       .queryExecution.executedPlan.toString

@@ -184,4 +184,40 @@ class StreamingSpec extends GraftSpec {
       .select("user_id").distinct().count()
     assert(got.size >= batch.size - users)
   }
+
+  test("late audit: the distributed chunked prefix scan equals the " +
+    "naive global running-max watermark") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val events = Tables.load(spark, sf, "events")
+    val got = Streaming.batchLateAudit(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // naive reference: ONE global window over arrival order — the
+    // definition the chunked scan must reproduce exactly
+    val d = Streaming.LateDelayMs
+    val naive = events.select(
+        col("event_id"), col("event_type"),
+        (unix_millis(col("ts")) -
+          ((col("event_id") % 1000003L) * 2654435761L % 3600L) * 1000L)
+          .as("tms"))
+      .withColumn("wm", max(col("tms")).over(Window.orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("tms") < col("wm") - d, 1)).as("n_late"),
+        sum(when(col("tms") < col("wm") - d, col("wm") - d - col("tms"))
+          .otherwise(0L)).as("late_ms_sum"),
+        max(when(col("tms") < col("wm") - d, col("wm") - d - col("tms"))
+          .otherwise(0L)).as("late_ms_max"))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === naive)
+    // the jittered fixture actually exercises lateness
+    assert(got.map(_._3).sum > 0, "no late rows — audit is vacuous")
+    // chunk boundaries are where the decomposition can break: rows 1000
+    // and 2000 sit at the first positions of chunks 1 and 2
+    assert(got.map(_._2).sum === events.count())
+  }
 }

@@ -284,6 +284,30 @@ class TextEtlSpec extends GraftSpec {
       s"token stream shuffles into a sort-merge join:\n${plan.take(1200)}")
   }
 
+  test("ppl bucketing: balanced per-language terciles ordered by score") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val out = TextAnalysis.pplBucket(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3)))
+    // total coverage, one bucket per doc
+    assert(out.length.toLong === docs.count())
+    assert(out.map(_._1).distinct.length === out.length)
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._4).view.mapValues(_.length).toMap
+      // ntile(3): bucket sizes differ by at most 1
+      val sizes = Seq("head", "middle", "tail").map(byBucket.getOrElse(_, 0))
+      assert(sizes.max - sizes.min <= 1, s"$lang unbalanced: $byBucket")
+      // score ordering across bucket boundaries (ties may straddle)
+      def scores(b: String) = rows.filter(_._4 == b).map(_._3)
+      if (scores("head").nonEmpty && scores("middle").nonEmpty)
+        assert(scores("head").min >= scores("middle").max,
+          s"$lang head/middle inversion")
+      if (scores("middle").nonEmpty && scores("tail").nonEmpty)
+        assert(scores("middle").min >= scores("tail").max,
+          s"$lang middle/tail inversion")
+    }
+  }
+
   test("cleaning: trim, empty→NULL, parity segment") {
     val df = Seq((1L, "  x  "), (2L, "   "), (3L, "y"))
       .toDF("codigo", "descricao")
