@@ -37,6 +37,7 @@ SF1_KEYS=(
   q31_retention
   # round-10 additions
   knn_pq_serve knn_ivfpq_serve dedup_embedding_lsh
+  text_ppl_bucket sample_mixture stream_late_audit
 )
 
 echo "[round_bench] full registry at sf0.1 ..."

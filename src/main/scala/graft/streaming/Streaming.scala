@@ -168,16 +168,29 @@ object Streaming {
     * the chunk frame stays small — the decomposition nests.) The
     * DuckDB oracle computes the same watermark with the naive global
     * window, so the hash gate PROVES the chunked scan ≡ the
-    * single-window definition on real data. */
+    * single-window definition on real data.
+    *
+    * This key is deliberately batch-only (unlike the module's other
+    * operators): the audit MODELS per-row watermark semantics, while
+    * the engine's own drop behavior additionally depends on
+    * state-eviction timing (a late row whose window state was never
+    * yet evicted is admitted, not dropped — verified empirically on
+    * 4.1), so no streaming twin can reproduce the model row-for-row;
+    * monitoring the engine's realized drops is what
+    * `numRowsDroppedByWatermark` / this audit's model bound are FOR. */
   val LateDelayMs = 600000L // 10-minute watermark delay
   val LateChunk = 1000L
+
+  /** Observed (jittered) event time in epoch ms — shared by both
+    * late-audit faces so the model and the engine see the same skew. */
+  def lateObsMs: org.apache.spark.sql.Column =
+    unix_millis(col("ts")) -
+      ((col("event_id") % 1000003L) * 2654435761L % 3600L) * 1000L
 
   def batchLateAudit(events: DataFrame): DataFrame = {
     val obs = events.select(
       col("event_id"), col("event_type"),
-      (unix_millis(col("ts")) -
-        ((col("event_id") % 1000003L) * 2654435761L % 3600L) * 1000L)
-        .as("tms"),
+      lateObsMs.as("tms"),
       expr(s"event_id div $LateChunk").as("chunk"))
     val inChunk = Window.partitionBy(col("chunk")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
