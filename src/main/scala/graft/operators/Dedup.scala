@@ -138,7 +138,7 @@ object Dedup {
     val bloomBytes = store
       .agg(call_function("bloom_agg", col("sh"),
         lit(expectedItems), lit(numBits)).as("bloom"))
-      .head.getAs[Array[Byte]]("bloom")
+      .head().getAs[Array[Byte]]("bloom")
     // ONE batch scan: the narrow (doc_id, hash, might) projection —
     // ~17 bytes/row, never the text — is materialized because both the
     // survivor verify and the final verdict join consume it
@@ -182,6 +182,72 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
       .orderBy(col("doc_id"))
   }
+
+  /** NEAR-dup benchmark decontamination — the fuzzy complement of
+    * [[contamination]]: a corpus document is contaminated if its word
+    * n-gram set sits at Jaccard ≥ `threshold` with ANY evaluation
+    * document (verbatim 13-gram containment misses an eval item that
+    * was lightly paraphrased or truncated before leaking into the
+    * crawl; published decontamination pipelines run both rules).
+    * Emits the (corpus doc, eval doc, jaccard) matches — eval members
+    * leaked verbatim self-match at 1.0, near-dup leaks surface below.
+    *
+    * Scale shape: identical to [[contamination]] — the eval side is
+    * eval-suite-sized, so its (eval_id, gram-hash) set BROADCASTS into
+    * the corpus gram stream (per-doc distinct, hashed 64-bit); the
+    * per-(doc, eval) intersection count is the only aggregation and is
+    * hit-bounded. Corpus text never shuffles. Jaccard divides two
+    * exact integer counts, so both engines produce bit-identical
+    * doubles and the threshold cut is hash-stable. */
+  def nearContamination(corpus: DataFrame, benchPred: Column,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), wordShingles(col("toks"), n).as("grams"))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val corpusGrams = grams(corpus)
+    val benchGrams = grams(corpus.filter(benchPred))
+      .select(col("doc_id").as("eval_id"), col("h"))
+    val sizes = corpusGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_doc"))
+    val bsizes = benchGrams.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_eval"))
+    corpusGrams
+      .join(broadcast(benchGrams), "h")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes, "doc_id")
+      .join(broadcast(bsizes), "eval_id")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("n_doc") + col("n_eval") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("eval_id"), col("jaccard"))
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
+  /** Cluster-size-reweighted soft dedup (the UniMax/"count duplicates
+    * once, remember how many there were" curation rule): resolve
+    * near-dup clusters, keep ONE representative per cluster (the
+    * cluster-min id — the same deterministic survivor contract as
+    * every dedup face) and carry the cluster size as a weight.
+    * Downstream samplers divide by the weight (or cap per cluster)
+    * instead of hard-dropping: duplication frequency stops biasing the
+    * mixture while the text itself stays available exactly once.
+    * Singletons appear with weight 1, so the output is a complete
+    * weighted corpus view.
+    *
+    * Scale shape: inherits [[resolveClusters]]' O(log n) star rounds
+    * over the LSH-bounded pair set, then ONE corpus-keyed left join
+    * (labels are pair-node-sized, broadcastable) + a label-keyed
+    * count. */
+  def clusterWeights(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(broadcast(nearDupClusters(docs)), Seq("doc_id"), "left_outer")
+      .select(coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
+      .groupBy(col("keep_id"))
+      .agg(count(lit(1)).as("weight"))
+      .orderBy(col("keep_id"))
 
   // -- MinHash + LSH banding ---------------------------------------------
 
@@ -577,7 +643,7 @@ object Dedup {
     // with equal 64-bit hash sums (never under non-adversarial data)
     def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
       (r.getLong(0), r.getDecimal(1))
     }
 
@@ -660,7 +726,15 @@ object Dedup {
     // leaked into the corpus IS contamination), near-dups add more
     "dedup_contain" -> ((s, dir) =>
       contamination(Tables.load(s, dir, "documents"),
-        col("doc_id") % 50 === 0)))
+        col("doc_id") % 50 === 0)),
+    // fuzzy decontamination: word-trigram Jaccard >= 0.5 vs an
+    // every-40th-doc eval set — verbatim leaks self-match at 1.0,
+    // planted near-dups surface below
+    "dedup_contain_near" -> ((s, dir) =>
+      nearContamination(Tables.load(s, dir, "documents"),
+        col("doc_id") % 40 === 0)),
+    "corpus_dedup_weight" -> ((s, dir) =>
+      clusterWeights(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
     // the whole stage replayed: chunking, global first-occurrence per
@@ -739,6 +813,29 @@ object Dedup {
         |SELECT doc_id, COUNT(*) AS n_hits
         |FROM grams WHERE g IN (SELECT g FROM bench)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the fuzzy rule replayed on raw trigram STRINGS (the Spark side
+    // intersects 64-bit gram hashes — a hash match also certifies
+    // collision-freedom on this corpus); int/int Jaccard divides
+    // bit-identically on both engines
+    "dedup_contain_near" ->
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2], ' ') AS g
+        |  FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 2, 1) + 1)) AS r(i)),
+        |bench AS (SELECT doc_id AS eval_id, g FROM grams
+        |          WHERE doc_id % 40 = 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |bsizes AS (SELECT eval_id, COUNT(*) AS n FROM bench
+        |           GROUP BY eval_id),
+        |inter AS (SELECT c.doc_id, b.eval_id, COUNT(*) AS i
+        |          FROM grams c JOIN bench b ON c.g = b.g GROUP BY 1, 2)
+        |SELECT doc_id, eval_id,
+        |  CAST(i AS DOUBLE) / (s.n + bs.n - i) AS jaccard
+        |FROM inter JOIN sizes s USING (doc_id)
+        |JOIN bsizes bs USING (eval_id)
+        |WHERE CAST(i AS DOUBLE) / (s.n + bs.n - i) >= 0.5
+        |ORDER BY doc_id, eval_id""".stripMargin,
     // The oracle brute-forces ALL-pairs Jaccard (fine for DuckDB at
     // verification scale); the Spark side emits only LSH candidates, so
     // a hash match also PROVES the banding achieved full recall at the
@@ -835,6 +932,35 @@ object Dedup {
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node)
         |SELECT node AS doc_id, MIN(r) AS keep_id FROM reach
         |GROUP BY node ORDER BY doc_id""".stripMargin,
+    // the same reachability CTE, aggregated to per-representative
+    // cluster sizes with singletons self-labeled — the UniMax weight
+    "corpus_dedup_weight" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t
+        |         FROM documents),
+        |grams AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2],' ') AS g
+        |          FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t)-2,1)+1)) AS r(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |          FROM grams a JOIN grams b
+        |            ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1,2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT src AS node, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+        |labels AS (SELECT node AS doc_id, MIN(r) AS keep_id FROM reach
+        |           GROUP BY node)
+        |SELECT COALESCE(l.keep_id, d.doc_id) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS weight
+        |FROM documents d LEFT JOIN labels l USING (doc_id)
+        |GROUP BY 1 ORDER BY keep_id""".stripMargin,
     // The 60-bit poly-simhash recomputed entirely in SQL (token
     // codepoint-polynomials via list_reduce, one majority-vote CASE per
     // bit), then ALL-pairs hamming — the Spark side emits only

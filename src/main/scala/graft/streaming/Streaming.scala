@@ -215,6 +215,58 @@ object Streaming {
       .orderBy(col("event_type"))
   }
 
+  /** Event-rate anomaly monitor, batch face: per event type, flag
+    * hourly volumes more than `zThresh` sample standard deviations
+    * away from the trailing 24-hour mean — the standing alert every
+    * ingest pipeline hangs off its throughput curve (a stuck upstream
+    * halves a rate; a replay or a bot doubles it).
+    *
+    * Exactness: mean/stddev are computed EXPLICITLY from integer
+    * window sums (s1=Σn, s2=Σn², m) with the same expression text on
+    * both engines — never from an engine's own stddev aggregate,
+    * whose accumulation algorithm (Welford vs sum-of-squares) differs
+    * in the last ulps across engines; identical IEEE operations on
+    * exact integer inputs give bit-identical doubles, and z rounds to
+    * 4 decimals on top. A bucket alerts only with a FULL trailing
+    * window (m = 24) and positive variance.
+    *
+    * Scale shape: events reduce map-side to the (type, hour) count
+    * series — bounded by types × hours, never by event volume — and
+    * the trailing window runs over that tiny series, partitioned by
+    * type. The events scan itself is one map-side-combined groupBy. */
+  val RateTrailing = 24
+  val RateZThreshold = 3.0
+
+  def batchRateAlert(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("window_start"))
+      .rowsBetween(-RateTrailing, -1)
+    // mean/sd only materialize under the m = RateTrailing branch
+    // (CaseWhen short-circuits), so the m ∈ {0, 1} leading buckets
+    // never evaluate a zero divisor under ANSI mode; variance clamps
+    // at 0 against float cancellation on a constant series (sd = 0 →
+    // z stays NULL) — the oracle mirrors both guards
+    val meanE = col("s1").cast("double") / col("m")
+    val sdE = sqrt(greatest(
+      (col("s2").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double") / col("m"))
+        / (col("m") - 1), lit(0.0)))
+    counts
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("z",
+        when(col("m") === RateTrailing,
+          when(sdE > 0, round((col("n") - meanE) / sdE, 4))))
+      .select(col("window_start"), col("event_type"), col("n"), col("z"),
+        (coalesce(abs(col("z")), lit(0.0)) >= RateZThreshold).as("alert"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   // -- streaming faces ----------------------------------------------------
 
   /** The events table's schema with ts as a raw nanos long — the shape
@@ -517,7 +569,9 @@ object Streaming {
       batchStaticEnrich(Tables.load(s, dir, "events"),
         Tables.load(s, dir, "customer"))),
     "stream_late_audit" -> ((s, dir) =>
-      batchLateAudit(Tables.load(s, dir, "events"))))
+      batchLateAudit(Tables.load(s, dir, "events"))),
+    "stream_rate_alert" -> ((s, dir) =>
+      batchRateAlert(Tables.load(s, dir, "events"))))
 
   def oracleSql: Map[String, String] = Map(
     "stream_upsert_sink" ->
@@ -623,5 +677,36 @@ object Streaming {
         |  CAST(COALESCE(MAX(CASE WHEN tms < watermark_ms - 600000
         |      THEN watermark_ms - 600000 - tms ELSE 0 END), 0) AS BIGINT)
         |    AS late_ms_max
-        |FROM wm GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM wm GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // explicit integer-sum mean/stddev (NOT the engine stddev
+    // aggregate) — identical IEEE arithmetic on both sides, z rounded
+    // to 4 decimals
+    "stream_rate_alert" ->
+      """WITH counts AS (
+        |  SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT window_start, event_type, n,
+        |    CAST(SUM(n) OVER w AS BIGINT) AS s1,
+        |    CAST(SUM(n * n) OVER w AS BIGINT) AS s2,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS m
+        |  FROM counts
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |scored AS (
+        |  SELECT window_start, event_type, n,
+        |    CASE WHEN m = 24 AND
+        |        SQRT(GREATEST((CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / m)
+        |          / (m - 1), 0.0)) > 0
+        |      THEN ROUND((n - CAST(s1 AS DOUBLE) / m)
+        |        / SQRT(GREATEST((CAST(s2 AS DOUBLE)
+        |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / m)
+        |            / (m - 1), 0.0)), 4)
+        |    END AS z
+        |  FROM stats)
+        |SELECT window_start, event_type, n, z,
+        |  COALESCE(ABS(z), 0.0) >= 3.0 AS alert
+        |FROM scored ORDER BY window_start, event_type""".stripMargin)
 }

@@ -248,6 +248,50 @@ class DedupSpec extends GraftSpec {
       "segment dedup dropped nothing on the near-dup-bearing corpus")
   }
 
+  test("near-contamination catches paraphrased eval leaks that " +
+    "verbatim containment misses") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    // doc 3: the eval doc verbatim; doc 5: lightly paraphrased (3 of 30
+    // words changed — kills every 13-gram but keeps trigram Jaccard
+    // high); doc 7: unrelated
+    val para = ((1 to 30).map(i => s"tok$i").take(10) ++ Seq("X") ++
+      (12 to 20).map(i => s"tok$i") ++ Seq("Y") ++
+      (22 to 30).map(i => s"tok$i")).mkString(" ")
+    val fixture = Seq(
+      (3L, base), (5L, para),
+      (7L, (100 to 130).map(i => s"other$i").mkString(" ")),
+      (40L, base)) // 40 % 40 == 0 → the eval member
+      .toDF("doc_id", "text")
+    val near = Dedup.nearContamination(fixture, col("doc_id") % 40 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // verbatim leak (3) and the eval doc itself (40) match at 1.0
+    assert(near.contains((3L, 40L, 1.0)) && near.contains((40L, 40L, 1.0)))
+    // the paraphrase is caught near, 0.5 <= j < 1
+    val pj = near.collectFirst { case (5L, 40L, j) => j }
+    assert(pj.exists(j => j >= 0.5 && j < 1.0), s"paraphrase: $near")
+    assert(!near.exists(_._1 == 7L), "unrelated doc flagged")
+    // ...while the verbatim 13-gram rule misses exactly the paraphrase
+    val verbatim = Dedup.contamination(fixture, col("doc_id") % 40 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(verbatim == Set(3L, 40L), s"verbatim: $verbatim")
+  }
+
+  test("cluster weights: one row per representative, sizes sum to the " +
+    "corpus, singletons weigh 1") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val out = Dedup.clusterWeights(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._2).sum == docs.count(), "weights must sum to corpus")
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.exists(_._2 > 1), "no multi-doc cluster on the " +
+      "near-dup-bearing corpus — weight face is vacuous")
+    // representatives are cluster minima: no member id below its rep
+    val labels = Dedup.nearDupClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    labels.foreach { case (d, k) => assert(k <= d) }
+  }
+
   test("no dedup plan contains a cartesian product") {
     Seq("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
       "dedup_embedding").foreach { q =>

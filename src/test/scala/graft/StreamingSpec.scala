@@ -185,6 +185,36 @@ class StreamingSpec extends GraftSpec {
     assert(got.size >= batch.size - users)
   }
 
+  test("rate alert: a planted spike alerts after a full trailing " +
+    "window; warmup buckets stay null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hourly counts cycle 4/5/6 for 30 h, then a 40-event spike
+    val rows = (0 to 30).flatMap { h =>
+      val c = if (h == 30) 40 else 4 + h % 3
+      (0 until c).map(j => (h.toLong * 3600 + j * 10, "a"))
+    }
+    val ev = rows.toDF("secs", "event_type")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val out = Streaming.batchRateAlert(ev).collect()
+      .map(r => (r.getTimestamp(0).getTime / 3600000, r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4)))
+    assert(out.length == 31)
+    // the first 24 buckets lack a full trailing window: z null, quiet
+    out.filter(_._1 < 24).foreach { case (h, _, z, a) =>
+      assert(z.isEmpty && !a, s"warmup bucket $h scored")
+    }
+    // steady-state buckets score but stay under threshold
+    out.filter(t => t._1 >= 24 && t._1 < 30).foreach { case (h, _, z, a) =>
+      assert(z.nonEmpty && !a, s"steady bucket $h: $z alert=$a")
+    }
+    // the spike bucket alerts hard: mean 5, sd sqrt(16/23) → z ≈ 42
+    val spike = out.find(_._1 == 30).get
+    assert(spike._2 == 40 && spike._4 && spike._3.exists(_ > 3),
+      s"spike: $spike")
+  }
+
   test("late audit: the distributed chunked prefix scan equals the " +
     "naive global running-max watermark") {
     import org.apache.spark.sql.expressions.Window
