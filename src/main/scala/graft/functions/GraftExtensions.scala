@@ -103,12 +103,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // error instead of a builder ClassCastException.
     def intArg(e: Expression, name: String): Int = {
       if (!e.foldable) throw new IllegalArgumentException(
-        s"rolling_fingerprint: $name must be a foldable integer literal")
+        s"$name must be a foldable integer literal")
       e.eval() match {
         case i: Int => i
         case l: Long if l.isValidInt => l.toInt
         case other => throw new IllegalArgumentException(
-          s"rolling_fingerprint: $name must be an integer literal, got " +
+          s"$name must be an integer literal, got " +
             s"${Option(other).getOrElse("NULL")} (${e.dataType.catalogString})")
       }
     }
@@ -130,6 +130,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         expectArity("poly_fingerprint(text, k, w)", 3, children)
         PolyFingerprint(children.head,
           intArg(children(1), "k"), intArg(children(2), "w"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sign_pack32"),
+      info("sign_pack32",
+        "sign_pack32(v, offset) - 32 sign bits of v[offset..offset+31] " +
+          "packed into a BIGINT in [0, 2^32)"),
+      (children: Seq[Expression]) => {
+        expectArity("sign_pack32(v, offset)", 2, children)
+        SignPack32(children.head, intArg(children(1), "offset"))
       }))
   }
 }

@@ -173,6 +173,54 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-bit binary quantization of a 32-element slice of an embedding:
+  * bit i of the result is 1 iff v[offset + i] >= 0 (missing elements
+  * read as bit 0). Two calls (offset 0 and 32) pack a 64-dim float
+  * vector into two BIGINT halves — a 16× size cut (8 B of codes vs
+  * 256 B of floats) whose Hamming distance approximates angular
+  * distance (Charikar's SimHash bound), computable with two XOR +
+  * popcount ops instead of 64 float multiplies. Values stay in
+  * [0, 2^32), so the packing is exactly replayable in standard SQL
+  * integer arithmetic (no sign-bit overflow anywhere). */
+case class SignPack32(child: Expression, offset: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorInput.isVector(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double|float>, got " +
+        child.dataType.catalogString)
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "sign_pack32"
+
+  @transient private lazy val f = VectorInput.isFloat(child.dataType)
+
+  def compute(a: ArrayData): Long = {
+    val n = a.numElements()
+    var bits = 0L
+    var i = 0
+    while (i < 32) {
+      val j = offset + i
+      if (j < n && VectorInput.get(a, j, f) >= 0) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signPackExpr", this)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignPack32 =
+    copy(child = newChild)
+}
+
 /** Flattened upper-triangle outer product x·xᵀ (diagonal included,
   * row-major), with the raw vector APPENDED: positions
   * [0, d(d+1)/2) hold x_i·x_j for i ≤ j, positions [d(d+1)/2,

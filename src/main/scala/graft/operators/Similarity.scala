@@ -297,6 +297,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Sign-bit binary quantization of the embedding table: 64 float
+    * dims → two packed BIGINT halves (bit i of h0/h1 set iff
+    * dim i / dim 32+i is >= 0) plus the positive-bit population count.
+    * 256 B of floats become 8 B of codes — the 32× memory cut that
+    * lets a 100 TB embedding store's code table fit cluster RAM — and
+    * downstream Hamming distance is 2 XOR + 2 popcounts per pair vs
+    * 64 multiplies. Purely per-row (narrow, codegen'd native
+    * expression, no shuffle); both halves stay in [0, 2^32), so the
+    * oracle replays the packing with plain SQL integer arithmetic. */
+  def bitpack(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
+        call_function("sign_pack32", col("embedding"), lit(0)).as("h0"),
+        call_function("sign_pack32", col("embedding"), lit(32)).as("h1"))
+      .withColumn("pos_bits",
+        (bit_count(col("h0")) + bit_count(col("h1"))).cast("long"))
+
+  /** Hamming-distance top-k over the bitpacked codes: broadcast the
+    * (small) packed query set, one pass over the packed corpus, per-
+    * query top-k via window — knnBrute's geometry, but the scanned
+    * payload is 16 B/row instead of 256 B and the distance kernel is
+    * integer XOR/popcount. By the hyperplane-rounding bound
+    * (Goemans-Williamson / Charikar), P[sign bits differ] =
+    * angle(a,b)/π per coordinate, so Hamming rank approximates cosine
+    * rank; SimilaritySpec quantifies recall vs knnBrute on real data.
+    * Ties break on (hamming, neighbor_id) — integer-exact, so the
+    * oracle compare needs no float rounding anywhere. */
+  def knnHamming(vecs: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packed = bitpack(vecs).select("vec_id", "h0", "h1")
+    val queries = packed.filter(queryPred).toDF("query_id", "q0", "q1")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    packed.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (bit_count(col("h0").bitwiseXOR(col("q0"))) +
+          bit_count(col("h1").bitwiseXOR(col("q1")))).cast("long")
+          .as("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-row top-n cell assignment against a broadcast 1-row codebook
     * (`[cents: array<struct<c_id,c_e,c_nrm>>]`) — exchange-free: the
     * corpus side never moves. (The previous shape — crossJoin to n·C
@@ -1521,7 +1564,14 @@ object Similarity {
         pqIndexPath(dir))),
     "knn_ivfpq_serve" -> ((s, dir) =>
       knnIvfPqServe(Tables.load(s, dir, "embeddings"), col("vec_id") < 10,
-        ivfPqIndexPath(dir))))
+        ivfPqIndexPath(dir))),
+    // integer-exact end to end: the packing, the distances, and the
+    // ranking are all BIGINT arithmetic, so the hash carries the whole
+    // answer with zero rounding seams
+    "emb_bitpack" -> ((s, dir) =>
+      bitpack(Tables.load(s, dir, "embeddings")).orderBy(col("vec_id"))),
+    "knn_hamming" -> ((s, dir) =>
+      knnHamming(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)))
 
   /** The 48 fixed-seed hyperplanes as SQL row literals — generated from
     * the SAME array the native hyperplane_bits expression evaluates
@@ -1624,6 +1674,46 @@ object Similarity {
     * full-oracle via the fixed-point mean; emb_quantize hash-matches
     * the exact per-vector scale plus in-plan error-bound gates. */
   def oracleSql: Map[String, String] = Map(
+    // sign packing replayed with plain integer arithmetic: bit i of
+    // h0/h1 = [embedding[i(+32)] >= 0] << i; halves stay below 2^32 so
+    // no BIGINT sign-bit overflow on either engine
+    "emb_bitpack" ->
+      """SELECT vec_id,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 32), i ->
+        |    CASE WHEN embedding[i + 1] >= 0
+        |         THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS h0,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 32), i ->
+        |    CASE WHEN embedding[i + 33] >= 0
+        |         THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS h1,
+        |  CAST(LEN(LIST_FILTER(embedding, x -> x >= 0)) AS BIGINT)
+        |    AS pos_bits
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // same packing, then XOR/popcount distance and the full top-k
+    // ranking — every distance and every rank is on the hash
+    "knn_hamming" ->
+      """WITH packed AS (
+        |  SELECT vec_id,
+        |    CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 32), i ->
+        |      CASE WHEN embedding[i + 1] >= 0
+        |           THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)
+        |      AS h0,
+        |    CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 32), i ->
+        |      CASE WHEN embedding[i + 33] >= 0
+        |           THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)
+        |      AS h1
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+        |    CAST(BIT_COUNT(XOR(q.h0, p.h0))
+        |       + BIT_COUNT(XOR(q.h1, p.h1)) AS BIGINT) AS hamming
+        |  FROM packed q JOIN packed p ON p.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY hamming, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // replay of topComponentCertified: covariance recomputed from the
     // raw embeddings (C = (Σxxᵀ − n·μμᵀ)/(n−1), exactly the Scala
     // formula), then the SAME 60-step fixed power iteration as a

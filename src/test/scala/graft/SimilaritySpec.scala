@@ -94,6 +94,41 @@ class SimilaritySpec extends GraftSpec {
     assert(recall5 >= 0.5, s"IVF nprobe=5 recall $recall5 too low")
   }
 
+  test("bitpack packs exactly the driver-computed sign bits; " +
+      "hamming kNN beats chance recall and improves with k") {
+    val rows = vecs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def pack(v: Array[Float], off: Int): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        if (off + i < v.length && v(off + i) >= 0) acc | (1L << i) else acc
+      }
+    val packed = Similarity.bitpack(vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(packed.size == rows.size)
+    rows.foreach { case (id, v) =>
+      val (h0, h1, pos) = packed(id)
+      assert(h0 == pack(v, 0) && h1 == pack(v, 32),
+        s"vec $id: packed halves disagree with driver replay")
+      assert(pos == java.lang.Long.bitCount(h0) + java.lang.Long.bitCount(h1))
+      assert(h0 >= 0 && h0 < (1L << 32) && h1 >= 0 && h1 < (1L << 32),
+        s"vec $id: half out of the replayable [0, 2^32) range")
+    }
+    // recall vs exact cosine: random-ish embeddings bound what 64 sign
+    // bits can recover, but the ranking must still beat chance (~0.01
+    // for 5 of 499) and improve as k grows
+    val brute = Similarity.knnBrute(vecs, col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def ham(k: Int) =
+      Similarity.knnHamming(vecs, col("vec_id") < 10, k = k).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r5 = (brute & ham(5)).size.toDouble / brute.size
+    val r20 = (brute & ham(20)).size.toDouble / brute.size
+    assert(r5 >= 0.08, s"hamming@5 recall $r5 is indistinguishable from chance")
+    assert(r20 >= r5, "recall must not drop with more neighbors")
+    assert(r20 >= 0.25, s"hamming@20 recall $r20 too low")
+  }
+
   test("embedding near-dup pairs are verified, thresholded and ordered") {
     val pairs = Similarity.embeddingPairs(vecs, threshold = 0.35).collect()
     pairs.foreach { r =>
