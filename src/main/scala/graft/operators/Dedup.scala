@@ -226,6 +226,42 @@ object Dedup {
       .orderBy(col("doc_id"), col("eval_id"))
   }
 
+  /** Substring-level duplication statistics (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * signal, gram-approximated): a document is substring-duplicated
+    * when a large share of its word 13-grams also occur in OTHER
+    * documents — catching boilerplate, templated pages, and partial
+    * copies that whole-document dedup misses because no pair is
+    * similar enough overall. Emits per-doc (n_grams, n_dup_grams,
+    * dup_frac, is_dup at the 20% cut); removal policy is the
+    * caller's (drop, or excise the spans).
+    *
+    * Scale shape: per-doc DISTINCT grams hash to 64 bits scan-side, so
+    * the only wide data movement is ONE (doc_id, hash)-row exchange
+    * keyed by gram hash — the canonical substring-dedup shuffle,
+    * 16 B/row regardless of document size. Document frequency comes
+    * from a count window over that same exchange (no second shuffle of
+    * the gram stream, no join back); the window group size is bounded
+    * by the corpus's worst per-gram doc frequency. Thresholding is
+    * integer arithmetic (n_dup·5 ≥ n_grams), and the oracle groups by
+    * the RAW gram strings — agreement also certifies the 64-bit
+    * hashing collision-free on this corpus. */
+  def substringStats(docs: DataFrame, n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(wordShingles(col("toks"), n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    g.withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        col("n_dup_grams").cast("double") / col("n_grams"))
+      .withColumn("is_dup", col("n_dup_grams") * 5 >= col("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cluster-size-reweighted soft dedup (the UniMax/"count duplicates
     * once, remember how many there were" curation rule): resolve
     * near-dup clusters, keep ONE representative per cluster (the
@@ -734,9 +770,35 @@ object Dedup {
       nearContamination(Tables.load(s, dir, "documents"),
         col("doc_id") % 40 === 0)),
     "corpus_dedup_weight" -> ((s, dir) =>
-      clusterWeights(Tables.load(s, dir, "documents"))))
+      clusterWeights(Tables.load(s, dir, "documents"))),
+    "dedup_substring" -> ((s, dir) =>
+      substringStats(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // raw-gram-string replay of substringStats: shingling (including
+    // the one-short-gram rule for <13-token docs), per-gram document
+    // frequency, per-doc dup share, and the integer 20% cut — grouping
+    // by the gram TEXT also certifies the 64-bit hashing collision-free
+    "dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    ARRAY_TO_STRING(t[i + 1 : i + 13], ' ') AS g
+        |  FROM toks,
+        |    UNNEST(RANGE(0, GREATEST(LEN(t) - 12, 1))) r(i)),
+        |wd AS (
+        |  SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS df
+        |  FROM grams),
+        |per AS (
+        |  SELECT doc_id, COUNT(*) AS n_grams,
+        |    CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_grams
+        |  FROM wd GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_dup_grams,
+        |  CAST(n_dup_grams AS DOUBLE) / n_grams AS dup_frac,
+        |  (n_dup_grams * 5 >= n_grams) AS is_dup
+        |FROM per ORDER BY doc_id""".stripMargin,
     // the whole stage replayed: chunking, global first-occurrence per
     // segment, per-doc reassembly — a dropped or misordered segment
     // anywhere fails the hash

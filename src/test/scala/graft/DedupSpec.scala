@@ -292,6 +292,31 @@ class DedupSpec extends GraftSpec {
     labels.foreach { case (d, k) => assert(k <= d) }
   }
 
+  test("substring stats: shared boilerplate counts per-gram, whole-doc " +
+      "copies saturate, unique text stays clean") {
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ") // 20 shared words
+    val df = textsDF(
+      1L -> (boiler + " " + (1 to 30).map(i => s"x$i").mkString(" ")),
+      2L -> (boiler + " " + (1 to 30).map(i => s"y$i").mkString(" ")),
+      3L -> (1 to 50).map(i => s"z$i").mkString(" "), // fully unique
+      4L -> (1 to 50).map(i => s"z$i").mkString(" "), // exact copy of 3
+      5L -> "short doc") // < 13 tokens → one short gram
+    val got = Dedup.substringStats(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    // 50-token docs have 38 distinct 13-grams; docs 1/2 share exactly
+    // the 8 grams fully inside the 20-word boilerplate prefix
+    assert(got(1L) == ((38L, 8L, true)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((38L, 8L, true)), s"doc 2: ${got(2L)}")
+    // exact copies: every gram duplicated, fraction 1
+    assert(got(3L) == ((38L, 38L, true)))
+    assert(got(4L) == ((38L, 38L, true)))
+    // the short doc's single whole-text gram matches nothing
+    assert(got(5L) == ((1L, 0L, false)))
+    // threshold is the documented 20% integer cut: 8*5 >= 38
+    assert(8L * 5 >= 38L)
+  }
+
   test("no dedup plan contains a cartesian product") {
     Seq("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
       "dedup_embedding").foreach { q =>
