@@ -355,6 +355,51 @@ object TextAnalysis {
       lit(" contact user"), col("doc_id"),
       lit("@example.com or +1-555-"), col("doc_id")))
 
+  /** PMI-ranked bigram collocations over the corpus — the classic
+    * corpus-statistics pass (Church & Hanks 1990) a training-data
+    * pipeline runs to find multi-word units, template phrases, and
+    * tokenizer-merge candidates: score(w1 w2) = ln P(w1w2) −
+    * ln P(w1) − ln P(w2) with bigram/unigram probabilities from
+    * corpus counts, min-count-filtered and top-k ranked.
+    *
+    * Scale shape: both count tables build via map-side-combined
+    * groupBys (the bigram table is vocab²-bounded and min-count
+    * pruning shrinks it further BEFORE any join); the unigram table is
+    * VOCABULARY-sized and broadcasts into the scored join, so nothing
+    * corpus-sized ever shuffles twice. Ranking runs on the ROUNDED
+    * score with (w1, w2) tie-breaks — top-k is a
+    * TakeOrderedAndProject, no global sort. The additive constant
+    * 2·ln N − ln B is grouped identically in the oracle so both
+    * engines follow the same double-rounding path into the 4-decimal
+    * round. */
+  def collocations(docs: DataFrame, minCount: Long = 5,
+      k: Int = 50): DataFrame = {
+    val t = docs.select(words(col("text")).as("toks"))
+    val uni = t.select(explode(col("toks")).as("w"))
+    val uniCounts = uni.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val bi = t.filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val nTokens = uni.count()
+    val nBigrams = bi.count()
+    val const = 2 * math.log(nTokens.toDouble) - math.log(nBigrams.toDouble)
+    bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .join(broadcast(uniCounts.select(col("w").as("w1"),
+        col("c_w").as("c_x"))), "w1")
+      .join(broadcast(uniCounts.select(col("w").as("w2"),
+        col("c_w").as("c_y"))), "w2")
+      .withColumn("pmi_r", round(
+        log(col("c_xy").cast("double")) - log(col("c_x").cast("double"))
+          - log(col("c_y").cast("double")) + lit(const), 4))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("pmi_r"))
+      .orderBy(col("pmi_r").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Corpus-unigram log-probability score per document — the
     * CCNet/Gopher-style "unusual word distribution" quality signal: a
     * document whose words are globally rare (gibberish, code dumps,
@@ -523,9 +568,32 @@ object TextAnalysis {
     "text_entropy" -> ((s, dir) =>
       entropy(Tables.load(s, dir, "documents"))),
     "text_ppl_bucket" -> ((s, dir) =>
-      pplBucket(Tables.load(s, dir, "documents"))))
+      pplBucket(Tables.load(s, dir, "documents"))),
+    "text_collocation" -> ((s, dir) =>
+      collocations(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // full replay: unigram/bigram counts, the min-count cut, the PMI
+    // with the constant term parenthesized to match the Spark
+    // expression's double-rounding path, and the rounded-score top-k
+    "text_collocation" ->
+      """WITH toks AS (SELECT STRING_SPLIT(text, ' ') AS t FROM documents),
+        |uni AS (SELECT UNNEST(t) AS w FROM toks),
+        |uc AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY w),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni),
+        |bi AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |       FROM toks, UNNEST(RANGE(1, LEN(t))) r(i)),
+        |bt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS b FROM bi),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi
+        |       GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+        |sc AS (
+        |  SELECT w1, w2, c_xy, x.c_w AS c_x, y.c_w AS c_y,
+        |    ROUND(LN(CAST(c_xy AS DOUBLE)) - LN(CAST(x.c_w AS DOUBLE))
+        |      - LN(CAST(y.c_w AS DOUBLE))
+        |      + (2 * LN((SELECT n FROM nn)) - LN((SELECT b FROM bt))), 4)
+        |      AS pmi_r
+        |  FROM bc JOIN uc x ON bc.w1 = x.w JOIN uc y ON bc.w2 = y.w)
+        |SELECT * FROM sc ORDER BY pmi_r DESC, w1, w2 LIMIT 50""".stripMargin,
     // both entropies recomputed from scratch via the same
     // H = ln n − (Σ c·ln c)/n identity, from relational symbol counts
     // (codepoint split: DuckDB STRING_SPLIT(x,'') and the JVM regex

@@ -308,6 +308,31 @@ class TextEtlSpec extends GraftSpec {
     }
   }
 
+  test("collocations: a planted phrase tops the PMI ranking with " +
+      "hand-computed score and counts") {
+    // "alpha beta" always co-occur; filler words pair freely, so their
+    // bigrams score near 0 while the phrase's PMI is strongly positive
+    val phrase = Array.fill(6)("alpha beta").mkString(" ")
+    val free = (1 to 30).flatMap(i =>
+      Seq(s"f${i % 3}", s"g${i % 5}")).mkString(" ")
+    val df = Seq((1L, phrase), (2L, free), (3L, free))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(df, minCount = 2, k = 10).collect()
+    val top = got.head
+    assert((top.getString(0), top.getString(1)) == (("alpha", "beta")))
+    val nTok = 12 + 60 + 60
+    val nBi = 11 + 59 + 59
+    assert(top.getLong(2) == 6L && top.getLong(3) == 6L
+      && top.getLong(4) == 6L)
+    val expected = math.log(6.0) - math.log(6.0) - math.log(6.0) +
+      (2 * math.log(nTok.toDouble) - math.log(nBi.toDouble))
+    assert(math.abs(top.getDouble(5) - expected) < 1e-3,
+      s"pmi ${top.getDouble(5)} vs $expected")
+    // scores arrive ranked: rounded PMI non-increasing down the list
+    val pmis = got.map(_.getDouble(5))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+  }
+
   test("cleaning: trim, empty→NULL, parity segment") {
     val df = Seq((1L, "  x  "), (2L, "   "), (3L, "y"))
       .toDF("codigo", "descricao")
