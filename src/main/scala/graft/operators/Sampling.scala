@@ -277,6 +277,44 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Deterministic round-robin source interleaving — the training-order
+    * layout that keeps every batch mixture-representative: documents
+    * order globally by (per-source rank, source), so round r serves
+    * the r-th document of every source before any source's (r+1)-th,
+    * and uneven sources drop out of the rotation exactly when
+    * exhausted.
+    *
+    * Scale shape: the GLOBAL position is NOT a global window (which
+    * would single-partition the corpus — the q34 scale-killer). It is
+    * computed per-row by closed form over the source-count vector:
+    * pos(r, s) = Σ_{s'} min(c_{s'}, r−1) + #{s' < s : c_{s'} ≥ r} + 1
+    * — rows before (r, s) are the complete earlier rounds plus the
+    * earlier sources still alive in round r. The count vector is
+    * SOURCE-cardinality-sized (bounded at any corpus scale) and ships
+    * as a broadcast 1-row sorted array; per-source ranks come from one
+    * source-keyed window. The oracle computes the NAIVE global
+    * ROW_NUMBER over (rank, source) — hash equality proves the
+    * distributed closed form ≡ the definition (the stream_late_audit
+    * proof pattern). */
+  def interleave(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val ranked = docs.select(col("doc_id"), col("source"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+    val counts = ranked.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .agg(sort_array(collect_list(struct(col("source"), col("cnt"))))
+        .as("cs"))
+    ranked.crossJoin(broadcast(counts))
+      .withColumn("global_pos",
+        aggregate(col("cs"), lit(0L), (acc, x) =>
+          acc + least(x.getField("cnt"), col("src_rank") - 1) +
+            when(x.getField("source") < col("source") &&
+              x.getField("cnt") >= col("src_rank"), 1L).otherwise(0L)) + 1)
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        col("global_pos"))
+      .orderBy(col("global_pos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_temperature" -> ((s, dir) =>
       temperatureMix(Tables.load(s, dir, "documents"))),
@@ -295,9 +333,24 @@ object Sampling {
     "sample_source_cap" -> ((s, dir) =>
       sourceCap(Tables.load(s, dir, "documents"))),
     "sample_mixture" -> ((s, dir) =>
-      mixtureRates(Tables.load(s, dir, "documents"))))
+      mixtureRates(Tables.load(s, dir, "documents"))),
+    "sample_interleave" -> ((s, dir) =>
+      interleave(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // the NAIVE definition: one global ROW_NUMBER over (rank, source).
+    // Hash equality proves the engine's broadcast closed-form position
+    // arithmetic ≡ this definition on every row
+    "sample_interleave" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS src_rank
+        |  FROM documents)
+        |SELECT doc_id, source, src_rank,
+        |  ROW_NUMBER() OVER (ORDER BY src_rank, source, doc_id)
+        |    AS global_pos
+        |FROM ranked ORDER BY global_pos""".stripMargin,
     // full relational replay: mass shares, tempered power weights,
     // renormalization, budget targets
     "sample_temperature" ->

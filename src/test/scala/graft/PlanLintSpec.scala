@@ -15,7 +15,11 @@ class PlanLintSpec extends GraftSpec {
     * Similarity.scala. */
   private val intentionalCross =
     Set("knn_brute", "knn_ivf", "knn_pq_adc", "knn_ivfpq",
-      "knn_pq_serve", "knn_ivfpq_serve", "knn_hamming")
+      "knn_pq_serve", "knn_ivfpq_serve", "knn_hamming",
+      // broadcasts a 1-ROW packed source-count vector (the same
+      // bounded-codebook shape as the ANN cell assignment); see
+      // Sampling.interleave's scale note
+      "sample_interleave")
 
   test("no query plan contains a cartesian product or stray nested loop") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, q) =>

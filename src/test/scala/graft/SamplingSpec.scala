@@ -162,6 +162,30 @@ class SamplingSpec extends GraftSpec {
     }
   }
 
+  test("interleave: closed-form positions equal the naive global order " +
+      "on uneven sources, and rounds rotate sources") {
+    // a:5 docs, b:2, c:3 — b leaves the rotation after round 2,
+    // c after round 3
+    val df = Seq(
+      (10L, "a"), (11L, "a"), (12L, "a"), (13L, "a"), (14L, "a"),
+      (20L, "b"), (21L, "b"),
+      (30L, "c"), (31L, "c"), (32L, "c")).toDF("doc_id", "source")
+    val got = Sampling.interleave(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // naive definition replayed on the driver
+    val expected = got.map(t => (t._3, t._2, t._1)).sorted
+      .zipWithIndex.map { case ((r, s, id), i) => (id, s, r, i + 1L) }
+      .sortBy(_._4)
+    assert(got.toSeq == expected.toSeq)
+    // all 10 positions distinct and dense
+    assert(got.map(_._4).sorted.toSeq == (1L to 10L))
+    // round 1 serves one doc of each source in source order
+    assert(got.sortBy(_._4).take(3).map(t => (t._2, t._1)).toSeq ==
+      Seq(("a", 10L), ("b", 20L), ("c", 30L)))
+    // after b and c exhaust, the tail is all a
+    assert(got.sortBy(_._4).drop(8).forall(_._2 == "a"))
+  }
+
   test("sampling plans are shuffle-free scans (filter only)") {
     val plan = Sampling.stratifiedSample(docs)
       .queryExecution.executedPlan.toString
