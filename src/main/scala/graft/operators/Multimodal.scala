@@ -208,7 +208,54 @@ object Multimodal {
     media.as[MediaRow].map(decodeStub)
   }
 
+  /** WebDataset-style shard manifest for binary payloads: per media
+    * type, documents concatenate in doc_id order and cut into shards
+    * every `shardBytes` START bytes — an item whose start falls in
+    * [k·B, (k+1)·B) belongs to shard k, so shards never split an item
+    * and overflow B by less than one item (certified per shard by the
+    * in-plan `bytes_ok` gate: shard_bytes ≤ B−1+max_item). This is
+    * the export layout that turns a 100 TB binary corpus into ~equal
+    * tar-shard units for sequential training reads.
+    *
+    * Scale shape: the per-type running byte offset is a DISTRIBUTED
+    * PREFIX SCAN (the stream_late_audit pattern) — within-chunk
+    * running sums over (media_type, chunk)-keyed windows plus a
+    * chunk-count-sized per-type prefix broadcast back — NOT a
+    * per-media-type global window, which would drag the whole corpus
+    * into |types| partitions. The oracle computes the NAIVE per-type
+    * running sum; hash equality proves chunked scan ≡ definition. */
+  val ShardChunk = 100L
+
+  def shardManifest(media: DataFrame, shardBytes: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardBytes > 0, s"shardBytes must be positive, got $shardBytes")
+    val m = media.select(col("doc_id"), col("media_type"), col("n_bytes"),
+      expr(s"doc_id div $ShardChunk").as("chunk"))
+    val inChunk = Window.partitionBy(col("media_type"), col("chunk"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevChunks = Window.partitionBy(col("media_type"))
+      .orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = m.groupBy(col("media_type"), col("chunk"))
+      .agg(sum(col("n_bytes")).as("csum"))
+      .select(col("media_type"), col("chunk"),
+        coalesce(sum(col("csum")).over(prevChunks), lit(0L)).as("psum"))
+    m.join(broadcast(prefix), Seq("media_type", "chunk"))
+      .withColumn("start_b",
+        coalesce(sum(col("n_bytes")).over(inChunk), lit(0L)) + col("psum"))
+      .withColumn("shard", expr(s"start_b div $shardBytes"))
+      .groupBy(col("media_type"), col("shard"))
+      .agg(count(lit(1)).as("n_items"), sum(col("n_bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+        (sum(col("n_bytes")) <= lit(shardBytes - 1) + max(col("n_bytes")))
+          .as("bytes_ok"))
+      .orderBy(col("media_type"), col("shard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_shard_pack" -> ((s, dir) =>
+      shardManifest(mediaTable(Tables.load(s, dir, "documents")))),
     // The correctness face hash-matches the REAL plumbing (round-robin
     // type assignment, byte length) and carries the stub's output
     // contract as in-plan gates (q18/q21 shape): dimensions inside the
@@ -273,6 +320,28 @@ object Multimodal {
     * real plumbing columns plus the stub's contract gates (the stub
     * internals are engine-specific by design). */
   def oracleSql: Map[String, String] = Map(
+    // NAIVE definition: one per-type running sum over doc_id order.
+    // Hash equality proves the engine's chunked distributed prefix
+    // scan computes the identical start offset for every item
+    "mm_shard_pack" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST(LENGTH(text) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |s AS (
+        |  SELECT *, COALESCE(SUM(n_bytes) OVER (
+        |    PARTITION BY media_type ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS start_b
+        |  FROM m)
+        |SELECT media_type, start_b // 4096 AS shard,
+        |  COUNT(*) AS n_items, SUM(n_bytes) AS shard_bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |  (SUM(n_bytes) <= 4095 + MAX(n_bytes)) AS bytes_ok
+        |FROM s GROUP BY media_type, shard
+        |ORDER BY media_type, shard""".stripMargin,
     "mm_metadata" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -186,6 +186,38 @@ class SamplingSpec extends GraftSpec {
     assert(got.sortBy(_._4).drop(8).forall(_._2 == "a"))
   }
 
+  test("shard manifest: chunked prefix scan equals the naive per-type " +
+      "running cut, never splits an item, certifies overflow bound") {
+    import graft.operators.Multimodal
+    // doc_ids straddle the ShardChunk=100 boundary so the cross-chunk
+    // prefix hand-off is exercised; one oversized item (25 > budget)
+    val sizes = Seq(95L -> 6L, 96L -> 6L, 97L -> 6L, 98L -> 25L,
+      99L -> 3L, 100L -> 4L, 101L -> 4L, 102L -> 9L, 103L -> 2L)
+    val media = sizes.map { case (id, n) =>
+      (id, if (id % 2 == 0) "image" else "audio", n)
+    }.toDF("doc_id", "media_type", "n_bytes")
+    val got = Multimodal.shardManifest(media, shardBytes = 10L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    // naive replay on the driver: per-type running start, cut every 10
+    val expected = sizes.map { case (id, n) =>
+      (id, if (id % 2 == 0) "image" else "audio", n)
+    }.groupBy(_._2).flatMap { case (mt, items) =>
+      val sorted = items.sortBy(_._1)
+      val starts = sorted.map(_._3).scanLeft(0L)(_ + _).init
+      sorted.zip(starts).map { case ((id, _, n), st) => (mt, st / 10, id, n) }
+    }.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+      k -> ((rows.size.toLong, rows.map(_._4).sum, rows.map(_._3).min,
+        rows.map(_._3).max, rows.map(_._4).sum <= 9 + rows.map(_._4).max))
+    }
+    assert(got == expected, s"got $got\nexpected $expected")
+    // every item appears in exactly one shard
+    assert(got.values.map(_._1).sum == sizes.size)
+    // the certificate holds on every emitted shard
+    assert(got.values.forall(_._5))
+  }
+
   test("sampling plans are shuffle-free scans (filter only)") {
     val plan = Sampling.stratifiedSample(docs)
       .queryExecution.executedPlan.toString
