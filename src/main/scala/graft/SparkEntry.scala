@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Corpus, Dedup, Etl, Multimodal, Relational, Sampling, Similarity, TextAnalysis, Warehouse}
+import graft.operators.{Corpus, Dedup, Etl, Graph, Multimodal, Relational, Sampling, Similarity, TextAnalysis, Warehouse}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -20,7 +20,7 @@ object SparkEntry {
     Relational.queries ++ Etl.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Sampling.queries ++ Streaming.queries ++ Corpus.queries ++
-      Warehouse.queries
+      Warehouse.queries ++ Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -28,5 +28,5 @@ object SparkEntry {
     Relational.oracleSql ++ Etl.oracleSql ++ TextAnalysis.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
       Sampling.oracleSql ++ Streaming.oracleSql ++ Corpus.oracleSql ++
-      Warehouse.oracleSql
+      Warehouse.oracleSql ++ Graph.oracleSql
 }
