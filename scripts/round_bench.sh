@@ -38,6 +38,10 @@ SF1_KEYS=(
   # round-10 additions
   knn_pq_serve knn_ivfpq_serve dedup_embedding_lsh
   text_ppl_bucket sample_mixture stream_late_audit
+  # round-10 second-wave operators (scale-sensitive: gram shuffles,
+  # iterative joins, corpus-wide counts, packed-code scans)
+  dedup_substring graph_pagerank text_collocation knn_hamming
+  emb_bitpack mm_shard_pack sample_interleave
 )
 
 echo "[round_bench] full registry at sf0.1 ..."
