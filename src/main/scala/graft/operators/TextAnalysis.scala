@@ -400,6 +400,36 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BPE merge-candidate counting — the inner statistic of byte-pair-
+    * encoding tokenizer training (Sennrich et al. 2016): for every
+    * adjacent symbol pair inside a word, its corpus frequency =
+    * Σ_words wc(word) · occurrences-in-word; the top pair is the next
+    * merge. This operator emits one training iteration's candidate
+    * table (the full trainer loops it, re-segmenting after each
+    * merge); running it over a 100 TB corpus is how production
+    * tokenizers pick their first merges.
+    *
+    * Scale shape: the corpus collapses to the VOCABULARY first (one
+    * map-side-combined groupBy over exploded words) — pair explosion
+    * then runs over vocab rows × word length, not corpus tokens, which
+    * at web scale is orders of magnitude smaller than the token
+    * stream. Pair counts aggregate map-side; the final top-k is a
+    * TakeOrderedAndProject on exact BIGINTs (no float anywhere). */
+  def bpeMergeCandidates(docs: DataFrame, k: Int = 50): DataFrame = {
+    val vocab = docs.select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    vocab
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => struct(col("w").substr(i, lit(1)).as("lhs"),
+          col("w").substr(i + lit(1), lit(1)).as("rhs")))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("wc")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+      .limit(k)
+  }
+
   /** Corpus-unigram log-probability score per document — the
     * CCNet/Gopher-style "unusual word distribution" quality signal: a
     * document whose words are globally rare (gibberish, code dumps,
@@ -570,9 +600,27 @@ object TextAnalysis {
     "text_ppl_bucket" -> ((s, dir) =>
       pplBucket(Tables.load(s, dir, "documents"))),
     "text_collocation" -> ((s, dir) =>
-      collocations(Tables.load(s, dir, "documents"))))
+      collocations(Tables.load(s, dir, "documents"))),
+    "text_bpe_merge" -> ((s, dir) =>
+      bpeMergeCandidates(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // vocabulary collapse, per-word pair positions, frequency-weighted
+    // integer counts and the exact top-k — all BIGINT, zero seams
+    "text_bpe_merge" ->
+      """WITH vocab AS (
+        |  SELECT w, COUNT(*) AS wc FROM (
+        |    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+        |  WHERE LENGTH(w) >= 2 GROUP BY w),
+        |pairs AS (
+        |  SELECT SUBSTRING(w, i, 1) AS lhs, SUBSTRING(w, i + 1, 1) AS rhs,
+        |    wc
+        |  FROM vocab, UNNEST(RANGE(1, LENGTH(w))) r(i)),
+        |pc AS (
+        |  SELECT lhs, rhs, CAST(SUM(wc) AS BIGINT) AS pair_count
+        |  FROM pairs GROUP BY lhs, rhs)
+        |SELECT lhs, rhs, pair_count FROM pc
+        |ORDER BY pair_count DESC, lhs, rhs LIMIT 50""".stripMargin,
     // full replay: unigram/bigram counts, the min-count cut, the PMI
     // with the constant term parenthesized to match the Spark
     // expression's double-rounding path, and the rounded-score top-k

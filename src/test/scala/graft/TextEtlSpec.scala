@@ -333,6 +333,16 @@ class TextEtlSpec extends GraftSpec {
     assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
   }
 
+  test("bpe merge candidates: frequency-weighted within-word pair " +
+      "counts with hand-checked totals") {
+    // vocab: "aaab"×2, "ab"×1, "x" excluded (single char)
+    val df = Seq((1L, "aaab x ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergeCandidates(df, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // (a,a): two positions in "aaab" × wc 2 = 4; (a,b): 1×2 + 1×1 = 3
+    assert(got.toSeq == Seq(("a", "a", 4L), ("a", "b", 3L)), got.toSeq)
+  }
+
   test("cleaning: trim, empty→NULL, parity segment") {
     val df = Seq((1L, "  x  "), (2L, "   "), (3L, "y"))
       .toDF("codigo", "descricao")
