@@ -86,10 +86,102 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Edge-sampling modulus for the DOULION-style sampled triangle
+    * count: keep a pair iff its multiplicative hash lands on 0 mod
+    * this. 1/20 keeps the co-supply projection (which is ~90% complete
+    * at sf0.1 — the classic dense-projection trap) at a workable
+    * density; at larger corpora, grow the modulus so sampled edge
+    * volume stays bounded (the estimator rescales by p³). */
+  val TriSampleMod = 20L
+
+  /** Undirected supplier↔supplier co-supply edges, DOULION-sampled
+    * (Tsourakakis et al. 2009: count triangles on a p-sampled graph,
+    * unbiased estimate = count/p³). Two suppliers are linked when they
+    * ever supply the same order; per-order supplier sets are small
+    * (~4-7 lineitems/order), so the per-order pairing join is
+    * bounded fan-out, never a blow-up. The sample filter is a pure
+    * function of the (a, b) pair — the same engine-independent
+    * multiplicative hash as sample_shard — so it evaluates BELOW the
+    * pair-distinct exchange: sampled-out pairs never shuffle at all.
+    * Edges emit once with a < b. */
+  def coSupplyEdges(lineitem: DataFrame,
+      sampleMod: Long = TriSampleMod): DataFrame = {
+    val os = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+      .distinct()
+    os.as("x").join(os.as("y"),
+        col("x.ok") === col("y.ok") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("a"), col("y.s").as("b"))
+      .filter(
+        ((col("a") * 100003L + col("b")) % 1000003L * 2654435761L)
+          % sampleMod === 0)
+      .distinct()
+  }
+
+  /** Degree-oriented distributed triangle counting (Schank & Wagner
+    * 2005; the MapReduce formulation of Suri & Vassilvitskii 2011):
+    * orient every edge from the lower-(deg, id) endpoint to the
+    * higher, enumerate wedges only at each edge's LOWEST-rank corner,
+    * and close them with a semi-join back on the oriented edge list.
+    * Orientation caps every node's out-degree at O(√m), so the wedge
+    * join fans out to at most Σ d_out² = O(m^1.5) rows regardless of
+    * hub skew — the whole point vs. naive wedge counting, where one
+    * celebrity node alone contributes deg² wedges.
+    *
+    * Scale shape: degree table is node-sized (broadcasts in practice;
+    * at extreme node counts the two decorating joins fall back to
+    * node-keyed shuffles), the wedge self-join keys on the wedge
+    * corner, the closing check is a (dst, dst)-keyed LEFT SEMI — every
+    * exchange is edge-bounded. Output: every graph node with its
+    * triangle participation count (the clustering-coefficient
+    * numerator), exact integers.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // materialize once: the edge list feeds four plan legs (degrees,
+    // two wedge sides, closing semi-join) — without this, lineage
+    // re-derives the co-supply join per leg
+    val e = edges.localCheckpoint()
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+      .localCheckpoint()
+    // each triangle {u<v<w in (deg,id) rank order} appears as exactly
+    // one wedge at u (edges u→v, u→w with rank(v)<rank(w)) closed by
+    // the — necessarily v→w oriented — third edge
+    val tri = o.as("e1").join(o.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddeg") < col("e2.ddeg") ||
+            (col("e1.ddeg") === col("e2.ddeg") &&
+              col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+      .join(o.select(col("src").as("y"), col("dst").as("z")),
+        Seq("y", "z"), "left_semi")
+    val per = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    deg.select(col("v"))
+      .join(per, Seq("v"), "left")
+      .select(col("v").as("node"), coalesce(col("c"), lit(0L)).as("n_tri"))
+      .orderBy(col("node"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, dir) =>
       pageRank(coPurchaseEdges(Tables.load(s, dir, "orders"),
-        Tables.load(s, dir, "lineitem")))))
+        Tables.load(s, dir, "lineitem")))),
+    "graph_triangles" -> ((s, dir) =>
+      triangleCounts(coSupplyEdges(Tables.load(s, dir, "lineitem")))))
 
   /** Full 3-iteration replay in chained CTEs: edge derivation, degree
     * table, the fixed-point teleport and contribution floors — every
@@ -125,5 +217,45 @@ object Graph {
         |  FROM edges e JOIN r2 r ON e.src = r.node
         |  JOIN deg d ON e.src = d.src GROUP BY e.dst)
         |SELECT node, r AS rank_fp, CAST(r AS DOUBLE) / 1e12 AS rank_r
-        |FROM r3 ORDER BY node""".stripMargin)
+        |FROM r3 ORDER BY node""".stripMargin,
+
+    // full replay: co-supply pairing, the DOULION sample hash, degree
+    // table, (deg, id) orientation, wedge enumeration at the lowest-
+    // rank corner, EXISTS closing check, per-node participation — all
+    // integer-exact, so the hash carries the complete algorithm
+    "graph_triangles" ->
+      """WITH os AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.s AS a, y.s AS b
+        |  FROM os x JOIN os y ON x.ok = y.ok AND x.s < y.s
+        |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % 20 = 0),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS deg FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) u
+        |  GROUP BY v),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |      THEN e.a ELSE e.b END AS src,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |      THEN e.b ELSE e.a END AS dst,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |      THEN db.deg ELSE da.deg END AS ddeg
+        |  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+        |tri AS (
+        |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+        |    AND (e1.ddeg < e2.ddeg
+        |      OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+        |  WHERE EXISTS (SELECT 1 FROM o e3
+        |                WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
+        |per AS (
+        |  SELECT v, COUNT(*) AS c FROM (
+        |    SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+        |    UNION ALL SELECT z AS v FROM tri) u
+        |  GROUP BY v)
+        |SELECT deg.v AS node, CAST(COALESCE(per.c, 0) AS BIGINT) AS n_tri
+        |FROM deg LEFT JOIN per ON deg.v = per.v
+        |ORDER BY node""".stripMargin)
 }

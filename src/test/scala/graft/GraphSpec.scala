@@ -58,4 +58,58 @@ class GraphSpec extends GraftSpec {
     assert(ranks.forall(_.getLong(1) > 0))
     assert(ranks.map(_.getLong(0)).distinct.length == ranks.length)
   }
+
+  /** Naive driver-side triangle participation: for each node, count
+    * unordered triples that are pairwise connected. */
+  private def naiveTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (a min b, a max b) }.toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      k <- (j + 1) until nodes.length
+      u = nodes(i); v = nodes(j); w = nodes(k)
+      if es((u, v)) && es((u, w)) && es((v, w))
+    } yield (u, v, w)
+    val per = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    nodes.map(n => n -> per.getOrElse(n, 0L)).toMap
+  }
+
+  test("triangle counts match the naive replay on K4, a path, and a " +
+      "random graph") {
+    def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.triangleCounts(edges.map { case (a, b) => (a min b, a max b) }
+          .distinct.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: four triangles, every node in exactly three
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(run(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // path: no triangles, all nodes still present with 0
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ==
+      Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    // random graph vs the naive enumeration
+    val rnd = new scala.util.Random(11)
+    val g = (1 to 80).map(_ => (rnd.nextInt(14).toLong,
+      rnd.nextInt(14).toLong)).filter(e => e._1 != e._2)
+      .map { case (a, b) => (a min b, a max b) }.distinct
+    assert(run(g) == naiveTriangles(g))
+  }
+
+  test("co-supply triangle key: nodes are suppliers, total " +
+      "participation divides by 3, sampling keeps the graph sparse") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val edges = Graph.coSupplyEdges(li)
+    val nEdges = edges.count()
+    val nPairsUnsampled = Graph.coSupplyEdges(li, sampleMod = 1L).count()
+    // the 1/20 DOULION sample must actually bound edge volume
+    assert(nEdges < nPairsUnsampled,
+      s"sampling dropped nothing: $nEdges vs $nPairsUnsampled")
+    val out = Graph.triangleCounts(edges).collect()
+    assert(out.nonEmpty)
+    val supp = Tables.load(spark, sf, "supplier")
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => supp.contains(r.getLong(0))))
+    // every triangle contributes exactly 3 node participations
+    assert(out.map(_.getLong(1)).sum % 3 == 0)
+  }
 }
