@@ -505,6 +505,31 @@ object Etl {
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))
         .orderBy(col("event_type"))
+    },
+
+    // -- semi-structured extraction, Spark-4 VARIANT path ------------------
+    // parse_json parses the string ONCE into the binary-encoded VARIANT
+    // form; every subsequent variant_get is a cheap typed walk of that
+    // encoding. get_json_object (above) re-parses the raw string per
+    // extracted path — fine for one field, quadratic waste when a
+    // pipeline extracts many. At 100 TB the parse-once shape (and,
+    // downstream, columnar variant shredding) is the right default for
+    // landed telemetry. The key proves the full surface: typed long
+    // extraction, type-coerced string extraction of the SAME field,
+    // and a missing path returning NULL per row via try_variant_get.
+    "etl_variant_extract" -> { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'long')").as("k"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          expr("try_variant_get(v, '$.j', 'long')").as("j"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          sum(length(col("k_str"))).cast("long").as("len_k_str"),
+          sum(when(col("j").isNull, 1L).otherwise(0L)).as("n_j_null"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -686,6 +711,19 @@ object Etl {
           |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           |      FROM events) t
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // the VARIANT leg replayed with plain JSON extraction: typed long,
+      // the number→string coercion (json_extract_string returns the
+      // bare token, same text as variant_get's long→string cast), and
+      // the absent path counting NULL on every row
+      "etl_variant_extract" ->
+        """SELECT event_type, COUNT(*) AS n,
+          |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+          |    AS BIGINT) AS sum_k,
+          |  CAST(SUM(LENGTH(json_extract_string(props, '$.k')))
+          |    AS BIGINT) AS len_k_str,
+          |  CAST(SUM(CASE WHEN json_extract_string(props, '$.j') IS NULL
+          |                THEN 1 ELSE 0 END) AS BIGINT) AS n_j_null
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       // identical contract to etl_clean: the CSV leg (doubled-quote
       // writer ↔ trusted reader, NULL↔empty, BOM) must be LOSSLESS, so
       // the refined read-back hash-matches the etl_clean oracle — a

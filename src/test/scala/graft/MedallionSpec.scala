@@ -231,4 +231,22 @@ class MedallionSpec extends GraftSpec {
     assert(okRows.map(_.getString(1)).toSet ==
       Set("PRIMARIO", "SECUNDARIO"))
   }
+
+  test("variant extraction: typed get, string coercion, missing-path " +
+      "NULL, and the per-row schema of the landed telemetry") {
+    import spark.implicits._
+    val df = Seq("""{"k": 42}""", """{"k": 7}""").toDF("props")
+      .selectExpr("parse_json(props) AS v")
+    val rows = df.selectExpr(
+      "variant_get(v, '$.k', 'long') AS k",
+      "variant_get(v, '$.k', 'string') AS ks",
+      "try_variant_get(v, '$.j', 'long') AS j",
+      "schema_of_variant(v) AS sch").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(7L, 42L))
+    // number→string coercion yields the bare token (what the DuckDB
+    // oracle's json_extract_string returns — the gate relies on this)
+    assert(rows.map(_.getString(1)).sorted.toSeq == Seq("42", "7"))
+    assert(rows.forall(_.isNullAt(2)))
+    assert(rows.forall(_.getString(3) == "OBJECT<k: BIGINT>"))
+  }
 }
