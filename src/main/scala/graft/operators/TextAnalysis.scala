@@ -575,7 +575,45 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Per-document top-k TF-IDF keywords — the doc-tagging / index-
+    * vocabulary face of the tf-idf family (text_bm25 is the QUERY-side
+    * ranking face; this one has no query set and scores every doc's
+    * own terms). Scale shape: the token stream shuffles ONCE keyed by
+    * (doc, word) for tf; document frequency reduces tf (already one
+    * row per doc×word, so COUNT is df) map-side-combined by word to a
+    * vocabulary-sized table that joins back by word — broadcastable
+    * in practice, a word-keyed shuffle join at extreme vocabularies;
+    * the top-k is a doc-keyed WindowGroupLimit, never a global sort.
+    * Scores are exact integers — tf · ⌊1e6·ln(n/df)⌋ — so sums and
+    * ranks are order-independent; ties break on the term. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    if (n == 0) // empty corpus: empty result, usual schema
+      return docs.sparkSession.emptyDataFrame.select(
+        lit(null).cast("long").as("doc_id"),
+        lit(null).cast("long").as("rk"),
+        lit(null).cast("string").as("term"),
+        lit(null).cast("double").as("score"))
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfw = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(dfw, "w")
+      .withColumn("s", col("tf") *
+        floor(log(lit(n.toDouble) / col("df")) * lit(1e6)).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("s").desc, col("w"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("w").as("term"),
+        round(col("s").cast("double") / lit(1e6), 6).as("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_keywords" -> ((s, dir) =>
+      tfidfKeywords(Tables.load(s, dir, "documents"))),
     "text_bm25" -> ((s, dir) =>
       bm25TopK(Tables.load(s, dir, "documents"))),
     "text_unigram_logprob" -> ((s, dir) =>
@@ -605,6 +643,30 @@ object TextAnalysis {
       bpeMergeCandidates(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // full replay: tokenization, (doc, word) tf, df-from-tf, the
+    // integer score tf·⌊1e6·ln(n/df)⌋ (division and ln in the same
+    // double order as the Spark expression), rank with term tie-break
+    "text_tfidf_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+        |dfw AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |s AS (
+        |  SELECT t.doc_id, t.w,
+        |    t.tf * CAST(FLOOR(LN((SELECT n FROM nn) / d.df) * 1e6)
+        |      AS BIGINT) AS s
+        |  FROM tf t JOIN dfw d ON t.w = d.w),
+        |r AS (
+        |  SELECT doc_id, w, s,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, w)
+        |      AS rk
+        |  FROM s)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, w AS term,
+        |  ROUND(CAST(s AS DOUBLE) / 1e6, 6) AS score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     // vocabulary collapse, per-word pair positions, frequency-weighted
     // integer counts and the exact top-k — all BIGINT, zero seams
     "text_bpe_merge" ->

@@ -34,6 +34,7 @@ class EmptyInputSpec extends GraftSpec {
       "chunk" -> ((d: DataFrame) => TextAnalysis.chunk(d)),
       "entropy" -> TextAnalysis.entropy _,
       "unigramLogProb" -> TextAnalysis.unigramLogProb _,
+      "tfidfKeywords" -> ((d: DataFrame) => TextAnalysis.tfidfKeywords(d)),
       "winnowOverlapPairsPoly" ->
         ((d: DataFrame) => TextAnalysis.winnowOverlapPairsPoly(d)),
       "exact" -> Dedup.exact _,
