@@ -63,6 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "PNG/GIF/BMP headers; NULL for unknown formats"),
       (children: Seq[Expression]) => ImageDims(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("bmp_ahash64"),
+      info("bmp_ahash64",
+        "bmp_ahash64(blob) - struct(hi, lo) 64-bit perceptual " +
+          "average-hash decoded from an 8x8 24-bpp BMP; NULL otherwise"),
+      (children: Seq[Expression]) => BmpAhash64(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("audio_meta"),
       info("audio_meta",
         "audio_meta(blob) - struct(fmt, channels, sample_rate, bits, " +

@@ -312,7 +312,90 @@ object Multimodal {
     // oracle recomputes the planted per-frame properties arithmetically.
     "mm_frame_sample" -> { (s, dir) =>
       sampleFrames(videoTable(Tables.load(s, dir, "documents")))
+    },
+
+    // -- perceptual-hash image near-dup -----------------------------------
+    // REAL pixel decode (BMP needs no codec), native aHash expression,
+    // chunk-bucketed Hamming pairs; the oracle replays hash + pairs
+    // from the planted pixel arithmetic — a green hash proves the byte
+    // decode, the bucket recall AND the distance filter at once.
+    "mm_phash_dedup" -> { (s, dir) =>
+      phashPairs(thumbTable(Tables.load(s, dir, "documents")))
     })
+
+  /** Complete 8×8 24-bpp BMP thumbnails with planted grayscale pixels:
+    * gray(d, i, j) = 8·(((f·7+i·3+j·5) mod 13) + ((f·4+i·6+j) mod 11))
+    * + 24·[(r+8i+j) mod 19 = 0] with f = d mod 50 (the visual family)
+    * and r = d div 50 (the replica's perturbation phase) — replicas of
+    * a family share the base image and differ by a few bumped pixels,
+    * distinct families differ broadly, so aHash Hamming distance
+    * separates them. Pixels are stored as real BMP bytes: bottom-up
+    * rows, BGR triplets (B=G=R), 24 B/row (already 4-aligned). The
+    * extraction side recovers the hash by PARSING THE BYTES with the
+    * native bmp_ahash64 expression — generation and extraction share
+    * no code path. */
+  def thumbTable(docs: DataFrame): DataFrame = {
+    // constant 54-byte header: "BM", file size 246, reserved, pixel
+    // offset 54; BITMAPINFOHEADER: size 40, dims 8×8, planes 1,
+    // bpp 24, compression 0, image size 192, resolutions/colors 0
+    val hdrHex = "424DF600000000000000360000002800000008000000" +
+      "080000000100180000000000C0000000000000000000000000000000" +
+      "00000000"
+    val f = col("doc_id") % 50
+    val r = expr("doc_id div 50")
+    val pixelHex = concat((0 to 7).flatMap { fileRow =>
+      val i = 7 - fileRow // BMP rows are bottom-up
+      (0 to 7).map { j =>
+        val base = (((f * 7 + lit(i * 3 + j * 5)) % 13) +
+          ((f * 4 + lit(i * 6 + j)) % 11)) * 8
+        val gray = base +
+          when((r + lit(i * 8 + j)) % 19 === 0, 24).otherwise(0)
+        repeat(lpad(hex(gray), 2, "0"), 3)
+      }
+    }: _*)
+    docs.select(col("doc_id"),
+      to_binary(concat(lit(hdrHex), pixelHex), lit("hex")).as("blob"))
+  }
+
+  /** Near-dup image pairs by perceptual-hash Hamming distance ≤
+    * maxDist: decode each thumbnail's aHash with the native
+    * bmp_ahash64 expression, band the 64 bits into 4 × 16-bit chunks
+    * (pigeonhole: distance ≤ 3 ⇒ at least one chunk equal, so bucket
+    * recall is exact), pair within multi-occupant buckets only, then
+    * filter by the exact XOR+popcount distance over the two packed
+    * halves — the dedup_simhash shape applied to IMAGE bytes. Blobs
+    * never shuffle: only (chunk, chunk_val, id, hi, lo) rows — 36 B —
+    * cross the wire, which is what makes this viable over a 100 TB
+    * media corpus. */
+  def phashPairs(thumbs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val b = thumbs
+      .select(col("doc_id"),
+        call_function("bmp_ahash64", col("blob")).as("h"))
+      .select(col("doc_id"), col("h.hi").as("hi"), col("h.lo").as("lo"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+      .select(col("chunk"),
+        expr("CASE WHEN chunk < 2 THEN (lo >> (16 * chunk)) & 65535 " +
+          "ELSE (hi >> (16 * (chunk - 2))) & 65535 END").as("chunk_val"),
+        col("doc_id"), col("hi"), col("lo"))
+      .localCheckpoint(true)
+    val keep = b.groupBy(col("chunk"), col("chunk_val"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col("chunk"), col("chunk_val"))
+    val kept = b.join(keep, Seq("chunk", "chunk_val"), "left_semi")
+    val x = kept.withColumnsRenamed(
+      Map("doc_id" -> "doc_a", "hi" -> "hi_a", "lo" -> "lo_a"))
+    val y = kept.withColumnsRenamed(
+      Map("doc_id" -> "doc_b", "hi" -> "hi_b", "lo" -> "lo_b"))
+    x.join(y, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** mm_image_dims and mm_frame_sample are fully oracled — the oracle
     * recomputes the doc_id-derived properties that the Spark side
@@ -320,6 +403,37 @@ object Multimodal {
     * real plumbing columns plus the stub's contract gates (the stub
     * internals are engine-specific by design). */
   def oracleSql: Map[String, String] = Map(
+    // the whole pipeline replayed from the planted pixel arithmetic:
+    // grays, the divisionless mean compare 64·g > Σg, the two-half
+    // bit packing, all-pairs XOR+popcount distance ≤ 3. Equality
+    // proves the BMP byte decode and the chunk-bucket recall exactly
+    "mm_phash_dedup" ->
+      """WITH px AS (
+        |  SELECT doc_id, i, j,
+        |    8 * ((((doc_id % 50) * 7 + i * 3 + j * 5) % 13)
+        |       + (((doc_id % 50) * 4 + i * 6 + j) % 11))
+        |    + CASE WHEN ((doc_id // 50) + i * 8 + j) % 19 = 0
+        |           THEN 24 ELSE 0 END AS g
+        |  FROM documents, UNNEST(RANGE(0, 8)) r1(i),
+        |       UNNEST(RANGE(0, 8)) r2(j)),
+        |tot AS (SELECT doc_id, SUM(g) AS s FROM px GROUP BY doc_id),
+        |bits AS (
+        |  SELECT p.doc_id,
+        |    CAST(SUM(CASE WHEN 64 * p.g > t.s AND i * 8 + j >= 32
+        |      THEN CAST(1 AS BIGINT) << (i * 8 + j - 32)
+        |      ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN 64 * p.g > t.s AND i * 8 + j < 32
+        |      THEN CAST(1 AS BIGINT) << (i * 8 + j)
+        |      ELSE 0 END) AS BIGINT) AS lo
+        |  FROM px p JOIN tot t ON p.doc_id = t.doc_id
+        |  GROUP BY p.doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(BIT_COUNT(XOR(a.lo, b.lo))
+        |     + BIT_COUNT(XOR(a.hi, b.hi)) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |WHERE BIT_COUNT(XOR(a.lo, b.lo))
+        |    + BIT_COUNT(XOR(a.hi, b.hi)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // NAIVE definition: one per-type running sum over doc_id order.
     // Hash equality proves the engine's chunked distributed prefix
     // scan computes the identical start offset for every item

@@ -142,6 +142,54 @@ class FunctionsSpec extends GraftSpec {
     assert(got(3).isNullAt(1) && got(3).isNullAt(2) && got(3).isNullAt(3))
   }
 
+  test("bmp_ahash64 decodes a hand-built BMP to the reference aHash, " +
+      "is invariant to brightness shifts, flips with a pixel, and " +
+      "returns NULL on non-thumbnails") {
+    def bmp8(gray: (Int, Int) => Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(246)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte); bb.put('M'.toByte); bb.putInt(246)
+      bb.putInt(0); bb.putInt(54)
+      bb.putInt(40); bb.putInt(8); bb.putInt(8)
+      bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(192)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      for (fileRow <- 0 to 7; j <- 0 to 7) { // bottom-up rows, BGR
+        val g = gray(7 - fileRow, j).toByte
+        bb.put(g); bb.put(g); bb.put(g)
+      }
+      bb.array()
+    }
+    // reference aHash computed independently of the expression code
+    def refHash(gray: (Int, Int) => Int): (Long, Long) = {
+      val gs = for (i <- 0 to 7; j <- 0 to 7) yield gray(i, j)
+      val sum = gs.sum
+      var hi = 0L; var lo = 0L
+      for (k <- 0 until 64 if 64 * gs(k) > sum)
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      (hi, lo)
+    }
+    val base = (i: Int, j: Int) => 10 + 20 * ((i + j) % 8)
+    val brighter = (i: Int, j: Int) => base(i, j) + 15 // mean shifts too
+    // (0,0) sits at gray 10, far below the ~80 mean: raising it to 250
+    // must flip its own bit regardless of the mean shift it causes
+    val onePixel = (i: Int, j: Int) =>
+      if ((i, j) == (0, 0)) 250 else base(i, j)
+    val rows = Seq(
+      (1L, bmp8(base)), (2L, bmp8(brighter)), (3L, bmp8(onePixel)),
+      (4L, "BMnot really a bitmap".getBytes("US-ASCII")))
+      .toDF("id", "blob")
+      .select(col("id"), call_function("bmp_ahash64", col("blob")).as("h"))
+      .selectExpr("id", "h.hi AS hi", "h.lo AS lo")
+      .orderBy(col("id")).collect()
+    assert((rows(0).getLong(1), rows(0).getLong(2)) == refHash(base))
+    // aHash thresholds at the image mean, so a global brightness
+    // shift must not move a single bit — the perceptual part
+    assert((rows(1).getLong(1), rows(1).getLong(2)) == refHash(base))
+    val (hi3, lo3) = (rows(2).getLong(1), rows(2).getLong(2))
+    assert((hi3, lo3) == refHash(onePixel) && (hi3, lo3) != refHash(base))
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))
+  }
+
   test("audio_meta walks real WAV chunk lists and decodes AIFF " +
     "extended-float rates, NULL otherwise") {
     // WAV bytes built with ByteBuffer — an independent code path from
