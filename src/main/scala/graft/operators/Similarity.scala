@@ -1406,6 +1406,45 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Cell-restricted k-NN GRAPH construction — every corpus vector's
+    * top-k nearest cell-mates (knn_brute answers a QUERY SET; this
+    * builds the per-vector neighbor lists that seed graph clustering,
+    * HNSW bottom layers, or connectivity analysis over an embedding
+    * store). Same SemDeDup cell discipline as [[semanticDedup]]:
+    * fixed-point label centroids, broadcast argmax assignment (no
+    * corpus shuffle), ONE cell-keyed self-join bounds candidate volume
+    * at Σ|cell|² — never all-pairs — then a vec-keyed
+    * WindowGroupLimit takes top-k. Vectors in singleton cells emit no
+    * edges (the documented cell-approximation: at production scale the
+    * cell count grows with n, and multi-probe assignment recovers
+    * boundary recall). Ranks order on the unrounded cosine with
+    * neighbor-id tie-break (knn_brute's contract); output rounds to 4
+    * decimals. */
+  def knnGraph(vecs: DataFrame, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = labelCentroidArrays(vecs)
+      .select(col("label").cast("long").as("c_id"), col("cvec").as("c_e"),
+        l2norm(col("cvec")).as("c_nrm"))
+    val corpus = vecs.select(col("vec_id"), col("embedding").as("e"),
+      l2norm(col("embedding")).as("nrm"))
+    val cells = nearestCells(packCodebook(cents))(corpus, 1)
+      .localCheckpoint(true)
+    val b = cells.select(col("cell"), col("vec_id").as("neighbor_id"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cells.join(b, "cell")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        safeCos(dot(col("e"), col("eb")), col("nrm"), col("nb"))
+          .as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), col("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_r"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
   /** Incremental embedding dedup — the vector-store ingestion shape:
     * verdicts for a new batch of vectors against the historical corpus
     * (dup_of_history: some historical vector sits at cosine ≥
@@ -1528,6 +1567,10 @@ object Similarity {
       labelCentroids(Tables.load(s, dir, "embeddings"))),
     "emb_outlier" -> ((s, dir) =>
       centroidOutliers(Tables.load(s, dir, "embeddings"))),
+    // the knn family's GRAPH face: cells + within-cell ranked
+    // neighbors, fully replayed by the oracle incl. the assignment
+    "emb_knn_graph" -> ((s, dir) =>
+      knnGraph(Tables.load(s, dir, "embeddings"))),
     "dedup_semantic" -> ((s, dir) =>
       semanticDedup(Tables.load(s, dir, "embeddings"))),
     // same %3 history/batch split as the text-side incremental keys
@@ -1879,6 +1922,49 @@ object Similarity {
         |ORDER BY b.vec_id""".stripMargin,
     // full SemDeDup replay: fixed-point centroids, argmax assignment
     // (ties → lowest cell), within-cell pairs, min-id-survivor verdict
+    // cells replayed exactly as in dedup_semantic, then within-cell
+    // ordered pairs ranked on the unrounded cosine, neighbor-id ties
+    "emb_knn_graph" ->
+      """WITH cent AS (
+        |  SELECT label, pos - 1 AS dim,
+        |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e9) AS BIGINT))
+        |      AS DOUBLE) / (COUNT(*) * 1e9) AS mean_v
+        |  FROM (SELECT label, UNNEST(embedding) AS v,
+        |          GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+        |        FROM embeddings) t
+        |  GROUP BY label, pos),
+        |carr AS (SELECT label AS clabel, LIST(mean_v ORDER BY dim) AS cvec
+        |         FROM cent GROUP BY label),
+        |ev AS (SELECT vec_id,
+        |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT vec_id, clabel,
+        |    LIST_DOT_PRODUCT(emb, cvec)
+        |      / (SQRT(LIST_DOT_PRODUCT(emb, emb))
+        |         * SQRT(LIST_DOT_PRODUCT(cvec, cvec))) AS c
+        |  FROM ev CROSS JOIN carr),
+        |cells AS (
+        |  SELECT vec_id, CAST(clabel AS BIGINT) AS cell FROM (
+        |    SELECT vec_id, clabel, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY c DESC, clabel) AS rk
+        |    FROM sims) r WHERE rk = 1),
+        |pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    LIST_DOT_PRODUCT(ea.emb, eb.emb)
+        |      / (SQRT(LIST_DOT_PRODUCT(ea.emb, ea.emb))
+        |         * SQRT(LIST_DOT_PRODUCT(eb.emb, eb.emb))) AS c
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id != b.vec_id
+        |  JOIN ev ea ON ea.vec_id = a.vec_id
+        |  JOIN ev eb ON eb.vec_id = b.vec_id),
+        |r AS (
+        |  SELECT vec_id, neighbor_id, c, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id ORDER BY c DESC, neighbor_id) AS rk
+        |  FROM pairs)
+        |SELECT vec_id, CAST(rk AS BIGINT) AS rk, neighbor_id,
+        |  ROUND(c, 4) AS cos_r
+        |FROM r WHERE rk <= 4 ORDER BY vec_id, rk""".stripMargin,
     "dedup_semantic" ->
       """WITH cent AS (
         |  SELECT label, pos - 1 AS dim,

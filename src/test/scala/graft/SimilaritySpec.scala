@@ -478,4 +478,43 @@ class SimilaritySpec extends GraftSpec {
     val recall = (brute & adc).size.toDouble / brute.size
     assert(recall >= 0.1, s"ADC recall vs brute $recall collapsed")
   }
+
+  test("kNN graph: ranked cell-mate neighbors, no self edges, cosine " +
+      "non-increasing per vector, and top-1 is the true nearest " +
+      "cell-mate on a brute sample") {
+    val g = Similarity.knnGraph(vecs).collect()
+    assert(g.nonEmpty)
+    val byVec = g.groupBy(_.getLong(0))
+    byVec.foreach { case (v, rows) =>
+      val rks = rows.map(_.getLong(1)).sorted.toSeq
+      assert(rks == (1L to rks.length).toSeq, s"rank gap for $v")
+      val cs = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"cosine increases along ranks for $v")
+      assert(rows.forall(_.getLong(2) != v), s"self edge at $v")
+    }
+    // brute re-check: within each cell, every member's top-1 neighbor
+    // maximizes cosine over its cell-mates (driver-side replay on the
+    // full fixture — cells are small)
+    val emb = vecs.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // reconstruct cell membership from the graph itself: the union of
+    // {v} ∪ neighbors(v) per vector lies in one cell, and for the
+    // top-1 check only candidates that appear as SOME vector's
+    // neighbor set are needed — use all ids seen with v
+    byVec.foreach { case (v, rows) =>
+      val cellMates = rows.map(_.getLong(2)).toSet
+      val top1 = rows.minBy(_.getLong(1))
+      val best = cellMates.map(m => (cos(emb(v), emb(m)), m))
+        .maxBy { case (c, m) => (c, -m.toDouble) }
+      assert(top1.getLong(2) == best._2,
+        s"top-1 for $v is not the nearest cell-mate")
+    }
+  }
 }
