@@ -320,13 +320,20 @@ object Multimodal {
     // from the planted pixel arithmetic — a green hash proves the byte
     // decode, the bucket recall AND the distance filter at once.
     "mm_phash_dedup" -> { (s, dir) =>
-      phashPairs(thumbTable(Tables.load(s, dir, "documents")))
+      val docs = Tables.load(s, dir, "documents")
+      // family modulus scales with the corpus so planted near-dup
+      // clusters stay ~10 replicas at any SF — real corpora have
+      // bounded duplicate-cluster sizes, not clusters growing with n;
+      // a fixed modulus would make pair volume quadratic in corpus
+      // size purely as a fixture artifact (the autoBitsPerBand lesson)
+      phashPairs(thumbTable(docs, famMod = math.max(50L, docs.count() / 10)))
     })
 
   /** Complete 8×8 24-bpp BMP thumbnails with planted grayscale pixels:
     * gray(d, i, j) = 8·(((f·7+i·3+j·5) mod 13) + ((f·4+i·6+j) mod 11))
-    * + 24·[(r+8i+j) mod 19 = 0] with f = d mod 50 (the visual family)
-    * and r = d div 50 (the replica's perturbation phase) — replicas of
+    * + 24·[(r+8i+j) mod 19 = 0] with f = d mod famMod (the visual
+    * family) and r = d div famMod (the replica's perturbation phase) —
+    * replicas of
     * a family share the base image and differ by a few bumped pixels,
     * distinct families differ broadly, so aHash Hamming distance
     * separates them. Pixels are stored as real BMP bytes: bottom-up
@@ -334,15 +341,15 @@ object Multimodal {
     * extraction side recovers the hash by PARSING THE BYTES with the
     * native bmp_ahash64 expression — generation and extraction share
     * no code path. */
-  def thumbTable(docs: DataFrame): DataFrame = {
+  def thumbTable(docs: DataFrame, famMod: Long = 50L): DataFrame = {
     // constant 54-byte header: "BM", file size 246, reserved, pixel
     // offset 54; BITMAPINFOHEADER: size 40, dims 8×8, planes 1,
     // bpp 24, compression 0, image size 192, resolutions/colors 0
     val hdrHex = "424DF600000000000000360000002800000008000000" +
       "080000000100180000000000C0000000000000000000000000000000" +
       "00000000"
-    val f = col("doc_id") % 50
-    val r = expr("doc_id div 50")
+    val f = col("doc_id") % famMod
+    val r = expr(s"doc_id div $famMod")
     val pixelHex = concat((0 to 7).flatMap { fileRow =>
       val i = 7 - fileRow // BMP rows are bottom-up
       (0 to 7).map { j =>
@@ -408,13 +415,15 @@ object Multimodal {
     // bit packing, all-pairs XOR+popcount distance ≤ 3. Equality
     // proves the BMP byte decode and the chunk-bucket recall exactly
     "mm_phash_dedup" ->
-      """WITH px AS (
+      """WITH fm AS (
+        |  SELECT GREATEST(50, COUNT(*) // 10) AS m FROM documents),
+        |px AS (
         |  SELECT doc_id, i, j,
-        |    8 * ((((doc_id % 50) * 7 + i * 3 + j * 5) % 13)
-        |       + (((doc_id % 50) * 4 + i * 6 + j) % 11))
-        |    + CASE WHEN ((doc_id // 50) + i * 8 + j) % 19 = 0
+        |    8 * ((((doc_id % m) * 7 + i * 3 + j * 5) % 13)
+        |       + (((doc_id % m) * 4 + i * 6 + j) % 11))
+        |    + CASE WHEN ((doc_id // m) + i * 8 + j) % 19 = 0
         |           THEN 24 ELSE 0 END AS g
-        |  FROM documents, UNNEST(RANGE(0, 8)) r1(i),
+        |  FROM documents, fm, UNNEST(RANGE(0, 8)) r1(i),
         |       UNNEST(RANGE(0, 8)) r2(j)),
         |tot AS (SELECT doc_id, SUM(g) AS s FROM px GROUP BY doc_id),
         |bits AS (
