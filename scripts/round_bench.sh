@@ -42,6 +42,9 @@ SF1_KEYS=(
   # iterative joins, corpus-wide counts, packed-code scans)
   dedup_substring graph_pagerank text_collocation knn_hamming
   emb_bitpack mm_shard_pack sample_interleave
+  # round-10 third-wave operators
+  graph_triangles mm_phash_dedup text_tfidf_keywords emb_knn_graph
+  etl_variant_extract
 )
 
 echo "[round_bench] full registry at sf0.1 ..."

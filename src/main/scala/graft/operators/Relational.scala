@@ -563,6 +563,39 @@ object Relational {
           .select(col("c_custkey"), col("c_acctbal")), "c_acctbal")
         .withColumnRenamed("bucket", "decile")
         .orderBy(col("c_custkey"))
+    },
+
+    // -- q35: sketched heavy hitters (approx_top_k) ------------------------
+    // Completes the sketch family (q18 GK quantiles, q21 HLL distinct,
+    // dedup_bloom membership): the frequent-items sketch, Spark 4's
+    // approx_top_k — a fixed-size mergeable summary that finds the
+    // top items in ONE pass with map-side partial aggregation, where
+    // the exact answer needs a full (key, count) shuffle. Output rows
+    // are the EXACT top-10 (deterministic (count, key) order —
+    // TakeOrderedAndProject over the supplier-sized count table, no
+    // global window); the sketch rides along as two in-plan gate bits:
+    // every exact hitter must appear in the sketch AND carry the exact
+    // count. The sketch returns its top-50 — any exact top-10 member
+    // is guaranteed inside it whenever fewer than 50 keys tie at or
+    // above the boundary count (the fixture's tie groups are ≤11 at
+    // every SF), independent of the sketch's own tie order.
+    // maxItemsTracked (2·10⁴) is sized above the supplier cardinality
+    // at every tested SF, where the sketch's counts are guaranteed
+    // exact — if the corpus ever outgrows it, the gate FAILS LOUDLY
+    // instead of silently degrading (the dedup_embedding recall-guard
+    // discipline).
+    "q35_approx_topk" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val counts = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      val sk = li.agg(expr("approx_top_k(l_suppkey, 50, 20000)").as("sk"))
+      counts.orderBy(col("n").desc, col("l_suppkey")).limit(10)
+        .crossJoin(broadcast(sk))
+        .select(col("l_suppkey"), col("n"),
+          exists(col("sk"), x => x.getField("item") === col("l_suppkey"))
+            .as("sketch_found"),
+          exists(col("sk"), x => x.getField("item") === col("l_suppkey") &&
+            x.getField("count") === col("n")).as("count_ok"))
+        .orderBy(col("n").desc, col("l_suppkey"))
     }
   )
 
@@ -841,6 +874,15 @@ object Relational {
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // exact top-10 replay; the sketch gate bits are TRUE by the
+    // documented guarantee (counts exact below maxItemsTracked,
+    // boundary tie group ≪ sketch width) — same contract as q18/q21
+    "q35_approx_topk" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, COUNT(*) AS n
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey, n, TRUE AS sketch_found, TRUE AS count_ok
+        |FROM c ORDER BY n DESC, l_suppkey LIMIT 10""".stripMargin,
     // plain unsalted join — hash equality proves salting preserves semantics
     "q19_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

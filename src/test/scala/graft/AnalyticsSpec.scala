@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 import graft.operators.{Corpus, Dedup, Relational, Sampling, Similarity}
+import graft.sources.Tables
 
 /** Fixture tests for the round-5 analytics/pipeline additions:
   * sessionization, funnel, cohort retention, normalized dedup,
@@ -298,5 +299,18 @@ class AnalyticsSpec extends GraftSpec {
     assert(got(("web", "en")) == ((2L, 5L, 22L, 11.0, 3L)))
     assert(got(("web", "de")) == ((1L, 1L, 3L, 3.0, 1L)))
     assert(got(("books", "en")) == ((1L, 4L, 20L, 20.0, 4L)))
+  }
+
+  test("q35: sketch gate bits hold and the exact top-10 matches a " +
+      "driver replay") {
+    val rows = SparkEntry.queries("q35_approx_topk")(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      "approx_top_k sketch missed an exact heavy hitter or its count")
+    val replay = Tables.load(spark, sf, "lineitem")
+      .select(col("l_suppkey")).collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (k, n) => (-n, k) }.take(10)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == replay)
   }
 }

@@ -19,7 +19,11 @@ class PlanLintSpec extends GraftSpec {
       // broadcasts a 1-ROW packed source-count vector (the same
       // bounded-codebook shape as the ANN cell assignment); see
       // Sampling.interleave's scale note
-      "sample_interleave")
+      "sample_interleave",
+      // broadcasts the 1-ROW approx_top_k sketch against the exact
+      // top-10 rows (10 × 1 join) — the accuracy-gate shape of
+      // q18/q21 applied to a sketch that lives in one aggregate row
+      "q35_approx_topk")
 
   test("no query plan contains a cartesian product or stray nested loop") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, q) =>
