@@ -44,7 +44,7 @@ SF1_KEYS=(
   emb_bitpack mm_shard_pack sample_interleave
   # round-10 third-wave operators
   graph_triangles mm_phash_dedup text_tfidf_keywords emb_knn_graph
-  etl_variant_extract
+  etl_variant_extract q35_approx_topk
 )
 
 echo "[round_bench] full registry at sf0.1 ..."
