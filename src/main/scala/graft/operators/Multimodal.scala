@@ -330,10 +330,15 @@ object Multimodal {
     })
 
   /** Complete 8×8 24-bpp BMP thumbnails with planted grayscale pixels:
-    * gray(d, i, j) = 8·(((f·7+i·3+j·5) mod 13) + ((f·4+i·6+j) mod 11))
+    * gray(d, i, j) = 4·(((f·7+i·3+j·5) mod 13) + ((f·4+i·6+j) mod 11)
+    * + ((f·2+i·5+j·3) mod 17) + ((f·5+i+j·7) mod 19))
     * + 24·[(r+8i+j) mod 19 = 0] with f = d mod famMod (the visual
-    * family) and r = d div famMod (the replica's perturbation phase) —
-    * replicas of
+    * family) and r = d div famMod (the replica's perturbation phase).
+    * Four coprime moduli give 13·11·17·19 = 46 189 distinct base
+    * images (CRT), so families stay visually distinct up to that
+    * count — with two moduli, 143 classes aliased at sf1's 5 000
+    * families and candidate volume went quadratic (measured 31.4M
+    * bucket pairs at 50k docs vs 2.1M de-aliased). Replicas of
     * a family share the base image and differ by a few bumped pixels,
     * distinct families differ broadly, so aHash Hamming distance
     * separates them. Pixels are stored as real BMP bytes: bottom-up
@@ -353,8 +358,10 @@ object Multimodal {
     val pixelHex = concat((0 to 7).flatMap { fileRow =>
       val i = 7 - fileRow // BMP rows are bottom-up
       (0 to 7).map { j =>
-        val base = (((f * 7 + lit(i * 3 + j * 5)) % 13) +
-          ((f * 4 + lit(i * 6 + j)) % 11)) * 8
+        val base = ((((f * 7 + lit(i * 3 + j * 5)) % 13) +
+          ((f * 4 + lit(i * 6 + j)) % 11) +
+          ((f * 2 + lit(i * 5 + j * 3)) % 17) +
+          ((f * 5 + lit(i + j * 7)) % 19)) * 4)
         val gray = base +
           when((r + lit(i * 8 + j)) % 19 === 0, 24).otherwise(0)
         repeat(lpad(hex(gray), 2, "0"), 3)
@@ -419,8 +426,10 @@ object Multimodal {
         |  SELECT GREATEST(50, COUNT(*) // 10) AS m FROM documents),
         |px AS (
         |  SELECT doc_id, i, j,
-        |    8 * ((((doc_id % m) * 7 + i * 3 + j * 5) % 13)
-        |       + (((doc_id % m) * 4 + i * 6 + j) % 11))
+        |    4 * ((((doc_id % m) * 7 + i * 3 + j * 5) % 13)
+        |       + (((doc_id % m) * 4 + i * 6 + j) % 11)
+        |       + (((doc_id % m) * 2 + i * 5 + j * 3) % 17)
+        |       + (((doc_id % m) * 5 + i + j * 7) % 19))
         |    + CASE WHEN ((doc_id // m) + i * 8 + j) % 19 = 0
         |           THEN 24 ELSE 0 END AS g
         |  FROM documents, fm, UNNEST(RANGE(0, 8)) r1(i),

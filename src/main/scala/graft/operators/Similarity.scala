@@ -1413,27 +1413,40 @@ object Similarity {
     * store). Same SemDeDup cell discipline as [[semanticDedup]]:
     * fixed-point label centroids, broadcast argmax assignment (no
     * corpus shuffle), ONE cell-keyed self-join bounds candidate volume
-    * at Σ|cell|² — never all-pairs — then a vec-keyed
-    * WindowGroupLimit takes top-k. Vectors in singleton cells emit no
-    * edges (the documented cell-approximation: at production scale the
-    * cell count grows with n, and multi-probe assignment recovers
-    * boundary recall). Ranks order on the unrounded cosine with
-    * neighbor-id tie-break (knn_brute's contract); output rounds to 4
-    * decimals. */
-  def knnGraph(vecs: DataFrame, k: Int = 4): DataFrame = {
+    * — then a vec-keyed WindowGroupLimit takes top-k. Cells that
+    * outgrow `targetCell` members are SUB-SHARDED by a deterministic
+    * engine-independent hash of vec_id (the SemDeDup paper's own move
+    * for large clusters): with a fixed label/cell count, 10× the
+    * corpus would mean 100× the within-cell pairs — measured 24.9×
+    * runtime at sf1 before the shard — while sub-sharding pins
+    * expected cell size at targetCell, keeping pair volume LINEAR in
+    * n. Each vector then ranks ~targetCell cell-mates instead of the
+    * full cell (recall trade documented; multi-probe over sub-shards
+    * recovers it at serving time). Vectors in singleton sub-cells emit
+    * no edges. Ranks order on the unrounded cosine with neighbor-id
+    * tie-break (knn_brute's contract); output rounds to 4 decimals. */
+  def knnGraph(vecs: DataFrame, k: Int = 4, targetCell: Long = 50)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val n = vecs.count()
+    val nLabels = math.max(1L,
+      vecs.select(col("label")).distinct().count())
+    val shards = math.max(1L, n / (nLabels * targetCell))
     val cents = labelCentroidArrays(vecs)
       .select(col("label").cast("long").as("c_id"), col("cvec").as("c_e"),
         l2norm(col("cvec")).as("c_nrm"))
     val corpus = vecs.select(col("vec_id"), col("embedding").as("e"),
       l2norm(col("embedding")).as("nrm"))
     val cells = nearestCells(packCodebook(cents))(corpus, 1)
+      .withColumn("sub",
+        (col("vec_id") % 1000003L) * 2654435761L % shards)
       .localCheckpoint(true)
-    val b = cells.select(col("cell"), col("vec_id").as("neighbor_id"),
-      col("e").as("eb"), col("nrm").as("nb"))
+    val b = cells.select(col("cell"), col("sub"),
+      col("vec_id").as("neighbor_id"), col("e").as("eb"),
+      col("nrm").as("nb"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    cells.join(b, "cell")
+    cells.join(b, Seq("cell", "sub"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
         safeCos(dot(col("e"), col("eb")), col("nrm"), col("nb"))
@@ -1944,8 +1957,16 @@ object Similarity {
         |      / (SQRT(LIST_DOT_PRODUCT(emb, emb))
         |         * SQRT(LIST_DOT_PRODUCT(cvec, cvec))) AS c
         |  FROM ev CROSS JOIN carr),
+        |sh AS (
+        |  SELECT GREATEST(1, COUNT(*) //
+        |    ((SELECT COUNT(DISTINCT label) FROM embeddings) * 50))
+        |    AS shards
+        |  FROM embeddings),
         |cells AS (
-        |  SELECT vec_id, CAST(clabel AS BIGINT) AS cell FROM (
+        |  SELECT vec_id, CAST(clabel AS BIGINT) AS cell,
+        |    (vec_id % 1000003) * 2654435761 % (SELECT shards FROM sh)
+        |      AS sub
+        |  FROM (
         |    SELECT vec_id, clabel, ROW_NUMBER() OVER (
         |      PARTITION BY vec_id ORDER BY c DESC, clabel) AS rk
         |    FROM sims) r WHERE rk = 1),
@@ -1955,7 +1976,8 @@ object Similarity {
         |      / (SQRT(LIST_DOT_PRODUCT(ea.emb, ea.emb))
         |         * SQRT(LIST_DOT_PRODUCT(eb.emb, eb.emb))) AS c
         |  FROM cells a JOIN cells b
-        |    ON a.cell = b.cell AND a.vec_id != b.vec_id
+        |    ON a.cell = b.cell AND a.sub = b.sub
+        |    AND a.vec_id != b.vec_id
         |  JOIN ev ea ON ea.vec_id = a.vec_id
         |  JOIN ev eb ON eb.vec_id = b.vec_id),
         |r AS (
