@@ -53,6 +53,31 @@ class EmptyInputSpec extends GraftSpec {
     }
   }
 
+  test("graph, phash and knn-graph faces: empty in, empty out") {
+    import graft.operators.{Graph, Multimodal, Similarity}
+    val emptyEdges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("a", LongType), StructField("b", LongType))))
+    val tri = Graph.triangleCounts(emptyEdges)
+    assert(tri.columns.toSeq == Seq("node", "n_tri") && tri.count() == 0)
+    val ph = Multimodal.phashPairs(Multimodal.thumbTable(emptyDocs))
+    assert(ph.columns.toSeq == Seq("doc_a", "doc_b", "hamming") &&
+      ph.count() == 0)
+    val emptyVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+    val kg = Similarity.knnGraph(emptyVecs)
+    assert(kg.columns.toSeq == Seq("vec_id", "rk", "neighbor_id", "cos_r")
+      && kg.count() == 0)
+    val tk = TextAnalysis.tfidfKeywords(emptyDocs)
+    assert(tk.columns.toSeq == Seq("doc_id", "rk", "term", "score") &&
+      tk.count() == 0)
+  }
+
   test("bm25 over an empty corpus returns an empty, correctly-typed frame") {
     val out = TextAnalysis.bm25TopK(emptyDocs)
     assert(out.columns.toSeq == Seq("query_id", "rk", "doc_id", "score"))
