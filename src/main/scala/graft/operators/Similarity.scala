@@ -1297,6 +1297,43 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-dimension z-score standardization of the embedding corpus —
+    * the feature-preprocessing pass before distance-based ops (k-means,
+    * kNN, outlier gates) when dimensions carry different scales:
+    * z(v, d) = (x − μ_d) / σ_d.
+    *
+    * Shape: ONE posexplode → groupBy(dim) with map-side partial sums
+    * (Dim rows out regardless of corpus size), stats broadcast back
+    * into a per-(vec, dim) projection. Cross-engine exactness: μ sums
+    * floor(x·1e9) BIGINTs, E[x²] sums floor(x·1e6)² BIGINTs (the
+    * square of a 1e9 fixed point would overflow BIGINT after ~10 rows;
+    * 1e12-scaled squares leave 6 orders of headroom at 1M vectors —
+    * past that, widen to DECIMAL sums), so both moments are exact
+    * integer sums in any partition order; σ and z return to double and
+    * round to 6 decimals (absorbs the libm-vs-JVM sqrt ulp, the
+    * entropy_nats precedent). Constant dimensions (σ = 0) yield NULL z
+    * — never a division error. */
+  def standardize(vecs: DataFrame): DataFrame = {
+    val xd = vecs
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("v").cast("double").as("x"))
+    val stats = xd.groupBy(col("dim")).agg(
+      (sum(floor(col("x") * lit(1e9)).cast("long")).cast("double")
+        / (count(lit(1)) * lit(1e9))).as("mean_v"),
+      (sum((floor(col("x") * lit(1e6)).cast("long") *
+        floor(col("x") * lit(1e6)).cast("long"))).cast("double")
+        / (count(lit(1)) * lit(1e12))).as("ex2"))
+      .select(col("dim"), col("mean_v"),
+        sqrt(greatest(col("ex2") - col("mean_v") * col("mean_v"),
+          lit(0.0))).as("std_v"))
+    xd.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("std_v") > 0,
+          round((col("x") - col("mean_v")) / col("std_v"), 6)).as("z"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
   /** Per-label mean embedding (class centroids — the seed step for
     * k-means refinement, cluster labeling, or building an IVF codebook
     * from labeled data). posexplode → groupBy(label, dim): ONE shuffle
@@ -1584,6 +1621,9 @@ object Similarity {
     // neighbors, fully replayed by the oracle incl. the assignment
     "emb_knn_graph" -> ((s, dir) =>
       knnGraph(Tables.load(s, dir, "embeddings"))),
+    // per-dim z-score standardization, both moments fixed-point exact
+    "emb_standardize" -> ((s, dir) =>
+      standardize(Tables.load(s, dir, "embeddings"))),
     "dedup_semantic" -> ((s, dir) =>
       semanticDedup(Tables.load(s, dir, "embeddings"))),
     // same %3 history/batch split as the text-side incremental keys
@@ -1935,6 +1975,31 @@ object Similarity {
         |ORDER BY b.vec_id""".stripMargin,
     // full SemDeDup replay: fixed-point centroids, argmax assignment
     // (ties → lowest cell), within-cell pairs, min-id-survivor verdict
+    // both moments replayed from the same fixed-point integer sums;
+    // ROUND(6) absorbs the sqrt libm ulp, NULL on constant dims
+    "emb_standardize" ->
+      """WITH xd AS (
+        |  SELECT vec_id, pos - 1 AS dim, CAST(v AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, UNNEST(embedding) AS v,
+        |          GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+        |        FROM embeddings) t),
+        |stats AS (
+        |  SELECT dim,
+        |    CAST(SUM(CAST(FLOOR(x * 1e9) AS BIGINT)) AS DOUBLE)
+        |      / (COUNT(*) * 1e9) AS mean_v,
+        |    CAST(SUM(CAST(FLOOR(x * 1e6) AS BIGINT)
+        |           * CAST(FLOOR(x * 1e6) AS BIGINT)) AS DOUBLE)
+        |      / (COUNT(*) * 1e12) AS ex2
+        |  FROM xd GROUP BY dim),
+        |s2 AS (
+        |  SELECT dim, mean_v,
+        |    SQRT(GREATEST(ex2 - mean_v * mean_v, 0.0)) AS std_v
+        |  FROM stats)
+        |SELECT x.vec_id, x.dim,
+        |  CASE WHEN s2.std_v > 0
+        |    THEN ROUND((x.x - s2.mean_v) / s2.std_v, 6) END AS z
+        |FROM xd x JOIN s2 USING (dim)
+        |ORDER BY vec_id, dim""".stripMargin,
     // cells replayed exactly as in dedup_semantic, then within-cell
     // ordered pairs ranked on the unrounded cosine, neighbor-id ties
     "emb_knn_graph" ->

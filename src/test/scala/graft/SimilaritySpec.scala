@@ -479,6 +479,27 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.1, s"ADC recall vs brute $recall collapsed")
   }
 
+  test("standardize: per-dim zero mean / unit variance on the fixture, " +
+      "NULL on a constant dimension") {
+    import spark.implicits._
+    val z = Similarity.standardize(vecs).collect()
+    val byDim = z.filter(!_.isNullAt(2)).groupBy(_.getLong(1))
+    byDim.foreach { case (d, rows) =>
+      val vals = rows.map(_.getDouble(2))
+      val m = vals.sum / vals.length
+      val v = vals.map(x => (x - m) * (x - m)).sum / vals.length
+      assert(math.abs(m) < 1e-4, s"dim $d mean $m not ~0")
+      assert(math.abs(v - 1.0) < 1e-3, s"dim $d var $v not ~1")
+    }
+    // constant dimension → σ = 0 → NULL z, never a division error
+    val const = Seq(
+      (1L, Array(1.0f, 2.0f), 0), (2L, Array(1.0f, 5.0f), 0),
+      (3L, Array(1.0f, 8.0f), 0)).toDF("vec_id", "embedding", "label")
+    val cz = Similarity.standardize(const).collect()
+    assert(cz.filter(_.getLong(1) == 0L).forall(_.isNullAt(2)))
+    assert(cz.filter(_.getLong(1) == 1L).forall(!_.isNullAt(2)))
+  }
+
   test("kNN graph: ranked cell-mate neighbors, no self edges, cosine " +
       "non-increasing per vector, and top-1 is the true nearest " +
       "cell-mate on a brute sample") {
