@@ -63,6 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "PNG/GIF/BMP headers; NULL for unknown formats"),
       (children: Seq[Expression]) => ImageDims(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("bmp_thumb8"),
+      info("bmp_thumb8",
+        "bmp_thumb8(blob) - nearest-neighbor 8x8 24-bpp BMP thumbnail " +
+          "of an uncompressed 24-bpp BMP; NULL otherwise"),
+      (children: Seq[Expression]) => BmpThumb8(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("bmp_ahash64"),
       info("bmp_ahash64",
         "bmp_ahash64(blob) - struct(hi, lo) 64-bit perceptual " +

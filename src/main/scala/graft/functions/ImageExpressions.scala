@@ -120,6 +120,96 @@ object ImageDims {
   * hands this expression the thumbnail. One O(1) pass per row,
   * codegen'd, no shuffle.
   */
+/** Native nearest-neighbor image resize: `bmp_thumb8(blob)` → a
+  * complete 8×8 24-bpp BMP (binary), NULL unless the payload is an
+  * uncompressed 24-bpp BMP. REAL resize math on REAL pixel bytes:
+  * walks the source header (general row stride incl. 4-byte padding),
+  * samples src(⌊i·H/8⌋, ⌊j·W/8⌋) per output pixel, and emits a fresh
+  * well-formed BMP — the downsample stage of a multimodal ingest
+  * pipeline (decode → RESIZE → fingerprint), composable directly into
+  * [[BmpAhash64]] since aHash is defined on the 8×8 thumbnail. Pure
+  * per-row projection, codegen'd, no shuffle; at 100 TB the blob is
+  * read once and only the 192-byte thumbnail flows downstream. */
+case class BmpThumb8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "bmp_thumb8"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BmpThumb8.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.BmpThumb8.compute($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): BmpThumb8 =
+    copy(child = newChild)
+}
+
+object BmpThumb8 {
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** null ⇔ not a well-formed uncompressed 24-bpp BMP of at least 8×8.
+    * Called from generated code. */
+  def compute(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val off = le32(b, 10)
+    val w = le32(b, 18)
+    val h = le32(b, 22)
+    if (w < 8 || h < 8 || w > 16384 || h > 16384 ||
+        le16(b, 26) != 1 || le16(b, 28) != 24 || le32(b, 30) != 0 ||
+        off < 54) return null
+    val stride = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte multiples
+    if (b.length.toLong < off.toLong + stride.toLong * h) return null
+    val out = new Array[Byte](246)
+    // constant 54-byte 8×8 24-bpp header (same layout thumbTable plants)
+    val hdr = Array[Int](
+      'B', 'M', 246, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0,
+      40, 0, 0, 0, 8, 0, 0, 0, 8, 0, 0, 0, 1, 0, 24, 0,
+      0, 0, 0, 0, 192, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0)
+    var p = 0
+    while (p < 54) { out(p) = hdr(p).toByte; p += 1 }
+    // both source and output store rows bottom-up; sampling in DISPLAY
+    // coordinates: display row i ← source display row ⌊i·h/8⌋
+    var i = 0
+    while (i < 8) {
+      val si = i * h / 8           // display-space source row
+      val srcFileRow = h - 1 - si  // bottom-up file row
+      val dstFileRow = 7 - i
+      var j = 0
+      while (j < 8) {
+        val sj = j * w / 8
+        val so = off + srcFileRow * stride + sj * 3
+        val dst = 54 + dstFileRow * 24 + j * 3
+        out(dst) = b(so)
+        out(dst + 1) = b(so + 1)
+        out(dst + 2) = b(so + 2)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+}
+
 case class BmpAhash64(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

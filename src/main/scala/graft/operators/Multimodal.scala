@@ -327,6 +327,26 @@ object Multimodal {
       // a fixed modulus would make pair volume quadratic in corpus
       // size purely as a fixture artifact (the autoBitsPerBand lesson)
       phashPairs(thumbTable(docs, famMod = math.max(50L, docs.count() / 10)))
+    },
+
+    // -- the resize stage of the multimodal ingest pipeline ---------------
+    // REAL nearest-neighbor pixel math on real bytes: variable-size
+    // source BMPs → native bmp_thumb8 resize → a fresh 8×8 BMP →
+    // composed straight into bmp_ahash64 (decode → RESIZE →
+    // fingerprint); src dims recovered by image_dims header parsing.
+    // The oracle recomputes the planted source pixel at every sampled
+    // ⌊i·H/8⌋ coordinate arithmetically — hash equality proves the
+    // stride walk, the sampling map AND the composition.
+    "mm_resize_thumb" -> { (s, dir) =>
+      srcImageTable(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"),
+          call_function("image_dims", col("blob")).as("d"),
+          call_function("bmp_ahash64",
+            call_function("bmp_thumb8", col("blob"))).as("hsh"))
+        .select(col("doc_id"), col("d.width").as("src_w"),
+          col("d.height").as("src_h"),
+          col("hsh.hi").as("hi"), col("hsh.lo").as("lo"))
+        .orderBy(col("doc_id"))
     })
 
   /** Complete 8×8 24-bpp BMP thumbnails with planted grayscale pixels:
@@ -369,6 +389,39 @@ object Multimodal {
     }: _*)
     docs.select(col("doc_id"),
       to_binary(concat(lit(hdrHex), pixelHex), lit("hex")).as("blob"))
+  }
+
+  /** Variable-size source images for the resize stage: complete W×W
+    * 24-bpp BMPs, W = 16 + 8·(doc_id mod 3) ∈ {16, 24, 32} (all three
+    * strides are 4-byte multiples, so the fixtures carry no row
+    * padding — the EXPRESSION handles padded strides, spec-tested with
+    * a 9-px-wide image). Pixels follow the same four-coprime-moduli
+    * gray formula keyed by doc_id directly, so an external oracle
+    * recomputes the value at any (row, col) arithmetically. Synthesis
+    * is ONE codegen'd projection: a transform over sequence(0, w·h−1)
+    * hex-builds the bottom-up BGR pixel array, array_join collapses it
+    * (the videoTable technique — no per-pixel column explosion). */
+  def srcImageTable(docs: DataFrame): DataFrame = {
+    val w = (lit(16) + col("doc_id") % 3 * 8).cast("int")
+    val hdrHex = concat(lit("424D"), leU32Hex(lit(54) + w * w * 3),
+      lit("0000000036000000"), lit("28000000"),
+      leU32Hex(w), leU32Hex(w), lit("01001800"), lit("00000000"),
+      leU32Hex(w * w * 3), lit("0" * 32))
+    docs.select(col("doc_id"), w.as("w"))
+      .withColumn("pix", expr(
+        """array_join(transform(sequence(0, w * w - 1), idx ->
+          |  repeat(lpad(hex(
+          |    4 * (((doc_id * 7 + (w - 1 - (idx div w)) * 3
+          |             + (idx % w) * 5) % 13)
+          |       + ((doc_id * 4 + (w - 1 - (idx div w)) * 6
+          |             + (idx % w)) % 11)
+          |       + ((doc_id * 2 + (w - 1 - (idx div w)) * 5
+          |             + (idx % w) * 3) % 17)
+          |       + ((doc_id * 5 + (w - 1 - (idx div w))
+          |             + (idx % w) * 7) % 19))
+          |  ), 2, '0'), 3)), '')""".stripMargin))
+      .select(col("doc_id"),
+        to_binary(concat(hdrHex, col("pix")), lit("hex")).as("blob"))
   }
 
   /** Near-dup image pairs by perceptual-hash Hamming distance ≤
@@ -417,6 +470,36 @@ object Multimodal {
     * real plumbing columns plus the stub's contract gates (the stub
     * internals are engine-specific by design). */
   def oracleSql: Map[String, String] = Map(
+    // the resize replayed from planted arithmetic: source gray at the
+    // nearest-neighbor coordinates (⌊i·H/8⌋, ⌊j·W/8⌋), then the same
+    // divisionless aHash packing as mm_phash_dedup
+    "mm_resize_thumb" ->
+      """WITH px AS (
+        |  SELECT doc_id, 16 + 8 * (doc_id % 3) AS w, i, j,
+        |    4 * (((doc_id * 7 + ((i * (16 + 8 * (doc_id % 3))) // 8) * 3
+        |           + ((j * (16 + 8 * (doc_id % 3))) // 8) * 5) % 13)
+        |       + ((doc_id * 4 + ((i * (16 + 8 * (doc_id % 3))) // 8) * 6
+        |           + ((j * (16 + 8 * (doc_id % 3))) // 8)) % 11)
+        |       + ((doc_id * 2 + ((i * (16 + 8 * (doc_id % 3))) // 8) * 5
+        |           + ((j * (16 + 8 * (doc_id % 3))) // 8) * 3) % 17)
+        |       + ((doc_id * 5 + ((i * (16 + 8 * (doc_id % 3))) // 8)
+        |           + ((j * (16 + 8 * (doc_id % 3))) // 8) * 7) % 19)) AS g
+        |  FROM documents, UNNEST(RANGE(0, 8)) r1(i),
+        |       UNNEST(RANGE(0, 8)) r2(j)),
+        |tot AS (SELECT doc_id, SUM(g) AS s FROM px GROUP BY doc_id),
+        |bits AS (
+        |  SELECT p.doc_id, MAX(p.w) AS w,
+        |    CAST(SUM(CASE WHEN 64 * p.g > t.s AND i * 8 + j >= 32
+        |      THEN CAST(1 AS BIGINT) << (i * 8 + j - 32)
+        |      ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN 64 * p.g > t.s AND i * 8 + j < 32
+        |      THEN CAST(1 AS BIGINT) << (i * 8 + j)
+        |      ELSE 0 END) AS BIGINT) AS lo
+        |  FROM px p JOIN tot t ON p.doc_id = t.doc_id
+        |  GROUP BY p.doc_id)
+        |SELECT doc_id, CAST(w AS INT) AS src_w, CAST(w AS INT) AS src_h,
+        |  hi, lo
+        |FROM bits ORDER BY doc_id""".stripMargin,
     // the whole pipeline replayed from the planted pixel arithmetic:
     // grays, the divisionless mean compare 64·g > Σg, the two-half
     // bit packing, all-pairs XOR+popcount distance ≤ 3. Equality

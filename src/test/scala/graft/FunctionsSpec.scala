@@ -190,6 +190,51 @@ class FunctionsSpec extends GraftSpec {
     assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))
   }
 
+  test("bmp_thumb8: identity on an 8x8 source, correct sampling " +
+      "through a PADDED row stride, NULL on undersized input") {
+    // general W×H 24-bpp BMP with explicit row padding
+    def bmp(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte); bb.put('M'.toByte); bb.putInt(54 + stride * h)
+      bb.putInt(0); bb.putInt(54)
+      bb.putInt(40); bb.putInt(w); bb.putInt(h)
+      bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(stride * h)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      for (fr <- 0 until h) {
+        for (j <- 0 until w) {
+          val g = gray(h - 1 - fr, j).toByte
+          bb.put(g); bb.put(g); bb.put(g)
+        }
+        for (_ <- w * 3 until stride) bb.put(0.toByte)
+      }
+      bb.array()
+    }
+    val g8 = (i: Int, j: Int) => 10 + i * 8 + j
+    // 9 px wide: stride 28 ≠ 27 — an offset-arithmetic bug shears rows
+    val g9 = (i: Int, j: Int) => 7 + i * 13 + j * 5
+    val rows = Seq(
+      (1L, bmp(8, 8, g8)), (2L, bmp(9, 16, g9)),
+      (3L, bmp(4, 4, g8)))
+      .toDF("id", "blob")
+      .select(col("id"),
+        call_function("bmp_thumb8", col("blob")).as("t"))
+      .orderBy(col("id")).collect()
+    // 8×8 in → byte-identical 8×8 out
+    assert(java.util.Arrays.equals(rows(0).getAs[Array[Byte]](1),
+      bmp(8, 8, g8)))
+    // 9×16 in → out pixel (i,j) = src(⌊i·16/8⌋, ⌊j·9/8⌋), read back
+    // through the padded stride
+    val t2 = rows(1).getAs[Array[Byte]](1)
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val expect = g9(i * 16 / 8, j * 9 / 8)
+      val got = t2(54 + (7 - i) * 24 + j * 3) & 0xff
+      assert(got == expect, s"pixel ($i,$j): got $got, want $expect")
+    }
+    assert(rows(2).isNullAt(1), "4x4 source must yield NULL")
+  }
+
   test("audio_meta walks real WAV chunk lists and decodes AIFF " +
     "extended-float rates, NULL otherwise") {
     // WAV bytes built with ByteBuffer — an independent code path from
