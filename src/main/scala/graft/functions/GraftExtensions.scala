@@ -63,6 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "PNG/GIF/BMP headers; NULL for unknown formats"),
       (children: Seq[Expression]) => ImageDims(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("wav_pcm_stats"),
+      info("wav_pcm_stats",
+        "wav_pcm_stats(blob) - struct(n_samples, sum_dev2, peak_dev) " +
+          "folded from 8-bit mono PCM WAV samples; NULL otherwise"),
+      (children: Seq[Expression]) => WavPcmStats(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("bmp_thumb8"),
       info("bmp_thumb8",
         "bmp_thumb8(blob) - nearest-neighbor 8x8 24-bpp BMP thumbnail " +

@@ -347,6 +347,23 @@ object Multimodal {
           col("d.height").as("src_h"),
           col("hsh.hi").as("hi"), col("hsh.lo").as("lo"))
         .orderBy(col("doc_id"))
+    },
+
+    // -- real PCM sample decoding over binary audio -------------------------
+    // The codec-free audio decode (8-bit PCM ≙ raw biased samples — the
+    // BMP-pixel story's audio twin): chunk-walk the RIFF bytes, fold
+    // the data chunk into loudness/clipping stats, all-integer so the
+    // oracle replays every sample from the planted arithmetic.
+    "mm_audio_rms" -> { (s, dir) =>
+      pcmTable(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"),
+          call_function("wav_pcm_stats", col("blob")).as("st"))
+        .select(col("doc_id"), col("st.n_samples").as("n_samples"),
+          col("st.sum_dev2").as("sum_dev2"),
+          col("st.peak_dev").as("peak_dev"),
+          round(sqrt(col("st.sum_dev2").cast("double")
+            / col("st.n_samples")), 6).as("rms"))
+        .orderBy(col("doc_id"))
     })
 
   /** Complete 8×8 24-bpp BMP thumbnails with planted grayscale pixels:
@@ -389,6 +406,37 @@ object Multimodal {
     }: _*)
     docs.select(col("doc_id"),
       to_binary(concat(lit(hdrHex), pixelHex), lit("hex")).as("blob"))
+  }
+
+  /** Complete 8-bit mono PCM WAV fixtures: n = 64 + doc_id mod 192
+    * samples at 8 kHz, sample(t) = (d·31 + t·13 + t² mod 97) mod 256 —
+    * planted arithmetic an external oracle replays per sample. Every
+    * doc_id%10==4 blob interposes a LIST/INFO chunk between `fmt ` and
+    * `data` (audioTable's walk-robustness contract). Synthesis is one
+    * codegen'd projection via transform/array_join. */
+  def pcmTable(docs: DataFrame): DataFrame = {
+    val n = (lit(64) + col("doc_id") % 192).cast("int")
+    val listHex = when(col("doc_id") % 10 === 4,
+      "4C49535404000000494E464F").otherwise(lit(""))
+    val listLen = when(col("doc_id") % 10 === 4, 12).otherwise(lit(0))
+    val hdr = concat(
+      lit("52494646"), // RIFF
+      leU32Hex(lit(4) + lit(24) + listLen + lit(8) + n),
+      lit("57415645"), // WAVE
+      lit("666D742010000000"), // "fmt " + size 16
+      lit("0100"), lit("0100"), // PCM, mono
+      leU32Hex(lit(8000)), leU32Hex(lit(8000)), // rate, byte rate
+      lit("0100"), lit("0800"), // align 1, bits 8
+      listHex,
+      lit("64617461"), // data
+      leU32Hex(n))
+    docs.select(col("doc_id"), n.as("n"))
+      .withColumn("pcm", expr(
+        """array_join(transform(sequence(0, n - 1), t ->
+          |  lpad(hex((doc_id * 31 + t * 13 + (t * t) % 97) % 256),
+          |    2, '0')), '')""".stripMargin))
+      .select(col("doc_id"),
+        to_binary(concat(hdr, col("pcm")), lit("hex")).as("blob"))
   }
 
   /** Variable-size source images for the resize stage: complete W×W
@@ -470,6 +518,24 @@ object Multimodal {
     * real plumbing columns plus the stub's contract gates (the stub
     * internals are engine-specific by design). */
   def oracleSql: Map[String, String] = Map(
+    // every sample replayed from the planted arithmetic: the integer
+    // fold (Σ dev², max |dev|) rides the hash exactly; RMS is one
+    // deterministic double from those integers
+    "mm_audio_rms" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    (doc_id * 31 + t * 13 + (t * t) % 97) % 256 - 128 AS dev
+        |  FROM (SELECT doc_id,
+        |          UNNEST(RANGE(0, 64 + doc_id % 192)) AS t
+        |        FROM documents) u),
+        |a AS (
+        |  SELECT doc_id, COUNT(*) AS n_samples,
+        |    CAST(SUM(dev * dev) AS BIGINT) AS sum_dev2,
+        |    CAST(MAX(ABS(dev)) AS INT) AS peak_dev
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_samples, sum_dev2, peak_dev,
+        |  ROUND(SQRT(CAST(sum_dev2 AS DOUBLE) / n_samples), 6) AS rms
+        |FROM a ORDER BY doc_id""".stripMargin,
     // the resize replayed from planted arithmetic: source gray at the
     // nearest-neighbor coordinates (⌊i·H/8⌋, ⌊j·W/8⌋), then the same
     // divisionless aHash packing as mm_phash_dedup

@@ -235,6 +235,48 @@ class FunctionsSpec extends GraftSpec {
     assert(rows(2).isNullAt(1), "4x4 source must yield NULL")
   }
 
+  test("wav_pcm_stats folds real 8-bit PCM: silence, clipping, LIST " +
+      "chunk walk, NULL on 16-bit") {
+    def wav(samples: Array[Int], bits: Int = 8,
+        withList: Boolean = false): Array[Byte] = {
+      val list = if (withList) 12 else 0
+      val bb = java.nio.ByteBuffer.allocate(44 + list + samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(4 + 24 + list + 8 + samples.length)
+      bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(8000)
+      bb.putShort(1); bb.putShort(bits.toShort)
+      if (withList) { bb.put("LIST".getBytes); bb.putInt(4); bb.put("INFO".getBytes) }
+      bb.put("data".getBytes); bb.putInt(samples.length)
+      samples.foreach(s => bb.put(s.toByte))
+      bb.array()
+    }
+    val tone = Array(128, 200, 56, 128, 255, 1)
+    val rows = Seq(
+      (1L, wav(tone)),
+      (2L, wav(Array.fill(10)(128))),          // silence
+      (3L, wav(tone, withList = true)),        // LIST chunk interposed
+      (4L, wav(tone, bits = 16)))              // not the 8-bit contract
+      .toDF("id", "blob")
+      .select(col("id"),
+        call_function("wav_pcm_stats", col("blob")).as("st"))
+      .selectExpr("id", "st.n_samples AS n", "st.sum_dev2 AS ss",
+        "st.peak_dev AS pk")
+      .orderBy(col("id")).collect()
+    val devs = tone.map(_ - 128)
+    val ss = devs.map(d => d.toLong * d).sum
+    val pk = devs.map(math.abs).max
+    assert((rows(0).getLong(1), rows(0).getLong(2), rows(0).getInt(3)) ==
+      ((tone.length.toLong, ss, pk)))
+    assert((rows(1).getLong(1), rows(1).getLong(2), rows(1).getInt(3)) ==
+      ((10L, 0L, 0)))
+    // the LIST chunk must not shift the fold
+    assert((rows(2).getLong(1), rows(2).getLong(2), rows(2).getInt(3)) ==
+      ((tone.length.toLong, ss, pk)))
+    assert(rows(3).isNullAt(1))
+  }
+
   test("audio_meta walks real WAV chunk lists and decodes AIFF " +
     "extended-float rates, NULL otherwise") {
     // WAV bytes built with ByteBuffer — an independent code path from
