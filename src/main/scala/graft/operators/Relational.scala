@@ -565,6 +565,12 @@ object Relational {
         .orderBy(col("c_custkey"))
     },
 
+    // -- q36: recursive CTE hierarchy walk (same statement, both engines) --
+    "q36_recursive_cte" -> { (s, dir) =>
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(recursiveCteSql)
+    },
+
     // -- q35: sketched heavy hitters (approx_top_k) ------------------------
     // Completes the sketch family (q18 GK quantiles, q21 HLL distinct,
     // dedup_bloom membership): the frequent-items sketch, Spark 4's
@@ -725,6 +731,29 @@ object Relational {
 
   /** Shared verbatim with the DuckDB oracle — the SQL face must parse
     * and plan identically on both engines. */
+  /** Shared by q36's Spark face and the oracle — the SAME statement
+    * runs on both engines (the q25/q27/q28 contract). Hierarchy walk
+    * over the arithmetic parent tree parent(k) = ⌊k/10⌋: every
+    * customer's depth and root ancestor — the org-chart / category-
+    * tree / BOM traversal SQL engines historically could not express
+    * and Spark 4 can (recursive CTE executes as an ITERATIVE chain of
+    * per-level parent-keyed joins — ⌈log₁₀ n⌉ shallow levels here,
+    * never a self-referencing blowup; each level is one equi-join, the
+    * same shape as Graph.pageRank's fixed iterations). FLOOR(k/10.0)
+    * is spelled identically on both engines (DuckDB has no DIV,
+    * Spark's FLOOR(double) casts back to BIGINT). */
+  private[operators] val recursiveCteSql: String =
+    """WITH RECURSIVE h(k, depth, root) AS (
+      |  SELECT c_custkey AS k, 0 AS depth, c_custkey AS root
+      |  FROM customer WHERE c_custkey < 10
+      |  UNION ALL
+      |  SELECT c.c_custkey, h.depth + 1, h.root
+      |  FROM customer c JOIN h
+      |    ON CAST(FLOOR(c.c_custkey / 10.0) AS BIGINT) = h.k
+      |  WHERE c.c_custkey >= 10)
+      |SELECT k AS c_custkey, CAST(depth AS BIGINT) AS depth, root
+      |FROM h ORDER BY c_custkey""".stripMargin
+
   private[operators] val groupingSetsSql: String =
     """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
       |  COALESCE(o_orderpriority, 'ALL') AS priority,
@@ -874,6 +903,8 @@ object Relational {
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // literally the same statement text (q25/q27/q28 contract)
+    "q36_recursive_cte" -> recursiveCteSql,
     // exact top-10 replay; the sketch gate bits are TRUE by the
     // documented guarantee (counts exact below maxItemsTracked,
     // boundary tie group ≪ sketch width) — same contract as q18/q21

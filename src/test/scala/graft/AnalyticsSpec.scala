@@ -301,6 +301,22 @@ class AnalyticsSpec extends GraftSpec {
     assert(got(("books", "en")) == ((1L, 4L, 20L, 20.0, 4L)))
   }
 
+  test("q36: recursive hierarchy walk matches the arithmetic replay") {
+    val rows = SparkEntry.queries("q36_recursive_cte")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def walk(k: Long): (Long, Long) = { // (depth, root)
+      var d = 0L; var x = k
+      while (x >= 10) { x = x / 10; d += 1 }
+      (d, x)
+    }
+    rows.foreach { r =>
+      val (d, root) = walk(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2)) == ((d, root)),
+        s"custkey ${r.getLong(0)}: got (${r.getLong(1)}, ${r.getLong(2)}), " +
+          s"want ($d, $root)")
+    }
+  }
+
   test("q35: sketch gate bits hold and the exact top-10 matches a " +
       "driver replay") {
     val rows = SparkEntry.queries("q35_approx_topk")(spark, sf).collect()
