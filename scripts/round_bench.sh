@@ -45,6 +45,8 @@ SF1_KEYS=(
   # round-10 third-wave operators
   graph_triangles mm_phash_dedup text_tfidf_keywords emb_knn_graph
   etl_variant_extract q35_approx_topk
+  emb_standardize mm_resize_thumb mm_audio_rms q36_recursive_cte
+  q37_lateral_topn
 )
 
 echo "[round_bench] full registry at sf0.1 ..."

@@ -571,6 +571,13 @@ object Relational {
       s.sql(recursiveCteSql)
     },
 
+    // -- q37: correlated LATERAL top-N-per-group (same statement) ----------
+    "q37_lateral_topn" -> { (s, dir) =>
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(lateralTopNSql)
+    },
+
     // -- q35: sketched heavy hitters (approx_top_k) ------------------------
     // Completes the sketch family (q18 GK quantiles, q21 HLL distinct,
     // dedup_bloom membership): the frequent-items sketch, Spark 4's
@@ -754,6 +761,23 @@ object Relational {
       |SELECT k AS c_custkey, CAST(depth AS BIGINT) AS depth, root
       |FROM h ORDER BY c_custkey""".stripMargin
 
+  /** Shared by q37's Spark face and the oracle — the SAME statement on
+    * both engines. Top-N-per-group stated as a correlated LATERAL
+    * subquery with ORDER BY + LIMIT (the SQL-standard phrasing; Spark
+    * 4 supports it) — Catalyst decorrelates the lateral into a
+    * relational join + per-group limit rather than re-scanning orders
+    * per customer (the plan lint and fingerprint pin this; a naive
+    * engine executes |customer| scans, the 100 TB killer). Ties break
+    * on o_orderkey; money compares as DECIMAL inside the subquery and
+    * casts to DOUBLE only for output. */
+  private[operators] val lateralTopNSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.price
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      |         FROM orders o WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin
+
   private[operators] val groupingSetsSql: String =
     """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
       |  COALESCE(o_orderpriority, 'ALL') AS priority,
@@ -905,6 +929,7 @@ object Relational {
         |ORDER BY o_orderpriority""".stripMargin,
     // literally the same statement text (q25/q27/q28 contract)
     "q36_recursive_cte" -> recursiveCteSql,
+    "q37_lateral_topn" -> lateralTopNSql,
     // exact top-10 replay; the sketch gate bits are TRUE by the
     // documented guarantee (counts exact below maxItemsTracked,
     // boundary tie group ≪ sketch width) — same contract as q18/q21

@@ -317,6 +317,25 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("q37: lateral top-2 orders per customer match a driver replay") {
+    val rows = SparkEntry.queries("q37_lateral_topn")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCust = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val expect = byCust.toSeq.flatMap { case (c, os) =>
+      os.sortBy(o => (-o._3, o._2)).take(2).map(o => (c, o._2, o._3))
+    }.sortBy(t => (t._1, -t._3, t._2))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq == expect)
+    // every customer with at least one order appears, capped at 2
+    val counts = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(counts.values.forall(n => n == 1 || n == 2))
+    assert(counts.keySet == byCust.keySet)
+  }
+
   test("q35: sketch gate bits hold and the exact top-10 matches a " +
       "driver replay") {
     val rows = SparkEntry.queries("q35_approx_topk")(spark, sf).collect()
