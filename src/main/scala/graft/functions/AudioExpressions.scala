@@ -186,6 +186,78 @@ object AudioMeta {
   * All-integer outputs, so the fold replays exactly in plain SQL; RMS
   * itself is √(sum_dev2/n), one deterministic double downstream. One
   * O(bytes) pass per row, codegen'd, no shuffle. */
+/** Fixture generator: `planted_wav(doc_id)` → a complete 8-bit mono
+  * 8 kHz PCM WAV with n = 64 + d mod 192 planted samples
+  * s(t) = (d·31 + 13t + t² mod 97) mod 256, a LIST/INFO chunk
+  * interposed between `fmt ` and `data` for every d mod 10 = 4 (the
+  * walk-robustness contract). GENERATION ONLY — shares no code with
+  * [[AudioMeta]] / [[WavPcmStats]]; exists because the declarative
+  * transform/hex synthesis ran in the interpreted HOF path and
+  * dominated the mm_audio_rms measurement. */
+case class PlantedWav(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects bigint, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullable: Boolean = false
+
+  override def prettyName: String = "planted_wav"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PlantedWav.compute(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PlantedWav.compute($c);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PlantedWav =
+    copy(child = newChild)
+}
+
+object PlantedWav {
+
+  private def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+    b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+  }
+
+  private def putTag(b: Array[Byte], o: Int, t: String): Unit = {
+    var i = 0
+    while (i < 4) { b(o + i) = t.charAt(i).toByte; i += 1 }
+  }
+
+  /** Called from generated code. */
+  def compute(d: Long): Array[Byte] = {
+    val n = (64 + d % 192).toInt
+    val list = if (d % 10 == 4) 12 else 0
+    val out = new Array[Byte](44 + list + n)
+    putTag(out, 0, "RIFF"); putLe32(out, 4, 4 + 24 + list + 8 + n)
+    putTag(out, 8, "WAVE")
+    putTag(out, 12, "fmt "); putLe32(out, 16, 16)
+    out(20) = 1; out(22) = 1 // PCM, mono
+    putLe32(out, 24, 8000); putLe32(out, 28, 8000) // rate, byte rate
+    out(32) = 1; out(34) = 8 // align, bits
+    var o = 36
+    if (list > 0) {
+      putTag(out, o, "LIST"); putLe32(out, o + 4, 4)
+      putTag(out, o + 8, "INFO"); o += 12
+    }
+    putTag(out, o, "data"); putLe32(out, o + 4, n)
+    var t = 0
+    while (t < n) {
+      out(o + 8 + t) = ((d * 31 + t * 13 + (t * t) % 97) % 256).toByte
+      t += 1
+    }
+    out
+  }
+}
+
 case class WavPcmStats(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

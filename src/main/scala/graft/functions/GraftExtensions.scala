@@ -63,11 +63,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "PNG/GIF/BMP headers; NULL for unknown formats"),
       (children: Seq[Expression]) => ImageDims(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("planted_wav"),
+      info("planted_wav",
+        "planted_wav(doc_id) - 8-bit mono PCM WAV fixture with " +
+          "oracle-replayable planted samples"),
+      (children: Seq[Expression]) => PlantedWav(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("wav_pcm_stats"),
       info("wav_pcm_stats",
         "wav_pcm_stats(blob) - struct(n_samples, sum_dev2, peak_dev) " +
           "folded from 8-bit mono PCM WAV samples; NULL otherwise"),
       (children: Seq[Expression]) => WavPcmStats(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("planted_bmp"),
+      info("planted_bmp",
+        "planted_bmp(doc_id, w) - W x W 24-bpp BMP fixture with " +
+          "oracle-replayable planted grayscale pixels"),
+      (children: Seq[Expression]) => PlantedBmp(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("bmp_thumb8"),
       info("bmp_thumb8",

@@ -210,6 +210,85 @@ object BmpThumb8 {
   }
 }
 
+/** Fixture generator: `planted_bmp(doc_id, w)` → a complete W×W
+  * 24-bpp BMP whose grayscale pixels follow the four-coprime-moduli
+  * planted formula gray(d, i, j) = 4·((d·7+3i+5j) mod 13 +
+  * (d·4+6i+j) mod 11 + (d·2+5i+3j) mod 17 + (d·5+i+7j) mod 19) — the
+  * arithmetic an external oracle replays per pixel. GENERATION ONLY:
+  * shares no code with the parsing/resizing expressions it feeds
+  * ([[ImageDims]], [[BmpThumb8]], [[BmpAhash64]]), preserving the
+  * generation-vs-extraction independence of the multimodal keys. A
+  * declarative transform/array_join/hex formulation of the same bytes
+  * measured ~2.7 µs/pixel (interpreted HOF lambda — higher-order
+  * functions fall out of whole-stage codegen); this tight byte loop
+  * is the fixture-synthesis cost fix, not part of the operator under
+  * test. */
+case class PlantedBmp(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.LongType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (bigint, int), got $other")
+    }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "planted_bmp"
+
+  override protected def nullSafeEval(d: Any, w: Any): Any =
+    PlantedBmp.compute(d.asInstanceOf[Long], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, w) => s"""
+      ${ev.value} = graft.functions.PlantedBmp.compute($d, $w);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PlantedBmp = copy(left = newLeft, right = newRight)
+}
+
+object PlantedBmp {
+
+  private def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+    b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+  }
+
+  /** Called from generated code. null on nonsensical sizes. */
+  def compute(d: Long, w: Int): Array[Byte] = {
+    if (w < 1 || w > 1024) return null
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + stride * w)
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(out, 2, out.length); putLe32(out, 10, 54)
+    putLe32(out, 14, 40); putLe32(out, 18, w); putLe32(out, 22, w)
+    out(26) = 1; out(28) = 24
+    putLe32(out, 34, stride * w)
+    var fr = 0
+    while (fr < w) {
+      val i = w - 1 - fr // display row (rows stored bottom-up)
+      var j = 0
+      while (j < w) {
+        val g = (4 * (((d * 7 + i * 3 + j * 5) % 13)
+          + ((d * 4 + i * 6 + j) % 11)
+          + ((d * 2 + i * 5 + j * 3) % 17)
+          + ((d * 5 + i + j * 7) % 19))).toByte
+        val o = 54 + fr * stride + j * 3
+        out(o) = g; out(o + 1) = g; out(o + 2) = g
+        j += 1
+      }
+      fr += 1
+    }
+    out
+  }
+}
+
 case class BmpAhash64(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -412,32 +412,12 @@ object Multimodal {
     * samples at 8 kHz, sample(t) = (d·31 + t·13 + t² mod 97) mod 256 —
     * planted arithmetic an external oracle replays per sample. Every
     * doc_id%10==4 blob interposes a LIST/INFO chunk between `fmt ` and
-    * `data` (audioTable's walk-robustness contract). Synthesis is one
-    * codegen'd projection via transform/array_join. */
-  def pcmTable(docs: DataFrame): DataFrame = {
-    val n = (lit(64) + col("doc_id") % 192).cast("int")
-    val listHex = when(col("doc_id") % 10 === 4,
-      "4C49535404000000494E464F").otherwise(lit(""))
-    val listLen = when(col("doc_id") % 10 === 4, 12).otherwise(lit(0))
-    val hdr = concat(
-      lit("52494646"), // RIFF
-      leU32Hex(lit(4) + lit(24) + listLen + lit(8) + n),
-      lit("57415645"), // WAVE
-      lit("666D742010000000"), // "fmt " + size 16
-      lit("0100"), lit("0100"), // PCM, mono
-      leU32Hex(lit(8000)), leU32Hex(lit(8000)), // rate, byte rate
-      lit("0100"), lit("0800"), // align 1, bits 8
-      listHex,
-      lit("64617461"), // data
-      leU32Hex(n))
-    docs.select(col("doc_id"), n.as("n"))
-      .withColumn("pcm", expr(
-        """array_join(transform(sequence(0, n - 1), t ->
-          |  lpad(hex((doc_id * 31 + t * 13 + (t * t) % 97) % 256),
-          |    2, '0')), '')""".stripMargin))
-      .select(col("doc_id"),
-        to_binary(concat(hdr, col("pcm")), lit("hex")).as("blob"))
-  }
+    * `data` (audioTable's walk-robustness contract). Synthesis runs
+    * through the native planted_wav fixture generator (generation
+    * shares no code with the parsing/folding expressions). */
+  def pcmTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      call_function("planted_wav", col("doc_id")).as("blob"))
 
   /** Variable-size source images for the resize stage: complete W×W
     * 24-bpp BMPs, W = 16 + 8·(doc_id mod 3) ∈ {16, 24, 32} (all three
@@ -446,30 +426,14 @@ object Multimodal {
     * a 9-px-wide image). Pixels follow the same four-coprime-moduli
     * gray formula keyed by doc_id directly, so an external oracle
     * recomputes the value at any (row, col) arithmetically. Synthesis
-    * is ONE codegen'd projection: a transform over sequence(0, w·h−1)
-    * hex-builds the bottom-up BGR pixel array, array_join collapses it
-    * (the videoTable technique — no per-pixel column explosion). */
+    * runs through the native planted_bmp fixture generator (a
+    * declarative transform/hex formulation measured ~2.7 µs/pixel in
+    * the interpreted HOF path and dominated the key; generation still
+    * shares no code with the parsing/resizing expressions). */
   def srcImageTable(docs: DataFrame): DataFrame = {
     val w = (lit(16) + col("doc_id") % 3 * 8).cast("int")
-    val hdrHex = concat(lit("424D"), leU32Hex(lit(54) + w * w * 3),
-      lit("0000000036000000"), lit("28000000"),
-      leU32Hex(w), leU32Hex(w), lit("01001800"), lit("00000000"),
-      leU32Hex(w * w * 3), lit("0" * 32))
-    docs.select(col("doc_id"), w.as("w"))
-      .withColumn("pix", expr(
-        """array_join(transform(sequence(0, w * w - 1), idx ->
-          |  repeat(lpad(hex(
-          |    4 * (((doc_id * 7 + (w - 1 - (idx div w)) * 3
-          |             + (idx % w) * 5) % 13)
-          |       + ((doc_id * 4 + (w - 1 - (idx div w)) * 6
-          |             + (idx % w)) % 11)
-          |       + ((doc_id * 2 + (w - 1 - (idx div w)) * 5
-          |             + (idx % w) * 3) % 17)
-          |       + ((doc_id * 5 + (w - 1 - (idx div w))
-          |             + (idx % w) * 7) % 19))
-          |  ), 2, '0'), 3)), '')""".stripMargin))
-      .select(col("doc_id"),
-        to_binary(concat(hdrHex, col("pix")), lit("hex")).as("blob"))
+    docs.select(col("doc_id"),
+      call_function("planted_bmp", col("doc_id"), w).as("blob"))
   }
 
   /** Near-dup image pairs by perceptual-hash Hamming distance ≤
