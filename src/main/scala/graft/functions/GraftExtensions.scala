@@ -100,6 +100,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "for unknown formats"),
       (children: Seq[Expression]) => AudioMeta(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("rand_project"),
+      info("rand_project",
+        "rand_project(v) - 16 fixed-point (1e-6) Johnson-Lindenstrauss " +
+          "±1 projections of v as array<bigint>; exactly replayable " +
+          "in standard SQL"),
+      (children: Seq[Expression]) => RandProject(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("hyperplane_bits"),
       info("hyperplane_bits",
         "hyperplane_bits(v) - 48 fixed-seed random-hyperplane LSH sign bits"),

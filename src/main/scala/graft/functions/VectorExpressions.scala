@@ -221,6 +221,71 @@ case class SignPack32(child: Expression, offset: Int)
     copy(child = newChild)
 }
 
+/** Johnson–Lindenstrauss random projection with a deterministic ±1
+  * (Achlioptas) matrix: out[j] = Σ_d sign(d, j)·⌊x_d·1e6⌋ for
+  * [[RandProject.OutDim]] output dimensions, where sign is a pure
+  * function of (d, j) — the same engine-independent multiplicative
+  * hash the shard/sampling operators use — so an external SQL engine
+  * replays the whole projection with integer arithmetic. Inputs are
+  * quantized to 1e-6 fixed point BEFORE the sum, making every output
+  * an exact BIGINT in any partition order (the emb_centroids
+  * contract); magnitudes stay ≤ Dim·|x|·1e6 ≪ 2^63. One fused
+  * primitive loop per row in whole-stage codegen — the HOF
+  * formulation would interpret Dim·OutDim lambda calls per row, and a
+  * posexplode formulation would shuffle Dim·OutDim rows per vector. */
+case class RandProject(child: Expression) extends UnaryExpression {
+
+  import RandProject._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorInput.isVector(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double|float>, got " +
+        child.dataType.catalogString)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "rand_project"
+
+  @transient private lazy val f = VectorInput.isFloat(child.dataType)
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](OutDim)
+    var d = 0
+    while (d < n) {
+      val q = math.floor(VectorInput.get(a, d, f) * 1e6).toLong
+      var j = 0
+      while (j < OutDim) {
+        if (sign(d, j)) out(j) += q else out(j) -= q
+        j += 1
+      }
+      d += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("randProjExpr", this)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RandProject =
+    copy(child = newChild)
+}
+
+object RandProject {
+  val OutDim = 16
+  /** true ⇒ +1 — replayed in SQL as
+    * `((d*100003 + j) % 1000003 * 2654435761) % 2 = 0`. */
+  def sign(d: Int, j: Int): Boolean =
+    (d.toLong * 100003L + j) % 1000003L * 2654435761L % 2L == 0L
+}
+
 /** Flattened upper-triangle outer product x·xᵀ (diagonal included,
   * row-major), with the raw vector APPENDED: positions
   * [0, d(d+1)/2) hold x_i·x_j for i ≤ j, positions [d(d+1)/2,

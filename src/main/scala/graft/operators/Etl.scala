@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -82,7 +83,37 @@ object Etl {
     zipPath.toString
   }
 
+  /** Forward-fill gap imputation (LOCF — last observation carried
+    * forward), the standard repair for telemetry streams with dropped
+    * readings before any rate/derivative computation. Readings are
+    * masked deterministically (event_id % 5 = 0 → NULL, so the fixture
+    * has real gaps at every SF) and repaired with
+    * last(…, ignoreNulls) over a per-device ROWS window ordered by
+    * (ts, event_id) — leading gaps stay NULL by definition.
+    *
+    * Scale shape: ONE user-keyed shuffle, then each partition sorts
+    * and fills in a single streaming window pass (running `last` needs
+    * no frame buffering — WindowExec keeps O(1) state per row). No
+    * joins, no second exchange; at 100 TB this is exactly the
+    * sessionize/q23 event-window template. The filled value is the
+    * untouched input double carried through — no arithmetic, so no
+    * float seam against the oracle. */
+  def gapFill(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("masked",
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")))
+      .withColumn("filled", last(col("masked"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("masked"), col("filled"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- LOCF forward-fill over deterministically masked telemetry --------
+    "etl_gapfill" -> ((s, dir) => gapFill(Tables.load(s, dir, "events"))),
+
     // -- trim + empty→NULL + parity segment (script.py:53-61) -------------
     "etl_clean" -> { (s, dir) =>
       cleaned(s, dir)
@@ -542,6 +573,17 @@ object Etl {
         |  c_acctbal
         |FROM customer""".stripMargin
     Map(
+      // same mask, same window, same IGNORE NULLS carry — the filled
+      // column is a bit-identical pass-through of the input doubles
+      "etl_gapfill" ->
+        """SELECT event_id, user_id,
+          |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS masked,
+          |  LAST_VALUE(CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END
+          |      IGNORE NULLS)
+          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS filled
+          |FROM events ORDER BY event_id""".stripMargin,
       "etl_clean" ->
         s"""SELECT codigo, NULLIF(TRIM(descricao), '') AS descricao,
            |  CASE WHEN codigo % 2 = 1 THEN 'PRIMARIO' ELSE 'SECUNDARIO' END

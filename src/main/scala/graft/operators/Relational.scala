@@ -609,6 +609,41 @@ object Relational {
           exists(col("sk"), x => x.getField("item") === col("l_suppkey") &&
             x.getField("count") === col("n")).as("count_ok"))
         .orderBy(col("n").desc, col("l_suppkey"))
+    },
+
+    // -- q38: UNPIVOT wide metrics → long (melt) ---------------------------
+    // The wide→long reshape every reporting layer runs before charting
+    // or union-loading heterogeneous metrics. Spark's native
+    // Dataset.unpivot (= SQL UNPIVOT / pandas melt) is a PER-ROW
+    // projection — each wide row expands to k (metric, value) rows
+    // inside the scan stage, no shuffle, no join against a metric
+    // dimension. The wide input here is two dimension-sized aggregates
+    // (map-side partial counts → nation-keyed rows), so the whole plan
+    // is dimension-bounded; at 100 TB the unpivot itself adds zero
+    // exchanges to whatever produced the wide frame. Account-balance
+    // cents use the floor(·100) fixed-point contract so the summed
+    // metric is an exact BIGINT on both engines (value columns must
+    // share one type — the reshape is only lossless long-to-long).
+    "q38_unpivot" -> { (s, dir) =>
+      val nation = Tables.load(s, dir, "nation")
+      val cc = Tables.load(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("customers"),
+          sum(floor(col("c_acctbal") * 100).cast("long")).as("acctbal_cents"))
+      val sc = Tables.load(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("suppliers"))
+      nation.select(col("n_nationkey").as("nk"), col("n_name"))
+        .join(cc, Seq("nk"), "left")
+        .join(sc, Seq("nk"), "left")
+        .select(col("n_name"),
+          coalesce(col("customers"), lit(0L)).as("customers"),
+          coalesce(col("suppliers"), lit(0L)).as("suppliers"),
+          coalesce(col("acctbal_cents"), lit(0L)).as("acctbal_cents"))
+        .unpivot(Array(col("n_name")),
+          Array(col("customers"), col("suppliers"), col("acctbal_cents")),
+          "metric", "value")
+        .orderBy(col("n_name"), col("metric"))
     }
   )
 
@@ -939,6 +974,26 @@ object Relational {
         |  FROM lineitem GROUP BY l_suppkey)
         |SELECT l_suppkey, n, TRUE AS sketch_found, TRUE AS count_ok
         |FROM c ORDER BY n DESC, l_suppkey LIMIT 10""".stripMargin,
+    // the standard UNPIVOT clause over the same wide build; COUNT(*)
+    // and the floor-cents sum are BIGINT on both engines, so the value
+    // column hash-matches with no float seam
+    "q38_unpivot" ->
+      """WITH cc AS (
+        |  SELECT c_nationkey AS nk, COUNT(*) AS customers,
+        |    SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+        |  FROM customer GROUP BY c_nationkey),
+        |sc AS (
+        |  SELECT s_nationkey AS nk, COUNT(*) AS suppliers
+        |  FROM supplier GROUP BY s_nationkey),
+        |wide AS (
+        |  SELECT n_name, COALESCE(customers, 0) AS customers,
+        |    COALESCE(suppliers, 0) AS suppliers,
+        |    COALESCE(acctbal_cents, 0) AS acctbal_cents
+        |  FROM nation LEFT JOIN cc ON n_nationkey = cc.nk
+        |  LEFT JOIN sc ON n_nationkey = sc.nk)
+        |SELECT n_name, metric, value FROM wide
+        |UNPIVOT (value FOR metric IN (customers, suppliers, acctbal_cents))
+        |ORDER BY n_name, metric""".stripMargin,
     // plain unsalted join — hash equality proves salting preserves semantics
     "q19_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

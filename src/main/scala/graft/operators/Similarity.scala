@@ -1334,6 +1334,34 @@ object Similarity {
       .orderBy(col("vec_id"), col("dim"))
   }
 
+  /** Johnson–Lindenstrauss random projection of the embedding corpus
+    * from Dim to 16 dimensions — the dimensionality-reduction pass a
+    * 100 TB pipeline runs before brute-force or graph kNN when the
+    * full-width scan is the bottleneck (JL: pairwise distances are
+    * preserved within (1±ε) w.h.p. for k = O(log n / ε²); a ±1
+    * Achlioptas matrix attains the guarantee without Gaussian
+    * sampling). The projection matrix is a pure hash function of
+    * (dim, out_dim) — nothing is broadcast, nothing is stored, any
+    * executor regenerates any column on demand.
+    *
+    * Shape: ONE per-row native rand_project call (fused loop in
+    * whole-stage codegen) then a posexplode to the gated long format —
+    * no shuffle before the final presentation sort; 16 BIGINTs per
+    * vector flow downstream (4× narrower than the 64-float input).
+    * Exactness: inputs quantize to 1e-6 fixed point before the sum
+    * (see [[graft.functions.RandProject]]), so proj_fp is an exact
+    * integer on both engines; proj divides by 1e6·√16 (√16 = 4 exact)
+    * in one double op. */
+  def randProject(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("vec_id"),
+        posexplode(call_function("rand_project", col("embedding")))
+          .as(Seq("out_dim", "proj_fp")))
+      .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"),
+        col("proj_fp"),
+        round(col("proj_fp").cast("double") / lit(4e6), 6).as("proj"))
+      .orderBy(col("vec_id"), col("out_dim"))
+
   /** Per-label mean embedding (class centroids — the seed step for
     * k-means refinement, cluster labeling, or building an IVF codebook
     * from labeled data). posexplode → groupBy(label, dim): ONE shuffle
@@ -1624,6 +1652,9 @@ object Similarity {
     // per-dim z-score standardization, both moments fixed-point exact
     "emb_standardize" -> ((s, dir) =>
       standardize(Tables.load(s, dir, "embeddings"))),
+    // JL ±1 projection, fixed-point exact per output dimension
+    "emb_rand_proj" -> ((s, dir) =>
+      randProject(Tables.load(s, dir, "embeddings"))),
     "dedup_semantic" -> ((s, dir) =>
       semanticDedup(Tables.load(s, dir, "embeddings"))),
     // same %3 history/batch split as the text-side incremental keys
@@ -2000,6 +2031,26 @@ object Similarity {
         |    THEN ROUND((x.x - s2.mean_v) / s2.std_v, 6) END AS z
         |FROM xd x JOIN s2 USING (dim)
         |ORDER BY vec_id, dim""".stripMargin,
+    // full replay of the ±1 projection: the 1e-6 quantization, the
+    // (d, j) sign hash, and the integer sums — proj_fp carries the
+    // exact matrix product, proj is one shared double division
+    "emb_rand_proj" ->
+      """WITH xd AS (
+        |  SELECT vec_id, pos - 1 AS d,
+        |    CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, UNNEST(embedding) AS v,
+        |          GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+        |        FROM embeddings) t),
+        |proj AS (
+        |  SELECT vec_id, j,
+        |    SUM(CASE WHEN ((d * 100003 + j) % 1000003 * 2654435761) % 2 = 0
+        |             THEN q ELSE -q END) AS y
+        |  FROM xd, UNNEST(RANGE(0, 16)) r(j)
+        |  GROUP BY vec_id, j)
+        |SELECT vec_id, CAST(j AS BIGINT) AS out_dim,
+        |  CAST(y AS BIGINT) AS proj_fp,
+        |  ROUND(CAST(y AS DOUBLE) / 4e6, 6) AS proj
+        |FROM proj ORDER BY vec_id, out_dim""".stripMargin,
     // cells replayed exactly as in dedup_semantic, then within-cell
     // ordered pairs ranked on the unrounded cosine, neighbor-id ties
     "emb_knn_graph" ->

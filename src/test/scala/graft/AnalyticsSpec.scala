@@ -348,4 +348,50 @@ class AnalyticsSpec extends GraftSpec {
       .sortBy { case (k, n) => (-n, k) }.take(10)
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == replay)
   }
+
+  test("gapfill: LOCF carries the last reading, leading gaps stay NULL") {
+    // ids chosen so user 1 leads with a masked row (id 5) and user 2
+    // has two consecutive gaps (ids 10, 15) after one reading
+    val ev = Seq(
+      (5L, "2024-01-01 00:00:00", 1L, 11.0),
+      (6L, "2024-01-01 00:01:00", 1L, 12.0),
+      (10L, "2024-01-01 00:02:00", 1L, 13.0), // masked
+      (7L, "2024-01-01 00:03:00", 1L, 14.0),
+      (8L, "2024-01-01 00:00:00", 2L, 21.0),
+      (15L, "2024-01-01 00:01:00", 2L, 22.0), // masked
+      (20L, "2024-01-01 00:02:00", 2L, 23.0)) // masked
+      .map { case (id, t, u, v) => (id, ts(t), u, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = graft.operators.Etl.gapFill(ev).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got(5L) == ((None, None)), "leading gap must stay NULL")
+    assert(got(6L) == ((Some(12.0), Some(12.0))))
+    assert(got(10L) == ((None, Some(12.0))), "gap must carry 12.0 forward")
+    assert(got(7L) == ((Some(14.0), Some(14.0))))
+    assert(got(15L) == ((None, Some(21.0))))
+    assert(got(20L) == ((None, Some(21.0))),
+      "second consecutive gap must still carry user 2's only reading")
+  }
+
+  test("q38: unpivot emits one (nation, metric) row per wide cell and " +
+      "the values match a driver replay") {
+    val rows = SparkEntry.queries("q38_unpivot")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nations = Tables.load(spark, sf, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == nations.size * 3)
+    val custs = Tables.load(spark, sf, "customer")
+      .select(col("c_nationkey").cast("long"), col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val supps = Tables.load(spark, sf, "supplier")
+      .select(col("s_nationkey").cast("long")).collect().map(_.getLong(0))
+    nations.foreach { case (nk, name) =>
+      val cs = custs.filter(_._1 == nk)
+      assert(rows((name, "customers")) == cs.length.toLong)
+      assert(rows((name, "suppliers")) == supps.count(_ == nk).toLong)
+      assert(rows((name, "acctbal_cents")) ==
+        cs.map(c => math.floor(c._2 * 100).toLong).sum)
+    }
+  }
 }

@@ -538,4 +538,32 @@ class SimilaritySpec extends GraftSpec {
         s"top-1 for $v is not the nearest cell-mate")
     }
   }
+
+  test("rand_proj: proj_fp equals a driver replay of the ±1 sign hash " +
+      "and proj is the shared scaling of it") {
+    val emb = vecs.orderBy(col("vec_id")).limit(5).collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }
+    val got = Similarity.randProject(
+        vecs.filter(col("vec_id") < emb.length)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.size == emb.length * graft.functions.RandProject.OutDim)
+    emb.foreach { case (id, v) =>
+      val q = v.map(x => math.floor(x * 1e6).toLong)
+      for (j <- 0 until graft.functions.RandProject.OutDim) {
+        val expFp = q.indices.map { d =>
+          if (graft.functions.RandProject.sign(d, j)) q(d) else -q(d)
+        }.sum
+        val (fp, p) = got((id, j.toLong))
+        assert(fp == expFp, s"vec $id dim $j: got $fp want $expFp")
+        assert(math.abs(p - BigDecimal(expFp / 4e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      }
+    }
+    // the projection must not collapse: distinct outputs across vectors
+    val perJ = got.toSeq.groupBy(_._1._2).view
+      .mapValues(_.map(_._2._1).distinct.length)
+    assert(perJ.values.forall(_ > 1), "a projection column is constant")
+  }
 }
