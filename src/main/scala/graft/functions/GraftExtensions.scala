@@ -107,6 +107,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "in standard SQL"),
       (children: Seq[Expression]) => RandProject(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("nearest_centroid"),
+      info("nearest_centroid",
+        "nearest_centroid(q, centroids) - struct(cluster, dist2_fp): " +
+          "index of the nearest centroid under exact integer squared " +
+          "L2 and its distance; centroids must be a foldable " +
+          "array<array<bigint>> literal"),
+      (children: Seq[Expression]) =>
+        NearestCentroid(children.head, children(1))))
+    ext.injectFunction((
       FunctionIdentifier("hyperplane_bits"),
       info("hyperplane_bits",
         "hyperplane_bits(v) - 48 fixed-seed random-hyperplane LSH sign bits"),

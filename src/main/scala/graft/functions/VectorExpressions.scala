@@ -340,3 +340,83 @@ case class OuterUpper(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): OuterUpper =
     copy(child = newChild)
 }
+
+/** Nearest centroid under squared L2 distance in shifted fixed-point
+  * space — the assignment step of Lloyd's k-means. Left child is the
+  * quantized vector (array<bigint>, values = ⌊x·1e6⌋ + shift), right
+  * child the K×D centroid table as a FOLDABLE array<array<bigint>>
+  * literal (K·D longs embedded in the plan — the broadcast-codebook
+  * pattern at literal scale; re-planned per Lloyd iteration by the
+  * driver, exactly like emb_pq's codebook). Distances are exact
+  * BIGINTs (terms ≤ (4e6)²·D ≪ 2^63), ties break to the LOWEST
+  * centroid index by a strict `<` scan in k order, so the result is
+  * bit-reproducible at any parallelism and replayable with
+  * ROW_NUMBER(ORDER BY dist, k) in standard SQL. One fused primitive
+  * K·D loop per row inside whole-stage codegen. */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+      right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _))
+        if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<bigint>, foldable " +
+        s"array<array<bigint>>), got ${left.dataType.catalogString} and " +
+        s"${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", LongType, nullable = false),
+    StructField("dist2_fp", LongType, nullable = false)))
+
+  override def prettyName: String = "nearest_centroid"
+
+  @transient private lazy val cents: Array[Array[Long]] = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements()) { k =>
+      arr.getArray(k).toLongArray()
+    }
+  }
+
+  def compute(a: ArrayData): Any = {
+    val n = a.numElements()
+    var best = -1
+    var bestDist = Long.MaxValue
+    var k = 0
+    while (k < cents.length) {
+      val c = cents(k)
+      val d = math.min(n, c.length)
+      var dist = 0L
+      var i = 0
+      while (i < d) {
+        val diff = a.getLong(i) - c(i)
+        dist += diff * diff
+        i += 1
+      }
+      if (dist < bestDist) { bestDist = dist; best = k }
+      k += 1
+    }
+    if (best < 0) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best.toLong, bestDist))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestExpr", this)
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+         |  $ref.compute($a);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroid =
+    copy(left = newLeft, right = newRight)
+}

@@ -1362,6 +1362,79 @@ object Similarity {
         round(col("proj_fp").cast("double") / lit(4e6), 6).as("proj"))
       .orderBy(col("vec_id"), col("out_dim"))
 
+  /** k-means cluster count and Lloyd refinement steps for the
+    * registered face: small fixed values keep the oracle replay a
+    * bounded CTE chain; production codebook training scales K into the
+    * thousands with the identical plan (only the literal grows). */
+  val KmK = 8
+  val KmIters = 2
+
+  /** Fixed-point shift making every quantized coordinate positive
+    * (embeddings are unit-norm, |x| ≤ 1 ≪ 2): with positive sums,
+    * truncating integer division IS floor division, so Spark's `div`
+    * and the oracle's `//` agree on every centroid mean. Distances are
+    * shift-invariant, so the shift never reaches the output. */
+  val KmShift = 2000000L
+
+  /** Lloyd's k-means over the embedding corpus, fixed-point exact —
+    * the codebook-training pass behind every IVF index (knn_ivf
+    * assigns to FIXED seed vectors; this refines them into real
+    * centroids). Coordinates quantize ONCE to ⌊x·1e6⌋ + [[KmShift]]
+    * BIGINTs (localCheckpoint — iterations rescan the quantized
+    * corpus, never the parquet), seeds are the first [[KmK]] vectors
+    * (deterministic, engine-replayable), and each of [[KmIters]]
+    * rounds is: one native nearest_centroid pass (fused K·D integer
+    * loop per row in whole-stage codegen, centroids embedded as a
+    * K·D-long foldable literal — the broadcast-codebook pattern), then
+    * one posexplode → groupBy(cluster, dim) with map-side partial
+    * integer sums (K·D rows out at ANY corpus size) collected to the
+    * driver to rebuild the literal — the canonical k-means sync, K·D
+    * longs per round regardless of scale. Empty clusters keep their
+    * previous centroid (deterministic, matches the oracle's COALESCE).
+    * Every arithmetic step is order-independent integer math —
+    * bit-identical at any parallelism — and the output distance
+    * carries the exact squared L2 in 1e-12 units.
+    *
+    * Output: one row per vector — final assignment under the refined
+    * centroids, exact dist2_fp, and a readable ROUND(6) distance
+    * (IEEE sqrt of the same exact integer on both engines). */
+  def kmeansAssign(vecs: DataFrame): DataFrame = {
+    val q = vecs.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) " +
+          s"* 1e6) AS BIGINT) + $KmShift)").as("s"))
+      .localCheckpoint()
+    val seedRows = q.filter(col("vec_id") < KmK)
+      .orderBy(col("vec_id")).collect()
+    if (seedRows.isEmpty) {
+      return q.select(col("vec_id"), lit(0L).as("cluster"),
+        lit(0L).as("dist2_fp"), lit(0.0).as("dist"))
+    }
+    var cents: Array[Array[Long]] =
+      seedRows.map(_.getSeq[Long](1).toArray)
+    def centLit: Column = typedlit(cents.map(_.toSeq).toSeq)
+    for (_ <- 1 to KmIters) {
+      val upd = q
+        .select(call_function("nearest_centroid", col("s"), centLit)
+            .getField("cluster").as("k"),
+          posexplode(col("s")).as(Seq("d", "sv")))
+        .groupBy(col("k"), col("d"))
+        .agg(sum(col("sv")).as("ssum"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.map(_.clone())
+      upd.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+      }
+      cents = next
+    }
+    q.select(col("vec_id"),
+        call_function("nearest_centroid", col("s"), centLit).as("nc"))
+      .select(col("vec_id"), col("nc.cluster").as("cluster"),
+        col("nc.dist2_fp").as("dist2_fp"),
+        round(sqrt(col("nc.dist2_fp").cast("double")) / lit(1e6), 6)
+          .as("dist"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label mean embedding (class centroids — the seed step for
     * k-means refinement, cluster labeling, or building an IVF codebook
     * from labeled data). posexplode → groupBy(label, dim): ONE shuffle
@@ -1655,6 +1728,9 @@ object Similarity {
     // JL ±1 projection, fixed-point exact per output dimension
     "emb_rand_proj" -> ((s, dir) =>
       randProject(Tables.load(s, dir, "embeddings"))),
+    // Lloyd k-means codebook training, every step integer-exact
+    "emb_kmeans" -> ((s, dir) =>
+      kmeansAssign(Tables.load(s, dir, "embeddings"))),
     "dedup_semantic" -> ((s, dir) =>
       semanticDedup(Tables.load(s, dir, "embeddings"))),
     // same %3 history/batch split as the text-side incremental keys
@@ -2051,6 +2127,60 @@ object Similarity {
         |  CAST(y AS BIGINT) AS proj_fp,
         |  ROUND(CAST(y AS DOUBLE) / 4e6, 6) AS proj
         |FROM proj ORDER BY vec_id, out_dim""".stripMargin,
+    // full two-round Lloyd replay in chained CTEs: the 1e-6+shift
+    // quantization, both assignment rounds (ROW_NUMBER ties to the
+    // lowest centroid), both floor-div centroid updates with the
+    // empty-cluster COALESCE, and the final exact distances — the
+    // hash carries the whole iteration history
+    "emb_kmeans" ->
+      """WITH qd AS (
+        |  SELECT vec_id, pos - 1 AS d,
+        |    CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT) + 2000000 AS s
+        |  FROM (SELECT vec_id, UNNEST(embedding) AS v,
+        |          GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+        |        FROM embeddings) t),
+        |c0 AS (SELECT vec_id AS k, d, s AS c FROM qd WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, k FROM (
+        |    SELECT x.vec_id, c.k,
+        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        |        ORDER BY SUM((x.s - c.c) * (x.s - c.c)), c.k) AS rn
+        |    FROM qd x JOIN c0 c ON x.d = c.d
+        |    GROUP BY x.vec_id, c.k) r
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT c0.k, c0.d, COALESCE(u.cm, c0.c) AS c
+        |  FROM c0 LEFT JOIN (
+        |    SELECT a.k, x.d, SUM(x.s) // COUNT(*) AS cm
+        |    FROM qd x JOIN a1 a ON x.vec_id = a.vec_id
+        |    GROUP BY a.k, x.d) u ON c0.k = u.k AND c0.d = u.d),
+        |a2 AS (
+        |  SELECT vec_id, k FROM (
+        |    SELECT x.vec_id, c.k,
+        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        |        ORDER BY SUM((x.s - c.c) * (x.s - c.c)), c.k) AS rn
+        |    FROM qd x JOIN c1 c ON x.d = c.d
+        |    GROUP BY x.vec_id, c.k) r
+        |  WHERE rn = 1),
+        |c2 AS (
+        |  SELECT c1.k, c1.d, COALESCE(u.cm, c1.c) AS c
+        |  FROM c1 LEFT JOIN (
+        |    SELECT a.k, x.d, SUM(x.s) // COUNT(*) AS cm
+        |    FROM qd x JOIN a2 a ON x.vec_id = a.vec_id
+        |    GROUP BY a.k, x.d) u ON c1.k = u.k AND c1.d = u.d),
+        |fin AS (
+        |  SELECT vec_id, k, dist2 FROM (
+        |    SELECT x.vec_id, c.k,
+        |      SUM((x.s - c.c) * (x.s - c.c)) AS dist2,
+        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        |        ORDER BY SUM((x.s - c.c) * (x.s - c.c)), c.k) AS rn
+        |    FROM qd x JOIN c2 c ON x.d = c.d
+        |    GROUP BY x.vec_id, c.k) r
+        |  WHERE rn = 1)
+        |SELECT vec_id, CAST(k AS BIGINT) AS cluster,
+        |  CAST(dist2 AS BIGINT) AS dist2_fp,
+        |  ROUND(SQRT(CAST(dist2 AS DOUBLE)) / 1e6, 6) AS dist
+        |FROM fin ORDER BY vec_id""".stripMargin,
     // cells replayed exactly as in dedup_semantic, then within-cell
     // ordered pairs ranked on the unrounded cosine, neighbor-id ties
     "emb_knn_graph" ->

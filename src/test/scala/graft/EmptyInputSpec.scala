@@ -73,6 +73,9 @@ class EmptyInputSpec extends GraftSpec {
     val kg = Similarity.knnGraph(emptyVecs)
     assert(kg.columns.toSeq == Seq("vec_id", "rk", "neighbor_id", "cos_r")
       && kg.count() == 0)
+    val km = Similarity.kmeansAssign(emptyVecs)
+    assert(km.columns.toSeq == Seq("vec_id", "cluster", "dist2_fp", "dist")
+      && km.count() == 0)
     val tk = TextAnalysis.tfidfKeywords(emptyDocs)
     assert(tk.columns.toSeq == Seq("doc_id", "rk", "term", "score") &&
       tk.count() == 0)

@@ -566,4 +566,42 @@ class SimilaritySpec extends GraftSpec {
       .mapValues(_.map(_._2._1).distinct.length)
     assert(perJ.values.forall(_ > 1), "a projection column is constant")
   }
+
+  test("kmeans: assignments and distances equal a full driver replay " +
+      "of two integer Lloyd rounds; clustering is non-trivial") {
+    val q = vecs.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray
+        .map(x => math.floor(x.toDouble * 1e6).toLong + Similarity.KmShift)
+    }.sortBy(_._1)
+    var cents = q.take(Similarity.KmK).map(_._2.clone())
+    def nearest(s: Array[Long]): (Int, Long) = {
+      var bk = -1; var bd = Long.MaxValue
+      for (k <- cents.indices) {
+        var d = 0L
+        for (i <- s.indices) {
+          val t = s(i) - cents(k)(i); d += t * t
+        }
+        if (d < bd) { bd = d; bk = k }
+      }
+      (bk, bd)
+    }
+    for (_ <- 1 to Similarity.KmIters) {
+      val byK = q.groupBy { case (_, s) => nearest(s)._1 }
+      cents = cents.zipWithIndex.map { case (prev, k) =>
+        byK.get(k).fold(prev) { members =>
+          Array.tabulate(prev.length) { d =>
+            members.map(_._2(d)).sum / members.length
+          }
+        }
+      }
+    }
+    val expect = q.map { case (id, s) =>
+      val (k, d) = nearest(s); id -> ((k.toLong, d))
+    }.toMap
+    val got = Similarity.kmeansAssign(vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).toSet.size > 1,
+      "k-means collapsed to a single cluster on the fixture")
+  }
 }
