@@ -1435,6 +1435,43 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009)
+    * of the BM25 lexical leg and the embedding-cosine leg — the
+    * standard two-tower serving fusion (RAG retrieval, eval-set
+    * lookup, decontamination triage) when neither lexical overlap nor
+    * dense similarity alone is trustworthy. Both legs use the SAME
+    * deterministic query set (every `every`-th id), and fusion is
+    * rank-only — RRF(d) = Σ_legs ⌊1e12 / (60 + rank_leg(d))⌋ — so the
+    * fused score is exact integer arithmetic over two already-gated
+    * rank tables (text_bm25's fixed-point order, knn_brute's proven
+    * cosine order). Missing-in-one-leg docs contribute a single term.
+    *
+    * Scale shape: each leg ends per-query-top-k sized (#queries · k
+    * rows — the corpus never reaches the fusion), so the full-outer
+    * merge on (query_id, doc_id) and the re-rank window are
+    * bounded by the query load, not the corpus; at 100 TB the legs
+    * are the expensive stages and they keep their own gated plans
+    * unchanged. */
+  def hybridRrf(docs: DataFrame, vecs: DataFrame, every: Long = 100,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = TextAnalysis.bm25TopK(docs, every, 8, k)
+      .select(col("query_id"), col("doc_id"), col("rk").as("bm25_rk"))
+    val kn = knnBrute(vecs, col("vec_id") % every === 0, k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("knn_rk"))
+    bm.join(kn, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_fp",
+        coalesce(expr("1000000000000 div (60 + bm25_rk)"), lit(0L)) +
+          coalesce(expr("1000000000000 div (60 + knn_rk)"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_fp").desc, col("doc_id"))).cast("long"))
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_fp"),
+        col("bm25_rk"), col("knn_rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Per-label mean embedding (class centroids — the seed step for
     * k-means refinement, cluster labeling, or building an IVF codebook
     * from labeled data). posexplode → groupBy(label, dim): ONE shuffle
@@ -1731,6 +1768,10 @@ object Similarity {
     // Lloyd k-means codebook training, every step integer-exact
     "emb_kmeans" -> ((s, dir) =>
       kmeansAssign(Tables.load(s, dir, "embeddings"))),
+    // RRF fusion of the BM25 leg and the cosine-kNN leg, rank-only
+    "hybrid_rrf" -> ((s, dir) =>
+      hybridRrf(Tables.load(s, dir, "documents"),
+        Tables.load(s, dir, "embeddings"))),
     "dedup_semantic" -> ((s, dir) =>
       semanticDedup(Tables.load(s, dir, "embeddings"))),
     // same %3 history/batch split as the text-side incremental keys
@@ -2127,6 +2168,82 @@ object Similarity {
         |  CAST(y AS BIGINT) AS proj_fp,
         |  ROUND(CAST(y AS DOUBLE) / 4e6, 6) AS proj
         |FROM proj ORDER BY vec_id, out_dim""".stripMargin,
+    // both legs replayed by their own gated oracles (text_bm25's
+    // fixed-point BM25 chain, knn_brute's cosine chain), then the
+    // integer RRF merge — the hash carries legs AND fusion
+    "hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |st AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM dl),
+        |qw AS (
+        |  SELECT DISTINCT query_id, w FROM (
+        |    SELECT doc_id AS query_id, UNNEST(t[1:8]) AS w FROM (
+        |      SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+        |      FROM documents WHERE doc_id % 100 = 0))),
+        |probe AS (
+        |  SELECT q.query_id, t.doc_id, t.w, t.tf
+        |  FROM tf t JOIN qw q USING (w)),
+        |dfq AS (
+        |  SELECT w, COUNT(*) AS df FROM (
+        |    SELECT DISTINCT w, doc_id FROM probe) GROUP BY w),
+        |sc AS (
+        |  SELECT p.query_id, p.doc_id,
+        |    SUM(CAST(FLOOR(
+        |      LN((CAST((SELECT n FROM st) AS DOUBLE) - f.df
+        |            + CAST(0.5 AS DOUBLE))
+        |          / (f.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |        * (p.tf * CAST(2.2 AS DOUBLE))
+        |        / (p.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * d.dl
+        |              / (SELECT avgdl FROM st)))
+        |        * 1e6) AS BIGINT)) AS isum
+        |  FROM probe p
+        |  JOIN dfq f USING (w)
+        |  JOIN dl d ON p.doc_id = d.doc_id
+        |  GROUP BY p.query_id, p.doc_id),
+        |bm AS (
+        |  SELECT query_id, doc_id, rk AS bm25_rk FROM (
+        |    SELECT query_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY isum DESC, doc_id) AS rk
+        |    FROM sc) WHERE rk <= 5),
+        |corpus AS (
+        |  SELECT vec_id, embedding,
+        |    SQRT(LIST_DOT_PRODUCT(embedding, embedding)) AS nrm
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+        |       FROM corpus WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    LIST_DOT_PRODUCT(c.embedding, q.qe) / (c.nrm * q.qn) AS cos_sim
+        |  FROM corpus c, qv q WHERE c.vec_id <> q.query_id),
+        |kn AS (
+        |  SELECT query_id, neighbor_id AS doc_id,
+        |    CAST(krank AS BIGINT) AS knn_rk FROM (
+        |    SELECT query_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cos_sim DESC, neighbor_id) AS krank
+        |    FROM scored) WHERE krank <= 5),
+        |fuse AS (
+        |  SELECT COALESCE(bm.query_id, kn.query_id) AS query_id,
+        |    COALESCE(bm.doc_id, kn.doc_id) AS doc_id,
+        |    bm.bm25_rk, kn.knn_rk,
+        |    COALESCE(1000000000000 // (60 + bm.bm25_rk), 0)
+        |      + COALESCE(1000000000000 // (60 + kn.knn_rk), 0) AS rrf_fp
+        |  FROM bm FULL OUTER JOIN kn
+        |    ON bm.query_id = kn.query_id AND bm.doc_id = kn.doc_id)
+        |SELECT query_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rk,
+        |  doc_id, CAST(rrf_fp AS BIGINT) AS rrf_fp, bm25_rk, knn_rk
+        |FROM fuse ORDER BY query_id, rk""".stripMargin,
     // full two-round Lloyd replay in chained CTEs: the 1e-6+shift
     // quantization, both assignment rounds (ROW_NUMBER ties to the
     // lowest centroid), both floor-div centroid updates with the

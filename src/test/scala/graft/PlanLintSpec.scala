@@ -23,7 +23,11 @@ class PlanLintSpec extends GraftSpec {
       // broadcasts the 1-ROW approx_top_k sketch against the exact
       // top-10 rows (10 × 1 join) — the accuracy-gate shape of
       // q18/q21 applied to a sketch that lives in one aggregate row
-      "q35_approx_topk")
+      "q35_approx_topk",
+      // embeds knn_brute as its dense leg — the same bounded
+      // query-set broadcast; the fusion itself joins two
+      // #queries·k-sized rank tables hash-wise
+      "hybrid_rrf")
 
   test("no query plan contains a cartesian product or stray nested loop") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, q) =>

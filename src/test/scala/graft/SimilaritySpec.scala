@@ -567,6 +567,52 @@ class SimilaritySpec extends GraftSpec {
     assert(perJ.values.forall(_ > 1), "a projection column is constant")
   }
 
+  test("hybrid rrf: fusion equals a driver replay over both legs' " +
+      "outputs, and a both-legs doc sums both reciprocal terms") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // doc 1 shares words with query doc 0 AND its embedding is near
+    // vec 0 — it must surface in BOTH legs; docs 2/3 are lexical-only
+    // and vector-only hits respectively
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "en", "web", 22L),
+      (1L, "alpha beta gamma epsilon", "en", "web", 24L),
+      (2L, "alpha beta zeta eta", "en", "web", 19L),
+      (3L, "iota kappa lambda mu", "en", "web", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 0.0f, 1.0f), 0),
+      (3L, Array(0.8f, 0.2f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val every = 4L // query set = {0}
+    val bm = TextAnalysis.bm25TopK(docs, every, 8, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val kn = Similarity.knnBrute(vecs, col("vec_id") % every === 0, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3).toLong)
+      .toMap
+    assert(bm.keySet.intersect(kn.keySet).nonEmpty,
+      "fixture failed to produce a both-legs doc")
+    val expect = (bm.keySet ++ kn.keySet).map { key =>
+      val fp = bm.get(key).map(r => 1000000000000L / (60 + r)).getOrElse(0L) +
+        kn.get(key).map(r => 1000000000000L / (60 + r)).getOrElse(0L)
+      key -> ((fp, bm.get(key), kn.get(key)))
+    }.toMap
+    val got = Similarity.hybridRrf(docs, vecs, every).collect().map { r =>
+      (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    }.toMap
+    assert(got == expect)
+    // ranks strictly follow (rrf_fp desc, doc_id)
+    val ranked = Similarity.hybridRrf(docs, vecs, every).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(2)))
+    assert(ranked.sortBy { case (_, fp, id) => (-fp, id) }
+      .map(_._1).toSeq == ranked.map(_._1).sorted.toSeq)
+  }
+
   test("kmeans: assignments and distances equal a full driver replay " +
       "of two integer Lloyd rounds; clustering is non-trivial") {
     val q = vecs.collect().map { r =>
