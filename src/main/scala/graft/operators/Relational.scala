@@ -208,6 +208,28 @@ object Relational {
         .orderBy(col("status"), col("priority"))
     },
 
+    // -- q39: full CUBE over (flag, ship year) -----------------------------
+    // Completes the GROUP BY-modifier family (q12 ROLLUP, q25 GROUPING
+    // SETS): CUBE materializes the full 2^k power set of grouping
+    // levels in ONE pass — Spark lowers it to a single ExpandExec (each
+    // input row replicated per level map-side, partials combined before
+    // the one keyed exchange), never k separate scans UNIONed. Money in
+    // the DECIMAL(18,2) cast-then-sum contract; the -1 year sentinel
+    // keeps the cube rows orderable alongside real years.
+    "q39_cube" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          year(col("l_shipdate")).cast("long").as("ship_year"),
+          col("l_extendedprice"))
+        .cube(col("l_returnflag"), col("ship_year"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(money(col("l_extendedprice")))).as("revenue"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("ship_year"), lit(-1L)).as("ship_year"),
+          col("n"), col("revenue"))
+        .orderBy(col("returnflag"), col("ship_year"))
+    },
+
     // -- q13: pivot via conditional aggregation ----------------------------
     "q13_case_pivot" -> { (s, dir) =>
       Tables.load(s, dir, "events")
@@ -915,6 +937,18 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q39_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(ship_year, -1) AS ship_year,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM (SELECT l_returnflag,
+        |        CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+        |        l_extendedprice
+        |      FROM lineitem) t
+        |GROUP BY CUBE (l_returnflag, ship_year)
+        |ORDER BY returnflag, ship_year""".stripMargin,
     "q13_case_pivot" ->
       """SELECT user_id,
         |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,

@@ -373,6 +373,27 @@ class AnalyticsSpec extends GraftSpec {
       "second consecutive gap must still carry user 2's only reading")
   }
 
+  test("q39: cube levels are mutually consistent and the grand total " +
+      "matches the table count") {
+    val rows = SparkEntry.queries("q39_cube")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val total = Tables.load(spark, sf, "lineitem").count()
+    assert(rows(("ALL", -1L)) == total)
+    val flagRows = rows.filter { case ((f, y), _) => f != "ALL" && y == -1L }
+    val yearRows = rows.filter { case ((f, y), _) => f == "ALL" && y != -1L }
+    val cellRows = rows.filter { case ((f, y), _) => f != "ALL" && y != -1L }
+    assert(flagRows.values.sum == total)
+    assert(yearRows.values.sum == total)
+    assert(cellRows.values.sum == total)
+    // every cell folds into its flag margin and its year margin
+    flagRows.foreach { case ((f, _), n) =>
+      assert(cellRows.collect { case ((`f`, _), c) => c }.sum == n)
+    }
+    yearRows.foreach { case ((_, y), n) =>
+      assert(cellRows.collect { case ((_, `y`), c) => c }.sum == n)
+    }
+  }
+
   test("q38: unpivot emits one (nation, metric) row per wide cell and " +
       "the values match a driver replay") {
     val rows = SparkEntry.queries("q38_unpivot")(spark, sf).collect()
