@@ -205,8 +205,67 @@ object Warehouse {
       col("c_acctbal").as("bal"),
       to_date(lit("2024-01-01")).as("valid_from"))
 
+  /** Bits per dimension entering the Morton interleave, and bits per
+    * tile edge for the zone-map face: bucket = z >> 2·[[ZTileBits]]
+    * is BY CONSTRUCTION a 2^ZTileBits × 2^ZTileBits axis-aligned tile
+    * in (u, v) space — the per-bucket min/max span bound below is a
+    * mathematical guarantee, not a data property. */
+  val ZBits = 16
+  val ZTileBits = 10
+
+  /** Morton (Z-order) interleave of two [[ZBits]]-bit coordinates —
+    * pure shift/mask/add column arithmetic, fully codegen'd. */
+  def mortonZ(u: Column, v: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftright(u, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(v, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Z-order clustering zone map over orders on (custkey, order day) —
+    * the multi-dimensional layout lever bucketing/partitioning can't
+    * reach: a table range-sorted by the Morton value is
+    * SIMULTANEOUSLY clustered in both dimensions, so min/max zone
+    * maps prune scans filtered on EITHER key (a linear sort is tight
+    * in one dimension and useless in the other). The registered face
+    * computes the zone map itself: per z-tile row counts and both
+    * min/max spans, with in-plan gate bits proving every tile spans
+    * < 2^[[ZTileBits]] in BOTH dimensions — the pruning guarantee a
+    * scan planner would rely on, checked exactly (q18/q21 gate
+    * contract).
+    *
+    * Scale shape: one map-only project (the interleave is ~96 shifts/
+    * adds per row inside whole-stage codegen) + ONE keyed aggregate —
+    * tile-cardinality rows out. The production write is
+    * `repartitionByRange(z).sortWithinPartitions(z)` with this face
+    * as the persisted zone map; coordinates here mask to 16 bits
+    * (exact at test key ranges), at warehouse scale they come from
+    * rank-bucketing each dimension to 2^16 via broadcast
+    * approx-quantile boundaries (the q18/q34 machinery) — the tile
+    * guarantee is unchanged. */
+  def zorderZoneMap(orders: DataFrame): DataFrame =
+    orders.select(
+        col("o_custkey").bitwiseAND(lit(65535L)).as("um"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
+          .bitwiseAND(lit(65535L)).as("vm"))
+      .withColumn("z", mortonZ(col("um"), col("vm")))
+      .groupBy(shiftright(col("z"), 2 * ZTileBits).as("ztile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("um")).as("min_u"), max(col("um")).as("max_u"),
+        min(col("vm")).as("min_v"), max(col("vm")).as("max_v"))
+      .select(col("ztile"), col("n"), col("min_u"), col("max_u"),
+        col("min_v"), col("max_v"),
+        (col("max_u") - col("min_u") < lit(1L << ZTileBits))
+          .as("span_u_ok"),
+        (col("max_v") - col("min_v") < lit(1L << ZTileBits))
+          .as("span_v_ok"))
+      .orderBy(col("ztile"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_bucketed_join" -> ((s, dir) => bucketedJoin(s, dir)),
+
+    // -- Z-order zone map with the tile-span guarantee as gate bits --------
+    "etl_zorder" -> ((s, dir) =>
+      zorderZoneMap(Tables.load(s, dir, "orders"))),
 
     // -- SCD-2: every 10th key changes name+bal on 2024-06-01 --------------
     // (same deterministic changeset family as etl_upsert, so DuckDB
@@ -253,7 +312,30 @@ object Warehouse {
       dppAggregate(s.read.parquet(factPath), s.read.parquet(dimPath))
     })
 
+  /** The Morton interleave as SQL text, generated by the same loop
+    * that builds the Spark column — one arithmetic, two engines. */
+  private def mortonSql: String =
+    (0 until ZBits).map { i =>
+      s"(((um >> $i) & 1) << ${2 * i}) + (((vm >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
+    // identical interleave text (shared generator), identical masks,
+    // tile grouping and span gates — the hash carries the whole curve
+    "etl_zorder" ->
+      s"""WITH m AS (
+         |  SELECT CAST(o_custkey AS BIGINT) & 65535 AS um,
+         |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01'
+         |      AS BIGINT) & 65535 AS vm
+         |  FROM orders),
+         |zt AS (SELECT um, vm, ($mortonSql) >> ${2 * ZTileBits} AS ztile
+         |       FROM m)
+         |SELECT ztile, COUNT(*) AS n,
+         |  MIN(um) AS min_u, MAX(um) AS max_u,
+         |  MIN(vm) AS min_v, MAX(vm) AS max_v,
+         |  (MAX(um) - MIN(um) < ${1L << ZTileBits}) AS span_u_ok,
+         |  (MAX(vm) - MIN(vm) < ${1L << ZTileBits}) AS span_v_ok
+         |FROM zt GROUP BY ztile ORDER BY ztile""".stripMargin,
     "etl_scd2" ->
       """SELECT c_custkey, c_name AS name, c_acctbal AS bal,
         |  DATE '2024-01-01' AS valid_from,

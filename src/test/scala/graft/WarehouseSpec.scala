@@ -118,6 +118,33 @@ class WarehouseSpec extends GraftSpec {
     assert(opened.isNullAt(1) && opened.isNullAt(2) && opened.isNullAt(4))
   }
 
+  test("morton interleave matches hand-computed codes and the zone map " +
+      "honors the tile-span guarantee") {
+    import spark.implicits._
+    // u=0b011, v=0b101 → z interleaves to 0b100111 = 39 (u even bits)
+    val codes = Seq((3L, 5L), (0L, 0L), (65535L, 65535L), (1L, 0L), (0L, 1L))
+      .toDF("um", "vm")
+      .select(Warehouse.mortonZ(col("um"), col("vm")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    def ref(u: Long, v: Long): Long =
+      (0 until 16).map(i =>
+        (((u >> i) & 1L) << (2 * i)) | (((v >> i) & 1L) << (2 * i + 1)))
+        .sum
+    assert(codes == Seq(ref(3, 5), 0L, ref(65535, 65535), 1L, 2L))
+    assert(ref(3, 5) == 39L)
+    assert(ref(65535, 65535) == (1L << 32) - 1)
+    val zm = Warehouse.zorderZoneMap(
+        graft.sources.Tables.load(spark, sf, "orders"))
+      .collect()
+    assert(zm.nonEmpty)
+    zm.foreach { r =>
+      assert(r.getBoolean(6) && r.getBoolean(7),
+        s"tile ${r.getLong(0)} violates the 2^10 span guarantee")
+      assert(r.getLong(3) - r.getLong(2) < 1024 &&
+        r.getLong(5) - r.getLong(4) < 1024)
+    }
+  }
+
   test("dim filter reaches the fact scan as dynamic partition pruning") {
     val (factPath, dimPath) = Warehouse.layoutDailyLake(spark, sf)
     val df = Warehouse.dppAggregate(
