@@ -176,7 +176,44 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Fixed-depth multi-source BFS (k-hop reachability with hop
+    * distance) from a seed node set — the neighborhood-expansion
+    * primitive behind link-graph crawl frontiers, contamination blast
+    * radius ("everything within 3 hops of a flagged domain") and
+    * feature extraction on entity graphs. Iteration k+1 is
+    * dist(v) = min(dist(v), min_{u→v} dist(u) + 1) — pure integer
+    * min-plus algebra, so the result is bit-identical at any
+    * parallelism and replays as chained SQL CTEs.
+    *
+    * Scale shape: the pageRank template — each of `hops` rounds is ONE
+    * src-keyed join (edges persisted/bucketed by src at scale) + one
+    * map-side-combined min-groupBy; lineage stays a shallow fixed
+    * chain. The reached set here stays a small fraction of the graph
+    * for small `hops`; at web scale the standard refinement joins only
+    * the CHANGED frontier (delta rows) per round — same plan per
+    * round, strictly less input — without touching the contract. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, hops: Int = 3)
+      : DataFrame = {
+    require(hops >= 1 && hops <= 20, s"hops out of range: $hops")
+    val e = edges.localCheckpoint()
+    var d = seeds.select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to hops) {
+      d = d.join(e, d("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        .unionAll(d)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    d.orderBy(col("node"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs" -> { (s, dir) =>
+      val seeds = Tables.load(s, dir, "supplier")
+        .filter(col("s_nationkey") === 1)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      bfsHops(coPurchaseEdges(Tables.load(s, dir, "orders"),
+        Tables.load(s, dir, "lineitem")), seeds)
+    },
     "graph_pagerank" -> ((s, dir) =>
       pageRank(coPurchaseEdges(Tables.load(s, dir, "orders"),
         Tables.load(s, dir, "lineitem")))),
@@ -188,6 +225,32 @@ object Graph {
     * intermediate rank is integer-exact, so the hash carries the whole
     * iteration history, not a rounded endpoint. */
   def oracleSql: Map[String, String] = Map(
+    // full 3-hop min-plus replay: same edge derivation, same seed set,
+    // one chained CTE per hop — every intermediate distance exact
+    "graph_bfs" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |d0 AS (
+        |  SELECT s_suppkey * 2 + 1 AS node, 0 AS dist
+        |  FROM supplier WHERE s_nationkey = 1),
+        |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT e.dst AS node, d.dist + 1 AS dist
+        |  FROM d0 d JOIN edges e ON d.node = e.src
+        |  UNION ALL SELECT node, dist FROM d0) u GROUP BY node),
+        |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT e.dst AS node, d.dist + 1 AS dist
+        |  FROM d1 d JOIN edges e ON d.node = e.src
+        |  UNION ALL SELECT node, dist FROM d1) u GROUP BY node),
+        |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT e.dst AS node, d.dist + 1 AS dist
+        |  FROM d2 d JOIN edges e ON d.node = e.src
+        |  UNION ALL SELECT node, dist FROM d2) u GROUP BY node)
+        |SELECT node, CAST(dist AS BIGINT) AS dist
+        |FROM d3 ORDER BY node""".stripMargin,
     "graph_pagerank" ->
       """WITH pairs AS (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s

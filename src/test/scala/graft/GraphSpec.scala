@@ -95,6 +95,21 @@ class GraphSpec extends GraftSpec {
     assert(run(g) == naiveTriangles(g))
   }
 
+  test("bfs hops: exact distances on a path-plus-shortcut graph, " +
+      "unreached nodes absent, shortest path wins") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5 plus shortcut 0-3: dist(3)=1, dist(4)=2,
+    // dist(5)=3; node 6 is disconnected and must not appear
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (0L, 3L), (6L, 7L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, hops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L,
+      4L -> 2L, 5L -> 3L))
+  }
+
   test("co-supply triangle key: nodes are suppliers, total " +
       "participation divides by 3, sampling keeps the graph sparse") {
     val li = Tables.load(spark, sf, "lineitem")
