@@ -93,6 +93,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "average-hash decoded from an 8x8 24-bpp BMP; NULL otherwise"),
       (children: Seq[Expression]) => BmpAhash64(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("bmp_gray_hist"),
+      info("bmp_gray_hist",
+        "bmp_gray_hist(blob) - struct(w, h, sum_gray, hist[16]) " +
+          "16-bin grayscale histogram of any uncompressed 24-bpp " +
+          "BMP; NULL otherwise"),
+      (children: Seq[Expression]) => BmpGrayHist(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("audio_meta"),
       info("audio_meta",
         "audio_meta(blob) - struct(fmt, channels, sample_rate, bits, " +

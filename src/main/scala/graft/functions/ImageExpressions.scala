@@ -365,3 +365,90 @@ object BmpAhash64 {
     new GenericInternalRow(Array[Any](hi, lo))
   }
 }
+
+/** 16-bin grayscale histogram + pixel mass of ANY uncompressed 24-bpp
+  * BMP (arbitrary W×H, stride padding handled) — the per-image
+  * exposure/content profile a multimodal curation pass derives before
+  * filtering (all-black/all-white frames, low-contrast scans, split
+  * detection on brightness distribution). One header walk + one
+  * O(W·H) byte loop per row inside whole-stage codegen; luma = blue
+  * channel (B=G=R in the planted fixtures, matching [[BmpAhash64]]'s
+  * convention). Returns struct(w, h, sum_gray, hist[16]) with
+  * bin = gray >> 4 — all-integer, so an oracle replays every count
+  * from the planted pixel arithmetic. NULL ⇔ not a complete
+  * uncompressed 24-bpp BMP. */
+case class BmpGrayHist(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = BmpGrayHist.schema
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "bmp_gray_hist"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BmpGrayHist.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.BmpGrayHist.compute($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): BmpGrayHist =
+    copy(child = newChild)
+}
+
+object BmpGrayHist {
+
+  val schema: StructType = StructType(Seq(
+    StructField("w", IntegerType, nullable = false),
+    StructField("h", IntegerType, nullable = false),
+    StructField("sum_gray", org.apache.spark.sql.types.LongType,
+      nullable = false),
+    StructField("hist",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false),
+      nullable = false)))
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** Called from generated code. */
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val off = le32(b, 10)
+    val w = le32(b, 18)
+    val h = le32(b, 22)
+    if (w < 1 || h < 1 || w > 65535 || h > 65535 ||
+        le16(b, 26) != 1 || le16(b, 28) != 24 || le32(b, 30) != 0 ||
+        off < 54) return null
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (b.length < off + stride.toLong * h) return null
+    val hist = new Array[Long](16)
+    var sum = 0L
+    var fr = 0
+    while (fr < h) {
+      val base = off + fr * stride
+      var j = 0
+      while (j < w) {
+        val v = b(base + j * 3) & 0xff
+        sum += v
+        hist(v >> 4) += 1
+        j += 1
+      }
+      fr += 1
+    }
+    new GenericInternalRow(Array[Any](w, h, sum,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(hist)))
+  }
+}

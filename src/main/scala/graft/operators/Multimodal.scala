@@ -349,6 +349,28 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // -- per-image brightness histogram over real BMP decode ---------------
+    // The exposure/content profile a multimodal curation pass filters
+    // on (all-black frames, low-contrast scans): one native
+    // bmp_gray_hist header-walk + O(W·H) byte loop per blob (handles
+    // stride padding — spec-tested on a 9-px row), 16 integer bins +
+    // pixel mass out, then a posexplode to the gated long format.
+    // Blobs never shuffle: the only exchange is the final
+    // presentation sort over 16 rows/doc. The oracle recomputes every
+    // bin count from the planted per-pixel gray arithmetic — hash
+    // equality proves the byte decode end to end.
+    "mm_image_hist" -> { (s, dir) =>
+      srcImageTable(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"),
+          call_function("bmp_gray_hist", col("blob")).as("g"))
+        .select(col("doc_id"), col("g.w").cast("long").as("w"),
+          col("g.sum_gray").as("sum_gray"),
+          posexplode(col("g.hist")).as(Seq("bin", "cnt")))
+        .select(col("doc_id"), col("w"), col("sum_gray"),
+          col("bin").cast("long").as("bin"), col("cnt"))
+        .orderBy(col("doc_id"), col("bin"))
+    },
+
     // -- real PCM sample decoding over binary audio -------------------------
     // The codec-free audio decode (8-bit PCM ≙ raw biased samples — the
     // BMP-pixel story's audio twin): chunk-walk the RIFF bytes, fold
@@ -500,6 +522,34 @@ object Multimodal {
         |SELECT doc_id, n_samples, sum_dev2, peak_dev,
         |  ROUND(SQRT(CAST(sum_dev2 AS DOUBLE) / n_samples), 6) AS rms
         |FROM a ORDER BY doc_id""".stripMargin,
+    // every bin count and the pixel mass replayed from the planted
+    // per-pixel gray formula; zero bins emitted via the RANGE(0,16)
+    // cross join so the 16-row-per-doc shape matches exactly
+    "mm_image_hist" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 16 + 8 * (doc_id % 3) AS w FROM documents),
+        |cells AS (
+        |  SELECT doc_id, w,
+        |    4 * (((doc_id * 7 + i * 3 + j * 5) % 13)
+        |       + ((doc_id * 4 + i * 6 + j) % 11)
+        |       + ((doc_id * 2 + i * 5 + j * 3) % 17)
+        |       + ((doc_id * 5 + i + j * 7) % 19)) AS g
+        |  FROM dims, UNNEST(RANGE(0, 32)) ri(i), UNNEST(RANGE(0, 32)) rj(j)
+        |  WHERE i < w AND j < w),
+        |hb AS (
+        |  SELECT doc_id, g // 16 AS bin, COUNT(*) AS cnt
+        |  FROM cells GROUP BY doc_id, g // 16),
+        |mass AS (
+        |  SELECT doc_id, CAST(SUM(g) AS BIGINT) AS sum_gray
+        |  FROM cells GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS BIGINT) AS w, m.sum_gray,
+        |  CAST(b.bin AS BIGINT) AS bin,
+        |  CAST(COALESCE(hb.cnt, 0) AS BIGINT) AS cnt
+        |FROM dims d
+        |JOIN mass m ON d.doc_id = m.doc_id
+        |CROSS JOIN UNNEST(RANGE(0, 16)) b(bin)
+        |LEFT JOIN hb ON hb.doc_id = d.doc_id AND hb.bin = b.bin
+        |ORDER BY d.doc_id, b.bin""".stripMargin,
     // the resize replayed from planted arithmetic: source gray at the
     // nearest-neighbor coordinates (⌊i·H/8⌋, ⌊j·W/8⌋), then the same
     // divisionless aHash packing as mm_phash_dedup

@@ -235,6 +235,48 @@ class FunctionsSpec extends GraftSpec {
     assert(rows(2).isNullAt(1), "4x4 source must yield NULL")
   }
 
+  test("bmp_gray_hist: exact bins through a padded stride, pixel mass, " +
+      "NULL on garbage") {
+    def bmp(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte); bb.put('M'.toByte); bb.putInt(54 + stride * h)
+      bb.putInt(0); bb.putInt(54)
+      bb.putInt(40); bb.putInt(w); bb.putInt(h)
+      bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(stride * h)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      for (fr <- 0 until h) {
+        for (j <- 0 until w) {
+          val g = gray(h - 1 - fr, j).toByte
+          bb.put(g); bb.put(g); bb.put(g)
+        }
+        // padding bytes deliberately NON-zero: a stride bug that reads
+        // them as pixels shifts a bin count
+        for (_ <- w * 3 until stride) bb.put(0xEE.toByte)
+      }
+      bb.array()
+    }
+    // 9 px wide (stride 28): values span several bins
+    val g9 = (i: Int, j: Int) => (i * 37 + j * 11) % 256
+    val rows = Seq(
+      (1L, bmp(9, 5, g9)),
+      (2L, "not a bmp at all".getBytes))
+      .toDF("id", "blob")
+      .select(col("id"),
+        call_function("bmp_gray_hist", col("blob")).as("g"))
+      .orderBy(col("id")).collect()
+    val st = rows(0).getStruct(1)
+    assert((st.getInt(0), st.getInt(1)) == ((9, 5)))
+    val pix = for (i <- 0 until 5; j <- 0 until 9) yield g9(i, j)
+    assert(st.getLong(2) == pix.map(_.toLong).sum)
+    val hist = st.getSeq[Long](3)
+    assert(hist.length == 16 && hist.sum == 45)
+    for (b <- 0 until 16)
+      assert(hist(b) == pix.count(_ >> 4 == b), s"bin $b off")
+    assert(rows(1).isNullAt(1))
+  }
+
   test("wav_pcm_stats folds real 8-bit PCM: silence, clipping, LIST " +
       "chunk walk, NULL on 16-bit") {
     def wav(samples: Array[Int], bits: Int = 8,
