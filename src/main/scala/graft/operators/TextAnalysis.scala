@@ -84,6 +84,37 @@ object TextAnalysis {
         round(col("hc") / log(lit(2.0)), 6).as("bits_per_char"))
       .orderBy(col("doc_id"))
 
+  /** Flesch reading-ease readability over whitespace words, [.!?]+
+    * sentence runs and vowel-group syllables — the classic
+    * grade-level quality signal corpus filters bucket on (alongside
+    * entropy and the stopword ratios). All three inputs are EXACT
+    * integer counts carried in the output; the score is one
+    * deterministic double expression over them (same literals on both
+    * engines, ROUND 6). Counting trick: collapse each target run to a
+    * sentinel char that cannot appear in lowercased text ('V'/'S'),
+    * strip everything else, take the length — three regex passes per
+    * row, map-only, no shuffle; at 100 TB this is a pure scan stage
+    * like text_quality. Sentence count floors at 1 (fragment
+    * convention) so the score is total on punctuation-free docs. */
+  def readability(docs: DataFrame): DataFrame = {
+    val lowered = lower(col("text"))
+    def runs(src: Column, cls: String, mark: String): Column =
+      length(regexp_replace(
+        regexp_replace(src, cls + "+", mark), s"[^$mark]", ""))
+        .cast("long")
+    docs
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_words"),
+        greatest(lit(1L), runs(lowered, "[.!?]", "S")).as("n_sentences"),
+        runs(lowered, "[aeiouy]", "V").as("n_syllables"))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * col("n_words").cast("double") / col("n_sentences")
+          - lit(84.6) * col("n_syllables").cast("double") / col("n_words"),
+          6))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-window chunking defaults: 64-token windows advancing 48
     * tokens (16-token overlap) — the document→training-sequence step
     * every LLM data pipeline runs between cleaning and packing. */
@@ -633,6 +664,9 @@ object TextAnalysis {
       repetition(Tables.load(s, dir, "documents"))),
     "text_chunk" -> ((s, dir) =>
       chunk(Tables.load(s, dir, "documents"))),
+    // Flesch readability: exact integer counts + one shared double op
+    "text_readability" -> ((s, dir) =>
+      readability(Tables.load(s, dir, "documents"))),
     "text_entropy" -> ((s, dir) =>
       entropy(Tables.load(s, dir, "documents"))),
     "text_ppl_bucket" -> ((s, dir) =>
@@ -711,6 +745,28 @@ object TextAnalysis {
     // corpus). ROUND(6) absorbs libm-vs-JVM ln() ulps and summation
     // order. NULL text propagates NULL; empty text is all-zero (no
     // char rows; the one empty-string word gives ln 1 = 0).
+    // the same three run-collapse counts (regex class semantics are
+    // identical for these plain character classes), same literals,
+    // one shared double expression
+    "text_readability" ->
+      """SELECT doc_id,
+        |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+        |  GREATEST(1, CAST(LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(
+        |    LOWER(text), '[.!?]+', 'S', 'g'), '[^S]', '', 'g'))
+        |    AS BIGINT)) AS n_sentences,
+        |  CAST(LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(
+        |    LOWER(text), '[aeiouy]+', 'V', 'g'), '[^V]', '', 'g'))
+        |    AS BIGINT) AS n_syllables,
+        |  ROUND(206.835
+        |    - 1.015 * CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)
+        |      / GREATEST(1, CAST(LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(
+        |          LOWER(text), '[.!?]+', 'S', 'g'), '[^S]', '', 'g'))
+        |          AS BIGINT))
+        |    - 84.6 * CAST(LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(
+        |          LOWER(text), '[aeiouy]+', 'V', 'g'), '[^V]', '', 'g'))
+        |          AS DOUBLE)
+        |      / LEN(STRING_SPLIT(text, ' ')), 6) AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_entropy" ->
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents),

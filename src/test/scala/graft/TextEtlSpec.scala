@@ -379,4 +379,25 @@ class TextEtlSpec extends GraftSpec {
     assert(spark.read.option("header", "true").option("delimiter", "|")
       .csv(s"$dir/csv").count() == 2)
   }
+
+  test("readability: hand-computed counts, sentence-run collapsing, " +
+      "fragment floor, score arithmetic") {
+    val docs = Seq(
+      // 6 words, "!!" + "." + "?" = 3 sentence RUNS (not 4 marks),
+      // syllable groups: quick(ui=1) brown(o=1) fox(o=1) is(i=1)
+      // here(e,e=2) now(o=1) = 7
+      (1L, "Quick brown fox!! Is here. Now?", "en", "web", 31L),
+      // no punctuation → sentence floor 1; y counts as a vowel:
+      // rhythm(y=1) my(y=1) gym(y=1) = 3 groups
+      (2L, "rhythm my gym", "en", "web", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.readability(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def fl(w: Long, s: Long, y: Long): Double =
+      BigDecimal(206.835 - 1.015 * w.toDouble / s - 84.6 * y.toDouble / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((6L, 3L, 7L, fl(6, 3, 7))))
+    assert(got(2L) == ((3L, 1L, 3L, fl(3, 1, 3))))
+  }
 }
