@@ -110,9 +110,75 @@ object Etl {
       .orderBy(col("event_id"))
   }
 
+  /** Declarative data-quality constraint suite (the Great-Expectations
+    * / dbt-test layer of a warehouse load): null checks, uniqueness,
+    * referential integrity, range checks — one audit table out, one
+    * row per check with its violation count and pass bit.
+    *
+    * Scale shape: all ROW-PREDICATE checks against one table fuse
+    * into a SINGLE scan by construction — one aggregate computes every
+    * count(CASE …) column map-side, then a per-row unpivot melts the
+    * 1-row wide result into check rows (zero extra exchanges, the
+    * q38 reshape on a 1-row frame). Uniqueness adds one key-grouped
+    * partial pair per table; each FK check is one anti join counted
+    * (broadcast when the dim fits — custkey here — key-shuffled
+    * otherwise). The union output is check-cardinality rows: auditing
+    * 100 TB costs the scans, never a wide shuffle. */
+  def dqAudit(cust: DataFrame, ord: DataFrame, li: DataFrame): DataFrame = {
+    def melt(row: DataFrame, table: String, ids: Seq[(String, Long)])
+        : DataFrame =
+      row.unpivot(Array.empty, ids.map(n => col(n._1)).toArray,
+          "check_name", "violations")
+        .select(
+          ids.foldLeft(lit(0L)) { case (acc, (n, id)) =>
+            when(col("check_name") === n, id).otherwise(acc)
+          }.as("check_id"),
+          lit(table).as("table_name"), col("check_name"),
+          col("violations"))
+    val custChecks = melt(
+      cust.agg(
+        count(when(col("c_name").isNull, 1)).as("not_null_name"),
+        (count(lit(1)) - countDistinct(col("c_custkey")))
+          .as("unique_custkey")),
+      "customer", Seq("not_null_name" -> 1L, "unique_custkey" -> 2L))
+    val ordChecks = melt(
+      ord.agg(
+        count(when(col("o_totalprice") < 0, 1)).as("nonneg_totalprice"),
+        count(when(col("o_orderdate").isNull ||
+          year(col("o_orderdate")) < 1992 ||
+          year(col("o_orderdate")) > 1998, 1)).as("valid_orderdate")),
+      "orders", Seq("nonneg_totalprice" -> 3L, "valid_orderdate" -> 4L))
+    val liChecks = melt(
+      li.agg(
+        count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
+          .as("quantity_range")),
+      "lineitem", Seq("quantity_range" -> 5L))
+    val fkOrders = ord
+      .join(broadcast(cust.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(6L).as("check_id"), lit("orders").as("table_name"),
+        lit("fk_custkey").as("check_name"), col("violations"))
+    val fkLineitem = li
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(7L).as("check_id"), lit("lineitem").as("table_name"),
+        lit("fk_orderkey").as("check_name"), col("violations"))
+    custChecks.unionAll(ordChecks).unionAll(liChecks)
+      .unionAll(fkOrders).unionAll(fkLineitem)
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy(col("check_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- LOCF forward-fill over deterministically masked telemetry --------
     "etl_gapfill" -> ((s, dir) => gapFill(Tables.load(s, dir, "events"))),
+
+    // -- data-quality constraint suite over the warehouse load -------------
+    "etl_dq_audit" -> ((s, dir) =>
+      dqAudit(Tables.load(s, dir, "customer"), Tables.load(s, dir, "orders"),
+        Tables.load(s, dir, "lineitem"))),
 
     // -- trim + empty→NULL + parity segment (script.py:53-61) -------------
     "etl_clean" -> { (s, dir) =>
@@ -573,6 +639,44 @@ object Etl {
         |  c_acctbal
         |FROM customer""".stripMargin
     Map(
+      // every check restated as plain SQL aggregates / NOT EXISTS
+      "etl_dq_audit" ->
+        """SELECT check_id, table_name, check_name, violations,
+          |  violations = 0 AS pass
+          |FROM (
+          |  SELECT 1 AS check_id, 'customer' AS table_name,
+          |    'not_null_name' AS check_name,
+          |    CAST(COUNT(CASE WHEN c_name IS NULL THEN 1 END) AS BIGINT)
+          |      AS violations
+          |  FROM customer
+          |  UNION ALL
+          |  SELECT 2, 'customer', 'unique_custkey',
+          |    CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+          |  FROM customer
+          |  UNION ALL
+          |  SELECT 3, 'orders', 'nonneg_totalprice',
+          |    CAST(COUNT(CASE WHEN o_totalprice < 0 THEN 1 END) AS BIGINT)
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 4, 'orders', 'valid_orderdate',
+          |    CAST(COUNT(CASE WHEN o_orderdate IS NULL
+          |      OR YEAR(o_orderdate) < 1992 OR YEAR(o_orderdate) > 1998
+          |      THEN 1 END) AS BIGINT)
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 5, 'lineitem', 'quantity_range',
+          |    CAST(COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50
+          |      THEN 1 END) AS BIGINT)
+          |  FROM lineitem
+          |  UNION ALL
+          |  SELECT 6, 'orders', 'fk_custkey', CAST(COUNT(*) AS BIGINT)
+          |  FROM orders o WHERE NOT EXISTS (
+          |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+          |  UNION ALL
+          |  SELECT 7, 'lineitem', 'fk_orderkey', CAST(COUNT(*) AS BIGINT)
+          |  FROM lineitem l WHERE NOT EXISTS (
+          |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+          |) t ORDER BY check_id""".stripMargin,
       // same mask, same window, same IGNORE NULLS carry — the filled
       // column is a bit-identical pass-through of the input doubles
       "etl_gapfill" ->

@@ -249,4 +249,45 @@ class MedallionSpec extends GraftSpec {
     assert(rows.forall(_.isNullAt(2)))
     assert(rows.forall(_.getString(3) == "OBJECT<k: BIGINT>"))
   }
+
+  test("dq audit: planted violations are counted exactly per check " +
+      "and only clean checks pass") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val cust = Seq(
+      (1L, Option("alice"), 10.0), (2L, None, 20.0), // 1 null name
+      (3L, Option("bob"), 5.0), (3L, Option("bob2"), 6.0)) // dup key
+      .toDF("c_custkey", "c_name", "c_acctbal")
+    val ord = Seq(
+      (10L, 1L, 100.0, "1995-01-01"),
+      (11L, 2L, -5.0, "1995-06-01"),   // negative price
+      (12L, 99L, 50.0, "1995-07-01"),  // orphan custkey
+      (13L, 3L, 60.0, "1890-01-01"))   // out-of-range date
+      .map { case (k, c, p, d) => (k, c, p, ts(d)) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val li = Seq(
+      (10L, 5.0), (10L, 99.0),  // one bad quantity
+      (77L, 3.0))               // orphan orderkey
+      .toDF("l_orderkey", "l_quantity")
+    val got = graft.operators.Etl.dqAudit(cust, ord, li).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) == (("customer", "not_null_name", 1L, false)))
+    assert(got(2L) == (("customer", "unique_custkey", 1L, false)))
+    assert(got(3L) == (("orders", "nonneg_totalprice", 1L, false)))
+    assert(got(4L) == (("orders", "valid_orderdate", 1L, false)))
+    assert(got(5L) == (("lineitem", "quantity_range", 1L, false)))
+    assert(got(6L) == (("orders", "fk_custkey", 1L, false)))
+    assert(got(7L) == (("lineitem", "fk_orderkey", 1L, false)))
+    // and a clean load passes everything
+    val clean = graft.operators.Etl.dqAudit(
+      Seq((1L, Option("a"), 1.0)).toDF("c_custkey", "c_name", "c_acctbal"),
+      Seq((10L, 1L, 5.0, ts("1995-01-01")))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+      Seq((10L, 5.0)).toDF("l_orderkey", "l_quantity")).collect()
+    assert(clean.length == 7 && clean.forall(_.getBoolean(4)))
+    assert(clean.forall(_.getLong(3) == 0L))
+  }
 }
