@@ -725,9 +725,37 @@ object Dedup {
   def nearDupClusters(docs: DataFrame): DataFrame =
     resolveClusters(minhashPairs(docs))
 
+  /** Canonical-member selection by QUALITY within each near-dup
+    * cluster — production dedup keeps the best member, not the lowest
+    * id: near-dup families routinely contain truncated mirrors and
+    * boilerplate-wrapped variants, and length is the standard
+    * first-order canonicalization heuristic (longest member, doc_id
+    * tie-break — fully deterministic). Output: every clustered doc
+    * with its cluster, length and the keep verdict.
+    *
+    * Scale shape: the pair→connected-component machinery is
+    * [[nearDupClusters]] unchanged; selection adds ONE cluster-keyed
+    * window over CLUSTERED docs only (a small fraction of the corpus)
+    * with cluster-sized frames — no global order, no second corpus
+    * scan (n_chars rides the metadata projection). */
+  def keepBest(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    nearDupClusters(docs)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("keep_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .select(col("doc_id"), col("keep_id").as("cluster"), col("n_chars"),
+        (col("rk") === 1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> ((s, dir) =>
       nearDupClusters(Tables.load(s, dir, "documents"))),
+    // longest-member canonical selection within each cluster
+    "dedup_keep_best" -> ((s, dir) =>
+      keepBest(Tables.load(s, dir, "documents"))),
     "dedup_exact" -> ((s, dir) => exact(Tables.load(s, dir, "documents"))),
     "dedup_normalized" -> ((s, dir) =>
       normalizedExact(Tables.load(s, dir, "documents"))),
@@ -994,6 +1022,36 @@ object Dedup {
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node)
         |SELECT node AS doc_id, MIN(r) AS keep_id FROM reach
         |GROUP BY node ORDER BY doc_id""".stripMargin,
+    // the same reachability CTE, then the longest-member window —
+    // the hash carries clustering AND the quality selection
+    "dedup_keep_best" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t
+        |         FROM documents),
+        |grams AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2],' ') AS g
+        |          FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t)-2,1)+1)) AS r(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |          FROM grams a JOIN grams b
+        |            ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1,2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT src AS node, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+        |cl AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach
+        |       GROUP BY node)
+        |SELECT cl.doc_id, cl.cluster, d.n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY cl.cluster
+        |    ORDER BY d.n_chars DESC, cl.doc_id) = 1 AS keep
+        |FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+        |ORDER BY cl.doc_id""".stripMargin,
     // the same reachability CTE, aggregated to per-representative
     // cluster sizes with singletons self-labeled — the UniMax weight
     "corpus_dedup_weight" ->

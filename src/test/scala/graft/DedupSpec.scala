@@ -292,6 +292,39 @@ class DedupSpec extends GraftSpec {
     labels.foreach { case (d, k) => assert(k <= d) }
   }
 
+  test("keep-best: exactly one keep per cluster, and it is the longest " +
+      "member with min-id tie-break, on a fixture where that is NOT " +
+      "the min id") {
+    // 1 and 2 are near-identical (long), 3 matches them and is the
+    // SHORTEST; min id keeps 1 anyway — so flip lengths: make doc 1
+    // the shortest so keep-best must pick 2, not the representative
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, base.length.toLong),
+      (2L, base + " extra tail words here", base.length + 23L),
+      (9L, "totally different content entirely unrelated text", 49L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Dedup.keepBest(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val clustered = got.map(_._1).toSet
+    assert(clustered == Set(1L, 2L), s"clustered set $clustered")
+    assert(got.forall(_._2 == 1L), "cluster rep should be min id 1")
+    assert(got.count(_._4) == 1)
+    assert(got.find(_._4).get._1 == 2L,
+      "keep must go to the LONGEST member, not the representative")
+    // corpus-level: one keep per cluster, always the (len desc, id)
+    // argmax — full driver replay
+    val corpus = graft.sources.Tables.load(spark, sf, "documents")
+    val out = Dedup.keepBest(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    out.groupBy(_._2).foreach { case (c, members) =>
+      val best = members.minBy(m => (-m._3, m._1))
+      members.foreach { m =>
+        assert(m._4 == (m == best), s"cluster $c keep verdict wrong")
+      }
+    }
+  }
+
   test("substring stats: shared boilerplate counts per-gram, whole-doc " +
       "copies saturate, unique text stays clean") {
     val boiler = (1 to 20).map(i => s"b$i").mkString(" ") // 20 shared words
