@@ -493,6 +493,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Add-V-smoothed BIGRAM language-model scoring — one Markov order
+    * above [[unigramLogProb]], the next-cheapest fluency signal a
+    * curation pass reaches for when unigram frequency stops separating
+    * shuffled-word spam from prose: score(d) = mean over positions t≥2
+    * of ln P(w_t | w_{t−1}), P = (c(w_{t−1}w_t)+1)/(c(w_{t−1})+V)
+    * (Laplace smoothing over vocab size V). Each term is
+    * ⌊ln(c_b+1)·1e6⌋ − ⌊ln(c_u+V)·1e6⌋ — lns of EXACT integers, so
+    * both engines floor the same doubles and the per-doc sum is an
+    * order-independent BIGINT (the unigram face's contract, one order
+    * up).
+    *
+    * Scale shape: bigram extraction is a per-row adjacent-pair
+    * projection (no self-join); the bigram count table is the one
+    * corpus-keyed aggregate, joined back token-keyed (broadcast here,
+    * key-shuffled at web scale where bigram vocab outgrows RAM —
+    * documented seam, same as unigramLogProb's lookup); V is one
+    * scalar aggregate of bounded driver state. Docs with < 2 tokens
+    * have no bigrams and drop out by definition. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), words(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.count()
+    val bg = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(t)), " +
+          "i -> struct(element_at(t, i - 1) AS w1, " +
+          "element_at(t, i) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    bg.join(broadcast(bc), Seq("w1", "w2"))
+      .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(
+            floor(log((col("cb") + 1).cast("double")) * 1e6).cast("long")
+              - floor(log((col("cu") + vocab).cast("double")) * 1e6)
+                .cast("long")).cast("double")
+          / (count(lit(1)) * 1e6), 6).as("mean_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet-style perplexity bucketing: documents split per language
     * into head / middle / tail terciles of the corpus-unigram
     * log-probability score ([[unigramLogProb]] standing in for the
@@ -667,6 +710,9 @@ object TextAnalysis {
     // Flesch readability: exact integer counts + one shared double op
     "text_readability" -> ((s, dir) =>
       readability(Tables.load(s, dir, "documents"))),
+    // add-V-smoothed bigram LM, fixed-point term sums
+    "text_bigram_logprob" -> ((s, dir) =>
+      bigramLogProb(Tables.load(s, dir, "documents"))),
     "text_entropy" -> ((s, dir) =>
       entropy(Tables.load(s, dir, "documents"))),
     "text_ppl_bucket" -> ((s, dir) =>
@@ -863,6 +909,29 @@ object TextAnalysis {
         |  ROUND(CAST(isum AS DOUBLE) / 1e6, 6) AS score
         |FROM rk WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    // bigram and unigram count tables, vocab scalar, the same
+    // floor(ln·1e6) fixed-point terms — the whole smoothed LM replayed
+    "text_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        |uni AS (
+        |  SELECT w, COUNT(*) AS cu FROM (
+        |    SELECT UNNEST(t) AS w FROM toks) u GROUP BY w),
+        |v AS (SELECT COUNT(*) AS vocab FROM uni),
+        |bg AS (
+        |  SELECT doc_id, t[i - 1] AS w1, t[i] AS w2
+        |  FROM toks, UNNEST(RANGE(2, LEN(t) + 1)) r(i)),
+        |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2)
+        |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(
+        |      CAST(FLOOR(LN(CAST(bc.cb + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+        |      - CAST(FLOOR(LN(CAST(uni.cu + (SELECT vocab FROM v)
+        |          AS DOUBLE)) * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / (COUNT(*) * 1e6), 6) AS mean_logp
+        |FROM bg
+        |JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+        |JOIN uni ON bg.w1 = uni.w
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
     // the whole signal recomputed: unigram table, per-token ln-count
     // fixed-point sum, corpus-total normalizer
     "text_unigram_logprob" ->

@@ -380,6 +380,44 @@ class TextEtlSpec extends GraftSpec {
       .csv(s"$dir/csv").count() == 2)
   }
 
+  test("bigram logprob: fixture replay of the smoothed LM, planted " +
+      "spam scores below prose, one-token docs drop out") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "mat the on sat cat rug"), // shuffled spam: unseen bigrams
+      (4L, "solo"))                   // no bigrams
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val texts = Map(1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the rug", 3L -> "mat the on sat cat rug",
+      4L -> "solo")
+    val uni = texts.values.flatMap(_.split(" ")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val vocab = uni.size.toLong
+    val bigs = texts.view.mapValues(_.split(" ").sliding(2).toSeq
+      .filter(_.length == 2).map(a => (a(0), a(1)))).toMap
+    val bc = bigs.values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    def mean(d: Long): Double = {
+      val terms = bigs(d).map { b =>
+        math.floor(math.log((bc(b) + 1).toDouble) * 1e6).toLong -
+          math.floor(math.log((uni(b._1) + vocab).toDouble) * 1e6).toLong
+      }
+      BigDecimal(terms.sum.toDouble / (terms.length * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = TextAnalysis.bigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "doc 4 has no bigrams")
+    Seq(1L, 2L, 3L).foreach { d =>
+      assert(got(d) == ((5L, mean(d))), s"doc $d: ${got(d)} vs ${mean(d)}")
+    }
+    assert(got(3L)._2 < got(1L)._2,
+      "shuffled spam must score below prose sharing its unigrams")
+  }
+
   test("readability: hand-computed counts, sentence-run collapsing, " +
       "fragment floor, score arithmetic") {
     val docs = Seq(
