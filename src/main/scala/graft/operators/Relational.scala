@@ -230,6 +230,32 @@ object Relational {
         .orderBy(col("returnflag"), col("ship_year"))
     },
 
+    // -- q40: calendar date spine with zero-fill ---------------------------
+    // The reporting scaffold every time series needs before charting /
+    // window math: a LEFT JOIN against a complete day spine so gap
+    // days exist as explicit zero rows (a window over the raw daily
+    // aggregate would silently skip them). The spine derives
+    // DECLARATIVELY — min/max is a 1-row scalar aggregate, sequence()
+    // + explode expands it — so nothing is collected and the spine
+    // broadcasts into the join; the daily aggregate is the only
+    // fact-scale stage (one keyed exchange with map-side partials).
+    // Cents via the floor(·100) fixed-point contract.
+    "q40_date_spine" -> { (s, dir) =>
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long"))
+            .as("revenue_cents"))
+      val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("revenue_cents"), lit(0L)).as("revenue_cents"))
+        .orderBy(col("day"))
+    },
+
     // -- q13: pivot via conditional aggregation ----------------------------
     "q13_case_pivot" -> { (s, dir) =>
       Tables.load(s, dir, "events")
@@ -937,6 +963,21 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q40_date_spine" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS revenue_cents
+        |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+        |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |spine AS (
+        |  SELECT CAST(UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY))
+        |    AS DATE) AS day
+        |  FROM bounds)
+        |SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders,
+        |  COALESCE(d.revenue_cents, 0) AS revenue_cents
+        |FROM spine s LEFT JOIN daily d ON s.day = d.day
+        |ORDER BY s.day""".stripMargin,
     "q39_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(ship_year, -1) AS ship_year,

@@ -373,6 +373,31 @@ class AnalyticsSpec extends GraftSpec {
       "second consecutive gap must still carry user 2's only reading")
   }
 
+  test("q40: the date spine is contiguous, totals are preserved, and " +
+      "gap days are explicit zero rows") {
+    val rows = SparkEntry.queries("q40_date_spine")(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._1 == a._1.plusDays(1),
+          s"spine gap between ${a._1} and ${b._1}")
+      case _ =>
+    }
+    val ord = Tables.load(spark, sf, "orders")
+    assert(rows.map(_._2).sum == ord.count())
+    val expCents = ord.select(
+      sum(floor(col("o_totalprice") * 100).cast("long"))).head.getLong(0)
+    assert(rows.map(_._3).sum == expCents)
+    // zero rows are genuine calendar gaps, not dropped data
+    val haveOrders = ord.select(to_date(col("o_orderdate"))).distinct()
+      .collect().map(_.getDate(0).toLocalDate).toSet
+    rows.foreach { case (d, n, c) =>
+      assert((n == 0) == !haveOrders(d), s"day $d zero-fill wrong")
+      assert((n == 0) == (c == 0))
+    }
+  }
+
   test("q39: cube levels are mutually consistent and the grand total " +
       "matches the table count") {
     val rows = SparkEntry.queries("q39_cube")(spark, sf).collect()
