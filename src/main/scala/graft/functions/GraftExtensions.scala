@@ -93,6 +93,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "average-hash decoded from an 8x8 24-bpp BMP; NULL otherwise"),
       (children: Seq[Expression]) => BmpAhash64(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("readability_counts"),
+      info("readability_counts",
+        "readability_counts(lowered_text) - struct(n_words, " +
+          "n_sent_runs, n_syllables): single-pass word/sentence-run/" +
+          "vowel-group counts; pass lower(text)"),
+      (children: Seq[Expression]) => ReadabilityCounts(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("bmp_gray_hist"),
       info("bmp_gray_hist",
         "bmp_gray_hist(blob) - struct(w, h, sum_gray, hist[16]) " +
