@@ -1359,7 +1359,13 @@ object Similarity {
           .as(Seq("out_dim", "proj_fp")))
       .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"),
         col("proj_fp"),
-        round(col("proj_fp").cast("double") / lit(4e6), 6).as("proj"))
+        // one IEEE division of an exact integer by an exact constant —
+        // bit-identical on both engines, so NO rounding (ROUND(·, 6)
+        // actually BROKE the sf1 hash: proj_fp/4e6 lands on an exact
+        // half-boundary whenever proj_fp ≡ 2 mod 4 — 25% of rows —
+        // and the engines round shortest-decimal vs binary ties
+        // differently)
+        (col("proj_fp").cast("double") / lit(4e6)).as("proj"))
       .orderBy(col("vec_id"), col("out_dim"))
 
   /** k-means cluster count and Lloyd refinement steps for the
@@ -2166,7 +2172,7 @@ object Similarity {
         |  GROUP BY vec_id, j)
         |SELECT vec_id, CAST(j AS BIGINT) AS out_dim,
         |  CAST(y AS BIGINT) AS proj_fp,
-        |  ROUND(CAST(y AS DOUBLE) / 4e6, 6) AS proj
+        |  CAST(y AS DOUBLE) / 4e6 AS proj
         |FROM proj ORDER BY vec_id, out_dim""".stripMargin,
     // both legs replayed by their own gated oracles (text_bm25's
     // fixed-point BM25 chain, knn_brute's cosine chain), then the

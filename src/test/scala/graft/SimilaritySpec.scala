@@ -557,8 +557,7 @@ class SimilaritySpec extends GraftSpec {
         }.sum
         val (fp, p) = got((id, j.toLong))
         assert(fp == expFp, s"vec $id dim $j: got $fp want $expFp")
-        assert(math.abs(p - BigDecimal(expFp / 4e6)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+        assert(p == expFp / 4e6, s"proj must be the exact IEEE division")
       }
     }
     // the projection must not collapse: distinct outputs across vectors
