@@ -429,6 +429,46 @@ object Streaming {
       col("n_events"))
   }
 
+  case class GapIn(event_id: Long, ts_us: Long, user_id: Long,
+      value: Double, masked: Boolean)
+  case class GapFillState(lastVal: Double)
+  case class GapOut(event_id: Long, user_id: Long,
+      masked: Option[Double], filled: Option[Double])
+
+  /** Streaming face of the LOCF gap repair (graft.operators.Etl
+    * .gapFill): per-device flatMapGroupsWithState carrying ONE double
+    * of state — the last observed reading — so every arriving masked
+    * event is repaired in-flight instead of waiting for a batch
+    * window pass. Within a micro-batch events sort by (ts, event_id);
+    * across batches the carried state IS the fill source, so the
+    * semantics match the batch window exactly for per-key in-order
+    * arrival (the sessionizeStream contract). State never times out
+    * but is O(1) per active device — the smallest possible stateful
+    * enrichment. */
+  def streamingGapFill(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events.withWatermark("ts", "0 seconds")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("value"),
+        (col("event_id") % 5 === 0).as("masked"))
+      .as[GapIn]
+      .groupByKey(_.user_id)
+    typed.flatMapGroupsWithState[GapFillState, GapOut](
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (uid: Long, rows: Iterator[GapIn], state: GroupState[GapFillState]) =>
+        val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+        var st = state.getOption
+        val out = sorted.map { e =>
+          val obs = if (e.masked) None else Some(e.value)
+          if (!e.masked) st = Some(GapFillState(e.value))
+          GapOut(e.event_id, uid, obs, st.map(_.lastVal))
+        }
+        st.foreach(state.update)
+        out.iterator
+    }.toDF().select(col("event_id"), col("user_id"),
+      col("masked"), col("filled"))
+  }
+
   /** Streaming face of [[batchDedup]]: dropDuplicatesWithinWatermark
     * keeps per-key state only until the watermark passes the key's
     * event time — bounded state, unlike dropDuplicates whose state
@@ -571,9 +611,24 @@ object Streaming {
     "stream_late_audit" -> ((s, dir) =>
       batchLateAudit(Tables.load(s, dir, "events"))),
     "stream_rate_alert" -> ((s, dir) =>
-      batchRateAlert(Tables.load(s, dir, "events"))))
+      batchRateAlert(Tables.load(s, dir, "events"))),
+    // batch face = the gated LOCF window (operators.Etl.gapFill);
+    // the streaming face (streamingGapFill) is parity-tested
+    "stream_gapfill" -> ((s, dir) =>
+      graft.operators.Etl.gapFill(Tables.load(s, dir, "events"))))
 
   def oracleSql: Map[String, String] = Map(
+    // identical statement to etl_gapfill — the streaming key gates the
+    // SAME semantics its stateful face must converge to
+    "stream_gapfill" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS masked,
+        |  LAST_VALUE(CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END
+        |      IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled
+        |FROM events ORDER BY event_id""".stripMargin,
     "stream_upsert_sink" ->
       """SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -159,6 +159,27 @@ class StreamingSpec extends GraftSpec {
     assert(got.size >= batch.size - users)
   }
 
+  test("streaming LOCF gap fill equals the batch window face exactly") {
+    val stream = Streaming.eventsStream(spark, sf)
+    val q = Streaming.streamingGapFill(spark, stream).writeStream
+      .format("memory").queryName("gap_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val got = spark.table("gap_out").collect().map(key).toMap
+    val batch = graft.operators.Etl
+      .gapFill(Tables.load(spark, sf, "events")).collect().map(key).toMap
+    assert(got.nonEmpty && got == batch,
+      s"stream/batch divergence on ${got.size} vs ${batch.size} rows")
+    // the repair is exercised: some masked rows carry a filled value
+    assert(got.values.exists(v => v._2.isEmpty && v._3.nonEmpty))
+  }
+
   test("native session windows: closed streaming sessions match batch") {
     val stream = Streaming.eventsStream(spark, sf)
     val q = Streaming.streamingSessionWindow(stream).writeStream
