@@ -1478,6 +1478,40 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** ANN index-quality evaluation as a first-class operator — per-query
+    * recall@k of the cell-restricted kNN graph ([[knnGraph]], the
+    * scale path) against exact brute force on a deterministic query
+    * sample (every `every`-th vector): the measurement loop every
+    * production ANN deployment runs before trusting an index, here
+    * gated end to end (both legs AND the recall arithmetic replay in
+    * SQL — recall is a small-integer division, one exact IEEE op).
+    *
+    * Scale shape: the approximate leg is the already-bounded knnGraph
+    * plan; the exact leg brute-forces ONLY the sampled queries
+    * (#queries · n cosines — the audit dial: `every` trades audit
+    * cost against confidence); the comparison is a semi-join of two
+    * #queries·k rank tables. At 100 TB you audit a 1e-4 sample, never
+    * the corpus. */
+  def recallAudit(vecs: DataFrame, every: Long = 50, k: Int = 4)
+      : DataFrame = {
+    val exact = knnBrute(vecs, col("vec_id") % every === 0, k)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"))
+    val approx = knnGraph(vecs, k).filter(col("vec_id") % every === 0)
+      .select(col("vec_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("vec_id")).agg(count(lit(1)).as("n_exact"))
+      .join(approx.groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_approx")), Seq("vec_id"), "left")
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("n_exact"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label mean embedding (class centroids — the seed step for
     * k-means refinement, cluster labeling, or building an IVF codebook
     * from labeled data). posexplode → groupBy(label, dim): ONE shuffle
@@ -1778,6 +1812,9 @@ object Similarity {
     "hybrid_rrf" -> ((s, dir) =>
       hybridRrf(Tables.load(s, dir, "documents"),
         Tables.load(s, dir, "embeddings"))),
+    // recall@k of the cell-restricted graph vs brute, both replayed
+    "emb_recall_audit" -> ((s, dir) =>
+      recallAudit(Tables.load(s, dir, "embeddings"))),
     "dedup_semantic" -> ((s, dir) =>
       semanticDedup(Tables.load(s, dir, "embeddings"))),
     // same %3 history/batch split as the text-side incremental keys
@@ -2174,6 +2211,89 @@ object Similarity {
         |  CAST(y AS BIGINT) AS proj_fp,
         |  CAST(y AS DOUBLE) / 4e6 AS proj
         |FROM proj ORDER BY vec_id, out_dim""".stripMargin,
+    // both legs replayed by their own proven chains (the knnGraph cell
+    // CTEs, the knn_brute cosine CTEs on the sampled query set), then
+    // the semi-join hit counts and the exact small-integer division
+    "emb_recall_audit" ->
+      """WITH cent AS (
+        |  SELECT label, pos - 1 AS dim,
+        |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e9) AS BIGINT))
+        |      AS DOUBLE) / (COUNT(*) * 1e9) AS mean_v
+        |  FROM (SELECT label, UNNEST(embedding) AS v,
+        |          GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+        |        FROM embeddings) t
+        |  GROUP BY label, pos),
+        |carr AS (SELECT label AS clabel, LIST(mean_v ORDER BY dim) AS cvec
+        |         FROM cent GROUP BY label),
+        |ev AS (SELECT vec_id,
+        |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT vec_id, clabel,
+        |    LIST_DOT_PRODUCT(emb, cvec)
+        |      / (SQRT(LIST_DOT_PRODUCT(emb, emb))
+        |         * SQRT(LIST_DOT_PRODUCT(cvec, cvec))) AS c
+        |  FROM ev CROSS JOIN carr),
+        |sh AS (
+        |  SELECT GREATEST(1, COUNT(*) //
+        |    ((SELECT COUNT(DISTINCT label) FROM embeddings) * 50))
+        |    AS shards
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT vec_id, CAST(clabel AS BIGINT) AS cell,
+        |    (vec_id % 1000003) * 2654435761 % (SELECT shards FROM sh)
+        |      AS sub
+        |  FROM (
+        |    SELECT vec_id, clabel, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY c DESC, clabel) AS rk
+        |    FROM sims) r WHERE rk = 1),
+        |gpairs AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    LIST_DOT_PRODUCT(ea.emb, eb.emb)
+        |      / (SQRT(LIST_DOT_PRODUCT(ea.emb, ea.emb))
+        |         * SQRT(LIST_DOT_PRODUCT(eb.emb, eb.emb))) AS c
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.sub = b.sub
+        |    AND a.vec_id != b.vec_id
+        |  JOIN ev ea ON ea.vec_id = a.vec_id
+        |  JOIN ev eb ON eb.vec_id = b.vec_id),
+        |ap AS (
+        |  SELECT vec_id, neighbor_id FROM (
+        |    SELECT vec_id, neighbor_id, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY c DESC, neighbor_id) AS rk
+        |    FROM gpairs) r
+        |  WHERE rk <= 4 AND vec_id % 50 = 0),
+        |corpus AS (
+        |  SELECT vec_id, embedding,
+        |    SQRT(LIST_DOT_PRODUCT(embedding, embedding)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+        |      FROM corpus WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    LIST_DOT_PRODUCT(c.embedding, q.qe) / (c.nrm * q.qn) AS cos_sim
+        |  FROM corpus c, q WHERE c.vec_id <> q.query_id),
+        |ex AS (
+        |  SELECT query_id AS vec_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+        |      AS rank
+        |    FROM scored) r WHERE rank <= 4),
+        |hit AS (
+        |  SELECT e.vec_id, COUNT(*) AS n_hit
+        |  FROM ex e JOIN ap a
+        |    ON e.vec_id = a.vec_id AND e.neighbor_id = a.neighbor_id
+        |  GROUP BY e.vec_id),
+        |na AS (SELECT vec_id, COUNT(*) AS n_approx FROM ap GROUP BY vec_id),
+        |ne AS (SELECT vec_id, COUNT(*) AS n_exact FROM ex GROUP BY vec_id)
+        |SELECT ne.vec_id, ne.n_exact,
+        |  CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,
+        |  CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ne.n_exact AS recall
+        |FROM ne
+        |LEFT JOIN na ON ne.vec_id = na.vec_id
+        |LEFT JOIN hit ON ne.vec_id = hit.vec_id
+        |ORDER BY ne.vec_id""".stripMargin,
     // both legs replayed by their own gated oracles (text_bm25's
     // fixed-point BM25 chain, knn_brute's cosine chain), then the
     // integer RRF merge — the hash carries legs AND fusion

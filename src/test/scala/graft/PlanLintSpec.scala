@@ -27,7 +27,11 @@ class PlanLintSpec extends GraftSpec {
       // embeds knn_brute as its dense leg — the same bounded
       // query-set broadcast; the fusion itself joins two
       // #queries·k-sized rank tables hash-wise
-      "hybrid_rrf")
+      "hybrid_rrf",
+      // embeds knn_brute (bounded query-set broadcast) as the exact
+      // leg and knnGraph's bounded-centroid cross as the approximate
+      // leg; the audit joins two #queries·k rank tables
+      "emb_recall_audit")
 
   test("no query plan contains a cartesian product or stray nested loop") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, q) =>

@@ -566,6 +566,31 @@ class SimilaritySpec extends GraftSpec {
     assert(perJ.values.forall(_ > 1), "a projection column is constant")
   }
 
+  test("recall audit: hit counts equal a driver intersection of the " +
+      "two faces and recall is their exact ratio") {
+    val exact = Similarity.knnBrute(vecs, col("vec_id") % 50 === 0, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.knnGraph(vecs)
+      .filter(col("vec_id") % 50 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.recallAudit(vecs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (v, (ne, na, nh, rec)) =>
+      assert(ne == exact(v).size)
+      assert(na == approx.getOrElse(v, Set.empty).size)
+      assert(nh == (exact(v) & approx.getOrElse(v, Set.empty)).size)
+      assert(rec == nh.toDouble / ne)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the audit is not vacuous: the graph finds SOMETHING on average
+    val mean = got.values.map(_._4).sum / got.size
+    assert(mean > 0.1, s"mean recall $mean collapsed — cell config broken")
+  }
+
   test("hybrid rrf: fusion equals a driver replay over both legs' " +
       "outputs, and a both-legs doc sums both reciprocal terms") {
     import spark.implicits._
