@@ -47,6 +47,13 @@ SF1_KEYS=(
   etl_variant_extract q35_approx_topk
   emb_standardize mm_resize_thumb mm_audio_rms q36_recursive_cte
   q37_lateral_topn
+  # round-10 fourth-wave operators (gap windows, reshape, projections,
+  # Lloyd iterations, fused retrieval, cube expand, z-order, BFS joins,
+  # BMP decode, LM counts, cluster selection, recall audit)
+  etl_gapfill q38_unpivot emb_rand_proj emb_kmeans hybrid_rrf q39_cube
+  etl_zorder graph_bfs mm_image_hist text_readability etl_dq_audit
+  dedup_keep_best text_bigram_logprob q40_date_spine stream_gapfill
+  emb_recall_audit
 )
 
 echo "[round_bench] full registry at sf0.1 ..."
