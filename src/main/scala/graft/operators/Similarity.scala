@@ -1488,12 +1488,15 @@ object Similarity {
     *
     * Scale shape: the approximate leg is the already-bounded knnGraph
     * plan; the exact leg brute-forces ONLY the sampled queries
-    * (#queries · n cosines — the audit dial: `every` trades audit
-    * cost against confidence); the comparison is a semi-join of two
-    * #queries·k rank tables. At 100 TB you audit a 1e-4 sample, never
-    * the corpus. */
-  def recallAudit(vecs: DataFrame, every: Long = 50, k: Int = 4)
-      : DataFrame = {
+    * (#queries · n cosines). The sample COUNT is bounded, not the
+    * sample rate: `every` = max(50, ⌈n/128⌉), so the audit holds
+    * ≤ 128 queries at ANY corpus size and the brute leg stays O(n) —
+    * a fixed-RATE sample made the leg quadratic (measured 19.7× at
+    * 10× data before this; 128 queries is the confidence dial). The
+    * comparison is a semi-join of two #queries·k rank tables. */
+  def recallAudit(vecs: DataFrame, k: Int = 4): DataFrame = {
+    val n = vecs.count() // bounded driver state (the bm25 pattern)
+    val every = math.max(50L, (n + 127) / 128)
     val exact = knnBrute(vecs, col("vec_id") % every === 0, k)
       .select(col("query_id").as("vec_id"), col("neighbor_id"))
     val approx = knnGraph(vecs, k).filter(col("vec_id") % every === 0)
@@ -2257,18 +2260,20 @@ object Similarity {
         |    AND a.vec_id != b.vec_id
         |  JOIN ev ea ON ea.vec_id = a.vec_id
         |  JOIN ev eb ON eb.vec_id = b.vec_id),
+        |ev_n AS (SELECT GREATEST(50, (COUNT(*) + 127) // 128) AS e
+        |         FROM embeddings),
         |ap AS (
         |  SELECT vec_id, neighbor_id FROM (
         |    SELECT vec_id, neighbor_id, ROW_NUMBER() OVER (
         |      PARTITION BY vec_id ORDER BY c DESC, neighbor_id) AS rk
         |    FROM gpairs) r
-        |  WHERE rk <= 4 AND vec_id % 50 = 0),
+        |  WHERE rk <= 4 AND vec_id % (SELECT e FROM ev_n) = 0),
         |corpus AS (
         |  SELECT vec_id, embedding,
         |    SQRT(LIST_DOT_PRODUCT(embedding, embedding)) AS nrm
         |  FROM embeddings),
         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
-        |      FROM corpus WHERE vec_id % 50 = 0),
+        |      FROM corpus WHERE vec_id % (SELECT e FROM ev_n) = 0),
         |scored AS (
         |  SELECT query_id, c.vec_id AS neighbor_id,
         |    LIST_DOT_PRODUCT(c.embedding, q.qe) / (c.nrm * q.qn) AS cos_sim
