@@ -417,7 +417,7 @@ case class SymbolEntropy(child: Expression) extends UnaryExpression {
       s"$prettyName expects string or array<string>, got ${other.catalogString}")
   }
 
-  def compute(input: Any): Any = {
+  def compute(input: Any): Double = {
     val counts = new java.util.HashMap[Any, Long]()
     var n = 0L
     if (overString) {
@@ -458,8 +458,12 @@ case class SymbolEntropy(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("symbolEntropyExpr", this)
+    // compute returns a PRIMITIVE double (the Scala `Double` return
+    // compiles unboxed), so the generated assignment needs no cast —
+    // the earlier `(double) Object` cast failed janino compilation and
+    // silently dropped every entropy expression to interpreted eval
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = (double) $ref.compute($c);")
+      s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SymbolEntropy =
