@@ -123,6 +123,44 @@ object Sampling {
     * from doc_id alone, which is what makes training resumable and
     * ablations comparable. The correctness face returns the assignment
     * globally ordered so the oracle can hash it. */
+  /** Curriculum-staged, sharded training order — the composition a
+    * pretraining run actually consumes: documents enter by QUALITY
+    * STAGE (perplexity tercile from
+    * [[TextAnalysis.pplBucket]] — most-corpus-like first, the standard
+    * easy→hard curriculum), shuffled deterministically within each
+    * stage by the epoch-reproducible multiplicative hash, and split
+    * into shards whose COUNT grows with the corpus (max(8, ⌈n/target⌉)
+    * — so per-shard row volume, and therefore the per-shard position
+    * window's frame, is BOUNDED at any scale; a fixed shard count
+    * would put n/8 rows on one window partition at 100 TB). The
+    * trainer reads stage ascending, round-robins shards, pos
+    * ascending.
+    *
+    * Scale shape: scoring is unigramLogProb's broadcast-lookup plan;
+    * staging adds one lang-keyed window (the documented pplBucket
+    * seam); ordering adds ONE (stage, shard)-keyed window over
+    * bounded frames. All arithmetic is the engine-replayable hash —
+    * the whole epoch order is reproducible bit-for-bit anywhere. */
+  def curriculum(docs: DataFrame, targetShard: Long = 50000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count() // bounded driver state (the bm25 pattern)
+    val nShards = math.max(8L, (n + targetShard - 1) / targetShard)
+    val key = ((col("doc_id") % 1000003L) * lit(2654435761L)) %
+      lit(1000000007L)
+    TextAnalysis.pplBucket(docs)
+      .select(col("doc_id"),
+        when(col("ppl_bucket") === "head", 1L)
+          .when(col("ppl_bucket") === "middle", 2L)
+          .otherwise(3L).as("stage"))
+      .withColumn("shuffle_key", key)
+      .withColumn("shard", col("shuffle_key") % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("stage"), col("shard"))
+          .orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("stage"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   def shardAssign(docs: DataFrame, nShards: Int = Shards): DataFrame = {
     val key = ((col("doc_id") % 1000003L) * lit(2654435761L)) % lit(1000000007L)
     docs.select(col("doc_id"), key.as("shuffle_key"))
@@ -326,6 +364,9 @@ object Sampling {
       topKPerStratum(Tables.load(s, dir, "documents"))),
     "sample_token_budget" -> ((s, dir) =>
       tokenBudget(Tables.load(s, dir, "documents"))),
+    // staged + sharded + positioned epoch order, hash-reproducible
+    "sample_curriculum" -> ((s, dir) =>
+      curriculum(Tables.load(s, dir, "documents"))),
     "sample_shard" -> ((s, dir) =>
       shardAssign(Tables.load(s, dir, "documents"))),
     "sample_pack" -> ((s, dir) =>
@@ -431,6 +472,39 @@ object Sampling {
         |      AS BIGINT) AS cum_tokens
         |  FROM documents) t
         |WHERE cum_tokens <= 2000 ORDER BY lang, cum_tokens""".stripMargin,
+    // the ppl-tercile CTEs verbatim, then the stage map, the shared
+    // multiplicative hash, the corpus-scaled shard count and the
+    // (stage, shard) position window — the whole epoch order rides
+    // the hash
+    "sample_curriculum" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+        |  FROM documents),
+        |counts AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+        |total AS (SELECT COUNT(*) AS n FROM toks),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ROUND(CAST(SUM(CAST(FLOOR(LN(CAST(cnt AS DOUBLE)) * 1e6)
+        |        AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6)
+        |      - LN(CAST((SELECT n FROM total) AS DOUBLE)), 6) AS mean_logp
+        |  FROM toks JOIN counts USING (w) GROUP BY doc_id),
+        |b AS (
+        |  SELECT s.doc_id,
+        |    NTILE(3) OVER (PARTITION BY d.lang
+        |      ORDER BY s.mean_logp DESC, s.doc_id) AS t
+        |  FROM scored s JOIN documents d USING (doc_id)),
+        |st AS (
+        |  SELECT doc_id, CAST(t AS BIGINT) AS stage,
+        |    ((doc_id % 1000003) * 2654435761) % 1000000007 AS shuffle_key
+        |  FROM b),
+        |ns AS (SELECT GREATEST(8, (COUNT(*) + 49999) // 50000) AS k
+        |       FROM documents)
+        |SELECT doc_id, stage,
+        |  shuffle_key % (SELECT k FROM ns) AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY stage, shuffle_key % (SELECT k FROM ns)
+        |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+        |FROM st ORDER BY doc_id""".stripMargin,
     "sample_shard" ->
       """SELECT doc_id,
         |  ((doc_id % 1000003) * 2654435761) % 1000000007 AS shuffle_key,

@@ -225,4 +225,26 @@ class SamplingSpec extends GraftSpec {
     // presentation sort's range partitioning
     assert(!plan.contains("hashpartitioning"), plan)
   }
+
+  test("curriculum: stages mirror the ppl terciles, positions are " +
+      "dense per (stage, shard), order follows the hash") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val got = Sampling.curriculum(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val buckets = graft.operators.TextAnalysis.pplBucket(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val stageOf = Map("head" -> 1L, "middle" -> 2L, "tail" -> 3L)
+    got.foreach { case (d, st, _, _) =>
+      assert(st == stageOf(buckets(d)), s"doc $d stage $st")
+    }
+    def key(d: Long) = d % 1000003L * 2654435761L % 1000000007L
+    got.groupBy(r => (r._2, r._3)).foreach { case ((st, sh), rows) =>
+      val ps = rows.map(_._4).sorted.toSeq
+      assert(ps == (1L to ps.length).toSeq, s"($st,$sh) positions $ps")
+      val byPos = rows.sortBy(_._4).map(r => (key(r._1), r._1)).toSeq
+      assert(byPos == byPos.sorted, s"($st,$sh) not in hash order")
+      rows.foreach(r => assert(key(r._1) % 8 == sh))
+    }
+  }
 }
