@@ -127,4 +127,28 @@ class GraphSpec extends GraftSpec {
     // every triangle contributes exactly 3 node participations
     assert(out.map(_.getLong(1)).sum % 3 == 0)
   }
+
+  test("connected components: exact min-id labels on a long path, " +
+      "disjoint cliques, and an isolated edge") {
+    // a 9-node path (diameter 8 > one propagation round — exercises
+    // the pointer jump), a 3-clique, and an isolated edge
+    val und = (10L to 17L).map(v => (v, v + 1)) ++
+      Seq((30L, 31L), (31L, 32L), (30L, 32L), (50L, 51L))
+    val edges = und.toDF("a", "b")
+    val got = Graph.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (10L to 18L).map(_ -> 10L).toMap ++
+      (30L to 32L).map(_ -> 30L).toMap ++ Map(50L -> 50L, 51L -> 50L)
+    assert(got == want, s"got $got")
+    // warehouse face: labels partition the co-supply node set, every
+    // label is the min of its own component
+    val cc = Graph.connectedComponents(
+      Graph.coSupplyEdges(Tables.load(spark, sf, "lineitem"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.nonEmpty)
+    cc.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.map(_._1).min == comp,
+        s"component $comp label is not its min member")
+    }
+  }
 }
