@@ -192,6 +192,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intArg(children(1), "k"), intArg(children(2), "w"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("kmv_kth"),
+      info("kmv_kth",
+        "kmv_kth(h, k) - KMV distinct sketch: struct(n_kept, kth) of " +
+          "the k smallest distinct BIGINT hashes; exactly replayable " +
+          "as ORDER BY h LIMIT k"),
+      (children: Seq[Expression]) => {
+        expectArity("kmv_kth(h, k)", 2, children)
+        KmvKth(children.head, intArg(children(1), "k"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("sign_pack32"),
       info("sign_pack32",
         "sign_pack32(v, offset) - 32 sign bits of v[offset..offset+31] " +

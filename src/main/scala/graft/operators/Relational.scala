@@ -256,6 +256,32 @@ object Relational {
         .orderBy(col("day"))
     },
 
+    // -- q41: KMV distinct sketch — the REPLAYABLE scale path for q8 -------
+    // q21's HLL is error-bounded but engine-opaque; the KMV sketch
+    // ([[graft.functions.KmvKth]]) keeps the k smallest distinct
+    // multiplicative hashes — a pure order statistic the oracle
+    // replays with ORDER BY h LIMIT k, so the WHOLE estimate is
+    // hash-matched, not gate-checked. Bounded k-long state per group,
+    // partial-aggregated map-side: corpus rows never shuffle, only
+    // sketches do. n_exact (countDistinct) rides along as the
+    // validation column — at 100 TB you would drop it and keep only
+    // the sketch.
+    "q41_kmv_distinct" -> { (s, dir) =>
+      val h = (col("user_id") % 1000003L) * lit(2654435761L) %
+        lit(1000000007L)
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(call_function("kmv_kth", h, lit(64)).as("kmv"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(col("event_type"),
+          col("kmv.n_kept").as("n_kept"),
+          col("kmv.kth").as("kth_hash"),
+          when(col("kmv.n_kept") < 64, col("kmv.n_kept"))
+            .otherwise(expr(s"${63L * 1000000007L} div kmv.kth")).as("est"),
+          col("n_exact"))
+        .orderBy(col("event_type"))
+    },
+
     // -- q13: pivot via conditional aggregation ----------------------------
     "q13_case_pivot" -> { (s, dir) =>
       Tables.load(s, dir, "events")
@@ -978,6 +1004,29 @@ object Relational {
         |  COALESCE(d.revenue_cents, 0) AS revenue_cents
         |FROM spine s LEFT JOIN daily d ON s.day = d.day
         |ORDER BY s.day""".stripMargin,
+    // the sketch replayed as its defining order statistic: k smallest
+    // distinct hashes per group, the estimator arithmetic verbatim
+    "q41_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ((user_id % 1000003) * 2654435761) % 1000000007 AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM h),
+        |k AS (
+        |  SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS kth_hash
+        |  FROM r WHERE rn <= 64 GROUP BY event_type),
+        |x AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY event_type)
+        |SELECT k.event_type, n_kept, kth_hash,
+        |  CAST(CASE WHEN n_kept < 64 THEN n_kept
+        |       ELSE (CAST(63 AS BIGINT) * 1000000007) // kth_hash
+        |       END AS BIGINT) AS est,
+        |  n_exact
+        |FROM k JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
     "q39_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(ship_year, -1) AS ship_year,

@@ -453,4 +453,26 @@ class FunctionsSpec extends GraftSpec {
       .agg(sum("c"), max("d")).collect().head
     assert(math.abs(s.getDouble(0) - n) < 1e-6) // cos(v,v)=1 per row
   }
+
+  test("kmv_kth: exact below k, order statistic at k, dedup and " +
+      "partition-merge invariance, null skip") {
+    // 3 distinct hashes with k=4 → exact path: n_kept=3, kth=max
+    val small = Seq(10L, 7L, 10L, 7L, 42L).toDF("h")
+      .select(call_function("kmv_kth", col("h"), lit(4)).as("s"))
+      .selectExpr("s.n_kept", "s.kth").collect().head
+    assert((small.getLong(0), small.getLong(1)) == (3L, 42L))
+    // 1000 distinct values over 8 partitions, k=16: kth = 16th
+    // smallest regardless of layout; duplicates (x2) change nothing
+    val vals = new scala.util.Random(11).shuffle((1L to 1000L).toList)
+    val big = spark.sparkContext
+      .parallelize(vals ++ vals, 8).toDF("h")
+      .select(call_function("kmv_kth", col("h"), lit(16)).as("s"))
+      .selectExpr("s.n_kept", "s.kth").collect().head
+    assert((big.getLong(0), big.getLong(1)) == (16L, 16L))
+    // nulls skipped, not counted
+    val withNull = Seq(Some(5L), None, Some(9L)).toDF("h")
+      .select(call_function("kmv_kth", col("h"), lit(8)).as("s"))
+      .selectExpr("s.n_kept", "s.kth").collect().head
+    assert((withNull.getLong(0), withNull.getLong(1)) == (2L, 9L))
+  }
 }
