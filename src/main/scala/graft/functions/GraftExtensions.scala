@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "4.0.0", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // materialized-view rewrite (no-op until MvCatalog has entries)
+    ext.injectOptimizerRule(graft.plans.MvRewriteRule.apply)
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       info("dot_product",

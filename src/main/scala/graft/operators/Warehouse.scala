@@ -260,8 +260,48 @@ object Warehouse {
           .as("span_v_ok"))
       .orderBy(col("ztile"))
 
+  /** Materialized-view serve path: build + register a monthly
+    * (order-month, priority) revenue summary, then run the PRIORITY
+    * rollup as a plain aggregate against the FACT table — the
+    * [[graft.plans.MvRewriteRule]] optimizer rule answers it from the
+    * summary instead (COUNT(*) ← SUM(n), SUM(cents) ← SUM(cents), the
+    * rollup property). The face REQUIRES the rewrite to have fired
+    * (summary scanned, fact not) before returning, so a rule
+    * regression fails Verify loudly; the oracle computes the same
+    * aggregate from the base table, so hash equality proves the
+    * rewrite is semantics-preserving — the two gates together are the
+    * MV contract: faster plan, same answer.
+    *
+    * Scale shape: the fact is scanned ONCE at view-build time
+    * (amortized over every query the view serves); the served query
+    * touches only a dimension-cardinality summary — the difference
+    * between 100 TB and kilobytes. Measures are exact BIGINT cents so
+    * partial-of-partial rollup is associative with no float drift. */
+  def mvRewriteServe(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val cents = floor(col("o_totalprice") * 100)
+    val mvDef = orders.groupBy(
+        month(to_date(col("o_orderdate"))).as("o_month"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents).as("revenue_cents"))
+    val mvPath = s"${Etl.roundtripRoot}/mv_orders_monthly"
+    mvDef.write.mode("overwrite").parquet(mvPath)
+    graft.plans.MvCatalog.register(s, "orders_monthly", mvDef, mvPath)
+    val q = orders.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents).as("revenue_cents"))
+    val physical = q.queryExecution.executedPlan.toString
+    require(physical.contains("mv_orders_monthly"),
+      "mv rewrite did not fire: summary not scanned")
+    require(!physical.contains("orders.parquet"),
+      "mv rewrite did not fire: fact table still scanned")
+    q.orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_bucketed_join" -> ((s, dir) => bucketedJoin(s, dir)),
+
+    // -- q42: aggregate served from a registered materialized view ---------
+    "q42_mv_rewrite" -> ((s, dir) => mvRewriteServe(s, dir)),
 
     // -- Z-order zone map with the tile-span guarantee as gate bits --------
     "etl_zorder" -> ((s, dir) =>
@@ -320,6 +360,15 @@ object Warehouse {
     }.mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
+    // the aggregate the USER wrote, against the BASE table — hash
+    // equality proves the engine's MV rewrite preserved semantics
+    "q42_mv_rewrite" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // identical interleave text (shared generator), identical masks,
     // tile grouping and span gates — the hash carries the whole curve
     "etl_zorder" ->

@@ -1,0 +1,240 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Materialized-view rewrite: an optimizer [[Rule]] that answers an
+  * aggregate over a fact table FROM a pre-aggregated summary when the
+  * query's grouping keys are a subset of the view's dimensions and its
+  * aggregates are derivable from the view's measures (COUNT(*) ←
+  * SUM(view.n), SUM(x) ← SUM(view.sum_x) — the classic rollup
+  * property). This is THE warehouse scale lever: a 100 TB fact scan
+  * collapses to a dimension-cardinality summary scan, and because the
+  * rewrite happens in Catalyst the query author keeps writing the
+  * query against the fact table — exactly how production MV/cube
+  * engines surface it.
+  *
+  * Correctness posture: the rule rewrites ONLY when every grouping
+  * expression and every aggregate input matches the view definition
+  * under Catalyst semantic equality ([[Expression.semanticEquals]]
+  * after substituting projection aliases down to the base relation and
+  * remapping the definition's attribute ids onto the query's), and the
+  * rewritten Aggregate preserves the original output attribute ids, so
+  * parent operators are untouched. Anything else — extra filters,
+  * unknown aggregate shapes, DISTINCT, agg filters — bails to the
+  * original plan. The q42 face then proves semantic preservation
+  * end-to-end: the oracle computes the same aggregate from the BASE
+  * table and the hashes must match.
+  *
+  * Single-JVM stand-in: [[MvCatalog]] is a process-local registry; on
+  * a cluster this is a catalog service lookup, the rule itself is
+  * unchanged.
+  */
+object MvCatalog {
+
+  /** One registered view: where its base relation lives, its
+    * definition re-expressed over the base relation's attributes, and
+    * the analyzed scan of its materialized data. `outputs` aligns
+    * positionally with the definition's output columns: Left(dim
+    * index) for grouping passthroughs, Right(measure) for aggregates.
+    */
+  final case class Entry(
+      name: String,
+      basePaths: Set[String],
+      dims: Seq[Expression],
+      measures: Seq[Measure],
+      mvPlan: LogicalPlan)
+
+  sealed trait Measure { def mvAttr: Attribute }
+  /** COUNT(*) measure: derivable by SUM(mvAttr). */
+  final case class CountMeasure(mvAttr: Attribute) extends Measure
+  /** SUM(input) measure: derivable by SUM(mvAttr) when the query sums
+    * a semantically equal input. */
+  final case class SumMeasure(input: Expression, mvAttr: Attribute)
+    extends Measure
+
+  private val entries = new ConcurrentHashMap[String, Entry]()
+
+  def clear(): Unit = entries.clear()
+
+  def registered: Seq[Entry] = {
+    import scala.jdk.CollectionConverters._
+    entries.values().asScala.toSeq
+  }
+
+  /** Substitute projection aliases so `e` references only base
+    * relation attributes. */
+  private def subst(e: Expression, m: Map[Attribute, Expression])
+      : Expression =
+    e.transformUp { case a: Attribute if m.contains(a) => m(a) }
+
+  /** Fold constant subtrees the way the optimizer's ConstantFolding
+    * does: query plans reach [[MvRewriteRule]] AFTER constant folding,
+    * so stored definition expressions must be folded the same way for
+    * semanticEquals to line up (e.g. `cast(100 as double)` vs
+    * `100.0`). */
+  private def fold(e: Expression): Expression = e.transformUp {
+    case f if f.foldable && !f.isInstanceOf[Literal] =>
+      Literal.create(f.eval(null), f.dataType)
+  }
+
+  /** Walk a chain of Projects down to a LogicalRelation, composing
+    * alias substitutions; None for any other operator (filters etc.
+    * are out of rewrite scope by design). */
+  private[plans] def baseAndSubst(plan: LogicalPlan)
+      : Option[(LogicalRelation, Map[Attribute, Expression])] = plan match {
+    case rel: LogicalRelation => Some((rel, Map.empty))
+    case Project(projList, child) =>
+      baseAndSubst(child).map { case (rel, inner) =>
+        val m = projList.map {
+          case a: Alias => (a.toAttribute: Attribute) -> subst(a.child, inner)
+          case a: AttributeReference => (a: Attribute) -> subst(a, inner)
+        }.toMap
+        (rel, m)
+      }
+    case _ => None
+  }
+
+  private[plans] def rootPaths(rel: LogicalRelation): Set[String] =
+    rel.relation match {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        fs.location.rootPaths.map(_.toString).toSet
+      case _ => Set.empty
+    }
+
+  /** Register `definition` (an un-materialized groupBy().agg() over a
+    * parquet-backed base table) with its materialized parquet at
+    * `mvPath`. Parses the definition's analyzed plan once; throws on
+    * shapes the rewrite cannot serve (fail loudly at registration, not
+    * silently at query time). */
+  def register(spark: SparkSession, name: String, definition: DataFrame,
+      mvPath: String): Unit = {
+    val mvDf = spark.read.parquet(mvPath)
+    val mvOut = mvDf.queryExecution.analyzed.output
+    val byName = mvOut.map(a => a.name -> a).toMap
+    definition.queryExecution.analyzed match {
+      case Aggregate(dims, aggs, child, _) =>
+        val (rel, sub) = baseAndSubst(child).getOrElse(
+          throw new IllegalArgumentException(
+            s"mv $name: definition child is not Project*/LogicalRelation"))
+        val baseDims = dims.map(d => fold(subst(d, sub)))
+        val measures = aggs.flatMap {
+          case a @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+            val attr = byName.getOrElse(a.name, throw new
+                IllegalArgumentException(s"mv $name: no column ${a.name}"))
+            fn match {
+              case Count(Seq(Literal(1, _))) => Some(CountMeasure(attr))
+              case Sum(input, _) =>
+                Some(SumMeasure(fold(subst(input, sub)), attr))
+              case other => throw new IllegalArgumentException(
+                s"mv $name: unsupported measure ${other.prettyName}")
+            }
+          case _ => None // grouping passthrough
+        }
+        entries.put(name, Entry(name, rootPaths(rel), baseDims, measures,
+          mvDf.queryExecution.analyzed))
+      case other => throw new IllegalArgumentException(
+        s"mv $name: definition is not a plain Aggregate: ${other.nodeName}")
+    }
+  }
+
+  /** The dim → mv-scan-attribute pairing for an entry: dim i's values
+    * live in the mv column named after the definition's i-th output. */
+  private[plans] def dimAttrs(e: Entry): Seq[Attribute] = {
+    // definition outputs groupings first, in order; mv columns carry
+    // the same names in the same positions
+    e.mvPlan.output.take(e.dims.length)
+  }
+}
+
+/** The rewrite rule proper; injected via
+  * [[graft.functions.GraftExtensions]] into the operator-optimization
+  * batch. No-op while the catalog is empty. */
+case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import MvCatalog._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvCatalog.registered.isEmpty) plan
+    else plan.transformDown {
+      case agg @ Aggregate(_, _, _, _) => tryRewrite(agg).getOrElse(agg)
+    }
+
+  private def subst(e: Expression, m: Map[Attribute, Expression])
+      : Expression =
+    e.transformUp { case a: Attribute if m.contains(a) => m(a) }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val Aggregate(gExprs, aExprs, child, _) = agg
+    for {
+      (rel, sub) <- baseAndSubst(child)
+      entry <- registered.find(e =>
+        e.basePaths.nonEmpty && e.basePaths == rootPaths(rel))
+      rewritten <- rewriteWith(entry, rel, gExprs, aExprs, sub)
+    } yield rewritten
+  }
+
+  private def rewriteWith(entry: Entry, rel: LogicalRelation,
+      gExprs: Seq[Expression], aExprs: Seq[NamedExpression],
+      sub: Map[Attribute, Expression]): Option[LogicalPlan] = {
+    // remap the stored definition (expressed over ITS base read's
+    // attribute ids) onto this query's base read, by column name
+    val relByName = rel.output.map(a => a.name -> (a: Expression)).toMap
+    def remap(e: Expression): Option[Expression] = {
+      var ok = true
+      val out = e.transformUp {
+        case a: AttributeReference =>
+          relByName.get(a.name) match {
+            case Some(q) => q
+            case None => ok = false; a
+          }
+      }
+      if (ok) Some(out) else None
+    }
+    val dims = entry.dims.map(remap)
+    val mvDims = dimAttrs(entry)
+    if (dims.exists(_.isEmpty)) return None
+    val dimPairs = dims.map(_.get).zip(mvDims)
+
+    def matchDim(e: Expression): Option[Attribute] =
+      dimPairs.collectFirst {
+        case (d, mv) if subst(e, sub).semanticEquals(d) => mv }
+
+    // every grouping key must be one of the view's dimensions
+    val newGroups = gExprs.map(matchDim)
+    if (newGroups.exists(_.isEmpty)) return None
+
+    def matchMeasure(fn: org.apache.spark.sql.catalyst.expressions
+        .aggregate.AggregateFunction): Option[Attribute] = fn match {
+      case Count(Seq(Literal(1, _))) =>
+        entry.measures.collectFirst { case CountMeasure(mv) => mv }
+      case Sum(input, _) =>
+        val q = subst(input, sub)
+        entry.measures.collectFirst {
+          case SumMeasure(defIn, mv)
+            if remap(defIn).exists(q.semanticEquals) => mv }
+      case _ => None
+    }
+
+    val newAggs: Seq[Option[NamedExpression]] = aExprs.map {
+      case a @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
+        matchMeasure(fn).map(mv => Alias(
+          AggregateExpression(Sum(mv), Complete, isDistinct = false),
+          name)(exprId = a.exprId))
+      case a: AttributeReference =>
+        matchDim(a).map(mv => Alias(mv, a.name)(exprId = a.exprId))
+      case a @ Alias(childE, name) if !childE.exists(
+          _.isInstanceOf[AggregateExpression]) =>
+        matchDim(childE).map(mv => Alias(mv, name)(exprId = a.exprId))
+      case _ => None
+    }
+    if (newAggs.exists(_.isEmpty)) return None
+    Some(Aggregate(newGroups.map(_.get), newAggs.map(_.get), entry.mvPlan,
+      None))
+  }
+}

@@ -154,4 +154,50 @@ class WarehouseSpec extends GraftSpec {
       s"no dynamic partition pruning in fact scan:\n${plan.take(1500)}")
     assert(df.count() > 0)
   }
+
+  test("mv rewrite: served result equals the base-table plan, full-dim " +
+      "grouping also serves, filters and foreign aggregates bail out") {
+    import graft.plans.MvCatalog
+    import org.apache.spark.sql.functions._
+    try {
+      // face registers the view and asserts the summary (not the
+      // fact) is scanned; collect the served answer
+      val served = Warehouse.mvRewriteServe(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // bypass: same aggregate with the catalog cleared
+      MvCatalog.clear()
+      val orders = graft.sources.Tables.load(spark, sf, "orders")
+      val cents = floor(col("o_totalprice") * 100)
+      val base = orders.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents).as("revenue_cents"))
+        .orderBy(col("o_orderpriority")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(served.sameElements(base), "served != base")
+      // re-register; a grouping on BOTH dims serves from the view too
+      Warehouse.mvRewriteServe(spark, sf)
+      val full = orders.groupBy(
+          month(to_date(col("o_orderdate"))).as("o_month"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+      assert(full.queryExecution.executedPlan.toString
+        .contains("mv_orders_monthly"), "full-dim grouping not served")
+      // a filtered aggregate must NOT be served (out of rewrite scope)
+      val filtered = orders.filter(col("o_orderkey") > 10)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+      assert(!filtered.queryExecution.executedPlan.toString
+        .contains("mv_orders_monthly"), "filtered aggregate was served")
+      // an aggregate the view cannot derive (MAX) must not be served
+      val foreign = orders.groupBy(col("o_orderpriority"))
+        .agg(max(col("o_totalprice")).as("m"))
+      assert(!foreign.queryExecution.executedPlan.toString
+        .contains("mv_orders_monthly"), "MAX aggregate was served")
+      // a grouping outside the dims must not be served
+      val offDim = orders.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      assert(!offDim.queryExecution.executedPlan.toString
+        .contains("mv_orders_monthly"), "off-dimension grouping served")
+    } finally MvCatalog.clear()
+  }
 }
