@@ -297,6 +297,107 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** MMR fixed-point quantization scale: sims become exact BIGINTs, so
+    * the greedy's comparisons are bit-identical across engines (the
+    * emb_kmeans fixed-point precedent — a float MMR would flip picks
+    * on last-ulp ties). */
+  val MmrScale = 10000
+  /** λ = 0.7 in tenths: score = 7·rel − 3·maxRedundancy, integers. */
+  val MmrLambda10 = 7L
+  val MmrPool = 20
+  val MmrK = 5
+
+  /** Per-candidate MMR state row (public: the typed Encoder's generated
+    * deserializer must reach the constructor). */
+  case class MmrCand(query_id: Long, vec_id: Long, qsim: Long,
+      v: Array[Long])
+
+  /** Maximal-marginal-relevance diversified retrieval (Carbonell &
+    * Goldstein 1998): after relevance ranking, greedily select items
+    * maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the
+    * training-data twin is diverse example selection (don't fill a
+    * context window / annotation batch with near-duplicates of the top
+    * hit). Pick 1 is pure relevance; each later pick is penalized by
+    * its worst redundancy against the already-selected set.
+    *
+    * Scale shape: stage 1 is knnBrute's geometry — broadcast the small
+    * query set, stream the corpus once, per-query top-`pool` window
+    * (at 100 TB the pool comes from the ANN serve path instead; the
+    * MMR stage is unchanged). Stage 2 is the sequential greedy — k
+    * chained argmax-with-state steps that a relational form could only
+    * express as k self-joins — run INSIDE executors per query group
+    * via flatMapGroups: O(k·pool) integer ops on pool-bounded state,
+    * millions of queries in parallel, no driver loop. All sims are
+    * exact integer dots of FLOOR(x·1e4) fixed-point coords, ties on
+    * vec_id — the whole selection sequence replays bit-for-bit. */
+  def mmrDiversify(vecs: DataFrame, queryPred: Column, k: Int = MmrK,
+      pool: Int = MmrPool): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import vecs.sparkSession.implicits._
+    val q = vecs.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * MmrScale).cast("long")).as("v"))
+    val queries = q.filter(queryPred).toDF("query_id", "qv")
+    def dotI(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, e) => s + e)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("vec_id"))
+    val cands = q.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dotI(col("v"), col("qv")).as("qsim"), col("v"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= pool)
+      .drop("rn")
+    cands.as[MmrCand].groupByKey(_.query_id).flatMapGroups {
+      (qid: Long, it: Iterator[MmrCand]) =>
+        val cs = it.toArray.sortBy(c => (-c.qsim, c.vec_id))
+        val n = cs.length
+        def dot(a: Array[Long], b: Array[Long]): Long = {
+          var s = 0L; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        val taken = new Array[Boolean](n)
+        // max sim to the selected set; only read once ≥1 pick exists
+        val red = Array.fill(n)(Long.MinValue)
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Long, Long, Long, Long)](k)
+        var step = 1
+        while (step <= math.min(k, n)) {
+          var best = -1
+          var bestScore = Long.MinValue
+          var i = 0
+          while (i < n) {
+            if (!taken(i)) {
+              val s = if (step == 1) MmrLambda10 * cs(i).qsim
+                else MmrLambda10 * cs(i).qsim - (10 - MmrLambda10) * red(i)
+              // strict > plus the (-qsim, vec_id) scan order makes
+              // ties resolve to the lowest vec_id among tied scores
+              if (s > bestScore ||
+                  (s == bestScore && cs(i).vec_id < cs(best).vec_id)) {
+                best = i; bestScore = s
+              }
+            }
+            i += 1
+          }
+          taken(best) = true
+          out += ((qid, step.toLong, cs(best).vec_id, bestScore))
+          var j = 0
+          while (j < n) {
+            if (!taken(j)) {
+              val d = dot(cs(j).v, cs(best).v)
+              if (d > red(j)) red(j) = d
+            }
+            j += 1
+          }
+          step += 1
+        }
+        out.iterator
+    }.toDF("query_id", "sel_rank", "vec_id", "mmr_score")
+      .orderBy(col("query_id"), col("sel_rank"))
+  }
+
   /** Sign-bit binary quantization of the embedding table: 64 float
     * dims → two packed BIGINT halves (bit i of h0/h1 set iff
     * dim i / dim 32+i is >= 0) plus the positive-bit population count.
@@ -1860,6 +1961,10 @@ object Similarity {
     // answer with zero rounding seams
     "emb_bitpack" -> ((s, dir) =>
       bitpack(Tables.load(s, dir, "embeddings")).orderBy(col("vec_id"))),
+    // diversified retrieval: the whole greedy selection sequence is
+    // integer-exact, so the hash carries every pick and score
+    "emb_mmr" -> ((s, dir) =>
+      mmrDiversify(Tables.load(s, dir, "embeddings"), col("vec_id") < 3)),
     "knn_hamming" -> ((s, dir) =>
       knnHamming(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)))
 
@@ -1964,6 +2069,58 @@ object Similarity {
     * full-oracle via the fixed-point mean; emb_quantize hash-matches
     * the exact per-vector scale plus in-plan error-bound gates. */
   def oracleSql: Map[String, String] = Map(
+    // the greedy replayed as a recursive CTE carrying the chosen list:
+    // pick 1 = relevance argmax, pick i+1 = argmax of
+    // 7·qsim − 3·max_{c∈chosen} dot — every sim an exact BIGINT dot of
+    // FLOOR(x·1e4) coords (≤ ~2e9 ≪ 2^53, so LIST_DOT_PRODUCT's
+    // double accumulation is exact), ties on vec_id
+    "emb_mmr" ->
+      """WITH RECURSIVE qv AS (
+        |  SELECT vec_id, LIST_TRANSFORM(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |queries AS (
+        |  SELECT vec_id AS query_id, v AS qvec FROM qv WHERE vec_id < 3),
+        |pool AS (
+        |  SELECT query_id, vec_id, v, qsim FROM (
+        |    SELECT q.query_id, c.vec_id, c.v,
+        |      CAST(LIST_DOT_PRODUCT(c.v, q.qvec) AS BIGINT) AS qsim,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY CAST(LIST_DOT_PRODUCT(c.v, q.qvec) AS BIGINT)
+        |          DESC, c.vec_id) AS rn
+        |    FROM qv c JOIN queries q ON c.vec_id <> q.query_id) t
+        |  WHERE rn <= 20),
+        |sel AS (
+        |  SELECT query_id, CAST(1 AS BIGINT) AS sel_rank, vec_id,
+        |    7 * qsim AS mmr_score, [vec_id] AS chosen
+        |  FROM (SELECT query_id, vec_id, qsim,
+        |          ROW_NUMBER() OVER (PARTITION BY query_id
+        |            ORDER BY qsim DESC, vec_id) AS rn
+        |        FROM pool) t
+        |  WHERE rn = 1
+        |  UNION ALL
+        |  SELECT query_id, sel_rank, vec_id, mmr_score,
+        |    LIST_APPEND(chosen, vec_id) AS chosen
+        |  FROM (
+        |    SELECT s.query_id, s.sel_rank + 1 AS sel_rank, p.vec_id,
+        |      7 * p.qsim -
+        |        3 * MAX(CAST(LIST_DOT_PRODUCT(p.v, c.v) AS BIGINT))
+        |        AS mmr_score,
+        |      s.chosen,
+        |      ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+        |        7 * p.qsim -
+        |          3 * MAX(CAST(LIST_DOT_PRODUCT(p.v, c.v) AS BIGINT))
+        |          DESC, p.vec_id) AS rn2
+        |    FROM sel s
+        |    JOIN pool p ON p.query_id = s.query_id
+        |      AND NOT LIST_CONTAINS(s.chosen, p.vec_id)
+        |    JOIN pool c ON c.query_id = s.query_id
+        |      AND LIST_CONTAINS(s.chosen, c.vec_id)
+        |    WHERE s.sel_rank < 5
+        |    GROUP BY s.query_id, s.sel_rank, p.vec_id, p.qsim, s.chosen
+        |  ) t WHERE rn2 = 1)
+        |SELECT query_id, sel_rank, vec_id, mmr_score
+        |FROM sel ORDER BY query_id, sel_rank""".stripMargin,
     // sign packing replayed with plain integer arithmetic: bit i of
     // h0/h1 = [embedding[i(+32)] >= 0] << i; halves stay below 2^32 so
     // no BIGINT sign-bit overflow on either engine

@@ -31,7 +31,10 @@ class PlanLintSpec extends GraftSpec {
       // embeds knn_brute (bounded query-set broadcast) as the exact
       // leg and knnGraph's bounded-centroid cross as the approximate
       // leg; the audit joins two #queries·k rank tables
-      "emb_recall_audit")
+      "emb_recall_audit",
+      // knn_brute's bounded query-set broadcast builds the candidate
+      // pool; the greedy itself is pool-bounded per group
+      "emb_mmr")
 
   test("no query plan contains a cartesian product or stray nested loop") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, q) =>

@@ -674,4 +674,37 @@ class SimilaritySpec extends GraftSpec {
     assert(got.values.map(_._1).toSet.size > 1,
       "k-means collapsed to a single cluster on the fixture")
   }
+
+  test("mmr: redundancy penalty reorders pure-relevance ranking on a " +
+      "hand-computed fixture; data face picks are dense and distinct") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // q=[.5,0]; c1=[2,0] dominates relevance; c2=[.5,0] is redundant
+    // with c1 (score 7·25e6 − 3·1e8 = −125e6); c3=[0,.5] is orthogonal
+    // (score 0) → MMR order c1, c3, c2 though qsim(c2) > qsim(c3)
+    val vecs = Seq(
+      (0L, Array(0.5f, 0f)), (1L, Array(2f, 0f)),
+      (2L, Array(0.5f, 0f)), (3L, Array(0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrDiversify(vecs, col("vec_id") === 0, k = 3,
+        pool = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 7L * 100000000L),
+      (2L, 3L, 0L),
+      (3L, 2L, 7L * 25000000L - 3L * 100000000L)), got.mkString(", "))
+    // data face: per query, ranks dense 1..5, picks distinct, pick 1
+    // is the relevance argmax of the pool
+    val face = Similarity.mmrDiversify(
+      graft.sources.Tables.load(spark, sf, "embeddings"),
+      col("vec_id") < 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    face.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to 5L).toSeq)
+      assert(rows.map(_._3).distinct.length == rows.length)
+      val scores = rows.sortBy(_._2).map(_._4)
+      // pick 1 carries the pure-relevance score, the maximum possible
+      assert(scores.head >= scores.max, s"query $qid: $scores")
+    }
+  }
 }
