@@ -171,7 +171,58 @@ object Etl {
       .orderBy(col("check_id"))
   }
 
+  /** k-anonymity release (Samarati & Sweeney 1998) of the customer
+    * table over the quasi-identifier (nation, segment, balance band):
+    * every published row aggregates ≥ k individuals, so no quasi-id
+    * combination re-identifies anyone — the privacy gate a training-
+    * data pipeline runs before releasing user-derived tables. Groups
+    * below k climb a FIXED generalization ladder (band → '*', then
+    * segment → '*'), and whatever still can't reach k at nation level
+    * is suppressed into one global audit row — a deterministic
+    * relational cascade, no iteration.
+    *
+    * Scale shape: ONE row-level aggregation (map-side combined) turns
+    * the corpus into quasi-id-cardinality group counts —
+    * localCheckpoint'ed so the 100 TB scan happens exactly once — and
+    * the whole ladder then re-aggregates group-level tables bounded by
+    * |nations|·|segments|·|bands|, never rows. */
+  def kAnonymize(cust: DataFrame, k: Int = 6): DataFrame = {
+    val l0 = cust.groupBy(
+        col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val rel0 = l0.filter(col("n") >= k)
+      .select(col("nationkey"), col("segment"),
+        col("band").cast("string").as("bal_band"), col("n"),
+        lit(0L).as("level"))
+    val rem0 = l0.filter(col("n") < k)
+    val l1 = rem0.groupBy(col("nationkey"), col("segment"))
+      .agg(sum(col("n")).as("n"))
+    val rel1 = l1.filter(col("n") >= k)
+      .select(col("nationkey"), col("segment"), lit("*").as("bal_band"),
+        col("n"), lit(1L).as("level"))
+    val rem1 = l1.filter(col("n") < k)
+    val l2 = rem1.groupBy(col("nationkey")).agg(sum(col("n")).as("n"))
+    val rel2 = l2.filter(col("n") >= k)
+      .select(col("nationkey"), lit("*").as("segment"),
+        lit("*").as("bal_band"), col("n"), lit(2L).as("level"))
+    // the residue merges into ONE row with no quasi-identifier left
+    val sup = l2.filter(col("n") < k).agg(sum(col("n")).as("n"))
+      .filter(col("n").isNotNull)
+      .select(lit(-1L).as("nationkey"), lit("*").as("segment"),
+        lit("*").as("bal_band"), col("n"), lit(3L).as("level"))
+    rel0.unionAll(rel1).unionAll(rel2).unionAll(sup)
+      .orderBy(col("level"), col("nationkey"), col("segment"),
+        col("bal_band"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- k-anonymity release with a fixed generalization ladder ------------
+    "etl_k_anon" -> ((s, dir) =>
+      kAnonymize(Tables.load(s, dir, "customer"))),
+
     // -- LOCF forward-fill over deterministically masked telemetry --------
     "etl_gapfill" -> ((s, dir) => gapFill(Tables.load(s, dir, "events"))),
 
@@ -639,6 +690,33 @@ object Etl {
         |  c_acctbal
         |FROM customer""".stripMargin
     Map(
+      // the generalization ladder verbatim: level-0 groups, sub-k
+      // residue re-grouped twice, suppression residue summed — every
+      // count an exact integer, band from the same IEEE FLOOR(x/1000)
+      "etl_k_anon" ->
+        """WITH l0 AS (
+          |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+          |    c_mktsegment AS segment,
+          |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band,
+          |    COUNT(*) AS n
+          |  FROM customer GROUP BY 1, 2, 3),
+          |rem0 AS (SELECT * FROM l0 WHERE n < 6),
+          |l1 AS (SELECT nationkey, segment, CAST(SUM(n) AS BIGINT) AS n
+          |       FROM rem0 GROUP BY 1, 2),
+          |rem1 AS (SELECT * FROM l1 WHERE n < 6),
+          |l2 AS (SELECT nationkey, CAST(SUM(n) AS BIGINT) AS n
+          |       FROM rem1 GROUP BY 1)
+          |SELECT nationkey, segment, CAST(band AS VARCHAR) AS bal_band,
+          |  n, CAST(0 AS BIGINT) AS level
+          |FROM l0 WHERE n >= 6
+          |UNION ALL
+          |SELECT nationkey, segment, '*', n, 1 FROM l1 WHERE n >= 6
+          |UNION ALL
+          |SELECT nationkey, '*', '*', n, 2 FROM l2 WHERE n >= 6
+          |UNION ALL
+          |SELECT -1, '*', '*', CAST(SUM(n) AS BIGINT), 3
+          |FROM l2 WHERE n < 6 HAVING SUM(n) IS NOT NULL
+          |ORDER BY level, nationkey, segment, bal_band""".stripMargin,
       // every check restated as plain SQL aggregates / NOT EXISTS
       "etl_dq_audit" ->
         """SELECT check_id, table_name, check_name, violations,

@@ -290,4 +290,37 @@ class MedallionSpec extends GraftSpec {
     assert(clean.length == 7 && clean.forall(_.getBoolean(4)))
     assert(clean.forall(_.getLong(3) == 0L))
   }
+
+  test("kAnonymize: every ladder level on a hand-built fixture, every " +
+      "released row >= k, total count conserved") {
+    import spark.implicits._
+    def c(key: Long, nat: Int, bal: Double, seg: String) =
+      (key, s"c$key", nat, bal, seg)
+    val fixture = (
+      // nation 1 / seg A / band 0 ×3 → released at level 0
+      Seq(c(1, 1, 100, "A"), c(2, 1, 150, "A"), c(3, 1, 200, "A")) ++
+      // nation 1 / seg A / bands 1 and 2, sizes 1+2 → level 1 release
+      Seq(c(4, 1, 1100, "A"), c(5, 1, 2100, "A"), c(6, 1, 2200, "A")) ++
+      // nation 2: three singleton (seg, band) groups → level 2 release
+      Seq(c(7, 2, 100, "A"), c(8, 2, 100, "B"), c(9, 2, 100, "C")) ++
+      // nation 3: two customers, stuck below k at every level → suppressed
+      Seq(c(10, 3, 100, "A"), c(11, 3, 150, "A"))
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+    val got = graft.operators.Etl.kAnonymize(fixture, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "A", "0", 3L, 0L),
+      (1L, "A", "*", 3L, 1L),
+      (2L, "*", "*", 3L, 2L),
+      (-1L, "*", "*", 2L, 3L)), got.mkString(", "))
+    // warehouse face: anonymity + conservation invariants
+    val face = graft.operators.Etl.kAnonymize(
+      graft.sources.Tables.load(spark, sf, "customer")).collect()
+    assert(face.filter(_.getLong(4) < 3).forall(_.getLong(3) >= 6),
+      "a released row aggregates fewer than k individuals")
+    val total = graft.sources.Tables.load(spark, sf, "customer").count()
+    assert(face.map(_.getLong(3)).sum == total, "count not conserved")
+  }
 }
