@@ -261,9 +261,60 @@ object Graph {
     labels.orderBy(col("node"))
   }
 
+  /** Wedge-center degree cap for link prediction: a node with more
+    * neighbors than this never serves as the shared-neighbor pivot.
+    * Celebrity pivots contribute deg² candidate pairs with near-zero
+    * individual signal (the standard "drop hub wedges" heuristic in
+    * similar-item mining); the cap makes wedge volume Σ_{deg≤c} deg²
+    * ≤ c·m — linear in edges at ANY scale — and the oracle replays
+    * the same rule, so it is part of the operator's contract. */
+  val LpHubCap = 64L
+
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003)
+    * over an undirected edge list: for every non-adjacent pair (a, b)
+    * sharing ≥1 sub-cap neighbor, score by Jaccard of neighborhoods
+    * jac = |N(a)∩N(b)| / |N(a)∪N(b)| — "suppliers that co-supply with
+    * the same partners but never together yet": the candidate
+    * generator for recommendation / entity-linking / graph-densify
+    * passes. Scores are fixed-point BIGINTs (common·1e6 div union, a
+    * positive truncating division — identical on both engines), so
+    * ranking is bit-exact.
+    *
+    * Scale shape: ONE wedge self-join keyed on the (hub-capped) pivot
+    * — volume ≤ cap·|edges| by construction — one map-side-combined
+    * pair count, an anti join against the edge list (key-shuffled at
+    * scale), degrees decorate via two node-sized joins, and the
+    * global top-k is TakeOrderedAndProject (no full sort). */
+  def linkPredict(edges: DataFrame, topK: Int = 20,
+      hubCap: Long = LpHubCap): DataFrame = {
+    val e = edges.localCheckpoint()
+    val both = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = both.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val centers = both.join(deg.filter(col("deg") <= hubCap), "src")
+      .select(col("src"), col("dst")).localCheckpoint()
+    val pairs = centers
+      .join(centers.select(col("src").as("src2"), col("dst").as("dst2")),
+        col("src") === col("src2") && col("dst") < col("dst2"))
+      .select(col("dst").as("a"), col("dst2").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .join(e, Seq("a", "b"), "left_anti")
+    pairs
+      .join(deg.select(col("src").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("src").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("common"),
+        (col("da") + col("db") - col("common")).as("n_union"))
+      .withColumn("jac_fp", expr("common * 1000000 div n_union"))
+      .orderBy(col("jac_fp").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_cc" -> ((s, dir) =>
       connectedComponents(coSupplyEdges(Tables.load(s, dir, "lineitem")))),
+    "graph_link_pred" -> ((s, dir) =>
+      linkPredict(coSupplyEdges(Tables.load(s, dir, "lineitem")))),
     "graph_bfs" -> { (s, dir) =>
       val seeds = Tables.load(s, dir, "supplier")
         .filter(col("s_nationkey") === 1)
