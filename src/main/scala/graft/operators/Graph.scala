@@ -448,5 +448,41 @@ object Graph {
         |  GROUP BY v)
         |SELECT deg.v AS node, CAST(COALESCE(per.c, 0) AS BIGINT) AS n_tri
         |FROM deg LEFT JOIN per ON deg.v = per.v
-        |ORDER BY node""".stripMargin)
+        |ORDER BY node""".stripMargin,
+
+    // full replay of the hub-capped common-neighbor pipeline: same
+    // edge derivation + DOULION hash as graph_cc, undirected degree
+    // table, sub-cap wedge pivots, non-adjacent pair counting, and
+    // the fixed-point Jaccard rank. Every SUM-free aggregate stays
+    // BIGINT; the divisions are explicit CASTs so no HUGEINT leaks
+    "graph_link_pred" ->
+      """WITH os AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+        |e0 AS (
+        |  SELECT DISTINCT x.s AS a, y.s AS b
+        |  FROM os x JOIN os y ON x.ok = y.ok AND x.s < y.s
+        |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % 20 = 0),
+        |bi AS (
+        |  SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b AS src, a AS dst FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM bi GROUP BY src),
+        |centers AS (
+        |  SELECT b1.src, b1.dst FROM bi b1 JOIN deg d ON b1.src = d.src
+        |  WHERE d.deg <= 64),
+        |cand AS (
+        |  SELECT c1.dst AS a, c2.dst AS b, COUNT(*) AS common
+        |  FROM centers c1 JOIN centers c2
+        |    ON c1.src = c2.src AND c1.dst < c2.dst
+        |  GROUP BY c1.dst, c2.dst),
+        |nonadj AS (
+        |  SELECT * FROM cand c
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM e0 e WHERE e.a = c.a AND e.b = c.b))
+        |SELECT n.a, n.b, CAST(n.common AS BIGINT) AS common,
+        |  CAST(da.deg + db.deg - n.common AS BIGINT) AS n_union,
+        |  CAST((n.common * 1000000) // (da.deg + db.deg - n.common)
+        |    AS BIGINT) AS jac_fp
+        |FROM nonadj n
+        |JOIN deg da ON n.a = da.src JOIN deg db ON n.b = db.src
+        |ORDER BY jac_fp DESC, n.a, n.b LIMIT 20""".stripMargin)
 }

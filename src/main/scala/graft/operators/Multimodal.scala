@@ -631,8 +631,8 @@ object Multimodal {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS start_b
         |  FROM m)
-        |SELECT media_type, start_b // 4096 AS shard,
-        |  COUNT(*) AS n_items, SUM(n_bytes) AS shard_bytes,
+        |SELECT media_type, CAST(start_b // 4096 AS BIGINT) AS shard,
+        |  COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
         |  (SUM(n_bytes) <= 4095 + MAX(n_bytes)) AS bytes_ok
         |FROM s GROUP BY media_type, shard

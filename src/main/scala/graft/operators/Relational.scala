@@ -1098,13 +1098,15 @@ object Relational {
         |  FROM lineitem GROUP BY l_suppkey)
         |SELECT l_suppkey, n, TRUE AS sketch_found, TRUE AS count_ok
         |FROM c ORDER BY n DESC, l_suppkey LIMIT 10""".stripMargin,
-    // the standard UNPIVOT clause over the same wide build; COUNT(*)
-    // and the floor-cents sum are BIGINT on both engines, so the value
-    // column hash-matches with no float seam
+    // the standard UNPIVOT clause over the same wide build; DuckDB's
+    // SUM(BIGINT) widens to HUGEINT (and UNPIVOT promotes the whole
+    // value column with it), so both the sum and the melted value are
+    // explicitly re-cast to BIGINT to match Spark's int64
     "q38_unpivot" ->
       """WITH cc AS (
         |  SELECT c_nationkey AS nk, COUNT(*) AS customers,
-        |    SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+        |    CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |      AS acctbal_cents
         |  FROM customer GROUP BY c_nationkey),
         |sc AS (
         |  SELECT s_nationkey AS nk, COUNT(*) AS suppliers
@@ -1115,7 +1117,7 @@ object Relational {
         |    COALESCE(acctbal_cents, 0) AS acctbal_cents
         |  FROM nation LEFT JOIN cc ON n_nationkey = cc.nk
         |  LEFT JOIN sc ON n_nationkey = sc.nk)
-        |SELECT n_name, metric, value FROM wide
+        |SELECT n_name, metric, CAST(value AS BIGINT) AS value FROM wide
         |UNPIVOT (value FOR metric IN (customers, suppliers, acctbal_cents))
         |ORDER BY n_name, metric""".stripMargin,
     // plain unsalted join — hash equality proves salting preserves semantics

@@ -151,4 +151,56 @@ class GraphSpec extends GraftSpec {
         s"component $comp label is not its min member")
     }
   }
+
+  /** Driver-side replay of the hub-capped common-neighbor rule. */
+  private def naiveLinkPred(edges: Seq[(Long, Long)], hubCap: Long,
+      topK: Int): Seq[(Long, Long, Long, Long, Long)] = {
+    val nbrs = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val deg = nbrs.map { case (v, s) => v -> s.size.toLong }
+    val edgeSet = edges.toSet
+    val wedges = for {
+      (c, ns) <- nbrs.toSeq if deg(c) <= hubCap
+      a <- ns; b <- ns if a < b
+    } yield (a, b)
+    wedges.groupBy(identity)
+      .map { case (p, xs) => p -> xs.size.toLong }
+      .filter { case (p, _) => !edgeSet.contains(p) }
+      .toSeq.map { case ((a, b), common) =>
+        val u = deg(a) + deg(b) - common
+        (a, b, common, u, common * 1000000L / u)
+      }
+      .sortBy { case (a, b, _, _, j) => (-j, a, b) }.take(topK)
+  }
+
+  test("link prediction: matches the driver replay on a shared-" +
+      "neighbor graph, excludes existing edges and hub wedges") {
+    // 1 and 2 share sub-cap neighbors 3,4 and are NOT adjacent;
+    // 5 is a hub (deg 4 > cap 3) whose wedges must not count
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L))
+    val got = Graph.linkPredict(edges.toDF("a", "b"),
+      topK = 10, hubCap = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val want = naiveLinkPred(edges, hubCap = 3L, topK = 10)
+    assert(got == want, s"got $got want $want")
+    // (1,2) predicted: 2 common of union 2+... deg(1)=3, deg(2)=3,
+    // common counts only sub-cap pivots 3 and 4 (hub 5 excluded)
+    val p12 = got.find(r => r._1 == 1L && r._2 == 2L).get
+    assert(p12._3 == 2L && p12._4 == 4L && p12._5 == 500000L)
+    // no predicted pair is an existing edge
+    val es = edges.toSet
+    assert(got.forall(r => !es.contains((r._1, r._2))))
+    // random graph vs replay
+    val rnd = new scala.util.Random(11)
+    val base = (1 to 80).map(_ => (rnd.nextInt(16).toLong,
+      rnd.nextInt(16).toLong)).filter(e => e._1 < e._2).distinct
+    val g2 = Graph.linkPredict(base.toDF("a", "b"),
+      topK = 15, hubCap = 6L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(g2 == naiveLinkPred(base, hubCap = 6L, topK = 15),
+      s"random-graph mismatch: $g2")
+  }
 }
