@@ -707,4 +707,36 @@ class SimilaritySpec extends GraftSpec {
       assert(scores.head >= scores.max, s"query $qid: $scores")
     }
   }
+
+  test("embedding dedup clusters: verdicts equal a driver union-find " +
+      "over the engine's own auto-bits LSH pairs") {
+    val n = vecs.count()
+    val pairs = Similarity.embeddingPairs(vecs,
+      bitsPerBand = Similarity.autoBitsPerBand(n)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // min-label union-find: union points the larger root at the
+    // smaller, so every root IS its component's min id
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = Similarity.embeddingDedupClusters(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val ids = vecs.select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(got.map(_._1).toSeq == ids.toSeq, "one verdict per vector")
+    got.foreach { case (id, canon, dup) =>
+      assert(canon == find(id), s"canon mismatch at $id")
+      assert(dup == (canon != id), s"is_dup inconsistent at $id")
+    }
+    // fixture has both dups and keepers, and every canonical is kept
+    assert(got.exists(_._3) && got.exists(!_._3))
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(got.map(_._2).distinct.forall(c => !byId(c)),
+      "a canonical representative was marked dup")
+  }
 }
