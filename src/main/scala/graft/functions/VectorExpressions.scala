@@ -389,10 +389,13 @@ case class NearestCentroid(left: Expression, right: Expression)
     var k = 0
     while (k < cents.length) {
       val c = cents(k)
-      val d = math.min(n, c.length)
+      // a dimension mismatch must fail loudly, not rank on a partial
+      // distance: truncating to min(n, |c|) yields a plausible but
+      // wrong assignment that silently corrupts every downstream stage
+      if (c.length != n) return null
       var dist = 0L
       var i = 0
-      while (i < d) {
+      while (i < n) {
         val diff = a.getLong(i) - c(i)
         dist += diff * diff
         i += 1

@@ -277,7 +277,10 @@ object Warehouse {
     * touches only a dimension-cardinality summary — the difference
     * between 100 TB and kilobytes. Measures are exact BIGINT cents so
     * partial-of-partial rollup is associative with no float drift. */
-  def mvRewriteServe(s: SparkSession, dir: String): DataFrame = {
+  /** Build + register the monthly (order-month, priority) revenue
+    * summary view over `orders`; returns the orders frame. Callers own
+    * deregistration ([[graft.plans.MvCatalog.remove]]). */
+  def mvRegister(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(s, dir, "orders")
     val cents = floor(col("o_totalprice") * 100)
     val mvDef = orders.groupBy(
@@ -287,6 +290,12 @@ object Warehouse {
     val mvPath = s"${Etl.roundtripRoot}/mv_orders_monthly"
     mvDef.write.mode("overwrite").parquet(mvPath)
     graft.plans.MvCatalog.register(s, "orders_monthly", mvDef, mvPath)
+    orders
+  }
+
+  def mvRewriteServe(s: SparkSession, dir: String): DataFrame = {
+    val orders = mvRegister(s, dir)
+    val cents = floor(col("o_totalprice") * 100)
     val q = orders.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"), sum(cents).as("revenue_cents"))
     val physical = q.queryExecution.executedPlan.toString
@@ -294,7 +303,27 @@ object Warehouse {
       "mv rewrite did not fire: summary not scanned")
     require(!physical.contains("orders.parquet"),
       "mv rewrite did not fire: fact table still scanned")
-    q.orderBy(col("o_orderpriority"))
+    // the filtered face: predicate on a view dimension pushes down to
+    // the MV scan (filter-to-dimension rewrite), still no fact scan
+    val qf = orders.filter(month(to_date(col("o_orderdate"))) <= 6)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_h1_orders"))
+    val physF = qf.queryExecution.executedPlan.toString
+    require(physF.contains("mv_orders_monthly") &&
+        !physF.contains("orders.parquet"),
+      "filtered mv rewrite did not fire")
+    // materialize BOTH legs while the view is registered, then
+    // deregister: the catalog is process-global and a leaked entry
+    // would answer every later matching aggregate in this session from
+    // the MV snapshot (stale after base rewrites, skewed timings)
+    val served = q.join(qf, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("revenue_cents"),
+        coalesce(col("n_h1_orders"), lit(0L)).as("n_h1_orders"))
+      .orderBy(col("o_orderpriority"))
+      .localCheckpoint(true)
+    graft.plans.MvCatalog.remove("orders_monthly")
+    served
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -366,7 +395,10 @@ object Warehouse {
       """SELECT o_orderpriority,
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-        |    AS revenue_cents
+        |    AS revenue_cents,
+        |  CAST(COUNT(*) FILTER (
+        |    WHERE MONTH(CAST(o_orderdate AS DATE)) <= 6) AS BIGINT)
+        |    AS n_h1_orders
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     // identical interleave text (shared generator), identical masks,

@@ -3,9 +3,9 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
@@ -63,6 +63,13 @@ object MvCatalog {
 
   def clear(): Unit = entries.clear()
 
+  /** Deregister one view. Serving faces MUST call this after
+    * materializing their result: the catalog is process-global, so a
+    * leaked entry would silently answer every later matching aggregate
+    * over the same base paths from the MV snapshot — stale data after
+    * a base rewrite, and skewed timings for unrelated queries. */
+  def remove(name: String): Unit = entries.remove(name)
+
   def registered: Seq[Entry] = {
     import scala.jdk.CollectionConverters._
     entries.values().asScala.toSeq
@@ -73,6 +80,10 @@ object MvCatalog {
   private def subst(e: Expression, m: Map[Attribute, Expression])
       : Expression =
     e.transformUp { case a: Attribute if m.contains(a) => m(a) }
+
+  /** [[subst]] for the rule's query-side peel. */
+  private[plans] def substPub(e: Expression,
+      m: Map[Attribute, Expression]): Expression = subst(e, m)
 
   /** Fold constant subtrees the way the optimizer's ConstantFolding
     * does: query plans reach [[MvRewriteRule]] AFTER constant folding,
@@ -169,19 +180,51 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       : Expression =
     e.transformUp { case a: Attribute if m.contains(a) => m(a) }
 
+  /** Walk Project/Filter chains down to the base read, composing alias
+    * substitutions and conjoining filter predicates (substituted down
+    * to base-relation attributes). Filters are in scope here — unlike
+    * [[MvCatalog.baseAndSubst]], which registration uses and which
+    * rejects them (a filtered VIEW DEFINITION would change the view's
+    * semantics; a filtered QUERY is the classic filter-to-dimension
+    * pushdown, handled in [[rewriteWith]]). */
+  private def peel(plan: LogicalPlan): Option[
+      (LogicalRelation, Map[Attribute, Expression], Option[Expression])] =
+    plan match {
+      case rel: LogicalRelation => Some((rel, Map.empty, None))
+      case Project(projList, child) =>
+        peel(child).map { case (rel, inner, cond) =>
+          val m = projList.map {
+            case a: Alias =>
+              (a.toAttribute: Attribute) -> MvCatalog.substPub(a.child, inner)
+            case a: AttributeReference =>
+              (a: Attribute) -> MvCatalog.substPub(a, inner)
+          }.toMap
+          (rel, m, cond)
+        }
+      case Filter(cond, child) =>
+        peel(child).map { case (rel, inner, prev) =>
+          val c = MvCatalog.substPub(cond, inner)
+          (rel, inner,
+            Some(prev.map(p => org.apache.spark.sql.catalyst.expressions
+              .And(p, c)).getOrElse(c)))
+        }
+      case _ => None
+    }
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val Aggregate(gExprs, aExprs, child, _) = agg
     for {
-      (rel, sub) <- baseAndSubst(child)
+      (rel, sub, filterCond) <- peel(child)
       entry <- registered.find(e =>
         e.basePaths.nonEmpty && e.basePaths == rootPaths(rel))
-      rewritten <- rewriteWith(entry, rel, gExprs, aExprs, sub)
+      rewritten <- rewriteWith(entry, rel, gExprs, aExprs, sub, filterCond)
     } yield rewritten
   }
 
   private def rewriteWith(entry: Entry, rel: LogicalRelation,
       gExprs: Seq[Expression], aExprs: Seq[NamedExpression],
-      sub: Map[Attribute, Expression]): Option[LogicalPlan] = {
+      sub: Map[Attribute, Expression],
+      filterCond: Option[Expression]): Option[LogicalPlan] = {
     // remap the stored definition (expressed over ITS base read's
     // attribute ids) onto this query's base read, by column name
     val relByName = rel.output.map(a => a.name -> (a: Expression)).toMap
@@ -209,23 +252,61 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val newGroups = gExprs.map(matchDim)
     if (newGroups.exists(_.isEmpty)) return None
 
+    // the filter predicate (if any, already substituted down to base
+    // attributes by the peel) must rewrite into an expression over the
+    // MV's dimension columns alone: replace every maximal subtree that
+    // IS a view dimension with the mv attribute, then require no
+    // base-relation attribute survives
+    val newFilter: Option[Option[Expression]] = filterCond.map { cond =>
+      val onMv = cond.transformDown {
+        case e if dimPairs.exists(_._1.semanticEquals(e)) =>
+          dimPairs.find(_._1.semanticEquals(e)).get._2
+      }
+      if (onMv.references.subsetOf(
+          org.apache.spark.sql.catalyst.expressions.AttributeSet(
+            entry.mvPlan.output))) Some(onMv)
+      else None
+    }
+    if (newFilter.exists(_.isEmpty)) return None
+
+    // the derived aggregate must keep the ORIGINAL result type: a
+    // COUNT(*) is LongType and SUM(n:long) is LongType, but e.g. a
+    // DECIMAL sum re-summed from the MV widens precision — parents
+    // hold the old attribute type, so any dataType drift bails
     def matchMeasure(fn: org.apache.spark.sql.catalyst.expressions
-        .aggregate.AggregateFunction): Option[Attribute] = fn match {
-      case Count(Seq(Literal(1, _))) =>
-        entry.measures.collectFirst { case CountMeasure(mv) => mv }
-      case Sum(input, _) =>
-        val q = subst(input, sub)
-        entry.measures.collectFirst {
-          case SumMeasure(defIn, mv)
-            if remap(defIn).exists(q.semanticEquals) => mv }
-      case _ => None
+        .aggregate.AggregateFunction): Option[Attribute] = {
+      val mv = fn match {
+        case Count(Seq(Literal(1, _))) =>
+          entry.measures.collectFirst { case CountMeasure(m) => m }
+        case Sum(input, _) =>
+          val q = subst(input, sub)
+          entry.measures.collectFirst {
+            case SumMeasure(defIn, m)
+              if remap(defIn).exists(q.semanticEquals) => m }
+        case _ => None
+      }
+      mv.filter(m => Sum(m).dataType == fn.dataType)
+    }
+
+    // COUNT(*) over an EMPTY base yields 0, but SUM over the empty MV
+    // yields NULL — only reachable for the global (no grouping)
+    // aggregate, where the base side still emits its one row; coalesce
+    // restores the 0. Grouped counts never see the seam (no groups →
+    // no rows on both sides).
+    def derive(fn: org.apache.spark.sql.catalyst.expressions
+        .aggregate.AggregateFunction, mv: Attribute): Expression = {
+      val sum = AggregateExpression(Sum(mv), Complete, isDistinct = false)
+      fn match {
+        case Count(_) if gExprs.isEmpty =>
+          Coalesce(Seq(sum, Literal(0L)))
+        case _ => sum
+      }
     }
 
     val newAggs: Seq[Option[NamedExpression]] = aExprs.map {
       case a @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
-        matchMeasure(fn).map(mv => Alias(
-          AggregateExpression(Sum(mv), Complete, isDistinct = false),
-          name)(exprId = a.exprId))
+        matchMeasure(fn).map(mv =>
+          Alias(derive(fn, mv), name)(exprId = a.exprId))
       case a: AttributeReference =>
         matchDim(a).map(mv => Alias(mv, a.name)(exprId = a.exprId))
       case a @ Alias(childE, name) if !childE.exists(
@@ -234,7 +315,11 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
     if (newAggs.exists(_.isEmpty)) return None
-    Some(Aggregate(newGroups.map(_.get), newAggs.map(_.get), entry.mvPlan,
+    val mvChild = newFilter.flatten match {
+      case Some(cond) => Filter(cond, entry.mvPlan)
+      case None => entry.mvPlan
+    }
+    Some(Aggregate(newGroups.map(_.get), newAggs.map(_.get), mvChild,
       None))
   }
 }

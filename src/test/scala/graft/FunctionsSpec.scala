@@ -475,4 +475,20 @@ class FunctionsSpec extends GraftSpec {
       .selectExpr("s.n_kept", "s.kth").collect().head
     assert((withNull.getLong(0), withNull.getLong(1)) == (2L, 9L))
   }
+
+  test("nearest_centroid: exact argmin on matching dims, NULL (never " +
+      "a truncated partial distance) on a dimension mismatch") {
+    val cents = "array(array(0L, 0L), array(10L, 10L))"
+    val ok = Seq((1L, Seq(1L, 1L)), (2L, Seq(9L, 8L))).toDF("id", "v")
+      .selectExpr("id", s"nearest_centroid(v, $cents) AS nc")
+      .selectExpr("id", "nc.cluster", "nc.dist2_fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ok.toSeq == Seq((1L, 0L, 2L), (2L, 1L, 5L)), ok.mkString(","))
+    // a 3-dim vector against 2-dim centroids: NULL, not a plausible
+    // assignment computed from the first two coordinates
+    val bad = Seq((1L, Seq(1L, 1L, 100L))).toDF("id", "v")
+      .selectExpr("id", s"nearest_centroid(v, $cents) AS nc")
+      .collect().head
+    assert(bad.isNullAt(1), "dimension mismatch must yield NULL")
+  }
 }

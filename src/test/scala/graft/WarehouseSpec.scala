@@ -160,34 +160,50 @@ class WarehouseSpec extends GraftSpec {
     import graft.plans.MvCatalog
     import org.apache.spark.sql.functions._
     try {
-      // face registers the view and asserts the summary (not the
-      // fact) is scanned; collect the served answer
+      // face registers the view, asserts the summary (not the fact) is
+      // scanned for BOTH the plain and the dimension-filtered leg, then
+      // deregisters; collect the served answer
       val served = Warehouse.mvRewriteServe(spark, sf).collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      // bypass: same aggregate with the catalog cleared
-      MvCatalog.clear()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      // the face must have deregistered: the catalog is process-global
+      assert(MvCatalog.registered.isEmpty,
+        "mvRewriteServe leaked its catalog entry")
       val orders = graft.sources.Tables.load(spark, sf, "orders")
       val cents = floor(col("o_totalprice") * 100)
+      // bypass: same aggregates straight off the base table
       val base = orders.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(cents).as("revenue_cents"))
+          sum(cents).as("revenue_cents"),
+          count(when(month(to_date(col("o_orderdate"))) <= 6, 1))
+            .as("n_h1_orders"))
         .orderBy(col("o_orderpriority")).collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
       assert(served.sameElements(base), "served != base")
       // re-register; a grouping on BOTH dims serves from the view too
-      Warehouse.mvRewriteServe(spark, sf)
+      Warehouse.mvRegister(spark, sf)
       val full = orders.groupBy(
           month(to_date(col("o_orderdate"))).as("o_month"),
           col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"))
       assert(full.queryExecution.executedPlan.toString
         .contains("mv_orders_monthly"), "full-dim grouping not served")
-      // a filtered aggregate must NOT be served (out of rewrite scope)
+      // a filter on a NON-dimension column must NOT be served
       val filtered = orders.filter(col("o_orderkey") > 10)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"))
       assert(!filtered.queryExecution.executedPlan.toString
-        .contains("mv_orders_monthly"), "filtered aggregate was served")
+        .contains("mv_orders_monthly"),
+        "non-dimension filter was served")
+      // a filter on a DIMENSION serves, and the answer matches base
+      val dimF = orders.filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(month(to_date(col("o_orderdate"))).as("o_month"))
+        .agg(count(lit(1)).as("n"))
+      assert(dimF.queryExecution.executedPlan.toString
+        .contains("mv_orders_monthly"), "dimension filter not served")
+      val dimServed = dimF.orderBy(col("o_month")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
       // an aggregate the view cannot derive (MAX) must not be served
       val foreign = orders.groupBy(col("o_orderpriority"))
         .agg(max(col("o_totalprice")).as("m"))
@@ -198,6 +214,64 @@ class WarehouseSpec extends GraftSpec {
         .agg(count(lit(1)).as("n"))
       assert(!offDim.queryExecution.executedPlan.toString
         .contains("mv_orders_monthly"), "off-dimension grouping served")
+      MvCatalog.clear()
+      val dimBase = orders.filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(month(to_date(col("o_orderdate"))).as("o_month"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_month")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      assert(dimServed.sameElements(dimBase), "dim-filtered served != base")
+    } finally MvCatalog.clear()
+  }
+
+  test("mv rewrite hardening: global COUNT over an empty base stays 0, " +
+      "type-widening measures bail") {
+    import graft.plans.MvCatalog
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = s"${graft.operators.Etl.roundtripRoot}/mv_empty_base"
+    try {
+      // an EMPTY parquet base table with the same shape
+      val basePath = s"$root/base"
+      Seq.empty[(String, Long)].toDF("k", "v")
+        .write.mode("overwrite").parquet(basePath)
+      val base = spark.read.parquet(basePath)
+      val mvDef = base.groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      val mvPath = s"$root/mv"
+      mvDef.write.mode("overwrite").parquet(mvPath)
+      MvCatalog.register(spark, "empty_view", mvDef, mvPath)
+      // global COUNT(*): base answers one row of 0; a naive
+      // SUM(mv.n) over the empty view answers NULL — the rewrite must
+      // coalesce. Also assert it WAS served, so the test is not vacuous
+      val g = base.agg(count(lit(1)).as("n"))
+      assert(g.queryExecution.executedPlan.toString.contains("mv_empty_base/mv"),
+        "global count not served from the view")
+      val got = g.collect()
+      assert(got.length == 1 && !got(0).isNullAt(0) && got(0).getLong(0) == 0L,
+        s"global COUNT over empty base must be 0, got ${got.mkString}")
+      // grouped aggregates: zero rows on both sides
+      assert(base.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .collect().isEmpty)
+      MvCatalog.clear()
+      // a DECIMAL sum re-summed from the MV would widen its type —
+      // the rewrite must bail (dataType equality), not serve
+      val decPath = s"$root/decbase"
+      Seq(("a", BigDecimal(1.50)), ("a", BigDecimal(2.25)))
+        .toDF("k", "v")
+        .select(col("k"), col("v").cast("decimal(12,2)").as("v"))
+        .write.mode("overwrite").parquet(decPath)
+      val dec = spark.read.parquet(decPath)
+      val decDef = dec.groupBy(col("k")).agg(sum(col("v")).as("s"))
+      val decMv = s"$root/decmv"
+      decDef.write.mode("overwrite").parquet(decMv)
+      MvCatalog.register(spark, "dec_view", decDef, decMv)
+      val q = dec.groupBy(col("k")).agg(sum(col("v")).as("s"))
+      assert(!q.queryExecution.executedPlan.toString.contains("decmv"),
+        "decimal sum was served despite type widening")
+      val r = q.collect()
+      assert(r.length == 1 &&
+        r(0).getDecimal(1) == new java.math.BigDecimal("3.75"))
     } finally MvCatalog.clear()
   }
 }
