@@ -108,6 +108,34 @@ class GraphSpec extends GraftSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L,
       4L -> 2L, 5L -> 3L))
+    // the delta-frontier face is hash-equivalent on the same fixture
+    val delta = Graph.bfsHopsDelta(edges, seeds, hops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(delta == got, s"delta-frontier diverged: $delta")
+  }
+
+  test("delta-frontier bfs equals the full-table face on a random " +
+      "graph and exits early when the frontier drains") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = (1 to 120).map(_ => (rnd.nextInt(25).toLong,
+      rnd.nextInt(25).toLong)).filter(e => e._1 != e._2).distinct
+    val edges = (base ++ base.map(_.swap)).distinct.toDF("src", "dst")
+    val seeds = Seq(0L, 7L).toDF("node")
+    for (hops <- Seq(1, 2, 4)) {
+      val naive = Graph.bfsHops(edges, seeds, hops).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val delta = Graph.bfsHopsDelta(edges, seeds, hops).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(delta == naive, s"hops=$hops: $delta vs $naive")
+    }
+    // a 2-edge path exhausts in 2 hops: asking for 20 must still
+    // terminate (empty-frontier early exit) with exact distances
+    val tiny = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L))
+      .toDF("src", "dst")
+    val t = Graph.bfsHopsDelta(tiny, Seq(0L).toDF("node"), hops = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
   }
 
   test("co-supply triangle key: nodes are suppliers, total " +
