@@ -54,6 +54,10 @@ SF1_KEYS=(
   etl_zorder graph_bfs mm_image_hist text_readability etl_dq_audit
   dedup_keep_best text_bigram_logprob q40_date_spine stream_gapfill
   emb_recall_audit
+  # round-10 late-session keys that had no bench rows (round-11 advice
+  # item 4) + round-11 additions (CC fixpoint, link prediction)
+  emb_mmr etl_k_anon graph_cc q41_kmv_distinct q42_mv_rewrite
+  sample_curriculum graph_link_pred
 )
 
 echo "[round_bench] full registry at sf0.1 ..."

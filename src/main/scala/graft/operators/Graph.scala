@@ -300,6 +300,46 @@ object Graph {
     labels.orderBy(col("node"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) for
+    * community detection over an undirected edge list — the cheap
+    * community signal corpus curation uses to find template families /
+    * mirror clusters / topical groups when full modularity
+    * optimization is overkill. Each of `iters` rounds every node
+    * adopts the most frequent label among its NEIGHBORS, ties broken
+    * by MINIMUM label — a total, engine-independent order, which is
+    * what makes a fixed-round run bit-replayable (classic async LPA is
+    * order-dependent; the sync+min-tie formulation is the
+    * deterministic variant). Initial label = node id.
+    *
+    * Scale shape: per round ONE src-keyed edge join (the bfs/pagerank
+    * template), one map-side-combined (node, label) count, and one
+    * node-keyed window for the argmax — all exchanges keyed on node
+    * ids, label table checkpointed per round to cap loop lineage. */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters out of range: $iters")
+    val e = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val counts = e.join(labels, e("src") === labels("node"))
+        .select(col("dst").as("node"), col("lbl"))
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node"))
+        .orderBy(col("c").desc, col("lbl"))
+      labels = counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+      .orderBy(col("node"))
+  }
+
   /** Wedge-center degree cap for link prediction: a node with more
     * neighbors than this never serves as the shared-neighbor pivot.
     * Celebrity pivots contribute deg² candidate pairs with near-zero
@@ -354,6 +394,8 @@ object Graph {
       connectedComponents(coSupplyEdges(Tables.load(s, dir, "lineitem")))),
     "graph_link_pred" -> ((s, dir) =>
       linkPredict(coSupplyEdges(Tables.load(s, dir, "lineitem")))),
+    "graph_label_prop" -> ((s, dir) =>
+      labelPropagation(coSupplyEdges(Tables.load(s, dir, "lineitem")))),
     // the delta-frontier face is registered (per-hop cost tracks the
     // frontier, not the cumulative reach); the naive full-table
     // re-join face stays as the spec-equivalence baseline
@@ -526,5 +568,40 @@ object Graph {
         |    AS BIGINT) AS jac_fp
         |FROM nonadj n
         |JOIN deg da ON n.a = da.src JOIN deg db ON n.b = db.src
-        |ORDER BY jac_fp DESC, n.a, n.b LIMIT 20""".stripMargin)
+        |ORDER BY jac_fp DESC, n.a, n.b LIMIT 20""".stripMargin,
+
+    // full 3-round replay of the sync min-tie label propagation: one
+    // chained CTE per round, each the same count + ROW_NUMBER argmax
+    // the engine's window computes — the hash carries every
+    // intermediate label table
+    "graph_label_prop" ->
+      """WITH os AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+        |e0 AS (
+        |  SELECT DISTINCT x.s AS a, y.s AS b
+        |  FROM os x JOIN os y ON x.ok = y.ok AND x.s < y.s
+        |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % 20 = 0),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b AS src, a AS dst FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+        |l1 AS (
+        |  SELECT node, lbl FROM (
+        |    SELECT e.dst AS node, l.lbl, ROW_NUMBER() OVER (
+        |      PARTITION BY e.dst ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        |    FROM edges e JOIN l0 l ON e.src = l.node
+        |    GROUP BY e.dst, l.lbl) t WHERE rn = 1),
+        |l2 AS (
+        |  SELECT node, lbl FROM (
+        |    SELECT e.dst AS node, l.lbl, ROW_NUMBER() OVER (
+        |      PARTITION BY e.dst ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        |    FROM edges e JOIN l1 l ON e.src = l.node
+        |    GROUP BY e.dst, l.lbl) t WHERE rn = 1),
+        |l3 AS (
+        |  SELECT node, lbl FROM (
+        |    SELECT e.dst AS node, l.lbl, ROW_NUMBER() OVER (
+        |      PARTITION BY e.dst ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        |    FROM edges e JOIN l2 l ON e.src = l.node
+        |    GROUP BY e.dst, l.lbl) t WHERE rn = 1)
+        |SELECT node, lbl AS community FROM l3 ORDER BY node""".stripMargin)
 }

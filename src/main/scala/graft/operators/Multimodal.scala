@@ -253,7 +253,56 @@ object Multimodal {
       .orderBy(col("media_type"), col("shard"))
   }
 
+  /** The aspect-ratio bucket ladder (per-mille width/height), the
+    * SDXL-style training buckets: portrait 1:2 → square → landscape
+    * 2:1. Part of the operator contract — the oracle replays the same
+    * ladder. */
+  val AspectBuckets: Seq[Int] = Seq(500, 563, 750, 1000, 1333, 1778, 2000)
+
+  /** Images per training micro-batch within a bucket. */
+  val AspectBatchSize = 16
+
+  /** Aspect-ratio bucketing — the batching pass of any image-training
+    * pipeline: images only batch with same-shape peers, so each image
+    * is assigned the ladder bucket nearest its aspect ratio and a
+    * deterministic micro-batch number within that bucket. The ratio is
+    * fixed-point (1000·w div h, exact integer), nearest-bucket ties
+    * break to the SMALLER ratio (total order, engine-independent), and
+    * batch ids come from a bucket-keyed ROW_NUMBER over doc_id — so
+    * the whole batch plan is bit-replayable.
+    *
+    * Scale shape: dims decode in the codegen'd [[imageTable]] header
+    * parse (blobs never shuffle — only (doc_id, w, h) tuples leave the
+    * scan), bucket assignment is a per-row argmin over a 7-element
+    * constant ladder, and the only exchange is the bucket-keyed window
+    * (bounded key cardinality = ladder size; within-bucket sort is the
+    * price of deterministic batch numbering — at extreme per-bucket
+    * cardinality this becomes a range-partitioned sort, same key). */
+  def aspectBuckets(docs: DataFrame): DataFrame = {
+    val ladder = AspectBuckets.mkString(", ")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket_fp")).orderBy(col("doc_id"))
+    imageTable(docs)
+      .select(col("doc_id"),
+        call_function("image_dims", col("blob")).as("d"))
+      .select(col("doc_id"),
+        col("d.width").as("width"), col("d.height").as("height"),
+        expr("cast(d.width as bigint) * 1000 div cast(d.height as bigint)")
+          .as("ar_fp"))
+      .withColumn("bucket_fp", expr(
+        s"""array_min(transform(array($ladder),
+           |  b -> struct(abs(ar_fp - b) AS d, cast(b AS bigint) AS b))).b"""
+          .stripMargin))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_id",
+        expr(s"cast((rn - 1) div $AspectBatchSize as bigint)"))
+      .drop("rn")
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_aspect_bucket" -> ((s, dir) =>
+      aspectBuckets(Tables.load(s, dir, "documents"))),
     "mm_shard_pack" -> ((s, dir) =>
       shardManifest(mediaTable(Tables.load(s, dir, "documents")))),
     // The correctness face hash-matches the REAL plumbing (round-robin
@@ -669,5 +718,30 @@ object Multimodal {
         |    ELSE 'bmp' END AS fmt,
         |  CAST(160 + doc_id % 1280 AS INT) AS width,
         |  CAST(90 + doc_id % 720 AS INT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same closed-form dims as mm_image_dims, same per-mille ladder
+    // argmin (tie → smaller ratio), same bucket-keyed batch numbering
+    "mm_aspect_bucket" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(160 + doc_id % 1280 AS INT) AS width,
+        |    CAST(90 + doc_id % 720 AS INT) AS height
+        |  FROM documents),
+        |ar AS (
+        |  SELECT doc_id, width, height,
+        |    CAST(width AS BIGINT) * 1000 // CAST(height AS BIGINT)
+        |      AS ar_fp
+        |  FROM dims),
+        |bk AS (
+        |  SELECT a.*, (
+        |    SELECT CAST(b AS BIGINT)
+        |    FROM UNNEST([500, 563, 750, 1000, 1333, 1778, 2000]) t(b)
+        |    ORDER BY ABS(a.ar_fp - b), b LIMIT 1) AS bucket_fp
+        |  FROM ar a)
+        |SELECT doc_id, width, height, ar_fp, bucket_fp,
+        |  CAST((ROW_NUMBER() OVER (
+        |    PARTITION BY bucket_fp ORDER BY doc_id) - 1) // 16 AS BIGINT)
+        |    AS batch_id
+        |FROM bk ORDER BY doc_id""".stripMargin)
 }

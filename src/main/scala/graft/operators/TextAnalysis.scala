@@ -45,6 +45,76 @@ object TextAnalysis {
         / length(col("text"))).as("punct_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Gopher-style quality ruleset (Rae et al. 2021, appendix A —
+    * the standard pre-training document filter), adapted to the
+    * corpus's single-spaced text and made INTEGER-EXACT: every ratio
+    * threshold is a cross-multiplied integer comparison (5·n_alpha ≥
+    * 4·n_words instead of n_alpha/n_words ≥ 0.8), so verdicts are
+    * bit-identical on any engine — no float boundary can flip a keep
+    * decision between the engine and the oracle. Six rules:
+    * word-count bounds, mean-word-length bounds, alphabetic-word
+    * floor, stopword-evidence floor, single-word dominance cap
+    * (repetition spam), and duplicate-bigram cap (template spam).
+    * Output per doc: counts, per-rule booleans, a FAILED-rule bitmask
+    * and the overall verdict — the bitmask is what a curation
+    * dashboard aggregates into per-rule attrition.
+    *
+    * Scale shape: one projection pass, every signal computed per-row
+    * from the words array (docs ≤ a few thousand words keep the
+    * per-row HOFs linear-ish; the dominance scan is O(n·distinct) on
+    * a bounded row, never a shuffle). No exchange except the output
+    * sort; filters this feeds stay map-side. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    docs
+      .select(col("doc_id"), col("text"), w.as("w"),
+        size(w).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long")
+          .as("sum_wlen"))
+      .select(col("doc_id"), col("n_words"), col("sum_wlen"),
+        // R1: 20 <= n_words <= 80
+        (col("n_words") >= 20L && col("n_words") <= 80L).as("r_wordcount"),
+        // R2: 3 <= mean word length <= 10, cross-multiplied
+        (col("sum_wlen") >= lit(3L) * col("n_words") &&
+          col("sum_wlen") <= lit(10L) * col("n_words")).as("r_meanlen"),
+        // R3: >= 80% of words contain an alphabetic character
+        (lit(5L) * size(filter(col("w"),
+            x => x.rlike("[a-zA-Z]"))).cast("long")
+          >= lit(4L) * col("n_words")).as("r_alpha"),
+        // R4: >= 2 stopword-marker occurrences
+        (size(filter(col("w"), x => x.isin("a", "the", "of", "and")))
+          .cast("long") >= 2L).as("r_stop"),
+        // R5: most frequent word <= 20% of all words
+        (lit(5L) * expr(
+            """array_max(transform(array_distinct(w),
+              |  d -> size(filter(w, x -> x = d))))""".stripMargin)
+            .cast("long") <= col("n_words")).as("r_domword"),
+        // R6: duplicate bigram fraction <= 30%: 10·(nb − nd) <= 3·nb
+        // zip of w[0..n-2] with w[1..n-1]: empty (not an error) on a
+        // single-word doc, unlike a sequence(0, n-2) index walk
+        expr("""zip_with(slice(w, 1, cast(size(w) as int) - 1),
+               |         slice(w, 2, cast(size(w) as int) - 1),
+               |         (a, b) -> concat(a, ' ', b))""".stripMargin)
+          .as("bigrams"))
+      .select(col("doc_id"), col("n_words"), col("sum_wlen"),
+        col("r_wordcount"), col("r_meanlen"), col("r_alpha"),
+        col("r_stop"), col("r_domword"),
+        (lit(10L) * (size(col("bigrams")).cast("long") -
+            size(array_distinct(col("bigrams"))).cast("long"))
+          <= lit(3L) * size(col("bigrams")).cast("long")).as("r_dupbigram"))
+      .select(col("doc_id"), col("n_words"), col("sum_wlen"),
+        col("r_wordcount"), col("r_meanlen"), col("r_alpha"),
+        col("r_stop"), col("r_domword"), col("r_dupbigram"),
+        (when(col("r_wordcount"), 0L).otherwise(1L) +
+          when(col("r_meanlen"), 0L).otherwise(2L) +
+          when(col("r_alpha"), 0L).otherwise(4L) +
+          when(col("r_stop"), 0L).otherwise(8L) +
+          when(col("r_domword"), 0L).otherwise(16L) +
+          when(col("r_dupbigram"), 0L).otherwise(32L)).as("reasons"))
+      .withColumn("pass", col("reasons") === 0L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counts: whitespace tokens and BPE-ish regex tokens. */
   def tokens(docs: DataFrame): DataFrame =
     docs.select(
@@ -700,6 +770,8 @@ object TextAnalysis {
     "text_ngram_stats" -> ((s, dir) =>
       ngramStats(Tables.load(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => quality(Tables.load(s, dir, "documents"))),
+    "text_gopher_rules" -> ((s, dir) =>
+      gopherRules(Tables.load(s, dir, "documents"))),
     "text_tokens" -> ((s, dir) => tokens(Tables.load(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => langId(Tables.load(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) =>
@@ -1008,6 +1080,50 @@ object TextAnalysis {
         |  LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\s]', '', 'g')) / LENGTH(text)
         |    AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // full replay: same integer cross-multiplied rule verdicts, same
+    // bitmask arithmetic — LIST HOFs mirror the Spark transforms
+    "text_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS w,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS sum_wlen
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w, n_words, sum_wlen,
+        |    LIST_TRANSFORM(RANGE(1, GREATEST(CAST(n_words AS INT), 1)),
+        |      i -> w[i] || ' ' || w[i + 1]) AS bigrams
+        |  FROM base),
+        |rules AS (
+        |  SELECT doc_id, n_words, sum_wlen,
+        |    (n_words >= 20 AND n_words <= 80) AS r_wordcount,
+        |    (sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words)
+        |      AS r_meanlen,
+        |    (5 * LEN(LIST_FILTER(w, x -> REGEXP_MATCHES(x, '[a-zA-Z]')))
+        |      >= 4 * n_words) AS r_alpha,
+        |    (LEN(LIST_FILTER(w, x -> x IN ('a', 'the', 'of', 'and')))
+        |      >= 2) AS r_stop,
+        |    (5 * LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(w),
+        |        d -> LEN(LIST_FILTER(w, x -> x = d))))
+        |      <= n_words) AS r_domword,
+        |    (10 * (LEN(bigrams) - LEN(LIST_DISTINCT(bigrams)))
+        |      <= 3 * LEN(bigrams)) AS r_dupbigram
+        |  FROM bg)
+        |SELECT doc_id, n_words, sum_wlen, r_wordcount, r_meanlen,
+        |  r_alpha, r_stop, r_domword, r_dupbigram,
+        |  CAST((CASE WHEN r_wordcount THEN 0 ELSE 1 END)
+        |    + (CASE WHEN r_meanlen THEN 0 ELSE 2 END)
+        |    + (CASE WHEN r_alpha THEN 0 ELSE 4 END)
+        |    + (CASE WHEN r_stop THEN 0 ELSE 8 END)
+        |    + (CASE WHEN r_domword THEN 0 ELSE 16 END)
+        |    + (CASE WHEN r_dupbigram THEN 0 ELSE 32 END) AS BIGINT)
+        |    AS reasons,
+        |  ((CASE WHEN r_wordcount THEN 0 ELSE 1 END)
+        |    + (CASE WHEN r_meanlen THEN 0 ELSE 2 END)
+        |    + (CASE WHEN r_alpha THEN 0 ELSE 4 END)
+        |    + (CASE WHEN r_stop THEN 0 ELSE 8 END)
+        |    + (CASE WHEN r_domword THEN 0 ELSE 16 END)
+        |    + (CASE WHEN r_dupbigram THEN 0 ELSE 32 END)) = 0 AS pass
+        |FROM rules ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_ws_tokens,

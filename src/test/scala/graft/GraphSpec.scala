@@ -231,4 +231,43 @@ class GraphSpec extends GraftSpec {
     assert(g2 == naiveLinkPred(base, hubCap = 6L, topK = 15),
       s"random-graph mismatch: $g2")
   }
+
+  /** Driver replay of sync min-tie label propagation. */
+  private def naiveLabelProp(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    val nbrs = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var lbl = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      lbl = nbrs.map { case (v, ns) =>
+        val counts = ns.map(lbl).groupBy(identity)
+          .map { case (l, xs) => l -> xs.size }
+        v -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    lbl
+  }
+
+  test("label propagation: two cliques with a bridge resolve to two " +
+      "communities and match the driver replay on a random graph") {
+    // two 4-cliques joined by one bridge edge
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((4L, 10L))
+    val got = Graph.labelPropagation(edges.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naiveLabelProp(edges, 3), s"got $got")
+    // clique cores agree within themselves and differ across cliques
+    assert(Seq(1L, 2L, 3L).map(got).distinct.length == 1)
+    assert(Seq(11L, 12L, 13L).map(got).distinct.length == 1)
+    assert(got(1L) != got(11L), "cliques merged into one community")
+    // random graph: exact replay equality
+    val rnd = new scala.util.Random(31)
+    val base = (1 to 100).map(_ => (rnd.nextInt(20).toLong,
+      rnd.nextInt(20).toLong)).filter(e => e._1 < e._2).distinct
+    val g2 = Graph.labelPropagation(base.toDF("a", "b"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 == naiveLabelProp(base, 4), "random-graph replay mismatch")
+  }
 }

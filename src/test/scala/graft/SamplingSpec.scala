@@ -247,4 +247,31 @@ class SamplingSpec extends GraftSpec {
       rows.foreach(r => assert(key(r._1) % 8 == sh))
     }
   }
+
+  test("aspect buckets: nearest-ladder assignment with min-ratio tie " +
+      "break, contiguous size-16 batches per bucket") {
+    import graft.operators.Multimodal
+    val docs = (0L until 120L).map(i => (i, s"doc $i text"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.aspectBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // driver replay of the closed-form dims + ladder argmin
+    val ladder = Multimodal.AspectBuckets
+    got.foreach { case (id, w, h, ar, bk, _) =>
+      assert(w == 160 + id % 1280 && h == 90 + id % 720)
+      assert(ar == 1000L * w / h)
+      val want = ladder.minBy(b => (math.abs(ar - b), b))
+      assert(bk == want.toLong, s"doc $id: bucket $bk, want $want")
+    }
+    // per bucket: batch ids start at 0, are contiguous in doc order,
+    // and every batch except the last holds exactly AspectBatchSize
+    got.groupBy(_._5).foreach { case (bk, rows) =>
+      val ordered = rows.sortBy(_._1).map(_._6)
+      val expected = ordered.indices
+        .map(i => (i / Multimodal.AspectBatchSize).toLong)
+      assert(ordered.toSeq == expected,
+        s"bucket $bk batch ids $ordered")
+    }
+  }
 }

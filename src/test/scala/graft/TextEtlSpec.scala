@@ -438,4 +438,47 @@ class TextEtlSpec extends GraftSpec {
     assert(got(1L) == ((6L, 3L, 7L, fl(6, 3, 7))))
     assert(got(2L) == ((3L, 1L, 3L, fl(3, 1, 3))))
   }
+
+  test("gopher rules: each rule flips on a crafted violation, bitmask " +
+      "composes, verdicts vary on the corpus fixture") {
+    // pad to 20+ words so only the TARGETED rule fails per doc
+    val okTail = (1 to 18).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      // all rules pass
+      (0L, s"the cat of dog and $okTail"),
+      // R1: too short (word lengths keep the mean in [3,10])
+      (1L, "the cats off and dogs"),
+      // R2: mean word length > 10 (distinct words so only R2 trips)
+      (2L, ("the of " + (1 to 18).map(i =>
+        s"pneumonoultramicroscopics$i").mkString(" "))),
+      // R3: <80% alphabetic words (5 numeric of 20, all distinct, mean
+      // length in range)
+      (3L, "the of " + (1 to 13).map(i => f"alpha$i%02d").mkString(" ")
+        + " 1234 2345 3456 4567 5678"),
+      // R4: no stopword evidence
+      (4L, (1 to 20).map(i => s"tok$i").mkString(" ")),
+      // R5: one word dominates (>20%)
+      (5L, "the of " + (1 to 10).map(_ => "spam").mkString(" ") + " " +
+        (1 to 8).map(i => s"x$i").mkString(" ")),
+      // R6: duplicated bigrams (>30%)
+      (6L, "the of " + (1 to 9).map(_ => "ab cd").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("web").as("source"), length(col("text")).as("n_chars"))
+    val got = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(9)).toMap
+    assert(got(0L) == 0L, s"clean doc flagged: ${got(0L)}")
+    assert(got(1L) == 1L, s"wordcount bit: ${got(1L)}")
+    assert(got(2L) == 2L, s"meanlen bit: ${got(2L)}")
+    assert(got(3L) == 4L, s"alpha bit: ${got(3L)}")
+    assert(got(4L) == 8L, s"stopword bit: ${got(4L)}")
+    assert((got(5L) & 16L) == 16L, s"dominance bit: ${got(5L)}")
+    assert((got(6L) & 32L) == 32L, s"dup-bigram bit: ${got(6L)}")
+    // corpus face: verdicts vary and pass == (reasons == 0) everywhere
+    val face = TextAnalysis.gopherRules(
+      graft.sources.Tables.load(spark, sf, "documents")).collect()
+    assert(face.exists(_.getBoolean(10)) && face.exists(!_.getBoolean(10)))
+    face.foreach(r =>
+      assert(r.getBoolean(10) == (r.getLong(9) == 0L)))
+  }
 }
