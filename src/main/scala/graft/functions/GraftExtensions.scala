@@ -52,6 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "token hashes; exactly replayable in standard SQL"),
       (children: Seq[Expression]) => PolySimHash(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("poly_digest"),
+      info("poly_digest",
+        "poly_digest(s) - seeded codepoint-polynomial digest of a " +
+          "string; exactly replayable in standard SQL (the row-" +
+          "checksum primitive)"),
+      (children: Seq[Expression]) => PolyDigest(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("entropy_nats"),
       info("entropy_nats",
         "entropy_nats(x) - Shannon entropy in nats of x's symbol " +

@@ -211,6 +211,47 @@ private[functions] object PolyHash {
   }
 }
 
+/** Seeded polynomial digest of a string's code points: h = fold
+  * (acc·31 + cp) mod 1000000007 from seed 888888883 ([[PolyHash]]'s
+  * B1/P1/S1, surrogate-pair-correct code points). Exact integer SQL
+  * replays it (LIST_REDUCE over UNICODE code points), which is the
+  * point: an order-independent fold of row digests (BIT_XOR / SUM —
+  * digests are < 2^30, so even billion-row SUMs stay far from int64
+  * overflow) becomes a table-content fingerprint BOTH engines agree
+  * on bit-for-bit — the migration-validation primitive. One primitive
+  * pass per row, codegen'd, no allocation beyond the codepoint
+  * array. */
+case class PolyDigest(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "poly_digest"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+
+  def compute(s: UTF8String): Long = {
+    import PolyHash._
+    val cps = codePoints(s)
+    hash(cps, 0, cps.length, B1, P1, S1)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("polyDigestExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolyDigest =
+    copy(child = newChild)
+}
+
 /** 60-bit SimHash whose token hashes are the two [[PolyHash]]
   * polynomials (bits 0–29 from B=31 mod 1000000007, bits 30–59 from
   * B=37 mod 998244353): bit i is set iff strictly more than half the

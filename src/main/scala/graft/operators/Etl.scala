@@ -218,7 +218,78 @@ object Etl {
         col("bal_band"))
   }
 
+  /** Table-content fingerprint for migration / replication validation
+    * — "did the copy preserve every row bit-for-bit" without sorting
+    * or moving the table: each row folds to a canonical digest (the
+    * codegen'd poly_digest over a '|'-joined canonical projection:
+    * fixed-point cents, ISO dates), and per-group fingerprints are
+    * ORDER-INDEPENDENT folds of those digests — BIT_XOR and SUM (both
+    * commutative; digests < 2^30 keep a billion-row SUM far from
+    * overflow) plus count/min/max. Two tables are byte-equal per group
+    * iff every column of this summary matches — the standard
+    * checksum-compare pattern for cross-system migrations, which is
+    * exactly what the DuckDB oracle demonstrates by recomputing the
+    * digests itself.
+    *
+    * Scale shape: one map-side digest per row inside the scan stage,
+    * then a map-side-combinable aggregate on the group key — a 100 TB
+    * table fingerprints in one pass with a dimension-sized shuffle. */
+  def rowChecksum(orders: DataFrame): DataFrame = {
+    val canon = concat_ws("|",
+      col("o_orderkey").cast("string"),
+      col("o_custkey").cast("string"),
+      col("o_orderstatus"),
+      floor(col("o_totalprice") * 100).cast("long").cast("string"),
+      col("o_orderdate").cast("date").cast("string"),
+      col("o_orderpriority"))
+    orders
+      .select(col("o_orderpriority").as("grp"),
+        call_function("poly_digest", canon).as("h"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_digest"),
+        sum(col("h")).as("sum_digest"),
+        min(col("h")).as("min_digest"),
+        max(col("h")).as("max_digest"))
+      .orderBy(col("grp"))
+  }
+
+  /** PII tokenization vault — the privacy pass every shared analytics
+    * lake runs before data leaves the trust boundary: the PII column
+    * (customer name) is replaced by a DETERMINISTIC surrogate token
+    * (poly_digest-derived, so the same value always tokenizes
+    * identically — referential joins keep working across tables and
+    * runs), and the token ↔ original mapping lives in a separate
+    * vault relation. The face emits the pseudonymized rows decorated
+    * with an in-plan ROUNDTRIP certificate: re-joining the vault must
+    * recover exactly the original value for every row — the "detokens
+    * back losslessly" contract, hash-gated (the oracle recomputes
+    * token, vault and certificate independently).
+    *
+    * Scale shape: tokenization is one codegen'd digest per row inside
+    * the scan; the vault is a distinct over (token, value) — PII-
+    * cardinality, not fact-cardinality; the certificate join is
+    * token-keyed. At 100 TB the fact side never shuffles more than
+    * its token column. */
+  def piiVault(customer: DataFrame): DataFrame = {
+    val tok = concat(lit("TOK_"),
+      lpad(call_function("poly_digest", col("c_name")).cast("string"),
+        10, "0"))
+    val base = customer.select(col("c_custkey"), col("c_name"),
+      col("c_mktsegment").as("segment"), tok.as("token"))
+    val vault = base.select(col("token"), col("c_name").as("pii"))
+      .distinct()
+    base.join(vault, Seq("token"), "left")
+      .select(col("c_custkey"), col("token"), col("segment"),
+        (col("pii") === col("c_name")).as("roundtrip_ok"))
+      .orderBy(col("c_custkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_row_checksum" -> ((s, dir) =>
+      rowChecksum(Tables.load(s, dir, "orders"))),
+    "etl_pii_vault" -> ((s, dir) =>
+      piiVault(Tables.load(s, dir, "customer"))),
     // -- k-anonymity release with a fixed generalization ladder ------------
     "etl_k_anon" -> ((s, dir) =>
       kAnonymize(Tables.load(s, dir, "customer"))),
@@ -690,6 +761,47 @@ object Etl {
         |  c_acctbal
         |FROM customer""".stripMargin
     Map(
+      // the oracle is a FULL INDEPENDENT RECOMPUTATION of the digests
+      // (LIST_REDUCE polynomial fold over the same canonical string),
+      // so hash equality here is the actual migration-validation
+      // demonstration: two engines, one fingerprint
+      "etl_row_checksum" ->
+        """WITH c AS (
+          |  SELECT o_orderpriority AS grp,
+          |    LIST_REDUCE(LIST_PREPEND(CAST(888888883 AS BIGINT),
+          |      LIST_TRANSFORM(STRING_SPLIT(
+          |        CAST(o_orderkey AS VARCHAR) || '|' ||
+          |        CAST(o_custkey AS VARCHAR) || '|' ||
+          |        o_orderstatus || '|' ||
+          |        CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+          |          AS VARCHAR) || '|' ||
+          |        CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||
+          |        o_orderpriority, ''),
+          |        ch -> CAST(UNICODE(ch) AS BIGINT))),
+          |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+          |  FROM orders)
+          |SELECT grp, COUNT(*) AS n_rows,
+          |  CAST(BIT_XOR(h) AS BIGINT) AS xor_digest,
+          |  CAST(SUM(h) AS BIGINT) AS sum_digest,
+          |  MIN(h) AS min_digest, MAX(h) AS max_digest
+          |FROM c GROUP BY grp ORDER BY grp""".stripMargin,
+      // token, vault and roundtrip certificate all recomputed
+      // independently from the same digest fold
+      "etl_pii_vault" ->
+        """WITH tok AS (
+          |  SELECT c_custkey, c_name, c_mktsegment AS segment,
+          |    'TOK_' || LPAD(CAST(
+          |      LIST_REDUCE(LIST_PREPEND(CAST(888888883 AS BIGINT),
+          |        LIST_TRANSFORM(STRING_SPLIT(c_name, ''),
+          |          ch -> CAST(UNICODE(ch) AS BIGINT))),
+          |        (acc, x) -> (acc * 31 + x) % 1000000007)
+          |      AS VARCHAR), 10, '0') AS token
+          |  FROM customer),
+          |vault AS (SELECT DISTINCT token, c_name AS pii FROM tok)
+          |SELECT t.c_custkey, t.token, t.segment,
+          |  v.pii = t.c_name AS roundtrip_ok
+          |FROM tok t LEFT JOIN vault v ON t.token = v.token
+          |ORDER BY t.c_custkey""".stripMargin,
       // the generalization ladder verbatim: level-0 groups, sub-k
       // residue re-grouped twice, suppression residue summed — every
       // count an exact integer, band from the same IEEE FLOOR(x/1000)

@@ -718,6 +718,89 @@ object Relational {
           Array(col("customers"), col("suppliers"), col("acctbal_cents")),
           "metric", "value")
         .orderBy(col("n_name"), col("metric"))
+    },
+
+    // -- q43: CUBE with GROUPING/GROUPING_ID provenance --------------------
+    // q39 proved the cube expansion; this face exposes the provenance
+    // METADATA BI layers key on — grouping() per dimension and the
+    // grouping_id() bitmask — so a subtotal row is distinguishable
+    // from a data row whose dimension VALUE happens to be NULL (the
+    // classic cube-consumption bug coalesce-only outputs invite). All
+    // still one cube expand + one aggregate, no extra exchange.
+    "q43_grouping_id" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("g_prio"), col("g_status"), col("gid"))
+        .orderBy(col("gid"), col("prio"), col("status"))
+    },
+
+    // -- q44: ordered string aggregation ------------------------------------
+    // LISTAGG/STRING_AGG with an explicit ORDER — the report-building
+    // primitive (one delimited cell per group). Spark has no ordered
+    // string_agg aggregate; sort-inside-collect (array_sort over
+    // collect_list, then array_join) reproduces the deterministic
+    // order declaratively. Group cardinality bounds the cell, so the
+    // collect_list is dimension-sized per group — never a corpus-wide
+    // collect.
+    "q44_string_agg" -> { (s, dir) =>
+      Tables.load(s, dir, "supplier")
+        .join(Tables.load(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          array_join(array_sort(collect_list(col("s_name"))), ",")
+            .as("suppliers_csv"))
+        .orderBy(col("n_name"))
+    },
+
+    // -- q45: exact per-group mode with total tie order --------------------
+    // The most frequent value per group (data-profiling / imputation
+    // primitive), ties broken to the SMALLEST value so the answer is a
+    // pure function of the data: one map-side-combined (group, value)
+    // count + one group-keyed ROW_NUMBER argmax — the same
+    // WindowGroupLimit shape as q22/q37, never a global sort.
+    "q45_mode" -> { (s, dir) =>
+      val counts = Tables.load(s, dir, "customer")
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("n").desc, col("c_nationkey"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_mktsegment"),
+          col("c_nationkey").as("mode_nationkey"), col("n").as("n_mode"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // -- q46: median absolute deviation (robust spread) --------------------
+    // The robust outlier-scale statistic (MAD) per group, exact:
+    // account balances quantize to integer cents, the two medians
+    // interpolate on the .5 grid (dyadic rationals — IEEE-exact on
+    // both engines), and the deviation pass reuses the same
+    // fixed-point contract. Two grouped exact-percentile aggregates
+    // with a dimension-sized broadcast join between them — the
+    // textbook two-pass MAD, no window, no global sort.
+    "q46_mad" -> { (s, dir) =>
+      val cents = Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+      val med = cents.groupBy(col("c_mktsegment"))
+        .agg(expr("percentile(cents, 0.5)").as("med_cents"))
+      cents.join(broadcast(med), Seq("c_mktsegment"))
+        .select(col("c_mktsegment"),
+          abs(col("cents") - col("med_cents")).as("adev"),
+          col("med_cents"))
+        .groupBy(col("c_mktsegment"))
+        .agg(first(col("med_cents")).as("med_cents"),
+          expr("percentile(adev, 0.5)").as("mad_cents"))
+        .orderBy(col("c_mktsegment"))
     }
   )
 
@@ -1120,6 +1203,46 @@ object Relational {
         |SELECT n_name, metric, CAST(value AS BIGINT) AS value FROM wide
         |UNPIVOT (value FOR metric IN (customers, suppliers, acctbal_cents))
         |ORDER BY n_name, metric""".stripMargin,
+    // same CUBE with the provenance flags recomputed by GROUPING()
+    "q43_grouping_id" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY gid, prio, status""".stripMargin,
+    // the native ordered STRING_AGG — hash equality proves the
+    // sort-inside-collect formulation reproduces it byte-for-byte
+    "q44_string_agg" ->
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+        |  STRING_AGG(s_name, ',' ORDER BY s_name) AS suppliers_csv
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q45_mode" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY n DESC, c_nationkey) AS rn FROM c)
+        |SELECT c_mktsegment, c_nationkey AS mode_nationkey, n AS n_mode
+        |FROM r WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+    // exact two-pass MAD on the cents grid: both medians interpolate
+    // on dyadic rationals, IEEE-exact on both engines
+    "q46_mad" ->
+      """WITH cents AS (
+        |  SELECT c_mktsegment,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |med AS (
+        |  SELECT c_mktsegment, QUANTILE_CONT(cents, 0.5) AS med_cents
+        |  FROM cents GROUP BY 1)
+        |SELECT c.c_mktsegment, ANY_VALUE(m.med_cents) AS med_cents,
+        |  QUANTILE_CONT(ABS(c.cents - m.med_cents), 0.5) AS mad_cents
+        |FROM cents c JOIN med m USING (c_mktsegment)
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     // plain unsalted join — hash equality proves salting preserves semantics
     "q19_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

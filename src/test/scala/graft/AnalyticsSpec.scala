@@ -440,4 +440,64 @@ class AnalyticsSpec extends GraftSpec {
         cs.map(c => math.floor(c._2 * 100).toLong).sum)
     }
   }
+
+  test("q43: grouping flags distinguish subtotal rows from data rows " +
+      "and the bitmask composes the per-dim flags") {
+    val rows = SparkEntry.queries("q43_grouping_id")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // gid = 2*g_prio + g_status on every row; flags match the ALL marks
+    rows.foreach { case (p, st, _, gp, gs, gid) =>
+      assert(gid == 2 * gp + gs)
+      assert((gp == 1L) == (p == "ALL"))
+      assert((gs == 1L) == (st == "ALL"))
+    }
+    // exactly one grand total carrying the full row count
+    val total = rows.filter(_._6 == 3L)
+    val n = Tables.load(spark, sf, "orders").count()
+    assert(total.length == 1 && total.head._3 == n)
+    // each subtotal level re-adds to the grand total
+    assert(rows.filter(_._6 == 0L).map(_._3).sum == n)
+    assert(rows.filter(_._6 == 1L).map(_._3).sum == n)
+    assert(rows.filter(_._6 == 2L).map(_._3).sum == n)
+  }
+
+  test("q44/q45/q46: string_agg cells are sorted and complete, mode is " +
+      "the replayed argmax, MAD matches a driver replay") {
+    val agg = SparkEntry.queries("q44_string_agg")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    agg.foreach { case (_, n, csv) =>
+      val parts = csv.split(",").toSeq
+      assert(parts.length.toLong == n)
+      assert(parts == parts.sorted, "cell not in sorted order")
+    }
+    // mode: driver replay with (count desc, value asc) order
+    val cust = Tables.load(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey").cast("long"),
+        col("c_acctbal"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val modes = SparkEntry.queries("q45_mode")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1).toLong, r.getLong(2)))).toMap
+    cust.groupBy(_._1).foreach { case (seg, rs) =>
+      val want = rs.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (v, c) => (-c, v) }.head
+      assert(modes(seg) == want, s"$seg: ${modes(seg)} vs $want")
+    }
+    // MAD: exact dyadic medians replayed on the driver
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val mad = SparkEntry.queries("q46_mad")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    cust.groupBy(_._1).foreach { case (seg, rs) =>
+      val cents = rs.map(r => math.floor(r._3 * 100))
+      val m = median(cents)
+      val d = median(cents.map(c => math.abs(c - m)))
+      assert(mad(seg) == ((m, d)), s"$seg: ${mad(seg)} vs ($m, $d)")
+    }
+  }
 }

@@ -491,4 +491,32 @@ class FunctionsSpec extends GraftSpec {
       .collect().head
     assert(bad.isNullAt(1), "dimension mismatch must yield NULL")
   }
+
+  test("poly_digest: hand-folded values, surrogate pairs, and the " +
+      "checksum fold detects single-character corruption") {
+    def fold(s: String): Long = {
+      var h = 888888883L
+      s.codePoints().toArray.foreach(cp => h = (h * 31 + cp) % 1000000007L)
+      h
+    }
+    val inputs = Seq("", "a", "abc", "the cat", "café", "😀x")
+    val got = inputs.toDF("s")
+      .selectExpr("poly_digest(s) AS h").collect().map(_.getLong(0))
+    assert(got.toSeq == inputs.map(fold),
+      s"digest mismatch: ${got.toSeq} vs ${inputs.map(fold)}")
+    // order-independent table fingerprint: permuting rows preserves
+    // the XOR/SUM fold, corrupting one character changes it
+    val rows = Seq("r1|alpha", "r2|beta", "r3|gamma")
+    def fp(xs: Seq[String]): (Long, Long) = {
+      val hs = xs.map(fold)
+      (hs.reduce(_ ^ _), hs.sum)
+    }
+    assert(fp(rows) == fp(rows.reverse))
+    assert(fp(rows) != fp(Seq("r1|alpha", "r2|betb", "r3|gamma")))
+    // the operator face: deterministic across two runs on the corpus
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+    val a = graft.operators.Etl.rowChecksum(o).collect().toSeq
+    val b = graft.operators.Etl.rowChecksum(o).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

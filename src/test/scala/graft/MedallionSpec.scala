@@ -323,4 +323,30 @@ class MedallionSpec extends GraftSpec {
     val total = graft.sources.Tables.load(spark, sf, "customer").count()
     assert(face.map(_.getLong(3)).sum == total, "count not conserved")
   }
+
+  test("pii vault: deterministic tokens, lossless roundtrip, vault " +
+      "stays PII-cardinality, no raw PII in the output") {
+    import org.apache.spark.sql.functions._
+    val customer = graft.sources.Tables.load(spark, sf, "customer")
+    val out = graft.operators.Etl.piiVault(customer).collect()
+    // every row roundtrips through the vault losslessly
+    assert(out.nonEmpty && out.forall(_.getBoolean(3)))
+    // deterministic: a second run tokenizes identically
+    val out2 = graft.operators.Etl.piiVault(customer).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      out2.map(r => (r.getLong(0), r.getString(1))).toSeq)
+    // same name => same token, distinct names => distinct tokens here
+    val names = customer.select(col("c_custkey"), col("c_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val toks = out.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byName = names.groupBy(_._2).values
+    byName.foreach { grp =>
+      assert(grp.map(kv => toks(kv._1)).toSet.size == 1,
+        "equal PII values tokenized differently")
+    }
+    assert(toks.values.toSet.size == names.values.toSet.size,
+      "token cardinality diverged from PII cardinality (collision)")
+    // the pseudonymized face never carries the raw name
+    assert(out.forall(r => !names.values.toSet.contains(r.getString(1))))
+  }
 }
