@@ -297,6 +297,96 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Matryoshka truncation audit (Kusupati et al. 2022): MRL-trained
+    * embeddings pack most signal into their PREFIX dims, so serving
+    * can truncate D=64 → 16 for a 4× index shrink — IF retrieval
+    * survives. The audit measures exactly that: per query, top-k by
+    * full-dim cosine vs top-k by truncated-prefix cosine, reporting
+    * the overlap count and the query's prefix energy fraction
+    * (‖q[:16]‖²/‖q‖²). Ranking reuses knnBrute's contract (rank ties
+    * on neighbor_id, unrounded engine floats — the proven knn_brute
+    * cross-engine seam).
+    *
+    * Scale shape: two bounded broadcast-query scans (the knn_brute
+    * shape — the corpus never shuffles, each leg is one pass), a
+    * query-keyed overlap join on k·|Q| rows, and a |Q|-sized output.
+    * The audit stays |Q|-bounded at ANY corpus size (emb_recall_audit
+    * discipline). */
+  def matryoshkaAudit(vecs: DataFrame, queryPred: Column, k: Int = 5,
+      subDim: Int = 16): DataFrame = {
+    val tvecs = vecs.select(col("vec_id"),
+      slice(col("embedding"), 1, subDim).as("embedding"))
+    val full = knnBrute(vecs, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val trunc = knnBrute(tvecs, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ov = full.join(trunc, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+    vecs.filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        round(dot(slice(col("embedding"), 1, subDim),
+            slice(col("embedding"), 1, subDim)) /
+          dot(col("embedding"), col("embedding")), 4).as("energy_r"))
+      .join(ov, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n"), lit(0L)).as("n_overlap"), col("energy_r"))
+      .orderBy(col("query_id"))
+  }
+
+  /** LSH-bucketed RADIUS search (range query): all corpus vectors
+    * within cosine ≥ threshold of each query — the "everything this
+    * similar" retrieval mode (near-dup lookup of an incoming document,
+    * contamination blast radius around an eval item), as opposed to
+    * top-k. Candidates are query-anchored: a corpus vector qualifies
+    * only if it shares an LSH (band, bucket) with the query — ONE
+    * bucket-keyed join of the banded corpus against the |Q|-sized
+    * banded query set, never a corpus self-join — then exact-cosine
+    * verified. Output is a |Q|-bounded per-query audit row (match
+    * count, best match), so zero-recall queries are visible rather
+    * than silently absent.
+    *
+    * Scale shape: the banded frame is computed once (auto-bits — same
+    * linear-occupancy rule as the dedup faces); candidate volume is
+    * Σ_query bucket-occupancy ≈ |Q|·bands·occupancy — independent of
+    * corpus size beyond the one scan. */
+  def radiusSearch(vecs: DataFrame, queryPred: Column,
+      threshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bits = autoBitsPerBand(vecs.count())
+    val banded = lshBanded(vecs, bits).localCheckpoint(true)
+    val qb = banded.join(vecs.filter(queryPred).select(col("vec_id")),
+        Seq("vec_id"))
+      .toDF("query_id", "band", "bucket")
+    val cands = banded.join(qb, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val embs = vecs.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val verified = cands
+      .join(embs.toDF("vec_id", "e_c", "n_c"), Seq("vec_id"))
+      .join(embs.toDF("query_id", "e_q", "n_q"), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        safeCos(dot(col("e_c"), col("e_q")), col("n_c"), col("n_q"))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .localCheckpoint(true)
+    val counts = verified.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val best = verified.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id").as("best_id"),
+        round(col("cos_sim"), 4).as("best_cos_r"))
+    vecs.filter(queryPred).select(col("vec_id").as("query_id"))
+      .join(counts, Seq("query_id"), "left_outer")
+      .join(best, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n"), lit(0L)).as("n_matches"),
+        col("best_id"), col("best_cos_r"))
+      .orderBy(col("query_id"))
+  }
+
   /** MMR fixed-point quantization scale: sims become exact BIGINTs, so
     * the greedy's comparisons are bit-identical across engines (the
     * emb_kmeans fixed-point precedent — a float MMR would flip picks
@@ -1895,6 +1985,12 @@ object Similarity {
           round(col("cos_sim"), 4).as("cos_r"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     },
+    "emb_matryoshka" -> ((s, dir) =>
+      matryoshkaAudit(Tables.load(s, dir, "embeddings"),
+        col("vec_id") < 10)),
+    "knn_radius" -> ((s, dir) =>
+      radiusSearch(Tables.load(s, dir, "embeddings"),
+        col("vec_id") < 10)),
     // Correctness face probes ALL cells (nprobe = centroidBudget):
     // exact by construction, so it shares knn_brute's oracle — any bug
     // in assignment, the cell join, the dedup, or the ranking breaks
@@ -2024,7 +2120,7 @@ object Similarity {
     * 32·2^b ≥ n), banding/bucket arithmetic, the (1, maxBucket]
     * bucket-size cut, a<b candidate pairs distinct across bands, and
     * the unrounded cosine ≥ 0.4 verify. */
-  private lazy val lshPairCtes: String =
+  private lazy val lshBandedCtes: String =
     s"""planes AS (SELECT * FROM (VALUES
        |$planeLiterals) t(p, pl)),
        |nn AS (SELECT COUNT(*) AS n FROM embeddings),
@@ -2045,7 +2141,10 @@ object Similarity {
        |    (h.hb >> (r.band * bits.b))
        |      & ((1::BIGINT << bits.b) - 1) AS bucket
        |  FROM hb h, RANGE(0, 12) r(band), bits
-       |  WHERE r.band < 48 // bits.b),
+       |  WHERE r.band < 48 // bits.b)""".stripMargin
+
+  private lazy val lshPairCtes: String =
+    s"""$lshBandedCtes,
        |keep AS (
        |  SELECT band, bucket FROM banded GROUP BY band, bucket
        |  HAVING COUNT(*) > 1 AND COUNT(*) <= 1024),
@@ -2295,6 +2394,92 @@ object Similarity {
         |  ROUND(fin.eig, 4) AS eigenvalue,
         |  (SELECT r FROM res) < 0.10 AS resid_ok
         |FROM idx, fin ORDER BY dim""".stripMargin,
+    // both retrieval legs replayed brute-force (full and 16-dim
+    // prefix), same rank-tie contract as knn_brute, overlap counted
+    // identically; energy is the same float division rounded
+    "emb_matryoshka" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding,
+        |    SQRT(LIST_DOT_PRODUCT(embedding, embedding)) AS nrm
+        |  FROM embeddings),
+        |tcorpus AS (
+        |  SELECT vec_id, embedding[1:16] AS e16,
+        |    SQRT(LIST_DOT_PRODUCT(embedding[1:16], embedding[1:16]))
+        |      AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+        |      FROM corpus WHERE vec_id < 10),
+        |tq AS (SELECT vec_id AS query_id, e16 AS qe, nrm AS qn
+        |       FROM tcorpus WHERE vec_id < 10),
+        |fullk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY LIST_DOT_PRODUCT(c.embedding, q.qe)
+        |          / (c.nrm * q.qn) DESC, c.vec_id) AS rnk
+        |    FROM corpus c, q WHERE c.vec_id <> q.query_id) t
+        |  WHERE rnk <= 5),
+        |trunck AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY LIST_DOT_PRODUCT(c.e16, q.qe)
+        |          / (c.nrm * q.qn) DESC, c.vec_id) AS rnk
+        |    FROM tcorpus c, tq q WHERE c.vec_id <> q.query_id) t
+        |  WHERE rnk <= 5),
+        |ov AS (
+        |  SELECT f.query_id, COUNT(*) AS n
+        |  FROM fullk f JOIN trunck t
+        |    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+        |  GROUP BY f.query_id)
+        |SELECT c.vec_id AS query_id,
+        |  CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+        |  ROUND(CAST(LIST_DOT_PRODUCT(c.embedding[1:16],
+        |      c.embedding[1:16]) AS DOUBLE)
+        |    / CAST(LIST_DOT_PRODUCT(c.embedding, c.embedding)
+        |      AS DOUBLE), 4) AS energy_r
+        |FROM embeddings c LEFT JOIN ov ON c.vec_id = ov.query_id
+        |WHERE c.vec_id < 10 ORDER BY query_id""".stripMargin,
+    // query-anchored bucket join replayed on the same banded CTEs
+    // (no bucket-size cut — mirrors the face), exact verify at 0.3,
+    // per-query count + (cos desc, id) argmax
+    "knn_radius" ->
+      s"""WITH $lshBandedCtes,
+         |qb AS (
+         |  SELECT vec_id AS query_id, band, bucket FROM banded
+         |  WHERE vec_id < 10),
+         |cands AS (
+         |  SELECT DISTINCT q.query_id, b.vec_id
+         |  FROM banded b JOIN qb q
+         |    ON b.band = q.band AND b.bucket = q.bucket
+         |  WHERE b.vec_id <> q.query_id),
+         |corpus AS (
+         |  SELECT vec_id, embedding,
+         |    SQRT(LIST_DOT_PRODUCT(embedding, embedding)) AS nrm
+         |  FROM embeddings),
+         |verified AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    LIST_DOT_PRODUCT(ec.embedding, eq.embedding)
+         |      / (ec.nrm * eq.nrm) AS cs
+         |  FROM cands c
+         |  JOIN corpus ec ON ec.vec_id = c.vec_id
+         |  JOIN corpus eq ON eq.vec_id = c.query_id
+         |  WHERE LIST_DOT_PRODUCT(ec.embedding, eq.embedding)
+         |      / (ec.nrm * eq.nrm) >= 0.3),
+         |cnt AS (SELECT query_id, COUNT(*) AS n FROM verified
+         |        GROUP BY query_id),
+         |best AS (
+         |  SELECT query_id, vec_id AS best_id, ROUND(cs, 4) AS best_cos_r
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cs DESC, vec_id) AS rn FROM verified) t
+         |  WHERE rn = 1)
+         |SELECT e.vec_id AS query_id,
+         |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_matches,
+         |  best.best_id, best.best_cos_r
+         |FROM embeddings e
+         |LEFT JOIN cnt ON e.vec_id = cnt.query_id
+         |LEFT JOIN best ON e.vec_id = best.query_id
+         |WHERE e.vec_id < 10 ORDER BY query_id""".stripMargin,
     // exact engine-replay of the banded-LSH production face — planes
     // inlined, bits derived from COUNT(*) with the same integer rule
     "dedup_embedding_lsh" -> lshReplaySql,

@@ -115,6 +115,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Zipf rank-frequency fit over the corpus vocabulary — the classic
+    * "does this corpus look like natural language" health signal
+    * (natural text slopes ≈ −1; template spam and gibberish bend the
+    * curve): least-squares slope/intercept of ln(freq) on ln(rank)
+    * over the top-N word types. One corpus-wide word count
+    * (map-side-combined), a TakeOrderedAndProject top-N cut (never a
+    * global sort — vocabulary is NOT dimension-bounded at web scale),
+    * then the regression over the N-row remnant; the only unbounded
+    * exchange is the word-keyed count. Slope/intercept round to 6
+    * decimals (sums of ~N ln-terms: cross-engine libm ulps and
+    * summation-order noise sit at ~1e-13, measure-zero for the
+    * rounding — the entropy/readability precedent). */
+  def zipfFit(docs: DataFrame, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(count(lit(1)).as("n_types"),
+      sum(col("c")).as("n_tokens"))
+    // the window runs over the ALREADY-CUT topN rows (bounded), so the
+    // empty partitionBy is a constant-size sort, not a corpus funnel
+    val wnd = Window.orderBy(col("c").desc, col("w"))
+    val ranked = counts.orderBy(col("c").desc, col("w")).limit(topN)
+      .withColumn("r", row_number().over(wnd).cast("double"))
+      .select(log(col("r")).as("x"), log(col("c").cast("double")).as("y"))
+    val fit = ranked.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("slope_r"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n"), 6).as("intercept_r"))
+    totals.crossJoin(fit)
+      .select(col("n_types"), col("n_tokens"), col("slope_r"),
+        col("intercept_r"))
+  }
+
   /** Token counts: whitespace tokens and BPE-ish regex tokens. */
   def tokens(docs: DataFrame): DataFrame =
     docs.select(
@@ -772,6 +812,7 @@ object TextAnalysis {
     "text_quality" -> ((s, dir) => quality(Tables.load(s, dir, "documents"))),
     "text_gopher_rules" -> ((s, dir) =>
       gopherRules(Tables.load(s, dir, "documents"))),
+    "text_zipf" -> ((s, dir) => zipfFit(Tables.load(s, dir, "documents"))),
     "text_tokens" -> ((s, dir) => tokens(Tables.load(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => langId(Tables.load(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) =>
@@ -1080,6 +1121,31 @@ object TextAnalysis {
         |  LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\s]', '', 'g')) / LENGTH(text)
         |    AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same count → top-100 cut → ln/ln least squares; ROUND(6)
+    // absorbs libm/summation-order ulps
+    "text_zipf" ->
+      """WITH c AS (
+        |  SELECT w, COUNT(*) AS c FROM (
+        |    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents) t
+        |  GROUP BY w),
+        |tot AS (
+        |  SELECT COUNT(*) AS n_types,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens FROM c),
+        |top AS (SELECT * FROM c ORDER BY c DESC, w LIMIT 100),
+        |xy AS (
+        |  SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w)
+        |      AS DOUBLE)) AS x,
+        |    LN(CAST(c AS DOUBLE)) AS y
+        |  FROM top),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
+        |    SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM xy)
+        |SELECT tot.n_types, tot.n_tokens,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_r,
+        |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+        |    / n, 6) AS intercept_r
+        |FROM tot, s""".stripMargin,
     // full replay: same integer cross-multiplied rule verdicts, same
     // bitmask arithmetic — LIST HOFs mirror the Spark transforms
     "text_gopher_rules" ->

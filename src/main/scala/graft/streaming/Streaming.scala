@@ -54,6 +54,46 @@ object Streaming {
         col("n"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Windowed top-k, batch face: the k most active users per tumbling
+    * hour (leaderboards, hot-key monitors, trending detectors) with a
+    * TOTAL rank order (count desc, then user_id) so the cut is a pure
+    * function of the data. Shape: one (window, user) map-side-combined
+    * count, then a window-keyed ROW_NUMBER cut — the WindowGroupLimit
+    * plan (rank pushes into a per-partition top-k before the shuffle),
+    * never a global sort. */
+  def batchTopUsers(events: DataFrame, k: Int = 3): DataFrame =
+    rankTopUsers(
+      events.groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("user_id"),
+          col("n")), k)
+
+  /** The serving-side rank for [[batchTopUsers]] /
+    * [[streamingTopUserCounts]]: top-k cut over completed (window,
+    * user) counts. Split out because the STREAMING formulation
+    * pre-aggregates counts under a watermark (append mode emits a
+    * window's counts once, when it closes) and applies this rank at
+    * read time — the standard streaming-top-k split: ranking inside
+    * the stream would need arbitrary per-window state for a result
+    * that is only final at watermark close anyway. */
+  def rankTopUsers(counts: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("user_id"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("window_start"), col("rank"))
+  }
+
+  /** Streaming face of the top-k pre-aggregation: watermarked
+    * (window, user) counts, append mode — state is bounded by the
+    * watermark horizon. */
+  def streamingTopUserCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("user_id"),
+        col("n"))
+
   /** Gap-based sessionization, batch face: a new session starts when
     * the gap to the previous event of the same user exceeds
     * SessionGapMinutes. */
@@ -595,6 +635,8 @@ object Streaming {
       batchUserState(Tables.load(s, dir, "events"))),
     "stream_window_agg" -> ((s, dir) =>
       batchWindowAgg(Tables.load(s, dir, "events"))),
+    "stream_topk" -> ((s, dir) =>
+      batchTopUsers(Tables.load(s, dir, "events"))),
     "stream_sliding_agg" -> ((s, dir) =>
       batchSlidingAgg(Tables.load(s, dir, "events"))),
     "stream_sessionize" -> ((s, dir) =>
@@ -633,6 +675,17 @@ object Streaming {
       """SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_topk" ->
+      """WITH c AS (
+        |  SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start,
+        |    user_id, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+        |    ORDER BY n DESC, user_id) AS rnk FROM c)
+        |SELECT window_start, user_id, n, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 3
+        |ORDER BY window_start, rank""".stripMargin,
     "stream_window_agg" ->
       """SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start,
         |  event_type, COUNT(*) AS n,

@@ -34,7 +34,13 @@ class PlanLintSpec extends GraftSpec {
       "emb_recall_audit",
       // knn_brute's bounded query-set broadcast builds the candidate
       // pool; the greedy itself is pool-bounded per group
-      "emb_mmr")
+      "emb_mmr",
+      // runs knn_brute twice (full-dim and truncated-prefix legs),
+      // both the same bounded query-set broadcast
+      "emb_matryoshka",
+      // joins the 1-row vocabulary totals with the 1-row regression
+      // fit (1 × 1 cross)
+      "text_zipf")
 
   test("no query plan contains a cartesian product or stray nested loop") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, q) =>
@@ -58,7 +64,11 @@ class PlanLintSpec extends GraftSpec {
     * executes them on ONE partition, the exact scale-killer q34's
     * gate shed in round 7. */
   private val boundedFrameWindows =
-    Set("sample_temperature", "sample_mixture", "stream_late_audit")
+    Set("sample_temperature", "sample_mixture", "stream_late_audit",
+      // the rank window runs over the ALREADY-CUT top-100 remnant of
+      // TakeOrderedAndProject — a constant-size frame at any corpus
+      // size (TextAnalysis.zipfFit's scale note)
+      "text_zipf")
 
   private def physOps(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {

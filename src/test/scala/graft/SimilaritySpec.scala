@@ -739,4 +739,53 @@ class SimilaritySpec extends GraftSpec {
     assert(got.map(_._2).distinct.forall(c => !byId(c)),
       "a canonical representative was marked dup")
   }
+
+  test("matryoshka audit: overlap bounded by k, full-width truncation " +
+      "is the identity, energy fractions lie in (0, 1]") {
+    import org.apache.spark.sql.functions.col
+    val got = Similarity.matryoshkaAudit(vecs, col("vec_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 10)
+    got.foreach { case (q, ov, en) =>
+      assert(ov >= 0 && ov <= 5, s"query $q overlap $ov")
+      assert(en > 0.0 && en <= 1.0, s"query $q energy $en")
+    }
+    // truncating to the full dimension must recover brute top-k exactly
+    val idAudit = Similarity.matryoshkaAudit(vecs, col("vec_id") < 10,
+      subDim = Similarity.Dim).collect()
+    assert(idAudit.forall(r => r.getLong(1) == 5L),
+      "full-width truncation lost neighbors")
+    assert(idAudit.forall(r => r.getDouble(2) == 1.0))
+  }
+
+  test("radius search: every reported match truly clears the " +
+      "threshold, counts are a sound subset of brute-force range") {
+    import org.apache.spark.sql.functions.col
+    val rows = vecs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = rows.toMap
+    val got = Similarity.radiusSearch(vecs, col("vec_id") < 10)
+      .collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val q = r.getLong(0); val n = r.getLong(1)
+      // brute-force range count is an upper bound (LSH can only miss)
+      val brute = rows.count { case (id, v) =>
+        id != q && cos(v, byId(q)) >= 0.3 - 1e-9 }
+      assert(n <= brute, s"query $q: $n matches > brute $brute")
+      if (n > 0) {
+        // the reported best really clears the threshold
+        val bid = r.getLong(2)
+        assert(cos(byId(q), byId(bid)) >= 0.3 - 1e-9)
+        assert(math.abs(r.getDouble(3) - cos(byId(q), byId(bid))) < 1e-3)
+      } else assert(r.isNullAt(2) && r.isNullAt(3))
+    }
+    // the fixture produces at least one non-empty query
+    assert(got.exists(_.getLong(1) > 0))
+  }
 }

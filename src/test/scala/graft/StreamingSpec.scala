@@ -271,4 +271,29 @@ class StreamingSpec extends GraftSpec {
     // and 2000 sit at the first positions of chunks 1 and 2
     assert(got.map(_._2).sum === events.count())
   }
+
+  test("streaming top-k: watermarked pre-agg counts ranked at read " +
+      "time equal the batch leaderboard") {
+    val stream = Streaming.eventsStream(spark, sf)
+    val q = Streaming.streamingTopUserCounts(stream).writeStream
+      .format("memory").queryName("topk_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = Streaming.rankTopUsers(spark.table("topk_out")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val want = Streaming.batchTopUsers(Tables.load(spark, sf, "events"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want)
+    // every window carries at most 3 rows with dense ranks from 1
+    got.groupBy(_._1).foreach { case (ws, rows) =>
+      val ranks = rows.map(_._4).toSeq.sorted
+      assert(ranks == (1L to ranks.length).toSeq && ranks.length <= 3,
+        s"window $ws ranks $ranks")
+    }
+  }
 }

@@ -481,4 +481,25 @@ class TextEtlSpec extends GraftSpec {
     face.foreach(r =>
       assert(r.getBoolean(10) == (r.getLong(9) == 0L)))
   }
+
+  test("zipf fit: a planted power-law corpus slopes near -1, a " +
+      "uniform vocabulary fits an exactly flat line") {
+    // word k appears floor(1000/k) times -> ln(freq) ~ -1 * ln(rank)
+    val zipfWords = (1 to 50).flatMap(k => Seq.fill(1000 / k)(f"w$k%02d"))
+    val zipf = Seq((0L, zipfWords.mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(zipf, topN = 50).collect().head
+    assert(r.getLong(0) == 50L)
+    assert(r.getLong(1) == zipfWords.length.toLong)
+    val slope = r.getDouble(2)
+    assert(slope > -1.05 && slope < -0.90, s"planted slope $slope")
+    // equal counts: y is constant, the regression is exactly flat and
+    // the intercept is exactly ln(count) rounded
+    val uniWords = (1 to 50).flatMap(k => Seq.fill(20)(f"u$k%02d"))
+    val uni = Seq((0L, uniWords.mkString(" "))).toDF("doc_id", "text")
+    val u = TextAnalysis.zipfFit(uni, topN = 50).collect().head
+    assert(u.getDouble(2) == 0.0, s"uniform slope ${u.getDouble(2)}")
+    assert(u.getDouble(3) ==
+      BigDecimal(math.log(20.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
