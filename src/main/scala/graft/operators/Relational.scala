@@ -779,6 +779,44 @@ object Relational {
         .orderBy(col("c_mktsegment"))
     },
 
+    // -- q47: NEAREST-key as-of join (both directions) ----------------------
+    // q16 is the classic BACKWARD as-of; this is pandas
+    // merge_asof(direction='nearest'): each purchase pairs with the
+    // click closest in TIME, before or after, ties to the earlier
+    // side. Same single-sort shape — both direction candidates come
+    // from ONE user-keyed window pass over the unioned ordering (a
+    // backward last + a forward first), no join at all, so there is
+    // no fan-out to explode on hot users.
+    "q47_nearest_join" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val back = byUser.rowsBetween(Window.unboundedPreceding, -1)
+      val fwd = byUser.rowsBetween(1, Window.unboundedFollowing)
+      val clickTs = when(col("event_type") === "click", col("ts"))
+      Tables.load(s, dir, "events")
+        .withColumn("prev_click",
+          last(clickTs, ignoreNulls = true).over(back))
+        .withColumn("next_click",
+          first(clickTs, ignoreNulls = true).over(fwd))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("prev_click").isNull, col("next_click"))
+            .when(col("next_click").isNull, col("prev_click"))
+            .when(unix_micros(col("ts")) - unix_micros(col("prev_click"))
+                <= unix_micros(col("next_click")) - unix_micros(col("ts")),
+              col("prev_click"))
+            .otherwise(col("next_click")).as("nearest_click"),
+          when(col("prev_click").isNull && col("next_click").isNull,
+              lit("none"))
+            .when(col("next_click").isNull, lit("prev"))
+            .when(col("prev_click").isNull, lit("next"))
+            .when(unix_micros(col("ts")) - unix_micros(col("prev_click"))
+                <= unix_micros(col("next_click")) - unix_micros(col("ts")),
+              lit("prev"))
+            .otherwise(lit("next")).as("direction"))
+        .orderBy(col("event_id"))
+    },
+
     // -- q46: median absolute deviation (robust spread) --------------------
     // The robust outlier-scale statistic (MAD) per group, exact:
     // account balances quantize to integer cents, the two medians
@@ -1220,6 +1258,34 @@ object Relational {
         |  STRING_AGG(s_name, ',' ORDER BY s_name) AS suppliers_csv
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // same window ordering (ts, event_id) and IGNORE NULLS frames,
+    // interval comparison mirrors the microsecond arithmetic
+    "q47_nearest_join" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_click,
+        |    FIRST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS next_click
+        |  FROM events)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN prev_click IS NULL THEN next_click
+        |       WHEN next_click IS NULL THEN prev_click
+        |       WHEN ts - prev_click <= next_click - ts THEN prev_click
+        |       ELSE next_click END AS nearest_click,
+        |  CASE WHEN prev_click IS NULL AND next_click IS NULL THEN 'none'
+        |       WHEN next_click IS NULL THEN 'prev'
+        |       WHEN prev_click IS NULL THEN 'next'
+        |       WHEN ts - prev_click <= next_click - ts THEN 'prev'
+        |       ELSE 'next' END AS direction
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     "q45_mode" ->
       """WITH c AS (
         |  SELECT c_mktsegment, c_nationkey, COUNT(*) AS n

@@ -155,6 +155,65 @@ object TextAnalysis {
         col("intercept_r"))
   }
 
+  /** Deterministic messy-URL corpus (the imageTable pattern: the
+    * fixture carries no URL column, so one is SYNTHESIZED with real
+    * mess — scheme variants, host case, www, explicit default port,
+    * tracking params, fragments, trailing slash — six variants per
+    * logical URL so the canonicalizer has real work). */
+  def urlTable(docs: DataFrame): DataFrame = {
+    val g = expr("doc_id div 6")
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 6 === 0,
+          concat(lit("http://example"), g, lit(".com/p/"), g))
+        .when(col("doc_id") % 6 === 1,
+          concat(lit("https://EXAMPLE"), g, lit(".COM/p/"), g))
+        .when(col("doc_id") % 6 === 2,
+          concat(lit("https://www.example"), g, lit(".com/p/"), g))
+        .when(col("doc_id") % 6 === 3,
+          concat(lit("http://example"), g, lit(".com:80/p/"), g))
+        .when(col("doc_id") % 6 === 4,
+          concat(lit("https://example"), g, lit(".com/p/"), g,
+            lit("?utm_source=x&utm_campaign=y")))
+        .otherwise(
+          concat(lit("https://example"), g, lit(".com/p/"), g,
+            lit("/?utm_a=2&utm_b=1#frag")))
+        .as("url"))
+  }
+
+  /** URL canonicalization + dedup — the FIRST pass of every web-corpus
+    * pipeline (the same page arrives under scheme/case/www/port/
+    * tracking-param/fragment variants; near-dup text passes should
+    * never have to pay for what the URL already proves): strip scheme,
+    * lowercase the host (path case is preserved — it is significant),
+    * drop www., explicit default ports, fragments, utm_* tracking
+    * params and trailing slashes, then keep the minimum doc_id per
+    * canonical URL. All regexp_replace passes run inside the scan
+    * stage; the only exchange is the canonical-key min-groupBy —
+    * exactly the dedup_exact shape.
+    *
+    * Replacement strings avoid backreferences deliberately: Spark
+    * spells them `$1`, DuckDB `\1` — a portability seam the oracle
+    * contract must not depend on. */
+  def urlCanonDedup(docs: DataFrame): DataFrame = {
+    val noScheme = regexp_replace(col("url"), "^https?://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val hostLower = concat(
+      lower(regexp_extract(noWww, "^[^/]+", 0)),
+      regexp_replace(noWww, "^[^/]+", ""))
+    val noPort = regexp_replace(hostLower, ":80/", "/")
+    val noFrag = regexp_replace(noPort, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "[?&]utm_[^&#]*", "")
+    val canon = regexp_replace(noUtm, "/$", "")
+    val withCanon = urlTable(docs)
+      .select(col("doc_id"), col("url"), canon.as("canon_url"))
+    val keeper = withCanon.groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    withCanon.join(keeper, Seq("canon_url"))
+      .select(col("doc_id"), col("url"), col("canon_url"),
+        (col("doc_id") === col("keep_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counts: whitespace tokens and BPE-ish regex tokens. */
   def tokens(docs: DataFrame): DataFrame =
     docs.select(
@@ -813,6 +872,8 @@ object TextAnalysis {
     "text_gopher_rules" -> ((s, dir) =>
       gopherRules(Tables.load(s, dir, "documents"))),
     "text_zipf" -> ((s, dir) => zipfFit(Tables.load(s, dir, "documents"))),
+    "text_url_canon" -> ((s, dir) =>
+      urlCanonDedup(Tables.load(s, dir, "documents"))),
     "text_tokens" -> ((s, dir) => tokens(Tables.load(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => langId(Tables.load(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) =>
@@ -1121,6 +1182,50 @@ object TextAnalysis {
         |  LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\s]', '', 'g')) / LENGTH(text)
         |    AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same synthesized variants, same canonicalization chain (utm
+    // removal needs the 'g' flag — DuckDB replaces first-only by
+    // default, Spark always-global), same min-id keeper
+    "text_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 6 AS INT)
+        |      WHEN 0 THEN 'http://example' || (doc_id // 6) || '.com/p/'
+        |        || (doc_id // 6)
+        |      WHEN 1 THEN 'https://EXAMPLE' || (doc_id // 6) || '.COM/p/'
+        |        || (doc_id // 6)
+        |      WHEN 2 THEN 'https://www.example' || (doc_id // 6)
+        |        || '.com/p/' || (doc_id // 6)
+        |      WHEN 3 THEN 'http://example' || (doc_id // 6) || '.com:80/p/'
+        |        || (doc_id // 6)
+        |      WHEN 4 THEN 'https://example' || (doc_id // 6) || '.com/p/'
+        |        || (doc_id // 6) || '?utm_source=x&utm_campaign=y'
+        |      ELSE 'https://example' || (doc_id // 6) || '.com/p/'
+        |        || (doc_id // 6) || '/?utm_a=2&utm_b=1#frag'
+        |    END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    REGEXP_REPLACE(
+        |      REGEXP_REPLACE(
+        |        REGEXP_REPLACE(
+        |          REGEXP_REPLACE(
+        |            LOWER(REGEXP_EXTRACT(
+        |              REGEXP_REPLACE(REGEXP_REPLACE(url, '^https?://', ''),
+        |                '^www\.', ''), '^[^/]+'))
+        |            || REGEXP_REPLACE(
+        |              REGEXP_REPLACE(REGEXP_REPLACE(url, '^https?://', ''),
+        |                '^www\.', ''), '^[^/]+', ''),
+        |            ':80/', '/'),
+        |          '#.*$', ''),
+        |        '[?&]utm_[^&#]*', '', 'g'),
+        |      '/$', '') AS canon_url
+        |  FROM u),
+        |k AS (SELECT canon_url, MIN(doc_id) AS keep_id FROM c
+        |      GROUP BY canon_url)
+        |SELECT c.doc_id, c.url, c.canon_url,
+        |  c.doc_id = k.keep_id AS is_canonical
+        |FROM c JOIN k ON c.canon_url = k.canon_url
+        |ORDER BY c.doc_id""".stripMargin,
     // same count → top-100 cut → ln/ln least squares; ROUND(6)
     // absorbs libm/summation-order ulps
     "text_zipf" ->

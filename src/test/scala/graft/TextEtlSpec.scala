@@ -502,4 +502,27 @@ class TextEtlSpec extends GraftSpec {
       BigDecimal(math.log(20.0)).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("url canonicalization: all six mess variants collapse to one " +
+      "canonical form, exactly one keeper per group") {
+    val docs = (0L until 60L).map(i => (i, s"text $i"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.urlCanonDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3)))
+    assert(got.length == 60)
+    got.groupBy(_._1 / 6).foreach { case (g, rows) =>
+      // one canonical form per logical URL, host lowercased, no mess
+      assert(rows.map(_._3).distinct.toSeq == Seq(s"example$g.com/p/$g"),
+        s"group $g canons: ${rows.map(_._3).distinct.toSeq}")
+      // the minimum doc_id is the single keeper
+      assert(rows.filter(_._4).map(_._1).toSeq == Seq(rows.map(_._1).min))
+    }
+    // distinct logical URLs never merge
+    assert(got.map(_._3).distinct.length == 10)
+    // path case must be preserved (only the host lowercases)
+    val mixed = Seq((0L, "x")).toDF("doc_id", "text")
+    val canon = TextAnalysis.urlCanonDedup(mixed).collect().head.getString(2)
+    assert(canon == "example0.com/p/0")
+  }
 }
