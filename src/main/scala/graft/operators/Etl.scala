@@ -285,7 +285,46 @@ object Etl {
       .orderBy(col("c_custkey"))
   }
 
+  /** IQR-fence outlier audit (the Tukey boxplot rule, the standard
+    * data-profiling pass a warehouse runs per partition before
+    * trusting a load): per segment, exact DISCRETE quartiles on the
+    * integer cents grid, fences at Q1 − 1.5·IQR / Q3 + 1.5·IQR kept
+    * EXACT by working in half-cents (2·Q1 − 3·IQR is an integer; a
+    * float 1.5× would re-open the cross-engine boundary seam), and
+    * the outlier count + permille per segment. Two passes: one
+    * grouped percentile_disc aggregate (per-group value counts, no
+    * global sort), one broadcast-fence conditional count. */
+  def outlierIqr(customer: DataFrame): DataFrame = {
+    val cents = customer.select(col("c_mktsegment"),
+      floor(col("c_acctbal") * 100).cast("long").as("cents"))
+    val fences = cents.groupBy(col("c_mktsegment"))
+      .agg(
+        // percentile_disc returns an ACTUAL input value, so the long
+        // cast is exact (it only undoes Spark's double return type)
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as("q1"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as("q3"))
+      .select(col("c_mktsegment"), col("q1"), col("q3"),
+        (col("q3") - col("q1")).as("iqr"))
+    cents.join(broadcast(fences), Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("q1"), col("q3"), col("iqr"),
+        (lit(2L) * col("cents") < lit(2L) * col("q1") - lit(3L) * col("iqr")
+          || lit(2L) * col("cents") > lit(2L) * col("q3") + lit(3L) * col("iqr"))
+          .as("is_out"))
+      .groupBy(col("c_mktsegment"))
+      .agg(first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+        first(col("iqr")).as("iqr"), count(lit(1)).as("n"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("c_mktsegment"), col("q1"), col("q3"), col("iqr"),
+        col("n"), col("n_outliers"),
+        expr("1000 * n_outliers div n").as("outlier_permille"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_outlier_iqr" -> ((s, dir) =>
+      outlierIqr(Tables.load(s, dir, "customer"))),
     "etl_row_checksum" -> ((s, dir) =>
       rowChecksum(Tables.load(s, dir, "orders"))),
     "etl_pii_vault" -> ((s, dir) =>
@@ -785,6 +824,31 @@ object Etl {
           |  CAST(SUM(h) AS BIGINT) AS sum_digest,
           |  MIN(h) AS min_digest, MAX(h) AS max_digest
           |FROM c GROUP BY grp ORDER BY grp""".stripMargin,
+      // same discrete quartiles (QUANTILE_DISC), same half-cent
+      // integer fences, same permille; SUMs cast back to BIGINT
+      "etl_outlier_iqr" ->
+        """WITH cents AS (
+          |  SELECT c_mktsegment,
+          |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+          |  FROM customer),
+          |f AS (
+          |  SELECT c_mktsegment,
+          |    QUANTILE_DISC(cents, 0.25) AS q1,
+          |    QUANTILE_DISC(cents, 0.75) AS q3,
+          |    QUANTILE_DISC(cents, 0.75) - QUANTILE_DISC(cents, 0.25)
+          |      AS iqr
+          |  FROM cents GROUP BY c_mktsegment)
+          |SELECT c.c_mktsegment, ANY_VALUE(f.q1) AS q1,
+          |  ANY_VALUE(f.q3) AS q3, ANY_VALUE(f.iqr) AS iqr,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CASE WHEN 2 * c.cents < 2 * f.q1 - 3 * f.iqr
+          |    OR 2 * c.cents > 2 * f.q3 + 3 * f.iqr THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_outliers,
+          |  CAST(1000 * SUM(CASE WHEN 2 * c.cents < 2 * f.q1 - 3 * f.iqr
+          |    OR 2 * c.cents > 2 * f.q3 + 3 * f.iqr THEN 1 ELSE 0 END)
+          |    // COUNT(*) AS BIGINT) AS outlier_permille
+          |FROM cents c JOIN f USING (c_mktsegment)
+          |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
       // token, vault and roundtrip certificate all recomputed
       // independently from the same digest fold
       "etl_pii_vault" ->

@@ -300,7 +300,40 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Shot/scene segmentation over decoded frame features — the pass
+    * that decides WHERE to sample video frames (one keyframe per shot
+    * beats a blind stride): consecutive frames whose feature distance
+    * exceeds `threshold` start a new segment. The feature here is the
+    * decoded first byte (the synthetic corpus's per-frame signal —
+    * a real deployment swaps a frame histogram/embedding into the
+    * same plan); frames parse from container BYTES via
+    * [[sampleFrames]] at stride 1.
+    *
+    * Scale shape: frame parse is a per-row projection + explode (no
+    * shuffle — blobs never leave the scan); the cut detection is one
+    * doc-keyed lag window + running sum (frames-per-doc bounded), and
+    * the segment rollup is a (doc, segment)-keyed map-side-combinable
+    * aggregate. */
+  def sceneSegments(videos: DataFrame, threshold: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val run = byDoc.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    sampleFrames(videos, stride = 1)
+      .withColumn("prev_fb", lag(col("first_byte"), 1).over(byDoc))
+      .withColumn("cut",
+        when(abs(col("first_byte") - col("prev_fb")) > threshold, 1L)
+          .otherwise(0L))
+      .withColumn("segment_id", sum(col("cut")).over(run))
+      .groupBy(col("doc_id"), col("segment_id"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        count(lit(1)).as("n_frames"))
+      .orderBy(col("doc_id"), col("segment_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_scene_segments" -> ((s, dir) =>
+      sceneSegments(videoTable(Tables.load(s, dir, "documents")))),
     "mm_aspect_bucket" -> ((s, dir) =>
       aspectBuckets(Tables.load(s, dir, "documents"))),
     "mm_shard_pack" -> ((s, dir) =>
@@ -720,6 +753,30 @@ object Multimodal {
         |  CAST(90 + doc_id % 720 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // frames replayed closed-form (the planted byte arithmetic), same
+    // lag + running-sum segmentation — a green hash proves the byte
+    // parse AND the cut rule; the SUM window is HUGEINT → cast
+    "mm_scene_segments" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(t.f AS INT) AS frame_idx,
+        |    97 + CAST((doc_id + t.f) % 26 AS INT) AS fb
+        |  FROM documents,
+        |    UNNEST(RANGE(0, 4 + CAST(doc_id % 4 AS BIGINT))) t(f)),
+        |c AS (
+        |  SELECT doc_id, frame_idx,
+        |    CASE WHEN ABS(fb - LAG(fb) OVER (
+        |        PARTITION BY doc_id ORDER BY frame_idx)) > 10
+        |      THEN 1 ELSE 0 END AS cut
+        |  FROM f),
+        |s AS (
+        |  SELECT doc_id, frame_idx,
+        |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+        |      AS seg
+        |  FROM c)
+        |SELECT doc_id, CAST(seg AS BIGINT) AS segment_id,
+        |  MIN(frame_idx) AS start_frame, COUNT(*) AS n_frames
+        |FROM s GROUP BY doc_id, seg
+        |ORDER BY doc_id, segment_id""".stripMargin,
     // same closed-form dims as mm_image_dims, same per-mille ladder
     // argmin (tie → smaller ratio), same bucket-keyed batch numbering
     "mm_aspect_bucket" ->

@@ -315,6 +315,67 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Epoch-budget multiplier: the plan targets EpochBudgetX× the
+    * corpus's total tokens (a multi-pass training run), so the budget
+    * scales with the data instead of being a magic absolute. */
+  val EpochBudgetX = 3L
+
+  /** Epoch cap above which a source is flagged as over-repeated —
+    * the standard "repeating data degrades past ~4 epochs" guard
+    * (Muennighoff et al. 2023, "Scaling Data-Constrained LMs"). */
+  val EpochCap = 4L
+
+  /** Multi-epoch data-recipe planner — [[mixtureRates]]'s dual: the
+    * mixture solver DOWN-samples to the largest budget servable
+    * without repeats, while a data-constrained recipe UP-samples
+    * (repeats = epochs) to hit a fixed budget at the target mixture.
+    * Per source: target tokens = budget·w_s/W, served as `full_epochs`
+    * complete passes (target div toks) plus a deterministic hash-kept
+    * partial pass whose keep-permille closes the remainder — all
+    * INTEGER arithmetic, so the plan is bit-identical on any engine.
+    * Sources pushed past [[EpochCap]] epochs carry an over-repeat
+    * flag (the quality guard a recipe reviewer reads first).
+    *
+    * Scale shape: one per-source token aggregate (map-side combined),
+    * a source-cardinality window for the weight total, one broadcast
+    * join for the partial-pass count — the corpus is scanned twice
+    * and shuffles only its (source, n_toks) projection. */
+  def epochPlan(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val wcol = MixWeights.reverse.foldLeft(lit(MixDefaultWeight): Column) {
+      case (acc, (src, w)) => when(col("source") === src, w).otherwise(acc)
+    }
+    val toks = docs.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val plan = toks
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
+      .withColumn("weight", wcol)
+      .withColumn("w_total", sum(col("weight")).over(all))
+      .withColumn("budget",
+        (sum(col("toks")).over(all) * EpochBudgetX))
+      .withColumn("target_toks",
+        expr("budget * weight div w_total"))
+      .withColumn("full_epochs", expr("target_toks div toks"))
+      .withColumn("last_permille",
+        expr("1000 * (target_toks - full_epochs * toks) div toks"))
+    val partial = toks
+      .join(broadcast(plan.select(col("source"), col("last_permille"))),
+        "source")
+      .filter(hashBucket(col("doc_id")) < col("last_permille"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("partial_toks"))
+    plan
+      .join(partial, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("toks"), col("weight"),
+        col("target_toks"), col("full_epochs"), col("last_permille"),
+        (col("full_epochs") * col("toks") +
+          coalesce(col("partial_toks"), lit(0L))).as("planned_toks"),
+        (col("full_epochs") >= EpochCap).as("over_repeated"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic round-robin source interleaving — the training-order
     * layout that keeps every batch mixture-representative: documents
     * order globally by (per-source rank, source), so round r serves
@@ -373,6 +434,8 @@ object Sampling {
       packSequences(Tables.load(s, dir, "documents"))),
     "sample_source_cap" -> ((s, dir) =>
       sourceCap(Tables.load(s, dir, "documents"))),
+    "sample_epoch_plan" -> ((s, dir) =>
+      epochPlan(Tables.load(s, dir, "documents"))),
     "sample_mixture" -> ((s, dir) =>
       mixtureRates(Tables.load(s, dir, "documents"))),
     "sample_interleave" -> ((s, dir) =>
@@ -407,6 +470,46 @@ object Sampling {
         |  CAST(ROUND(ROUND(pw / SUM(pw) OVER (), 6) * 100000, 0)
         |    AS BIGINT) AS target_docs
         |FROM w ORDER BY source""".stripMargin,
+    // the dual recipe: 3x-corpus budget split by weight, full epochs
+    // + hash-kept partial pass, every step integer `//`
+    "sample_epoch_plan" ->
+      """WITH stats AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |ws AS (
+        |  SELECT source, n_docs, toks,
+        |    CAST(CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 5
+        |      WHEN 'src2' THEN 4 ELSE 1 END AS BIGINT) AS weight
+        |  FROM stats),
+        |tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_total,
+        |               CAST(SUM(toks) * 3 AS BIGINT) AS budget FROM ws),
+        |plan AS (
+        |  SELECT source, n_docs, toks, weight,
+        |    CAST((SELECT budget FROM tot) * weight
+        |      // (SELECT w_total FROM tot) AS BIGINT) AS target_toks
+        |  FROM ws),
+        |p2 AS (
+        |  SELECT *, CAST(target_toks // toks AS BIGINT) AS full_epochs,
+        |    CAST(1000 * (target_toks - (target_toks // toks) * toks)
+        |      // toks AS BIGINT) AS last_permille
+        |  FROM plan),
+        |partial AS (
+        |  SELECT d.source,
+        |    CAST(SUM(LEN(STRING_SPLIT(d.text, ' '))) AS BIGINT)
+        |      AS partial_toks
+        |  FROM documents d JOIN p2 USING (source)
+        |  WHERE ((d.doc_id % 1000003) * 2654435761) % 1000
+        |    < p2.last_permille
+        |  GROUP BY d.source)
+        |SELECT p2.source, p2.n_docs, p2.toks, p2.weight, p2.target_toks,
+        |  p2.full_epochs, p2.last_permille,
+        |  CAST(p2.full_epochs * p2.toks
+        |    + COALESCE(partial.partial_toks, 0) AS BIGINT)
+        |    AS planned_toks,
+        |  p2.full_epochs >= 4 AS over_repeated
+        |FROM p2 LEFT JOIN partial USING (source)
+        |ORDER BY p2.source""".stripMargin,
     // full relational replay of the mixture solve: per-source token
     // stats, the min-over-sources feasible budget, floored permille
     // rates (DuckDB `//` = Spark `div` on the all-positive operands),

@@ -349,4 +349,38 @@ class MedallionSpec extends GraftSpec {
     // the pseudonymized face never carries the raw name
     assert(out.forall(r => !names.values.toSet.contains(r.getString(1))))
   }
+
+  test("iqr outlier audit: quartiles, fences and counts match an " +
+      "exact driver replay; a planted extreme value is flagged") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val customer = graft.sources.Tables.load(spark, sf, "customer")
+    val got = graft.operators.Etl.outlierIqr(customer).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val cents = customer
+      .select(col("c_mktsegment"), floor(col("c_acctbal") * 100)
+        .cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def qdisc(xs: Seq[Long], q: Double): Long = {
+      // ANSI percentile_disc: smallest value with cume_dist >= q
+      val s = xs.sorted
+      s(math.ceil(q * s.length).toInt - 1)
+    }
+    cents.groupBy(_._1).foreach { case (seg, rs) =>
+      val xs = rs.map(_._2)
+      val q1 = qdisc(xs, 0.25); val q3 = qdisc(xs, 0.75)
+      val iqr = q3 - q1
+      val nOut = xs.count(c =>
+        2 * c < 2 * q1 - 3 * iqr || 2 * c > 2 * q3 + 3 * iqr)
+      assert(got(seg) == ((q1, q3, iqr, xs.length.toLong, nOut.toLong,
+        1000L * nOut / xs.length)), s"$seg: ${got(seg)}")
+    }
+    // planted extreme value: one segment, tight cluster, one spike
+    val planted = ((1 to 40).map(i => (i.toLong, "S", 100.0 + i % 5))
+      ++ Seq((99L, "S", 99999.0)))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val p = graft.operators.Etl.outlierIqr(planted).collect().head
+    assert(p.getLong(5) == 1L, s"planted outlier not flagged: $p")
+  }
 }

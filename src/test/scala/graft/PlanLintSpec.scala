@@ -65,6 +65,9 @@ class PlanLintSpec extends GraftSpec {
     * gate shed in round 7. */
   private val boundedFrameWindows =
     Set("sample_temperature", "sample_mixture", "stream_late_audit",
+      // same source-cardinality frame as sample_mixture (the window
+      // runs over the per-source aggregate, never rows)
+      "sample_epoch_plan",
       // the rank window runs over the ALREADY-CUT top-100 remnant of
       // TakeOrderedAndProject — a constant-size frame at any corpus
       // size (TextAnalysis.zipfFit's scale note)

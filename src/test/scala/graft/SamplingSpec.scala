@@ -248,6 +248,65 @@ class SamplingSpec extends GraftSpec {
     }
   }
 
+  test("scene segments: cuts fire exactly at the byte-wrap boundary " +
+      "and match a driver replay of the planted arithmetic") {
+    import graft.operators.Multimodal
+    val docs = (0L until 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = Multimodal.sceneSegments(Multimodal.videoTable(docs))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // driver replay: first_byte = 97 + (id+f) % 26, cut when |diff|>10
+    val want = (0L until 40L).flatMap { id =>
+      val n = (4 + id % 4).toInt
+      val fb = (0 until n).map(f => 97 + ((id + f) % 26).toInt)
+      val segs = fb.indices.map { i =>
+        fb.take(i + 1).sliding(2).count {
+          case Seq(a, b) => math.abs(b - a) > 10; case _ => false }
+      }
+      segs.distinct.map { s =>
+        val frames = segs.zipWithIndex.filter(_._1 == s).map(_._2)
+        (id, s.toLong, frames.min, frames.length.toLong)
+      }
+    }
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    // the wrap actually produces multi-segment docs in this range
+    assert(got.groupBy(_._1).exists(_._2.length > 1))
+    // segment ids are dense from 0 and frames partition each doc
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._2).sorted.toSeq ==
+        (0L until rows.length.toLong).toSeq)
+      assert(rows.map(_._4).sum == 4 + id % 4)
+    }
+  }
+
+  test("epoch plan: targets split the 3x budget by weight, epochs and " +
+      "partial pass close each target, over-repeat flags fire") {
+    import graft.operators.Sampling
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val got = Sampling.epochPlan(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getBoolean(8)))
+    val totalToks = got.map(_._3).sum
+    val wTotal = got.map(_._4).sum
+    val budget = totalToks * Sampling.EpochBudgetX
+    got.foreach { case (src, _, toks, w, target, fe, pm, planned, over) =>
+      assert(target == budget * w / wTotal, s"$src target")
+      assert(fe == target / toks, s"$src epochs")
+      assert(pm == 1000L * (target - fe * toks) / toks, s"$src permille")
+      assert(over == (fe >= Sampling.EpochCap), s"$src flag")
+      // the hash-kept partial pass lands within ~15% of the remainder
+      // (doc-granularity + hash noise on a 25-doc source)
+      val err = math.abs(planned - target).toDouble / target
+      assert(err < 0.15, s"$src planned $planned vs target $target")
+    }
+    // the weighted sources repeat, some uniform source does not
+    assert(got.exists(_._9) && got.exists(!_._9))
+    // planned volume reaches the budget within the same tolerance
+    val plannedTotal = got.map(_._8).sum.toDouble
+    assert(math.abs(plannedTotal - budget) / budget < 0.05)
+  }
+
   test("aspect buckets: nearest-ladder assignment with min-ratio tie " +
       "break, contiguous size-16 batches per bucket") {
     import graft.operators.Multimodal
