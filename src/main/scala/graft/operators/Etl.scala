@@ -322,7 +322,32 @@ object Etl {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Partition-skew audit — the layout-health report that decides
+    * repartition/compact actions (one hot partition serializes every
+    * downstream stage that reads it): rows per month partition,
+    * per-partition permille of total, and a hot flag at 2× the mean
+    * (n·P > 2·total — INTEGER cross-multiplied, no float mean). One
+    * map-side-combined count per partition key + a 1-row totals
+    * broadcast; the fact table shuffles only its partition-key
+    * projection. */
+  def skewAudit(orders: DataFrame): DataFrame = {
+    val parts = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("pmonth"))
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = parts.agg(sum(col("n_rows")).as("total"),
+      count(lit(1)).as("n_parts"))
+    parts.crossJoin(broadcast(tot))
+      .select(col("pmonth"), col("n_rows"),
+        expr("1000 * n_rows div total").as("permille"),
+        (col("n_rows") * col("n_parts") > lit(2L) * col("total"))
+          .as("hot"))
+      .orderBy(col("pmonth"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_skew_audit" -> ((s, dir) =>
+      skewAudit(Tables.load(s, dir, "orders"))),
     "etl_outlier_iqr" -> ((s, dir) =>
       outlierIqr(Tables.load(s, dir, "customer"))),
     "etl_row_checksum" -> ((s, dir) =>
@@ -824,6 +849,17 @@ object Etl {
           |  CAST(SUM(h) AS BIGINT) AS sum_digest,
           |  MIN(h) AS min_digest, MAX(h) AS max_digest
           |FROM c GROUP BY grp ORDER BY grp""".stripMargin,
+      "etl_skew_audit" ->
+        """WITH p AS (
+          |  SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE))
+          |    AS DATE) AS pmonth, COUNT(*) AS n_rows
+          |  FROM orders GROUP BY 1),
+          |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+          |             COUNT(*) AS n_parts FROM p)
+          |SELECT p.pmonth, p.n_rows,
+          |  CAST(1000 * p.n_rows // t.total AS BIGINT) AS permille,
+          |  p.n_rows * t.n_parts > 2 * t.total AS hot
+          |FROM p, t ORDER BY p.pmonth""".stripMargin,
       // same discrete quartiles (QUANTILE_DISC), same half-cent
       // integer fences, same permille; SUMs cast back to BIGINT
       "etl_outlier_iqr" ->

@@ -387,6 +387,33 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Embedding ingest-quality audit — the guard a vector pipeline runs
+    * BEFORE indexing a new batch (a handful of zero or non-finite
+    * vectors silently poison IVF centroids and cosine ranks): per
+    * batch bucket (vec_id div 100), counts of zero-norm and
+    * non-finite vectors, dimension-drift check against the expected
+    * Dim, and the exact norm spread (min/max, fixed-point 1e6 — norms
+    * are sqrt outputs, so the fp floor is the only cross-engine-safe
+    * exact statistic). One scan, one map-side-combinable aggregate on
+    * a bounded key. */
+  def normAudit(vecs: DataFrame, expectedDim: Int = Dim): DataFrame = {
+    val n2 = dot(col("embedding"), col("embedding"))
+    vecs
+      .select(expr("vec_id div 100").as("batch"),
+        col("vec_id"), n2.as("n2"),
+        size(col("embedding")).as("dim"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("n2").isNaN || col("n2") === Double.PositiveInfinity,
+          1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(col("dim") =!= expectedDim, 1L).otherwise(0L))
+          .as("n_dim_drift"),
+        min(floor(sqrt(col("n2")) * 1e6).cast("long")).as("min_norm_fp"),
+        max(floor(sqrt(col("n2")) * 1e6).cast("long")).as("max_norm_fp"))
+      .orderBy(col("batch"))
+  }
+
   /** MMR fixed-point quantization scale: sims become exact BIGINTs, so
     * the greedy's comparisons are bit-identical across engines (the
     * emb_kmeans fixed-point precedent — a float MMR would flip picks
@@ -1991,6 +2018,8 @@ object Similarity {
     "knn_radius" -> ((s, dir) =>
       radiusSearch(Tables.load(s, dir, "embeddings"),
         col("vec_id") < 10)),
+    "emb_norm_audit" -> ((s, dir) =>
+      normAudit(Tables.load(s, dir, "embeddings"))),
     // Correctness face probes ALL cells (nprobe = centroidBudget):
     // exact by construction, so it shares knn_brute's oracle — any bug
     // in assignment, the cell join, the dedup, or the ranking breaks
@@ -2440,6 +2469,27 @@ object Similarity {
         |      AS DOUBLE), 4) AS energy_r
         |FROM embeddings c LEFT JOIN ov ON c.vec_id = ov.query_id
         |WHERE c.vec_id < 10 ORDER BY query_id""".stripMargin,
+    // double-cast dot (the hb precedent: DuckDB then accumulates the
+    // same doubles Spark's native expression does, agreement ~1e-13 —
+    // far inside the 1e-6 floor grid), same counts and fp spread
+    "emb_norm_audit" ->
+      """WITH v AS (
+        |  SELECT vec_id // 100 AS batch, vec_id,
+        |    LIST_DOT_PRODUCT(
+        |      LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)),
+        |      LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS n2,
+        |    LEN(embedding) AS dim
+        |  FROM embeddings)
+        |SELECT batch, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CASE WHEN n2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(SUM(CASE WHEN ISNAN(n2) OR n2 = 'inf'::DOUBLE
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+        |  CAST(SUM(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dim_drift,
+        |  MIN(CAST(FLOOR(SQRT(n2) * 1e6) AS BIGINT)) AS min_norm_fp,
+        |  MAX(CAST(FLOOR(SQRT(n2) * 1e6) AS BIGINT)) AS max_norm_fp
+        |FROM v GROUP BY batch ORDER BY batch""".stripMargin,
     // query-anchored bucket join replayed on the same banded CTEs
     // (no bucket-size cut — mirrors the face), exact verify at 0.3,
     // per-query count + (cos desc, id) argmax

@@ -383,4 +383,30 @@ class MedallionSpec extends GraftSpec {
     val p = graft.operators.Etl.outlierIqr(planted).collect().head
     assert(p.getLong(5) == 1L, s"planted outlier not flagged: $p")
   }
+
+  test("skew audit: permilles conserve the total and a planted hot " +
+      "partition is the only flagged one") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val face = graft.operators.Etl.skewAudit(
+      graft.sources.Tables.load(spark, sf, "orders")).collect()
+    val total = face.map(_.getLong(1)).sum
+    assert(face.nonEmpty)
+    face.foreach { r =>
+      assert(r.getLong(2) == 1000L * r.getLong(1) / total)
+      assert(r.getBoolean(3) ==
+        (r.getLong(1) * face.length > 2L * total))
+    }
+    // planted: 11 even months of 10 rows, one month with 200
+    val rows = (1 to 11).flatMap(m => (1 to 10).map(i =>
+      (s"2024-${"%02d".format(m)}-0${1 + i % 9}"))) ++
+      (1 to 200).map(i => s"2024-12-${"%02d".format(1 + i % 28)}")
+    val planted = rows.zipWithIndex
+      .map { case (d, i) => (i.toLong, java.sql.Timestamp.valueOf(s"$d 00:00:00")) }
+      .toDF("o_orderkey", "o_orderdate")
+    val got = graft.operators.Etl.skewAudit(planted).collect()
+      .map(r => r.getDate(0).toString -> r.getBoolean(3)).toMap
+    assert(got("2024-12-01"), "hot month not flagged")
+    assert(got.count(_._2) == 1, s"extra hot flags: $got")
+  }
 }

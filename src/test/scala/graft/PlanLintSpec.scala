@@ -40,7 +40,10 @@ class PlanLintSpec extends GraftSpec {
       "emb_matryoshka",
       // joins the 1-row vocabulary totals with the 1-row regression
       // fit (1 × 1 cross)
-      "text_zipf")
+      "text_zipf",
+      // broadcasts the 1-ROW totals row against the month-partition
+      // counts (the zipf/totals shape)
+      "etl_skew_audit")
 
   test("no query plan contains a cartesian product or stray nested loop") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, q) =>

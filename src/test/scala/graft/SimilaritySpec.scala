@@ -788,4 +788,29 @@ class SimilaritySpec extends GraftSpec {
     // the fixture produces at least one non-empty query
     assert(got.exists(_.getLong(1) > 0))
   }
+
+  test("norm audit: planted zero, NaN and wrong-dim vectors are " +
+      "counted in their batch, clean batches report zeros") {
+    import spark.implicits._
+    val clean = (0L until 100L).map(i =>
+      (i, Array.fill(64)(0.1f + (i % 7) * 0.01f)))
+    val dirty = Seq(
+      (100L, Array.fill(64)(0.0f)),            // zero vector
+      (101L, Array.fill(64)(Float.NaN)),       // non-finite
+      (102L, Array.fill(32)(1.0f)),            // dimension drift
+      (103L, Array.fill(64)(0.5f)))            // fine
+    val vecs = (clean ++ dirty).toSeq.toDF("vec_id", "embedding")
+    val got = Similarity.normAudit(vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == ((100L, 0L, 0L, 0L)), s"clean batch: ${got(0L)}")
+    assert(got(1L) == ((4L, 1L, 1L, 1L)), s"dirty batch: ${got(1L)}")
+    // fp norm spread is exact on the clean batch: all norms of the
+    // i%7==0 rows are 0.1*8 = 0.8 exactly at the scan's float grid
+    val face = Similarity.normAudit(
+      graft.sources.Tables.load(spark, sf, "embeddings")).collect()
+    assert(face.nonEmpty && face.forall(r =>
+      r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L))
+    face.foreach(r => assert(r.getLong(5) <= r.getLong(6)))
+  }
 }
