@@ -839,6 +839,99 @@ object Relational {
         .agg(first(col("med_cents")).as("med_cents"),
           expr("percentile(adev, 0.5)").as("mad_cents"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // -- q48: gaps-and-islands (consecutive-day activity streaks) ----------
+    // The classic sessionless streak analysis: per customer, maximal
+    // runs of CONSECUTIVE order days. The island key is day_number −
+    // row_number (constant within a run, integer-exact) — one
+    // customer-keyed window over the DISTINCT (customer, day) pairs,
+    // then two dimension-keyed aggregates. Work is bounded by distinct
+    // active days per customer, never raw order rows; the only
+    // exchange is the customer-keyed shuffle the distinct already
+    // needs, reused by the window (same key, no second exchange).
+    "q48_islands" -> { (s, dir) =>
+      val days = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      days.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("o_custkey"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_islands"),
+          max(col("len")).as("longest_streak"),
+          sum(col("len")).as("active_days"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // -- q49: year-over-year monthly comparison ----------------------------
+    // The standard calendar-comparative report: each (year, month)
+    // revenue next to the SAME month one year earlier. Revenue is
+    // exact decimal cents (BIGINT); the prior-year value comes from a
+    // LAG over a window partitioned by MONTH ordered by YEAR — months
+    // are the partition key, so the window state is one row and the
+    // partition count is fixed (12) regardless of data size. The only
+    // unbounded work is the (year, month) aggregate, which map-side
+    // combines to at most years×12 rows before any exchange. The
+    // delta stays integer; no ratio column, so no float or floor-vs-
+    // trunc division seam between engines.
+    "q49_yoy" -> { (s, dir) =>
+      val monthly = Tables.load(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mth"))
+        .agg(sum(money(col("o_totalprice")) * 100).cast("long")
+          .as("revenue_cents"))
+      val w = Window.partitionBy(col("mth")).orderBy(col("yr"))
+      monthly
+        .withColumn("prev_yr_cents", lag(col("revenue_cents"), 1).over(w))
+        .withColumn("prev_yr", lag(col("yr"), 1).over(w))
+        .select(col("yr").cast("long").as("yr"),
+          col("mth").cast("long").as("mth"),
+          col("revenue_cents"),
+          // a gap year must NOT masquerade as last year: the lagged row
+          // is only "year over year" when it is exactly yr-1
+          when(col("prev_yr") === col("yr") - 1, col("prev_yr_cents"))
+            .as("prev_yr_cents"),
+          when(col("prev_yr") === col("yr") - 1,
+            col("revenue_cents") - col("prev_yr_cents")).as("delta_cents"))
+        .orderBy(col("yr"), col("mth"))
+    },
+
+    // -- q50: Pareto coverage (top-N share analysis) -----------------------
+    // "How many top customers hold 80% of the balance" per nation —
+    // the concentration statistic behind every 80/20 report. Exact
+    // integer contract throughout: balances quantize to cents, the
+    // 80% test is the cross-multiplication 10·cum_before < 8·total
+    // (no division, no float). One nation-keyed cumulative window
+    // (per-group sort, the same bounded shape as q7) over POSITIVE
+    // balances plus a broadcast of the 25-row nation totals; counting
+    // rows whose PRECEDING cumulative is under the threshold yields
+    // the minimal covering prefix size directly — no post-window
+    // self-join, no rank scan.
+    "q50_pareto" -> { (s, dir) =>
+      val cents = Tables.load(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nk"),
+          col("c_custkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+      val totals = cents.groupBy(col("nk"))
+        .agg(sum(col("cents")).as("total_cents"),
+          count(lit(1)).as("n_pos_customers"))
+      val w = Window.partitionBy(col("nk"))
+        .orderBy(col("cents").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cents
+        .withColumn("cum_before", coalesce(sum(col("cents")).over(w), lit(0L)))
+        .join(broadcast(totals), Seq("nk"))
+        .groupBy(col("nk"))
+        .agg(first(col("n_pos_customers")).as("n_pos_customers"),
+          first(col("total_cents")).as("total_cents"),
+          sum(when(col("cum_before") * 10 < col("total_cents") * 8, 1L)
+            .otherwise(0L)).as("n_top80"))
+        .orderBy(col("nk"))
     }
   )
 
@@ -1309,6 +1402,71 @@ object Relational {
         |  QUANTILE_CONT(ABS(c.cents - m.med_cents), 0.5) AS mad_cents
         |FROM cents c JOIN med m USING (c_mktsegment)
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    // same island key (day − row_number); day numbering replayed as
+    // DATE_DIFF from the same epoch
+    "q48_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT o_custkey,
+        |    CAST(DATE_DIFF('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        |  FROM orders),
+        |runs AS (
+        |  SELECT o_custkey,
+        |    day - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY day)
+        |      AS grp
+        |  FROM days),
+        |islands AS (
+        |  SELECT o_custkey, grp, COUNT(*) AS len
+        |  FROM runs GROUP BY 1, 2)
+        |SELECT o_custkey, COUNT(*) AS n_islands,
+        |  MAX(len) AS longest_streak,
+        |  CAST(SUM(len) AS BIGINT) AS active_days
+        |FROM islands GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // same month-partitioned LAG; the gap-year guard restated; every
+    // SUM kept BIGINT (the round-10 HUGEINT lesson)
+    "q49_yoy" ->
+      """WITH monthly AS (
+        |  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(MONTH(o_orderdate) AS BIGINT) AS mth,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS revenue_cents
+        |  FROM orders GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT yr, mth, revenue_cents,
+        |    LAG(revenue_cents) OVER (PARTITION BY mth ORDER BY yr)
+        |      AS prev_cents,
+        |    LAG(yr) OVER (PARTITION BY mth ORDER BY yr) AS prev_yr
+        |  FROM monthly)
+        |SELECT yr, mth, revenue_cents,
+        |  CASE WHEN prev_yr = yr - 1 THEN prev_cents END AS prev_yr_cents,
+        |  CASE WHEN prev_yr = yr - 1 THEN revenue_cents - prev_cents END
+        |    AS delta_cents
+        |FROM lagged ORDER BY yr, mth""".stripMargin,
+    // same cross-multiplied 80% test over the same (cents DESC,
+    // custkey) cumulative ordering
+    "q50_pareto" ->
+      """WITH cents AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk, c_custkey,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer
+        |  WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) > 0),
+        |totals AS (
+        |  SELECT nk, CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |    COUNT(*) AS n_pos_customers
+        |  FROM cents GROUP BY nk),
+        |cum AS (
+        |  SELECT nk, cents,
+        |    CAST(COALESCE(SUM(cents) OVER (PARTITION BY nk
+        |      ORDER BY cents DESC, c_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM cents)
+        |SELECT c.nk, ANY_VALUE(t.n_pos_customers) AS n_pos_customers,
+        |  ANY_VALUE(t.total_cents) AS total_cents,
+        |  CAST(SUM(CASE WHEN c.cum_before * 10 < t.total_cents * 8
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_top80
+        |FROM cum c JOIN totals t USING (nk)
+        |GROUP BY c.nk ORDER BY c.nk""".stripMargin,
     // plain unsalted join — hash equality proves salting preserves semantics
     "q19_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

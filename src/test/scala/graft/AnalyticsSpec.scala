@@ -562,4 +562,72 @@ class AnalyticsSpec extends GraftSpec {
       else assert(!r.isNullAt(3))
     }
   }
+
+  test("q48: islands are maximal consecutive-day runs — driver replay") {
+    val days = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = days.groupBy(_._1).map { case (ck, rs) =>
+      val ds = rs.map(_._2).sorted
+      // fold sorted days into run lengths
+      val runs = ds.foldLeft(List.empty[(Long, Long)]) {
+        case ((last, len) :: rest, d) if d == last + 1 =>
+          (d, len + 1) :: rest
+        case (acc, d) => (d, 1L) :: acc
+      }.map(_._2)
+      ck -> ((runs.size.toLong, runs.max, ds.size.toLong))
+    }
+    val got = SparkEntry.queries("q48_islands")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (ck, w) =>
+      assert(got(ck) == w, s"cust $ck: ${got(ck)} vs $w")
+    }
+  }
+
+  test("q49: YoY pairs exactly year-1 months, deltas replay, gap years " +
+      "yield NULL") {
+    val rows = SparkEntry.queries("q49_yoy")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+    val byKey = rows.toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case ((yr, mth), (rev, prev, delta)) =>
+      byKey.get((yr - 1, mth)) match {
+        case Some((prevRev, _, _)) =>
+          assert(prev.contains(prevRev), s"($yr,$mth)")
+          assert(delta.contains(rev - prevRev), s"($yr,$mth)")
+        case None =>
+          assert(prev.isEmpty && delta.isEmpty, s"($yr,$mth)")
+      }
+    }
+  }
+
+  test("q50: n_top80 is the minimal covering prefix — driver replay") {
+    val cents = Tables.load(spark, sf, "customer")
+      .select(col("c_nationkey").cast("long"), col("c_custkey"),
+        floor(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 > 0)
+    val want = cents.groupBy(_._1).map { case (nk, rs) =>
+      val sorted = rs.sortBy(r => (-r._3, r._2)).map(_._3)
+      val total = sorted.sum
+      // minimal prefix whose sum reaches 80% (cross-multiplied)
+      val prefix = sorted.scanLeft(0L)(_ + _)
+      val k = prefix.indexWhere(c => c * 10 >= total * 8)
+      nk -> ((rs.size.toLong, total, k.toLong))
+    }
+    val got = SparkEntry.queries("q50_pareto")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (nk, w) =>
+      assert(got(nk) == w, s"nation $nk: ${got(nk)} vs $w")
+    }
+  }
 }
