@@ -592,6 +592,56 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Boilerplate segment removal by corpus document frequency — the
+    * CCNet/RefinedWeb "repeated lines" filter, and the other half of
+    * the segment-dedup story: [[segmentDedup]] keeps the FIRST copy of
+    * a repeated segment, this drops EVERY copy of a segment that
+    * recurs across `maxDf`-or-more distinct documents (navigation
+    * chrome, license headers, templated footers — text whose repetition
+    * IS the signal that it carries no training value).
+    *
+    * Shape: the same fixed-window segmentation as [[segmentDedup]],
+    * one groupBy(seg) computing DISTINCT-doc frequency (map-side
+    * combinable after an in-partition (seg, doc) dedup), one join back
+    * on seg, one per-doc sorted reassembly — three corpus-keyed
+    * exchanges, all linear in segment count. The gated face keys on
+    * the segment TEXT so DuckDB replays it; at 100 TB the key becomes
+    * xxhash64(seg) so only fixed-width rows shuffle, and the df table
+    * above the boilerplate threshold (a tiny fraction of distinct
+    * segments) broadcasts into the removal join. */
+  def boilerplateStrip(docs: DataFrame, segWords: Int = 10,
+      maxDf: Int = 3): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(size(toks) / ${segWords}.0) as int) - 1),
+           |  i -> array_join(slice(toks, i * $segWords + 1, $segWords), ' '))"""
+          .stripMargin)).as(Seq("seg_idx", "seg")))
+    val df = segs.select(col("seg"), col("doc_id")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("df"))
+    val flagged = segs.join(df, "seg")
+    val rebuilt = flagged.filter(col("df") < maxDf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("seg_idx"), col("seg")))), x => x.getField("seg")), " ")
+          .as("text_kept"))
+    val removed = flagged.filter(col("df") >= maxDf)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    docs
+      .select(col("doc_id"),
+        ceil(size(split(col("text"), " ")) / segWords.toDouble).cast("long")
+          .as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .join(removed, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        col("text_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   // -- cluster resolution (pairs → canonical doc per cluster) -------------
 
   /** Connected-component resolution over an undirected near-dup pair
@@ -800,9 +850,44 @@ object Dedup {
     "corpus_dedup_weight" -> ((s, dir) =>
       clusterWeights(Tables.load(s, dir, "documents"))),
     "dedup_substring" -> ((s, dir) =>
-      substringStats(Tables.load(s, dir, "documents"))))
+      substringStats(Tables.load(s, dir, "documents"))),
+    // corpus-frequency boilerplate removal (every copy of a segment
+    // recurring in >= 3 distinct docs drops — segmentDedup's complement)
+    "dedup_boilerplate" -> ((s, dir) =>
+      boilerplateStrip(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // same segmentation, DISTINCT-doc frequency, df>=3 removal and
+    // ordered reassembly replayed relationally
+    "dedup_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        |segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    ARRAY_TO_STRING(t[i*10+1 : i*10+10], ' ') AS seg
+        |  FROM toks,
+        |    UNNEST(RANGE(0, CAST(CEIL(LEN(t)/10.0) AS BIGINT))) AS r(i)),
+        |df AS (
+        |  SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg),
+        |flagged AS (
+        |  SELECT s.doc_id, s.seg_idx, s.seg, f.df
+        |  FROM segs s JOIN df f USING (seg)),
+        |rebuilt AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    STRING_AGG(seg, ' ' ORDER BY seg_idx) AS text_kept
+        |  FROM flagged WHERE df < 3 GROUP BY doc_id),
+        |removed AS (
+        |  SELECT doc_id, COUNT(*) AS n_boiler
+        |  FROM flagged WHERE df >= 3 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(CEIL(LEN(STRING_SPLIT(d.text, ' '))/10.0) AS BIGINT)
+        |    AS n_segs,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  COALESCE(x.n_boiler, 0) AS n_boiler, k.text_kept
+        |FROM documents d
+        |  LEFT JOIN rebuilt k USING (doc_id)
+        |  LEFT JOIN removed x USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // raw-gram-string replay of substringStats: shingling (including
     // the one-short-gram rule for <13-token docs), per-gram document
     // frequency, per-doc dup share, and the integer 20% cut — grouping

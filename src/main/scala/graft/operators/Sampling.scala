@@ -414,7 +414,34 @@ object Sampling {
       .orderBy(col("global_pos"))
   }
 
+  /** Deterministic uniform k-sample — the distributed, re-runnable form
+    * of reservoir sampling: give every document a fixed pseudorandom
+    * priority (an overflow-safe Knuth multiplicative permutation of
+    * its id mod the poly-hash prime) and keep the k SMALLEST. Bottom-k
+    * by a fixed hash IS the reservoir result (Efraimidis-Spirtsis with
+    * hash priorities), but unlike a stateful reservoir it is
+    * order-independent, mergeable across partitions, and replayable —
+    * re-running at any parallelism yields the SAME sample, which is
+    * what a training-data audit needs.
+    *
+    * Shape: one narrow projection + TakeOrderedAndProject — each task
+    * keeps its local k, the driver merges k-sized heaps; no shuffle of
+    * the corpus, no global sort, no RNG state. The final k-row sort is
+    * driver-side by construction. */
+  def reservoirSample(docs: DataFrame, k: Int = 200): DataFrame = {
+    val priority =
+      ((col("doc_id") % 1000000007L) * 2654435761L) % 1000000007L
+    docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        priority.as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_reservoir" -> ((s, dir) =>
+      reservoirSample(Tables.load(s, dir, "documents"))),
     "sample_temperature" -> ((s, dir) =>
       temperatureMix(Tables.load(s, dir, "documents"))),
     "sample_stratified" -> ((s, dir) =>
@@ -442,6 +469,19 @@ object Sampling {
       interleave(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // the same fixed permutation priority, the same bottom-k — hash
+    // equality proves the merged per-partition heaps equal the global
+    // ORDER BY ... LIMIT definition
+    "sample_reservoir" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, lang,
+        |    ((doc_id % 1000000007) * 2654435761) % 1000000007
+        |      AS priority
+        |  FROM documents),
+        |k AS (
+        |  SELECT * FROM p ORDER BY priority, doc_id LIMIT 200)
+        |SELECT doc_id, source, lang, priority FROM k
+        |ORDER BY doc_id""".stripMargin,
     // the NAIVE definition: one global ROW_NUMBER over (rank, source).
     // Hash equality proves the engine's broadcast closed-form position
     // arithmetic ≡ this definition on every row

@@ -414,6 +414,32 @@ object Similarity {
       .orderBy(col("batch"))
   }
 
+  /** Per-DIMENSION distribution audit — the anisotropy / dead-dimension
+    * check run before trusting an embedding space (a dimension whose
+    * variance has collapsed, or whose mean has drifted off zero,
+    * silently degrades every cosine downstream; rogue dimensions with
+    * outsized spread dominate distances). Elements quantize to an
+    * integer micro grid (floor(x·1e6), exact: float→double is lossless
+    * and the product is the same IEEE double on both engines), then
+    * every statistic is an INTEGER sum — order-independent, so the
+    * corpus-sized explode aggregates map-side into exactly `dim` rows
+    * before the one tiny exchange. Unit-normalized inputs keep m² ≤
+    * 1e12, so int64 holds ~9M vectors per dimension; beyond that the
+    * same plan runs with the sums cast to DECIMAL(38,0) — the shape
+    * does not change. */
+  def dimStats(vecs: DataFrame): DataFrame =
+    vecs
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * 1e6).cast("long").as("m"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("m")).as("sum_micro"),
+        sum(col("m") * col("m")).as("sumsq_micro"),
+        min(col("m")).as("min_micro"),
+        max(col("m")).as("max_micro"))
+      .orderBy(col("dim"))
+
   /** MMR fixed-point quantization scale: sims become exact BIGINTs, so
     * the greedy's comparisons are bit-identical across engines (the
     * emb_kmeans fixed-point precedent — a float MMR would flip picks
@@ -2020,6 +2046,9 @@ object Similarity {
         col("vec_id") < 10)),
     "emb_norm_audit" -> ((s, dir) =>
       normAudit(Tables.load(s, dir, "embeddings"))),
+    // per-dimension anisotropy audit on the exact micro-int grid
+    "emb_dim_stats" -> ((s, dir) =>
+      dimStats(Tables.load(s, dir, "embeddings"))),
     // Correctness face probes ALL cells (nprobe = centroidBudget):
     // exact by construction, so it shares knn_brute's oracle — any bug
     // in assignment, the cell join, the dedup, or the ranking breaks
@@ -2490,6 +2519,20 @@ object Similarity {
         |  MIN(CAST(FLOOR(SQRT(n2) * 1e6) AS BIGINT)) AS min_norm_fp,
         |  MAX(CAST(FLOOR(SQRT(n2) * 1e6) AS BIGINT)) AS max_norm_fp
         |FROM v GROUP BY batch ORDER BY batch""".stripMargin,
+    // same micro-int grid (1-based DuckDB subscripts shift to the
+    // 0-based dim), every statistic the same integer sum
+    "emb_dim_stats" ->
+      """WITH x AS (
+        |  SELECT i - 1 AS dim,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS m
+        |  FROM embeddings,
+        |    UNNEST(RANGE(1, LEN(embedding) + 1)) AS r(i))
+        |SELECT dim, COUNT(*) AS n,
+        |  CAST(SUM(m) AS BIGINT) AS sum_micro,
+        |  CAST(SUM(m * m) AS BIGINT) AS sumsq_micro,
+        |  MIN(m) AS min_micro, MAX(m) AS max_micro
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
     // query-anchored bucket join replayed on the same banded CTEs
     // (no bucket-size cut — mirrors the face), exact verify at 0.3,
     // per-query count + (cos desc, id) argmax

@@ -359,4 +359,31 @@ class DedupSpec extends GraftSpec {
         s"$q plan contains a cartesian product")
     }
   }
+
+  test("dedup_boilerplate: every copy of a df>=3 segment drops, " +
+      "kept+removed partitions the segments") {
+    import spark.implicits._
+    // doc 1/2/3 share segment A (df=3 -> boilerplate, removed from all
+    // three); doc 1/2 share B (df=2 -> kept everywhere); each doc has
+    // a unique tail segment
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")
+    val b = (1 to 10).map(i => s"b$i").mkString(" ")
+    def uniq(d: Int) = (1 to 10).map(i => s"u${d}_$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a $b ${uniq(1)}"), (2L, s"$a $b ${uniq(2)}"),
+      (3L, s"$a ${uniq(3)}"), (4L, uniq(4)))
+      .toDF("doc_id", "text")
+    val got = Dedup.boilerplateStrip(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.getString(4))))).toMap
+    assert(got(1L) == ((3L, 2L, 1L, Some(s"$b ${uniq(1)}"))))
+    assert(got(2L) == ((3L, 2L, 1L, Some(s"$b ${uniq(2)}"))))
+    assert(got(3L) == ((2L, 1L, 1L, Some(uniq(3)))))
+    assert(got(4L) == ((1L, 1L, 0L, Some(uniq(4)))))
+    // corpus face: conservation + non-vacuousness (the synthetic
+    // corpus DOES contain df>=3 segments)
+    val face = SparkEntry.queries("dedup_boilerplate")(spark, sf).collect()
+    assert(face.forall(r => r.getLong(2) + r.getLong(3) == r.getLong(1)))
+    assert(face.map(_.getLong(3)).sum > 0, "no boilerplate found")
+  }
 }

@@ -333,4 +333,21 @@ class SamplingSpec extends GraftSpec {
         s"bucket $bk batch ids $ordered")
     }
   }
+
+  test("sample_reservoir: bottom-k by the fixed permutation, stable " +
+      "under repartitioning") {
+    val corpus = graft.sources.Tables.load(spark, sf, "documents")
+    val ids = corpus.select(col("doc_id")).collect().map(_.getLong(0))
+    val want = ids
+      .map(id => (id % 1000000007L * 2654435761L % 1000000007L, id))
+      .sorted.take(200).map(_._2).sorted.toSeq
+    val got = Sampling.reservoirSample(corpus).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == want)
+    // determinism across physical layouts: the sample is a pure
+    // function of the data, not of partitioning
+    val re = Sampling.reservoirSample(corpus.repartition(13)).collect()
+      .map(_.getLong(0)).toSeq
+    assert(re == want)
+  }
 }

@@ -813,4 +813,21 @@ class SimilaritySpec extends GraftSpec {
       r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L))
     face.foreach(r => assert(r.getLong(5) <= r.getLong(6)))
   }
+
+  test("emb_dim_stats: integer moments replay per dimension") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val dim = vecs.head.length
+    val want = (0 until dim).map { d =>
+      val ms = vecs.map(v => math.floor(v(d).toDouble * 1e6).toLong)
+      (d.toLong, ms.length.toLong, ms.sum, ms.map(m => m * m).sum,
+        ms.min, ms.max)
+    }
+    val got = Similarity.dimStats(Tables.load(spark, sf, "embeddings"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+  }
 }
