@@ -339,3 +339,96 @@ object WavPcmStats {
     new GenericInternalRow(Array[Any](dataSize, ss, peak))
   }
 }
+
+/** Per-window PCM energy: `wav_window_energy(blob)` →
+  * `array<bigint>` of sum-of-squared-deviations over consecutive
+  * 16-sample windows of an 8-bit mono PCM WAV (the last window may be
+  * short), NULL when the payload is not that contract — the front end
+  * of energy-gated voice-activity detection ([[WavPcmStats]] folds the
+  * whole clip; VAD needs the time axis).
+  *
+  * Same scale posture as the other audio expressions: the blob is
+  * consumed INSIDE the codegen'd projection — only the (n_windows)-
+  * sized integer array leaves the row, so audio bytes never reach an
+  * exchange. Window width 16 at the fixture's 8 kHz-ish scale stands
+  * in for the usual 10–30 ms frame; the arithmetic is integral, so
+  * the downstream gate/segment logic is exactly SQL-replayable. */
+case class WavWindowEnergy(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "wav_window_energy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WavWindowEnergy.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WavWindowEnergy.compute($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): WavWindowEnergy =
+    copy(child = newChild)
+}
+
+object WavWindowEnergy {
+
+  val WindowSamples = 16
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def tag(b: Array[Byte], o: Int, t: String): Boolean =
+    b(o) == t.charAt(0) && b(o + 1) == t.charAt(1) &&
+      b(o + 2) == t.charAt(2) && b(o + 3) == t.charAt(3)
+
+  /** null ⇔ not a RIFF/WAVE with PCM(1ch, 8-bit) fmt and a complete
+    * data chunk (the [[WavPcmStats]] contract). Called from generated
+    * code. */
+  def compute(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (b == null || b.length < 44 ||
+        !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    var off = 12L
+    var ok = false
+    var dataOff = -1L
+    var dataSize = -1L
+    while (off + 8 <= b.length) {
+      val o = off.toInt
+      val size = le32(b, o + 4)
+      if (tag(b, o, "fmt ") && off + 8 + 16 <= b.length) {
+        ok = le16(b, o + 8) == 1 && le16(b, o + 10) == 1 &&
+          le16(b, o + 22) == 8
+      } else if (tag(b, o, "data")) {
+        dataOff = off + 8
+        dataSize = size
+      }
+      off += 8L + size + (size & 1L)
+    }
+    if (!ok || dataOff < 0 || dataSize < 0 ||
+        dataOff + dataSize > b.length) return null
+    val n = dataSize.toInt
+    val nWin = (n + WindowSamples - 1) / WindowSamples
+    val out = new Array[Long](nWin)
+    var i = 0
+    while (i < n) {
+      val dev = (b(dataOff.toInt + i) & 0xff) - 128
+      out(i / WindowSamples) += dev.toLong * dev
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}

@@ -84,6 +84,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "folded from 8-bit mono PCM WAV samples; NULL otherwise"),
       (children: Seq[Expression]) => WavPcmStats(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("wav_window_energy"),
+      info("wav_window_energy",
+        "wav_window_energy(blob) - array<bigint> of per-16-sample " +
+          "sum-of-squared-deviation energies from an 8-bit mono PCM " +
+          "WAV; NULL otherwise"),
+      (children: Seq[Expression]) => WavWindowEnergy(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("planted_bmp"),
       info("planted_bmp",
         "planted_bmp(doc_id, w) - W x W 24-bpp BMP fixture with " +

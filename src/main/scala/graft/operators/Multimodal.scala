@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -262,6 +263,11 @@ object Multimodal {
   /** Images per training micro-batch within a bucket. */
   val AspectBatchSize = 16
 
+  /** VAD energy gate: a 16-sample window is "speech" iff its
+    * sum-of-squared-deviations reaches this (≈ the fixture corpus's
+    * median window energy, so the gate genuinely splits). */
+  val VadEnergyGate = 85000L
+
   /** Aspect-ratio bucketing — the batching pass of any image-training
     * pipeline: images only batch with same-shape peers, so each image
     * is assigned the ladder bucket nearest its aspect ratio and a
@@ -468,6 +474,41 @@ object Multimodal {
           round(sqrt(col("st.sum_dev2").cast("double")
             / col("st.n_samples")), 6).as("rms"))
         .orderBy(col("doc_id"))
+    },
+
+    // -- energy-gated voice-activity detection over binary audio -----------
+    // The segmentation every speech pipeline runs before transcription/
+    // training: per-16-sample window energies decode INSIDE the
+    // codegen'd projection (wav_window_energy — blobs never shuffle,
+    // only the small integer array leaves the row), a fixed integer
+    // energy gate marks active windows, and consecutive active windows
+    // merge into speech segments with the q48 islands key (win_idx −
+    // row_number, exact). Everything after the decode is clip-local,
+    // so the per-clip shuffle is the posexplode's narrow
+    // (doc_id, idx, energy) rows and one doc-keyed window+aggregate.
+    "mm_audio_vad" -> { (s, dir) =>
+      val winE = pcmTable(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"),
+          posexplode(call_function("wav_window_energy", col("blob")))
+            .as(Seq("win_idx", "energy")))
+      val active = winE.filter(col("energy") >= VadEnergyGate)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("win_idx"))
+      val segs = active
+        .withColumn("grp", col("win_idx") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          max(col("len")).as("longest_run"),
+          sum(col("len")).as("n_active"))
+      winE.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"))
+        .join(segs, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+        .orderBy(col("doc_id"))
     })
 
   /** Complete 8×8 24-bpp BMP thumbnails with planted grayscale pixels:
@@ -589,6 +630,40 @@ object Multimodal {
     // every sample replayed from the planted arithmetic: the integer
     // fold (Σ dev², max |dev|) rides the hash exactly; RMS is one
     // deterministic double from those integers
+    // full formula replay: per-sample devs -> 16-sample window
+    // energies -> integer gate -> islands (win - ROW_NUMBER) -> per-
+    // clip segment stats; generation and extraction share no code
+    "mm_audio_vad" ->
+      """WITH s AS (
+        |  SELECT doc_id, t // 16 AS win_idx,
+        |    (doc_id * 31 + t * 13 + (t * t) % 97) % 256 - 128 AS dev
+        |  FROM (SELECT doc_id,
+        |          UNNEST(RANGE(0, 64 + doc_id % 192)) AS t
+        |        FROM documents) u),
+        |we AS (
+        |  SELECT doc_id, win_idx,
+        |    CAST(SUM(dev * dev) AS BIGINT) AS energy
+        |  FROM s GROUP BY doc_id, win_idx),
+        |act AS (
+        |  SELECT doc_id, win_idx,
+        |    win_idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY win_idx) AS grp
+        |  FROM we WHERE energy >= 85000),
+        |runs AS (
+        |  SELECT doc_id, grp, COUNT(*) AS len
+        |  FROM act GROUP BY 1, 2),
+        |segs AS (
+        |  SELECT doc_id, COUNT(*) AS n_segments, MAX(len) AS longest_run,
+        |    CAST(SUM(len) AS BIGINT) AS n_active
+        |  FROM runs GROUP BY doc_id),
+        |wins AS (
+        |  SELECT doc_id, COUNT(*) AS n_windows FROM we GROUP BY doc_id)
+        |SELECT w.doc_id, w.n_windows,
+        |  COALESCE(g.n_active, 0) AS n_active,
+        |  COALESCE(g.n_segments, 0) AS n_segments,
+        |  COALESCE(g.longest_run, 0) AS longest_run
+        |FROM wins w LEFT JOIN segs g USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
     "mm_audio_rms" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -620,6 +620,54 @@ object Streaming {
     }
   }
 
+  /** The deterministic CDC changelog both cdc-apply faces consume:
+    * every event is a keyed change op — a DELETE for every tenth
+    * event_id, an UPSERT otherwise — ordered by (ts, event_id) within
+    * its key. A derived view, so the contract exists at every SF. */
+  def cdcOps(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("ts"), col("event_id"),
+      when(col("event_id") % 10 === 0, lit("D")).otherwise(lit("U"))
+        .as("op"),
+      col("value"))
+
+  /** CDC changelog APPLY, batch face: materialize the final keyed
+    * state an I/U/D stream leaves behind — last op in (ts, event_id)
+    * order wins per key, keys whose last op is a DELETE vanish from
+    * the materialization. The Debezium/lakehouse merge semantic,
+    * reduced to ONE key-partitioned window argmax (the q22
+    * WindowGroupLimit shape — no self-join against a "latest" table)
+    * plus a same-exchange count; the value column rides the argmax
+    * row untouched, so there is no accumulation and no float seam. */
+  def batchCdcApply(events: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy(col("user_id"))
+    val w = byKey.orderBy(col("ts").desc, col("event_id").desc)
+    cdcOps(events)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(byKey))
+      .filter(col("rn") === 1 && col("op") === "U")
+      .select(col("user_id"), col("n_ops"),
+        col("ts").as("last_ts"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Streaming face of [[batchCdcApply]]: a stateful last-writer-wins
+    * aggregation — per key, max over the (ts, event_id)-ordered change
+    * struct (op and value ride along), plus the op count; tombstoned
+    * keys filter out AFTER the aggregate so a delete arriving mid-
+    * stream still retracts earlier upserts in complete-mode output.
+    * State per key is one struct + one counter, O(keys) total —
+    * watermark-free because CDC state is, by definition, forever
+    * (a key can be updated arbitrarily late). */
+  def streamingCdcApply(events: DataFrame): DataFrame =
+    cdcOps(events)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ops"),
+        max(struct(col("ts"), col("event_id"), col("op"), col("value")))
+          .as("last"))
+      .filter(col("last.op") === "U")
+      .select(col("user_id"), col("n_ops"),
+        col("last.ts").as("last_ts"), col("last.value").as("last_value"))
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     if (Files.exists(p)) {
@@ -657,7 +705,11 @@ object Streaming {
     // batch face = the gated LOCF window (operators.Etl.gapFill);
     // the streaming face (streamingGapFill) is parity-tested
     "stream_gapfill" -> ((s, dir) =>
-      graft.operators.Etl.gapFill(Tables.load(s, dir, "events"))))
+      graft.operators.Etl.gapFill(Tables.load(s, dir, "events"))),
+    // last-writer-wins changelog materialization; the streaming
+    // aggregation face is parity-tested
+    "stream_cdc_apply" -> ((s, dir) =>
+      batchCdcApply(Tables.load(s, dir, "events"))))
 
   def oracleSql: Map[String, String] = Map(
     // identical statement to etl_gapfill — the streaming key gates the
@@ -675,6 +727,23 @@ object Streaming {
       """SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the same derived changelog, the same last-writer-wins argmax and
+    // tombstone filter
+    "stream_cdc_apply" ->
+      """WITH ops AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM ops)
+        |SELECT user_id, n_ops, ts AS last_ts, value AS last_value
+        |FROM r WHERE rn = 1 AND op = 'U'
+        |ORDER BY user_id""".stripMargin,
     "stream_topk" ->
       """WITH c AS (
         |  SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start,

@@ -519,4 +519,53 @@ class FunctionsSpec extends GraftSpec {
     val b = graft.operators.Etl.rowChecksum(o).collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("wav_window_energy windows the PCM fold: hand energies, short " +
+      "tail, chunk walk, NULL off-contract; VAD face segments gate") {
+    def wav(samples: Array[Int], bits: Int = 8,
+        withList: Boolean = false): Array[Byte] = {
+      val list = if (withList) 12 else 0
+      val bb = java.nio.ByteBuffer.allocate(44 + list + samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(4 + 24 + list + 8 + samples.length)
+      bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(8000)
+      bb.putShort(1); bb.putShort(bits.toShort)
+      if (withList) { bb.put("LIST".getBytes); bb.putInt(4); bb.put("INFO".getBytes) }
+      bb.put("data".getBytes); bb.putInt(samples.length)
+      samples.foreach(s => bb.put(s.toByte))
+      bb.array()
+    }
+    // 20 samples: a full 16-sample window + a 4-sample tail
+    val samples = (0 until 20).map(i => 128 + (i % 7) * 10 - 30).toArray
+    val want = samples.grouped(16).map(w =>
+      w.map(s => { val d = s - 128; d.toLong * d }).sum).toSeq
+    val rows = Seq(
+      (1L, wav(samples)),
+      (2L, wav(samples, withList = true)),
+      (3L, wav(samples, bits = 16)))
+      .toDF("id", "blob")
+      .select(col("id"),
+        call_function("wav_window_energy", col("blob")).as("e"))
+      .orderBy(col("id")).collect()
+    assert(rows(0).getSeq[Long](1) == want)
+    assert(rows(1).getSeq[Long](1) == want, "LIST chunk shifted the fold")
+    assert(rows(2).isNullAt(1), "16-bit must be off-contract")
+    // VAD face invariants on the corpus: window count matches the
+    // clip length contract; active windows partition into segments
+    val vad = SparkEntry.queries("mm_audio_vad")(spark, sf).collect()
+    assert(vad.nonEmpty)
+    vad.foreach { r =>
+      val (docId, nWin, nAct, nSeg, longest) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val nSamples = 64 + docId % 192
+      assert(nWin == (nSamples + 15) / 16, s"doc $docId window count")
+      assert(nAct <= nWin && nSeg <= nAct && longest <= nAct)
+      assert((nSeg == 0) == (nAct == 0))
+    }
+    // the gate genuinely splits the corpus
+    assert(vad.exists(_.getLong(2) > 0) &&
+      vad.exists(r => r.getLong(2) < r.getLong(1)))
+  }
 }

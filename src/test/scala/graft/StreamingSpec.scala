@@ -272,6 +272,37 @@ class StreamingSpec extends GraftSpec {
     assert(got.map(_._2).sum === events.count())
   }
 
+  test("streaming CDC apply: last-writer-wins state equals the batch " +
+      "materialization, tombstones retract") {
+    val stream = Streaming.eventsStream(spark, sf)
+    val q = Streaming.streamingCdcApply(stream).writeStream
+      .format("memory").queryName("cdc_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("cdc_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3))).toSet
+    val want = Streaming.batchCdcApply(Tables.load(spark, sf, "events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3))).toSet
+    assert(got == want)
+    // tombstones really retract: users whose LAST op is a delete are
+    // absent from the materialization but present in the raw stream
+    val lastOps = Streaming.cdcOps(Tables.load(spark, sf, "events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view
+      .mapValues(_.maxBy(x => (x._2.getTime, x._3))._4).toMap
+    val deleted = lastOps.filter(_._2 == "D").keySet
+    assert(deleted.nonEmpty, "fixture has no trailing tombstones")
+    val gotKeys = got.map(_._1)
+    assert(deleted.forall(k => !gotKeys.contains(k)))
+    assert(gotKeys == lastOps.filter(_._2 == "U").keySet)
+  }
+
   test("streaming top-k: watermarked pre-agg counts ranked at read " +
       "time equal the batch leaderboard") {
     val stream = Streaming.eventsStream(spark, sf)
