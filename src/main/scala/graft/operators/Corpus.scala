@@ -137,9 +137,58 @@ object Corpus {
         max(col("n_tokens")).as("max_tokens"))
       .orderBy(col("source"), col("lang"))
 
+  /** Mixture-drift audit: how far each source's LANGUAGE mix sits from
+    * the corpus-wide mix — the datasheet check that catches a scraped
+    * source whose language classifier drifted, or a re-crawl that
+    * silently changed composition, before it skews a trained model.
+    * Per (source, lang) grid cell (zero cells included — a source
+    * MISSING a corpus language is exactly the drift that matters):
+    * within-source permille vs corpus permille, integer floor division
+    * on both engines (all operands positive, so trunc == floor); per
+    * source, the L1 drift and the worst-deviation language (total tie
+    * order: deviation desc, lang asc).
+    *
+    * Shape: one corpus-scale (source, lang) count (map-side combined
+    * to sources×langs rows), everything after runs on dimension-sized
+    * tables — a broadcast cross of the two margins rebuilds the full
+    * grid, one source-keyed window ranks deviations. No corpus-sized
+    * exchange beyond the first aggregate. */
+  def mixDrift(docs: DataFrame): DataFrame = {
+    val sl = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val srcTot = sl.groupBy(col("source")).agg(sum(col("n")).as("src_n"))
+    val langTot = sl.groupBy(col("lang")).agg(sum(col("n")).as("lang_n"))
+    val total = sl.agg(sum(col("n")).as("total"))
+    val grid = srcTot
+      .crossJoin(broadcast(langTot))
+      .join(sl, Seq("source", "lang"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("src_n"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("lang_n"), col("total"))
+      .withColumn("pm_src", expr("1000 * n div src_n"))
+      .withColumn("pm_corpus", expr("1000 * lang_n div total"))
+      .withColumn("adev", abs(col("pm_src") - col("pm_corpus")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("adev").desc, col("lang"))
+    grid
+      .withColumn("rn", row_number().over(w))
+      .withColumn("l1_drift_pm",
+        sum(col("adev")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("src_n").as("n_docs"),
+        col("l1_drift_pm"), col("lang").as("worst_lang"),
+        col("adev").as("worst_dev_pm"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_stats" -> ((s, dir) =>
       datasheet(Tables.load(s, dir, "documents"))),
+    "corpus_mix_drift" -> ((s, dir) =>
+      mixDrift(Tables.load(s, dir, "documents"))),
     "pipeline_corpus" -> ((s, dir) =>
       buildSummary(Tables.load(s, dir, "documents"))))
 
@@ -150,6 +199,37 @@ object Corpus {
     * match also proves LSH recall), 13-gram decontamination, and the
     * multiplicative-hash split. One hash certifies the COMPOSITION. */
   def oracleSql: Map[String, String] = Map(
+    // same zero-cell grid (margin cross join), same integer permille
+    // floor division, same (dev desc, lang) worst-language order
+    "corpus_mix_drift" ->
+      """WITH sl AS (
+        |  SELECT source, lang, COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS src_n
+        |       FROM sl GROUP BY source),
+        |lt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_n
+        |       FROM sl GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM sl),
+        |grid AS (
+        |  SELECT st.source, lt.lang, st.src_n,
+        |    COALESCE(sl.n, 0) AS n, lt.lang_n, tot.total
+        |  FROM st CROSS JOIN lt CROSS JOIN tot
+        |  LEFT JOIN sl ON sl.source = st.source AND sl.lang = lt.lang),
+        |dev AS (
+        |  SELECT source, lang, src_n,
+        |    ABS(CAST(1000 * n // src_n AS BIGINT)
+        |      - CAST(1000 * lang_n // total AS BIGINT)) AS adev
+        |  FROM grid),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY adev DESC, lang) AS rn,
+        |    CAST(SUM(adev) OVER (PARTITION BY source) AS BIGINT)
+        |      AS l1_drift_pm
+        |  FROM dev)
+        |SELECT source, src_n AS n_docs, l1_drift_pm,
+        |  lang AS worst_lang, adev AS worst_dev_pm
+        |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
     "corpus_stats" ->
       """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT))

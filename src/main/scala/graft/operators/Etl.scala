@@ -345,7 +345,41 @@ object Etl {
       .orderBy(col("pmonth"))
   }
 
+  /** Day-over-trailing-week volume anomaly audit — the pipeline-health
+    * monitor that catches a stalled upstream feed (volume collapse) or
+    * a replayed/double-delivered batch (volume spike) the morning it
+    * happens: per ingest day, event count against the trailing 7-day
+    * window, deviation in integer permille (|7n − Σtrail|·1000 div
+    * Σtrail — all positive, so trunc and floor division agree), hot at
+    * 2× the trailing mean via cross-multiplication (7n > 2Σ). Days
+    * without a full 7-day history carry NULL/false — a partial
+    * baseline must not alert.
+    *
+    * Shape: ONE corpus-scale map-side-combined day aggregate; the
+    * trailing window runs over the day table only (calendar-bounded —
+    * the skew-audit/date-spine precedent for single-partition windows
+    * over source-cardinality aggregates). */
+  def volumeAnomaly(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val trail = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    daily
+      .withColumn("trail_days", count(lit(1)).over(trail))
+      .withColumn("trail_sum", sum(col("n")).over(trail))
+      .select(col("day"), col("n"),
+        when(col("trail_days") === 7, col("trail_sum")).as("trail7"),
+        when(col("trail_days") === 7,
+          expr("1000 * abs(7 * n - trail_sum) div trail_sum"))
+          .as("dev_pm"),
+        (col("trail_days") === 7 &&
+          col("n") * 7 > col("trail_sum") * 2).as("hot"))
+      .orderBy(col("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_volume_anomaly" -> ((s, dir) =>
+      volumeAnomaly(Tables.load(s, dir, "events"))),
     "etl_skew_audit" -> ((s, dir) =>
       skewAudit(Tables.load(s, dir, "orders"))),
     "etl_outlier_iqr" -> ((s, dir) =>
@@ -849,6 +883,27 @@ object Etl {
           |  CAST(SUM(h) AS BIGINT) AS sum_digest,
           |  MIN(h) AS min_digest, MAX(h) AS max_digest
           |FROM c GROUP BY grp ORDER BY grp""".stripMargin,
+      // same day aggregate, trailing frame, integer permille and
+      // cross-multiplied 2x gate; SUM/abs-div outputs cast to BIGINT
+      "etl_volume_anomaly" ->
+        """WITH d AS (
+          |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+          |  FROM events GROUP BY 1),
+          |w AS (
+          |  SELECT day, n,
+          |    COUNT(*) OVER (ORDER BY day
+          |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS td,
+          |    CAST(SUM(n) OVER (ORDER BY day
+          |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+          |      AS ts7
+          |  FROM d)
+          |SELECT day, n,
+          |  CASE WHEN td = 7 THEN ts7 END AS trail7,
+          |  CASE WHEN td = 7
+          |    THEN CAST(1000 * ABS(7 * n - ts7) // ts7 AS BIGINT) END
+          |    AS dev_pm,
+          |  td = 7 AND n * 7 > ts7 * 2 AS hot
+          |FROM w ORDER BY day""".stripMargin,
       "etl_skew_audit" ->
         """WITH p AS (
           |  SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE))

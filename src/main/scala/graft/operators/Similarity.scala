@@ -414,6 +414,43 @@ object Similarity {
       .orderBy(col("batch"))
   }
 
+  /** Pairwise-cosine geometry audit: the distribution of cosines over
+    * a deterministic pair sample — the space-collapse check run on a
+    * contrastively trained embedding space (a healthy space puts
+    * unrelated pairs near 0; anisotropic collapse pushes the whole
+    * histogram toward 1, and THAT is what kills retrieval, recall
+    * curves, and dedup thresholds downstream). Pairs are (2k, 2k+1) by
+    * vec_id — ids carry no content order, so adjacent-id pairing IS a
+    * fixed random pair sample, replayable and linear (vs the n²
+    * all-pairs truth). Cosines land in 16 fixed-width bins via
+    * floor((cos+1)·8) — both engines compute the same IEEE double
+    * left-to-right (the norm-audit precedent), so the floor grid
+    * agrees bit-for-bit; per bin: pair count and the fixed-point
+    * cosine envelope.
+    *
+    * Shape: one id-keyed self-join (linear — each row joins at most
+    * once), per-row codegen'd dot/norms, map-side combine to ≤ 16
+    * rows. */
+  def pairCosineHist(vecs: DataFrame): DataFrame = {
+    val even = vecs.filter(col("vec_id") % 2 === 0)
+      .select((col("vec_id") / 2).cast("long").as("pair"),
+        col("embedding").as("ea"))
+    val odd = vecs.filter(col("vec_id") % 2 === 1)
+      .select(expr("vec_id div 2").as("pair"),
+        col("embedding").as("eb"))
+    even.join(odd, "pair")
+      .select(cosine(col("ea"), col("eb")).as("cos"))
+      .select(
+        least(floor((col("cos") + 1.0) * 8).cast("long"), lit(15L))
+          .as("bin"),
+        col("cos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(floor(col("cos") * 1e6).cast("long")).as("min_cos_fp"),
+        max(floor(col("cos") * 1e6).cast("long")).as("max_cos_fp"))
+      .orderBy(col("bin"))
+  }
+
   /** Per-DIMENSION distribution audit — the anisotropy / dead-dimension
     * check run before trusting an embedding space (a dimension whose
     * variance has collapsed, or whose mean has drifted off zero,
@@ -2049,6 +2086,9 @@ object Similarity {
     // per-dimension anisotropy audit on the exact micro-int grid
     "emb_dim_stats" -> ((s, dir) =>
       dimStats(Tables.load(s, dir, "embeddings"))),
+    // pair-sample cosine histogram (space-collapse geometry audit)
+    "emb_pair_hist" -> ((s, dir) =>
+      pairCosineHist(Tables.load(s, dir, "embeddings"))),
     // Correctness face probes ALL cells (nprobe = centroidBudget):
     // exact by construction, so it shares knn_brute's oracle — any bug
     // in assignment, the cell join, the dedup, or the ranking breaks
@@ -2519,6 +2559,29 @@ object Similarity {
         |  MIN(CAST(FLOOR(SQRT(n2) * 1e6) AS BIGINT)) AS min_norm_fp,
         |  MAX(CAST(FLOOR(SQRT(n2) * 1e6) AS BIGINT)) AS max_norm_fp
         |FROM v GROUP BY batch ORDER BY batch""".stripMargin,
+    // same adjacent-id pairing; cosines via the double-cast dot (the
+    // norm-audit precedent: ~1e-13 agreement, far inside both the
+    // 0.125 bin grid and the 1e-6 envelope grid)
+    "emb_pair_hist" ->
+      """WITH d AS (
+        |  SELECT vec_id,
+        |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.e AS ea, b.e AS eb
+        |  FROM d a JOIN d b ON b.vec_id = a.vec_id + 1
+        |  WHERE a.vec_id % 2 = 0),
+        |c AS (
+        |  SELECT LIST_DOT_PRODUCT(ea, eb) /
+        |    (SQRT(LIST_DOT_PRODUCT(ea, ea)) *
+        |     SQRT(LIST_DOT_PRODUCT(eb, eb))) AS cos
+        |  FROM pairs)
+        |SELECT LEAST(CAST(FLOOR((cos + 1) * 8) AS BIGINT),
+        |    CAST(15 AS BIGINT)) AS bin,
+        |  COUNT(*) AS n_pairs,
+        |  MIN(CAST(FLOOR(cos * 1e6) AS BIGINT)) AS min_cos_fp,
+        |  MAX(CAST(FLOOR(cos * 1e6) AS BIGINT)) AS max_cos_fp
+        |FROM c GROUP BY bin ORDER BY bin""".stripMargin,
     // same micro-int grid (1-based DuckDB subscripts shift to the
     // 0-based dim), every statistic the same integer sum
     "emb_dim_stats" ->

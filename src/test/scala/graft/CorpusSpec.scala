@@ -57,4 +57,31 @@ class CorpusSpec extends GraftSpec {
     assert(kept.columns.toSeq ==
       Seq("doc_id", "text", "lang", "source", "n_chars"))
   }
+
+  test("mix drift: zero cells count, L1 replays, an on-mix source " +
+      "scores near zero") {
+    import spark.implicits._
+    // corpus mix: 50/50 en/de. source A mirrors it (drift ~0), source
+    // B is all-en (drift = |1000-500| + |0-500| = 1000), source C
+    // lacks de entirely the same way but smaller
+    val docs = (
+      (1 to 10).map(i => (100L + i, "A", if (i <= 5) "en" else "de")) ++
+      (1 to 10).map(i => (200L + i, "B", "en")) ++
+      (1 to 10).map(i => (300L + i, "C", "de")))
+      .toSeq.toDF("doc_id", "source", "lang")
+    val got = Corpus.mixDrift(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))).toMap
+    // corpus: 15 en / 15 de of 30 -> 500/500 permille
+    assert(got("A") == ((10L, 0L, "de", 0L)))
+    assert(got("B") == ((10L, 1000L, "de", 500L)))
+    assert(got("C") == ((10L, 1000L, "de", 500L)))
+    // corpus face: every drift bounded by 2000 permille, n_docs
+    // conservation
+    val face = SparkEntry.queries("corpus_mix_drift")(spark, sf).collect()
+    assert(face.nonEmpty)
+    assert(face.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 2000))
+    val total = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(face.map(_.getLong(1)).sum == total)
+  }
 }

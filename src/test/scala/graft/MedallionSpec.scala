@@ -409,4 +409,40 @@ class MedallionSpec extends GraftSpec {
     assert(got("2024-12-01"), "hot month not flagged")
     assert(got.count(_._2) == 1, s"extra hot flags: $got")
   }
+
+  test("volume anomaly: planted 3x spike alerts after a full trailing " +
+      "week, partial baselines never alert") {
+    import spark.implicits._
+    // 10 uniform days of 20 events, then one day at 60 (3x), then 2
+    // more uniform days
+    val rows = (0 until 13).flatMap { d =>
+      val n = if (d == 10) 60 else 20
+      (0 until n).map(i => (d * 1000L + i,
+        java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:00")))
+    }
+    val planted = rows.toDF("event_id", "ts")
+    val got = graft.operators.Etl.volumeAnomaly(planted).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getBoolean(4)))).toMap
+    // first 7 days: no full trailing week -> NULL trail, never hot
+    (1 to 7).foreach { d =>
+      val (_, t7, dev, hot) = got(f"2024-03-$d%02d")
+      assert(t7.isEmpty && dev.isEmpty && !hot, s"day $d")
+    }
+    // day 11 is the spike: trail = 7*20, dev = |7*60-140|*1000/140
+    val (n11, t11, dev11, hot11) = got("2024-03-11")
+    assert(n11 == 60 && t11.contains(140L) &&
+      dev11.contains(1000L * (7 * 60 - 140) / 140) && hot11)
+    // day 12-13: spike enters the baseline, days are normal -> cold
+    assert(!got("2024-03-12")._4 && !got("2024-03-13")._4)
+    assert(got.values.count(_._4) == 1, "exactly one hot day")
+    // corpus face: structural invariants (the synthetic feed is
+    // uniform — the audit must NOT invent anomalies)
+    val face = graft.operators.Etl.volumeAnomaly(
+      graft.sources.Tables.load(spark, sf, "events")).collect()
+    assert(face.nonEmpty)
+    assert(face.forall(r => !r.getBoolean(4)))
+  }
 }

@@ -43,7 +43,12 @@ class PlanLintSpec extends GraftSpec {
       "text_zipf",
       // broadcasts the 1-ROW totals row against the month-partition
       // counts (the zipf/totals shape)
-      "etl_skew_audit")
+      "etl_skew_audit",
+      // broadcasts the language-margin (|langs| rows) and 1-row total
+      // to rebuild the full sources×langs grid INCLUDING zero cells —
+      // both sides dimension-sized at any corpus size
+      // (Corpus.mixDrift's scale note)
+      "corpus_mix_drift")
 
   test("no query plan contains a cartesian product or stray nested loop") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, q) =>
@@ -74,7 +79,11 @@ class PlanLintSpec extends GraftSpec {
       // the rank window runs over the ALREADY-CUT top-100 remnant of
       // TakeOrderedAndProject — a constant-size frame at any corpus
       // size (TextAnalysis.zipfFit's scale note)
-      "text_zipf")
+      "text_zipf",
+      // the trailing-week window runs over the per-DAY aggregate —
+      // calendar-bounded at any corpus size (Etl.volumeAnomaly's
+      // scale note; the skew-audit precedent with an ordered frame)
+      "etl_volume_anomaly")
 
   private def physOps(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {

@@ -814,6 +814,33 @@ class SimilaritySpec extends GraftSpec {
     face.foreach(r => assert(r.getLong(5) <= r.getLong(6)))
   }
 
+  test("emb_pair_hist: identical pairs hit the top bin, orthogonal " +
+      "pairs the middle, opposed pairs the bottom; corpus conserves") {
+    import spark.implicits._
+    val u = Array(1f, 0f, 0f, 0f)
+    val v = Array(0f, 1f, 0f, 0f)
+    val w = Array(-1f, 0f, 0f, 0f)
+    // pairs: (0,1)=identical cos 1 -> bin 15 (clamped); (2,3)=
+    // orthogonal cos 0 -> bin 8; (4,5)=opposed cos -1 -> bin 0
+    val vecs = Seq((0L, u), (1L, u), (2L, u), (3L, v), (4L, u), (5L, w))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pairCosineHist(vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got(15L) == ((1L, 1000000L, 1000000L)))
+    assert(got(8L) == ((1L, 0L, 0L)))
+    assert(got(0L) == ((1L, -1000000L, -1000000L)))
+    // corpus face: pair-count conservation + envelope sanity
+    val n = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") % 2 === 0).count()
+    val face = SparkEntry.queries("emb_pair_hist")(spark, sf).collect()
+    assert(face.map(_.getLong(1)).sum == n)
+    face.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 15)
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+  }
+
   test("emb_dim_stats: integer moments replay per dimension") {
     val vecs = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding")).collect()
