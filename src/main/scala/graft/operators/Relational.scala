@@ -932,6 +932,45 @@ object Relational {
           sum(when(col("cum_before") * 10 < col("total_cents") * 8, 1L)
             .otherwise(0L)).as("n_top80"))
         .orderBy(col("nk"))
+    },
+
+    // -- q51: interval merge / union coverage ------------------------------
+    // The interval-union primitive (maintenance-window consolidation,
+    // time-on-site, SLA coverage): each lineitem opens a 7-day ship
+    // window per supplier; overlapping windows MERGE, and the answer
+    // is the union's measure — not the sum (double-counting overlap is
+    // the classic bug this operator exists to avoid). Merge is the
+    // running-max-end sweep: a window starts a new merged interval iff
+    // its start exceeds every previous end (one supplier-keyed ordered
+    // pass, integer day arithmetic, exact); islands then aggregate
+    // twice, dimension-bounded. q24 proved interval JOINS, q48
+    // consecutive-day islands; this completes the family with interval
+    // UNION — same single-exchange shape as both.
+    "q51_interval_merge" -> { (s, dir) =>
+      val win = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("supp"),
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01").cast("date"))
+            .cast("long").as("start"))
+        .distinct()
+        .withColumn("end", col("start") + 6)
+      val byStart = Window.partitionBy(col("supp"))
+        .orderBy(col("start"), col("end"))
+      val prevMax = max(col("end"))
+        .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+      win
+        .withColumn("new_island",
+          when(prevMax.isNull || col("start") > prevMax, 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("new_island")).over(
+            byStart.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("supp"), col("island"))
+        .agg(count(lit(1)).as("n_windows"),
+          (max(col("end")) - min(col("start")) + 1).as("covered"))
+        .groupBy(col("supp"))
+        .agg(sum(col("n_windows")).as("n_windows"),
+          count(lit(1)).as("n_merged"),
+          sum(col("covered")).as("covered_days"))
+        .orderBy(col("supp"))
     }
   )
 
@@ -1467,6 +1506,38 @@ object Relational {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_top80
         |FROM cum c JOIN totals t USING (nk)
         |GROUP BY c.nk ORDER BY c.nk""".stripMargin,
+    // same running-max-end sweep: island flag via the identical
+    // preceding-frame MAX, every quantity integer days
+    "q51_interval_merge" ->
+      """WITH win AS (
+        |  SELECT DISTINCT l_suppkey AS supp,
+        |    CAST(DATE_DIFF('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS s
+        |  FROM lineitem),
+        |w2 AS (SELECT supp, s, s + 6 AS e FROM win),
+        |flags AS (
+        |  SELECT supp, s, e,
+        |    CASE WHEN MAX(e) OVER (PARTITION BY supp ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      IS NULL THEN 1
+        |      WHEN s > MAX(e) OVER (PARTITION BY supp ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM w2),
+        |isl AS (
+        |  SELECT supp, s, e,
+        |    CAST(SUM(new_island) OVER (PARTITION BY supp ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS island
+        |  FROM flags),
+        |merged AS (
+        |  SELECT supp, island, COUNT(*) AS n_windows,
+        |    MAX(e) - MIN(s) + 1 AS covered
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT supp, CAST(SUM(n_windows) AS BIGINT) AS n_windows,
+        |  COUNT(*) AS n_merged,
+        |  CAST(SUM(covered) AS BIGINT) AS covered_days
+        |FROM merged GROUP BY supp ORDER BY supp""".stripMargin,
     // plain unsalted join — hash equality proves salting preserves semantics
     "q19_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

@@ -414,6 +414,37 @@ object Similarity {
       .orderBy(col("batch"))
   }
 
+  /** LSH bucket-health audit — the pre-flight report run BEFORE
+    * launching an embedding-dedup pass at scale, because the one thing
+    * that turns banded LSH quadratic is bucket occupancy: per band,
+    * bucket count, occupancy envelope, the EXACT candidate-pair mass
+    * Σ sz·(sz−1)/2 the pair join would generate, and how many buckets
+    * exceed the maxBucket=1024 degeneracy cut the pair stage drops.
+    * Bits derive from the corpus count ([[autoBitsPerBand]]) exactly
+    * as the production dedup face does, so the audit measures the
+    * geometry that will actually run.
+    *
+    * Shape: the banded projection (one native hyperplane_bits call per
+    * row), one (band, bucket)-keyed count, one band-keyed rollup —
+    * nothing downstream of the first aggregate exceeds bucket
+    * cardinality. All-integer, so the pair-mass arithmetic replays
+    * exactly. */
+  def lshBucketAudit(vecs: DataFrame, maxBucket: Int = 1024): DataFrame = {
+    val bits = autoBitsPerBand(vecs.count())
+    val sizes = lshBanded(vecs, bits)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("sz"))
+    sizes
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_rows"),
+        max(col("sz")).as("max_bucket"),
+        expr("sum(sz * (sz - 1) div 2)").as("cand_pairs"),
+        sum(when(col("sz") > maxBucket, 1L).otherwise(0L))
+          .as("n_oversize"))
+      .orderBy(col("band"))
+  }
+
   /** Pairwise-cosine geometry audit: the distribution of cosines over
     * a deterministic pair sample — the space-collapse check run on a
     * contrastively trained embedding space (a healthy space puts
@@ -2089,6 +2120,9 @@ object Similarity {
     // pair-sample cosine histogram (space-collapse geometry audit)
     "emb_pair_hist" -> ((s, dir) =>
       pairCosineHist(Tables.load(s, dir, "embeddings"))),
+    // per-band bucket-health / candidate-pair-mass pre-flight audit
+    "emb_lsh_audit" -> ((s, dir) =>
+      lshBucketAudit(Tables.load(s, dir, "embeddings"))),
     // Correctness face probes ALL cells (nprobe = centroidBudget):
     // exact by construction, so it shares knn_brute's oracle — any bug
     // in assignment, the cell join, the dedup, or the ranking breaks
@@ -2559,6 +2593,20 @@ object Similarity {
         |  MIN(CAST(FLOOR(SQRT(n2) * 1e6) AS BIGINT)) AS min_norm_fp,
         |  MAX(CAST(FLOOR(SQRT(n2) * 1e6) AS BIGINT)) AS max_norm_fp
         |FROM v GROUP BY batch ORDER BY batch""".stripMargin,
+    // the full banded replay (planes + auto-bits + band slicing), then
+    // the same bucket-size rollup — integer pair mass, same 1024 cut
+    "emb_lsh_audit" ->
+      s"""WITH $lshBandedCtes,
+         |sizes AS (
+         |  SELECT band, bucket, COUNT(*) AS sz
+         |  FROM banded GROUP BY band, bucket)
+         |SELECT band, COUNT(*) AS n_buckets,
+         |  CAST(SUM(sz) AS BIGINT) AS n_rows,
+         |  CAST(MAX(sz) AS BIGINT) AS max_bucket,
+         |  CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs,
+         |  CAST(SUM(CASE WHEN sz > 1024 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oversize
+         |FROM sizes GROUP BY band ORDER BY band""".stripMargin,
     // same adjacent-id pairing; cosines via the double-cast dot (the
     // norm-audit precedent: ~1e-13 agreement, far inside both the
     // 0.125 bin grid and the 1e-6 envelope grid)

@@ -608,6 +608,39 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("q51: merged coverage equals the interval union — driver replay, " +
+      "never the double-counting sum") {
+    val wins = Tables.load(spark, sf, "lineitem")
+      .select(col("l_suppkey"),
+        datediff(to_date(col("l_shipdate")),
+          lit("1970-01-01").cast("date")).cast("long"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = wins.groupBy(_._1).map { case (supp, rs) =>
+      val ivs = rs.map(r => (r._2, r._2 + 6)).sortBy(identity)
+      // sweep-merge on the driver
+      val merged = ivs.foldLeft(List.empty[(Long, Long)]) {
+        case ((s0, e0) :: rest, (s, e)) if s <= e0 =>
+          (s0, math.max(e0, e)) :: rest
+        case (acc, iv) => iv :: acc
+      }
+      supp -> ((ivs.size.toLong, merged.size.toLong,
+        merged.map { case (s, e) => e - s + 1 }.sum))
+    }
+    val got = SparkEntry.queries("q51_interval_merge")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (supp, w) =>
+      assert(got(supp) == w, s"supp $supp: ${got(supp)} vs $w")
+    }
+    // union < sum wherever anything merged: the double-counting guard
+    got.foreach { case (_, (nw, nm, cov)) =>
+      assert(cov <= nw * 7)
+      if (nm < nw) assert(cov < nw * 7)
+    }
+  }
+
   test("q50: n_top80 is the minimal covering prefix — driver replay") {
     val cents = Tables.load(spark, sf, "customer")
       .select(col("c_nationkey").cast("long"), col("c_custkey"),

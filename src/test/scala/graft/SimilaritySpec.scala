@@ -841,6 +841,25 @@ class SimilaritySpec extends GraftSpec {
     }
   }
 
+  test("emb_lsh_audit: per-band mass conserves, pair mass replays from " +
+      "bucket sizes, auto-bits geometry keeps buckets under the cut") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+    val n = vecs.count()
+    val bits = Similarity.autoBitsPerBand(n)
+    val face = Similarity.lshBucketAudit(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(face.length == 48 / bits, "band count = plane budget / bits")
+    face.foreach { case (_, nBuckets, nRows, maxB, candPairs, oversize) =>
+      assert(nRows == n, "every vector lands in exactly one bucket per band")
+      assert(nBuckets <= nRows && maxB <= nRows)
+      // the audit's whole point: auto-bits keeps occupancy sane
+      assert(oversize == 0, "degenerate bucket at auto-bits geometry")
+      assert(candPairs >= maxB * (maxB - 1) / 2,
+        "pair mass at least the biggest bucket's")
+    }
+  }
+
   test("emb_dim_stats: integer moments replay per dimension") {
     val vecs = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding")).collect()
