@@ -171,6 +171,52 @@ object Etl {
       .orderBy(col("check_id"))
   }
 
+  /** Full referential-integrity map of the warehouse — every FK edge
+    * audited in one report: child row count, orphan rows (no parent),
+    * and DISTINCT missing parent keys (how many parent rows to
+    * backfill — the number an ops runbook actually needs; dqAudit's
+    * two fk_* rows are pass/fail gates, this is the per-edge census).
+    * Shape: per edge, one left join against the distinct parent keyset
+    * + one map-side-combined aggregate to a single row; dimension
+    * parents broadcast (AQE), the one fact-fact edge
+    * (lineitem→orders) shuffles on the key. Output = |edges| rows at
+    * any scale. */
+  /** One FK-edge census row: child rows, orphan rows, distinct missing
+    * parent keys (the null-excluding countDistinct drops non-orphans). */
+  private[graft] def fkEdge(rel: String, child: DataFrame, key: String,
+      parent: DataFrame, pkey: String): DataFrame =
+    child.select(col(key).as("k"))
+      .join(parent.select(col(pkey).as("k")).distinct()
+        .withColumn("hit", lit(1)), Seq("k"), "left")
+      .groupBy(lit(rel).as("relation"))
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphan"),
+        countDistinct(when(col("hit").isNull, col("k")))
+          .as("n_missing_parents"))
+
+  def fkOrphans(spark: SparkSession, dir: String): DataFrame = {
+    def edge(rel: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame =
+      fkEdge(rel, child, key, parent, pkey)
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    val supp = Tables.load(spark, dir, "supplier")
+    val nation = Tables.load(spark, dir, "nation")
+    edge("customer.nationkey", cust, "c_nationkey", nation, "n_nationkey")
+      .unionAll(edge("lineitem.orderkey", li, "l_orderkey",
+        ord, "o_orderkey"))
+      .unionAll(edge("lineitem.partkey", li, "l_partkey",
+        Tables.load(spark, dir, "part"), "p_partkey"))
+      .unionAll(edge("lineitem.suppkey", li, "l_suppkey",
+        supp, "s_suppkey"))
+      .unionAll(edge("orders.custkey", ord, "o_custkey",
+        cust, "c_custkey"))
+      .unionAll(edge("supplier.nationkey", supp, "s_nationkey",
+        nation, "n_nationkey"))
+      .orderBy(col("relation"))
+  }
+
   /** k-anonymity release (Samarati & Sweeney 1998) of the customer
     * table over the quasi-identifier (nation, segment, balance band):
     * every published row aggregates ≥ k individuals, so no quasi-id
@@ -378,6 +424,8 @@ object Etl {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- full referential-integrity map (six FK edges, orphan census) -----
+    "etl_fk_orphans" -> ((s, dir) => fkOrphans(s, dir)),
     "etl_volume_anomaly" -> ((s, dir) =>
       volumeAnomaly(Tables.load(s, dir, "events"))),
     "etl_skew_audit" -> ((s, dir) =>
@@ -858,7 +906,35 @@ object Etl {
         |       ELSE c_name END AS descricao,
         |  c_acctbal
         |FROM customer""".stripMargin
+    // per-edge orphan census replayed as six LEFT JOIN aggregates; the
+    // CASE-based distinct drops non-orphans exactly like the face's
+    // null-excluding countDistinct
+    def fkEdgeSql(rel: String, child: String, key: String,
+        parent: String, pkey: String): String =
+      s"""SELECT '$rel' AS relation, COUNT(*) AS n_child,
+         |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_orphan,
+         |  COUNT(DISTINCT CASE WHEN p.k IS NULL THEN c.$key END)
+         |    AS n_missing_parents
+         |FROM $child c LEFT JOIN
+         |  (SELECT DISTINCT $pkey AS k FROM $parent) p ON c.$key = p.k
+         |""".stripMargin
+    val fkOrphansSql = Seq(
+      fkEdgeSql("customer.nationkey", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      fkEdgeSql("lineitem.orderkey", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      fkEdgeSql("lineitem.partkey", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      fkEdgeSql("lineitem.suppkey", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      fkEdgeSql("orders.custkey", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      fkEdgeSql("supplier.nationkey", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+    ).mkString("", "UNION ALL\n", "ORDER BY relation")
     Map(
+      "etl_fk_orphans" -> fkOrphansSql,
       // the oracle is a FULL INDEPENDENT RECOMPUTATION of the digests
       // (LIST_REDUCE polynomial fold over the same canonical string),
       // so hash equality here is the actual migration-validation

@@ -971,6 +971,86 @@ object Relational {
           count(lit(1)).as("n_merged"),
           sum(col("covered")).as("covered_days"))
         .orderBy(col("supp"))
+    },
+
+    // -- q52: per-group linear-regression trend (exact moments) ------------
+    // The trend-detection primitive (is revenue growing?): per supplier
+    // nation, regress daily gross revenue on the ship-day number.
+    // Everything stays INTEGER — the slope is reported as the exact
+    // rational (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) in two BIGINT columns
+    // rather than a float division, so the result is bit-reproducible
+    // and oracle-replayable (the q50 cross-multiplication discipline).
+    // Shape: one (nk, day) map-side-combined pre-aggregate, then one
+    // nk-keyed moment fold — two exchanges, output dimension-bounded.
+    // Whole-dollar y keeps every term ≲1e15 at sf1 (~1000× headroom);
+    // beyond that the identical plan runs on DECIMAL(38,0) (the
+    // emb_dim_stats precedent).
+    "q52_regr_slope" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date"))
+            .cast("long").as("x"),
+          floor(col("l_extendedprice")).cast("long").as("dollars"))
+      val supp = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").cast("long").as("nk"))
+      li.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("nk"), col("x"))
+        .agg(sum(col("dollars")).as("y"))
+        .groupBy(col("nk"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("nk"), col("n_days"),
+          (col("n_days") * col("sxy") - col("sx") * col("sy"))
+            .as("slope_num"),
+          (col("n_days") * col("sxx") - col("sx") * col("sx"))
+            .as("slope_den"),
+          (col("n_days") * col("sxy") - col("sx") * col("sy") > 0)
+            .as("trend_up"))
+        .orderBy(col("nk"))
+    },
+
+    // -- q53: market-basket pair support with integer lift -----------------
+    // Co-occurrence mining (bought-together analysis): per order, the
+    // DISTINCT brand set; pair support counted across orders with the
+    // a<b halving, marginals and the order total folded in, and the
+    // lift>1 test done by integer cross-multiplication (pair·N >
+    // supp_a·supp_b) — no division, no float. Scale shape: the self-
+    // join is orderkey-keyed and per-order fan-out is bounded by the
+    // brand cardinality (a DIMENSION, ≤25 here), so candidate volume is
+    // LINEAR in orders; marginals are brand-bounded broadcasts and the
+    // grand total one broadcast row. Output ≤ |brands|² rows.
+    "q53_basket_pairs" -> { (s, dir) =>
+      // materialized once: four consumers (both pair-join sides, the
+      // marginals, the total) would otherwise each re-run the
+      // lineitem⋈part join — the basket table is orders·brands-bounded,
+      // far smaller than the fact it derives from
+      val ob = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+        .localCheckpoint(true)
+      val pairs = ob.select(col("ok"), col("brand").as("brand_a"))
+        .join(ob.select(col("ok"), col("brand").as("brand_b")), Seq("ok"))
+        .filter(col("brand_a") < col("brand_b"))
+        .groupBy(col("brand_a"), col("brand_b"))
+        .agg(count(lit(1)).as("pair_orders"))
+      val marg = ob.groupBy(col("brand")).agg(count(lit(1)).as("n"))
+      val tot = ob.agg(countDistinct(col("ok")).as("n_orders"))
+      pairs
+        .join(broadcast(marg.select(col("brand").as("brand_a"),
+          col("n").as("orders_a"))), Seq("brand_a"))
+        .join(broadcast(marg.select(col("brand").as("brand_b"),
+          col("n").as("orders_b"))), Seq("brand_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("brand_a"), col("brand_b"), col("pair_orders"),
+          col("orders_a"), col("orders_b"),
+          (col("pair_orders") * col("n_orders") >
+            col("orders_a") * col("orders_b")).as("lift_pos"))
+        .orderBy(col("pair_orders").desc, col("brand_a"), col("brand_b"))
     }
   )
 
@@ -1538,6 +1618,49 @@ object Relational {
         |  COUNT(*) AS n_merged,
         |  CAST(SUM(covered) AS BIGINT) AS covered_days
         |FROM merged GROUP BY supp ORDER BY supp""".stripMargin,
+    // same integer moment fold; DuckDB SUM widens to HUGEINT so every
+    // moment re-casts to BIGINT before the cross-multiplied terms
+    "q52_regr_slope" ->
+      """WITH day AS (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS nk,
+        |    CAST(DATE_DIFF('day', DATE '1992-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT nk, COUNT(*) AS n_days,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM day GROUP BY nk)
+        |SELECT nk, n_days,
+        |  n_days * sxy - sx * sy AS slope_num,
+        |  n_days * sxx - sx * sx AS slope_den,
+        |  (n_days * sxy - sx * sy) > 0 AS trend_up
+        |FROM m ORDER BY nk""".stripMargin,
+    // same distinct basket build, a<b pair halving, and integer
+    // cross-multiplied lift test
+    "q53_basket_pairs" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pairs AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |    COUNT(*) AS pair_orders
+        |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+        |  GROUP BY 1, 2),
+        |marg AS (SELECT brand, COUNT(*) AS n FROM ob GROUP BY 1),
+        |tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM ob)
+        |SELECT brand_a, brand_b, pair_orders,
+        |  ma.n AS orders_a, mb.n AS orders_b,
+        |  (pair_orders * n_orders > ma.n * mb.n) AS lift_pos
+        |FROM pairs
+        |JOIN marg ma ON brand_a = ma.brand
+        |JOIN marg mb ON brand_b = mb.brand
+        |CROSS JOIN tot
+        |ORDER BY pair_orders DESC, brand_a, brand_b""".stripMargin,
     // plain unsalted join — hash equality proves salting preserves semantics
     "q19_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

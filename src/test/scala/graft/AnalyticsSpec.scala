@@ -641,6 +641,71 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("q52: regression moments replay on the driver and the rational " +
+      "slope matches a least-squares fold") {
+    val daily = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("long"),
+        datediff(to_date(col("l_shipdate")),
+          lit("1992-01-01").cast("date")).cast("long"),
+        floor(col("l_extendedprice")).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case ((nk, x), rs) =>
+        (nk, x, rs.map(_._3).sum)
+      }.toSeq
+    val want = daily.groupBy(_._1).map { case (nk, ds) =>
+      val n = ds.size.toLong
+      val sx = ds.map(_._2).sum; val sy = ds.map(_._3).sum
+      val sxy = ds.map(d => d._2 * d._3).sum
+      val sxx = ds.map(d => d._2 * d._2).sum
+      nk -> ((n, n * sxy - sx * sy, n * sxx - sx * sx))
+    }
+    val got = SparkEntry.queries("q52_regr_slope")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (nk, (n, num, den)) =>
+      val (gn, gnum, gden, gup) = got(nk)
+      assert((gn, gnum, gden) == ((n, num, den)), s"nk $nk")
+      assert(gup == (num > 0))
+      // the denominator n·Σx²−(Σx)² = n·Σ(x−x̄)² is positive whenever
+      // two distinct days exist — a zero here means broken moments
+      assert(n < 2 || gden > 0)
+    }
+  }
+
+  test("q53: pair support replays from the distinct baskets; support " +
+      "is bounded by both marginals") {
+    val ob = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byOrder =
+      ob.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val wantPairs = byOrder.values.flatMap(bs =>
+      for (a <- bs; b <- bs if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val marg = ob.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nOrders = byOrder.size.toLong
+    val got = SparkEntry.queries("q53_basket_pairs")(spark, sf).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1)) ->
+      r.getLong(2)).toMap == wantPairs)
+    got.foreach { r =>
+      val (a, b, pair, oa, ob2) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(oa == marg(a) && ob2 == marg(b))
+      assert(pair <= math.min(oa, ob2), "support exceeds a marginal")
+      assert(r.getBoolean(5) == (pair * nOrders > oa * ob2))
+    }
+    // ordering contract: support descending
+    val supports = got.map(_.getLong(2))
+    assert(supports.zip(supports.tail).forall { case (x, y) => x >= y })
+  }
+
   test("q50: n_top80 is the minimal covering prefix — driver replay") {
     val cents = Tables.load(spark, sf, "customer")
       .select(col("c_nationkey").cast("long"), col("c_custkey"),

@@ -445,4 +445,33 @@ class MedallionSpec extends GraftSpec {
     assert(face.nonEmpty)
     assert(face.forall(r => !r.getBoolean(4)))
   }
+
+  test("fk orphans: planted orphans count rows AND distinct keys; the " +
+      "warehouse census covers all six edges with consistent totals") {
+    import spark.implicits._
+    // child keys: 1,1,2,3,9,9,9 vs parents {1,2,3} → 4 orphan rows
+    // over 1 distinct missing key (9)
+    val child = Seq(1L, 1L, 2L, 3L, 9L, 9L, 9L, 8L).toDF("ck")
+    val parent = Seq(1L, 2L, 3L, 3L).toDF("pk") // dup parent must not fan out
+    val got = graft.operators.Etl
+      .fkEdge("t", child, "ck", parent, "pk").collect()
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "t")
+    assert(got(0).getLong(1) == 8, "n_child counts rows")
+    assert(got(0).getLong(2) == 4, "n_orphan counts orphan ROWS")
+    assert(got(0).getLong(3) == 2, "n_missing_parents counts KEYS {8,9}")
+    // warehouse face: six edges, child totals match the table counts
+    val face = graft.operators.Etl.fkOrphans(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(face.keySet == Set("customer.nationkey", "lineitem.orderkey",
+      "lineitem.partkey", "lineitem.suppkey", "orders.custkey",
+      "supplier.nationkey"))
+    val li = graft.sources.Tables.load(spark, sf, "lineitem").count()
+    assert(face("lineitem.orderkey")._1 == li)
+    assert(face("lineitem.partkey")._1 == li)
+    face.values.foreach { case (child0, orphan, missing) =>
+      assert(orphan <= child0 && missing <= orphan)
+    }
+  }
 }
