@@ -389,7 +389,29 @@ object Graph {
       .limit(topK)
   }
 
+  /** Degree-census pre-flight audit — the graph-shape report run
+    * BEFORE any iterative algorithm, because degree skew is what
+    * breaks them at scale (one hub node serializes PageRank's
+    * contribution aggregate and explodes triangle wedge counts): node
+    * count, degree envelope, and edge mass per log₂ degree bucket.
+    * The bucket is the integer bit length LENGTH(BIN(deg))−1 — exact
+    * floor(log₂) with no float boundary risk, spelled identically on
+    * both engines. Shape: one map-side-combined degree aggregate, one
+    * rollup to ≤64 bucket rows. */
+  def degreeAudit(edges: DataFrame): DataFrame = {
+    edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .groupBy((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"),
+        sum(col("deg")).as("edge_mass"))
+      .orderBy(col("bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_audit" -> ((s, dir) =>
+      degreeAudit(coPurchaseEdges(Tables.load(s, dir, "orders"),
+        Tables.load(s, dir, "lineitem")))),
     "graph_cc" -> ((s, dir) =>
       connectedComponents(coSupplyEdges(Tables.load(s, dir, "lineitem")))),
     "graph_link_pred" -> ((s, dir) =>
@@ -417,6 +439,23 @@ object Graph {
     * intermediate rank is integer-exact, so the hash carries the whole
     * iteration history, not a rounded endpoint. */
   def oracleSql: Map[String, String] = Map(
+    // same derivation, same integer bit-length bucket; COUNT stays
+    // BIGINT but the SUM re-casts (HUGEINT seam)
+    "graph_degree_audit" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |deg AS (
+        |  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+        |SELECT LENGTH(BIN(deg)) - 1 AS bucket,
+        |  COUNT(*) AS n_nodes,
+        |  CAST(MIN(deg) AS BIGINT) AS min_deg,
+        |  CAST(MAX(deg) AS BIGINT) AS max_deg,
+        |  CAST(SUM(deg) AS BIGINT) AS edge_mass
+        |FROM deg GROUP BY bucket ORDER BY bucket""".stripMargin,
     // the DEFINITION, not the algorithm: min reachable node id by
     // recursive closure — hash equality proves the engine's
     // pointer-jumping loop converged to the exact fixpoint

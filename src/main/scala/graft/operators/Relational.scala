@@ -1051,6 +1051,66 @@ object Relational {
           (col("pair_orders") * col("n_orders") >
             col("orders_a") * col("orders_b")).as("lift_pos"))
         .orderBy(col("pair_orders").desc, col("brand_a"), col("brand_b"))
+    },
+
+    // -- q54: fixed-point truncated EWMA smoothing -------------------------
+    // The monitoring-dashboard smoother: per event type, a 16-lag
+    // exponentially weighted moving average of the daily count with
+    // α = 1/2, kept EXACT by binary weights — ewma_fp = Σⱼ n₍ₜ₋ⱼ₎·2^(15−j)
+    // (the true EWMA scaled by 2^16, truncated at 16 lags where the
+    // remaining tail weight is 2^-16). No float, no order-dependent
+    // recurrence — bit-reproducible and replayable. Row-lag semantics
+    // (a missing day is skipped, not zero-filled — calendar densify is
+    // etl_gapfill's job). Shape: one map-side-combined day aggregate,
+    // then one type-keyed window over the calendar-bounded day table.
+    "q54_ewma" -> { (s, dir) =>
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val ewma = (0 until 16).map(j =>
+        coalesce(lag(col("n"), j).over(w), lit(0L)) * lit(1L << (15 - j)))
+        .reduce(_ + _)
+      daily
+        .withColumn("ewma_fp", ewma)
+        .withColumn("full_window", lag(col("n"), 15).over(w).isNotNull)
+        .orderBy(col("event_type"), col("d"))
+    },
+
+    // -- q55: multi-touch conversion attribution ---------------------------
+    // Marketing attribution with LINEAR credit: every view/click is
+    // attributed to the user's NEXT purchase within a 7-day horizon;
+    // the conversion's credit splits equally over its touches as the
+    // fixed-point ⌊1e12/n⌋ (integer division — deterministic, no float
+    // drift in the rollup). The "next purchase" is a reversed running
+    // min over a (ts, event_id)-ordered user window — ties broken
+    // identically on both engines. Shape: ONE user-keyed window
+    // exchange for conversion assignment, one (user, conversion)-keyed
+    // window for the touch count, then a type-bounded rollup — no
+    // self-join, no driver state.
+    "q55_attribution" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val touches = ev
+        .withColumn("conv_tus",
+          min(when(col("event_type") === "purchase", col("tus")))
+            .over(byTime))
+        .filter(col("event_type").isin("view", "click") &&
+          col("conv_tus").isNotNull &&
+          col("conv_tus") - col("tus") <= lit(7L * 86400L * 1000000L))
+        .withColumn("n_touch", count(lit(1)).over(
+          Window.partitionBy(col("user_id"), col("conv_tus"))))
+      touches
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(expr("1000000000000 div n_touch")).as("credit_fp"),
+          countDistinct(concat_ws(":", col("user_id"), col("conv_tus")))
+            .as("n_conversions"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -1661,6 +1721,47 @@ object Relational {
         |JOIN marg mb ON brand_b = mb.brand
         |CROSS JOIN tot
         |ORDER BY pair_orders DESC, brand_a, brand_b""".stripMargin,
+    // the same 16 binary-weighted LAG terms — plain BIGINT arithmetic,
+    // no SUM() aggregate, so no HUGEINT widening to re-cast
+    "q54_ewma" -> {
+      val terms = (0 until 16)
+        .map(j => s"COALESCE(LAG(n, $j) OVER w, 0) * ${1L << (15 - j)}")
+        .mkString(" +\n        |    ")
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, d, n,
+         |  CAST($terms AS BIGINT) AS ewma_fp,
+         |  LAG(n, 15) OVER w IS NOT NULL AS full_window
+         |FROM daily
+         |WINDOW w AS (PARTITION BY event_type ORDER BY d)
+         |ORDER BY event_type, d""".stripMargin
+    },
+    // same reversed running-min conversion assignment, same integer
+    // credit split; the conversion identity string concatenates
+    // identically on both engines
+    "q55_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, EPOCH_US(ts) AS tus
+        |  FROM events),
+        |wc AS (
+        |  SELECT *,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN tus END) OVER (
+        |      PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS conv_tus
+        |  FROM ev),
+        |touches AS (
+        |  SELECT *,
+        |    COUNT(*) OVER (PARTITION BY user_id, conv_tus) AS n_touch
+        |  FROM wc
+        |  WHERE event_type IN ('view', 'click') AND conv_tus IS NOT NULL
+        |    AND conv_tus - tus <= 604800000000)
+        |SELECT event_type, COUNT(*) AS n_touches,
+        |  CAST(SUM(1000000000000 // n_touch) AS BIGINT) AS credit_fp,
+        |  COUNT(DISTINCT CAST(user_id AS VARCHAR) || ':' ||
+        |    CAST(conv_tus AS VARCHAR)) AS n_conversions
+        |FROM touches GROUP BY event_type ORDER BY event_type""".stripMargin,
     // plain unsalted join — hash equality proves salting preserves semantics
     "q19_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

@@ -706,6 +706,77 @@ class AnalyticsSpec extends GraftSpec {
     assert(supports.zip(supports.tail).forall { case (x, y) => x >= y })
   }
 
+  test("q54: binary-weight EWMA replays from the daily series and a " +
+      "constant series saturates to n·(2^16−1)") {
+    val daily = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    val got = SparkEntry.queries("q54_ewma")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    got.groupBy(_._1).foreach { case (et, rows) =>
+      val series = daily(et)
+      rows.sortBy(_._2).zipWithIndex.foreach { case ((_, _, n, fp, full), t) =>
+        assert(n == series(t))
+        val want = (0 until 16).map(j =>
+          (if (t - j >= 0) series(t - j) else 0L) * (1L << (15 - j))).sum
+        assert(fp == want, s"$et day $t")
+        assert(full == (t >= 15))
+      }
+    }
+    // weight sanity: the 16 binary weights sum to 2^16−1, so a
+    // constant-n series saturates at n·(2^16−1) — the scale every
+    // dashboard threshold on ewma_fp is calibrated against
+    assert((0 until 16).map(j => 1L << (15 - j)).sum == (1L << 16) - 1)
+    got.filter(_._5).foreach { case (et, _, _, fp, _) =>
+      val mx = daily(et).max; val mn = daily(et).min
+      assert(fp <= mx * ((1L << 16) - 1) && fp >= mn * ((1L << 16) - 1))
+    }
+  }
+
+  test("q55: linear credit splits exactly and conserves per conversion " +
+      "within the floor loss") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val horizon = 7L * 86400L * 1000000L
+    // replay: per user, events time-ordered; conv = next purchase ts
+    val touches = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      val convAfter = sorted.scanRight(Option.empty[Long]) { (e, acc) =>
+        if (e._3 == "purchase") Some(e._4) else acc
+      }.init
+      sorted.zip(convAfter).collect {
+        case ((u, _, et, tus), Some(c))
+            if (et == "view" || et == "click") && c - tus <= horizon =>
+          (u, c, et)
+      }
+    }
+    val byConv = touches.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.size.toLong).toMap
+    val want = touches.groupBy(_._3).map { case (et, ts) =>
+      et -> ((ts.size.toLong,
+        ts.map(t => 1000000000000L / byConv((t._1, t._2))).sum,
+        ts.map(t => (t._1, t._2)).distinct.size.toLong))
+    }
+    val got = SparkEntry.queries("q55_attribution")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    // conservation: every conversion's credit sums to 1e12 − (floor
+    // loss < n_touch), checked on the replay
+    byConv.foreach { case (_, n) =>
+      val c = (1000000000000L / n) * n
+      assert(c <= 1000000000000L && c > 1000000000000L - n)
+    }
+  }
+
   test("q50: n_top80 is the minimal covering prefix — driver replay") {
     val cents = Tables.load(spark, sf, "customer")
       .select(col("c_nationkey").cast("long"), col("c_custkey"),

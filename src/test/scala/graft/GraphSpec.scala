@@ -23,6 +23,30 @@ class GraphSpec extends GraftSpec {
     r
   }
 
+  test("degree audit: census replays on a star fixture and conserves " +
+      "node and edge mass on the warehouse graph") {
+    // star: hub 0 ↔ leaves 1..9 (both directions) → hub deg 9
+    // (bucket 3), nine leaves deg 1 (bucket 0)
+    val star = (1L to 9L).flatMap(i => Seq((0L, i), (i, 0L)))
+      .toDF("src", "dst")
+    val got = Graph.degreeAudit(star).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(0L -> ((9L, 1L, 1L, 9L)), 3L -> ((1L, 9L, 9L, 9L))))
+    // warehouse face: buckets partition the node set; edge mass sums
+    // to the edge count; bucket envelopes nest correctly
+    val edges = Graph.coPurchaseEdges(
+      Tables.load(spark, sf, "orders"), Tables.load(spark, sf, "lineitem"))
+    val face = Graph.degreeAudit(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(face.map(_._2).sum == edges.select(col("src")).distinct().count())
+    assert(face.map(_._5).sum == edges.count())
+    face.foreach { case (b, _, mn, mx, _) =>
+      assert((1L << b) <= mn && mn <= mx && mx < (1L << (b + 1)))
+    }
+  }
+
   test("pagerank equals the driver replay on a random graph and on a star") {
     val rnd = new scala.util.Random(7)
     val base = (1 to 60).map(_ => (rnd.nextInt(12).toLong,
