@@ -218,6 +218,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvKth(children.head, intArg(children(1), "k"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch",
+        "kmv_sketch(h, k) - KMV distinct sketch as its sorted hash " +
+          "array (the k smallest distinct BIGINT hashes, ascending); " +
+          "closed under union trim, so sketch set algebra replays " +
+          "exactly as ORDER BY h LIMIT k per operand"),
+      (children: Seq[Expression]) => {
+        expectArity("kmv_sketch(h, k)", 2, children)
+        KmvSketch(children.head, intArg(children(1), "k"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("sign_pack32"),
       info("sign_pack32",
         "sign_pack32(v, offset) - 32 sign bits of v[offset..offset+31] " +

@@ -112,3 +112,102 @@ case class KmvKth(
       newChildren: IndexedSeq[Expression]): KmvKth =
     copy(child = newChildren.head)
 }
+
+/** KMV sketch materialized as its SORTED hash array (ascending), the
+  * form set algebra needs: for sets A and B with k-minimum-value
+  * sketches S_A and S_B over the SAME hash, the k smallest of
+  * S_A ∪ S_B is EXACTLY the KMV sketch of A ∪ B (Beyer et al. 2007
+  * §4: the union sketch is a deterministic function of the two
+  * operand sketches), so union cardinality and — via the Jaccard
+  * fraction |S_∪ ∩ S_A ∩ S_B| / k — intersection cardinality are
+  * computable from two k-long arrays without re-reading either set.
+  *
+  * Same bounded TreeSet state and partial-aggregate shape as
+  * [[KmvKth]]; only the eval surface differs (the full order
+  * statistic instead of its tail). At 100 TB the per-group state is
+  * still k longs and only sketches cross the exchange; downstream
+  * set algebra runs on ≤ k-element arrays per row. Exactly
+  * replayable: `ORDER BY h LIMIT k` per operand, then the identical
+  * trim on the concatenation.
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 2 && k <= 65536, s"k out of range: $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch expects a BIGINT hash, got ${child.dataType.catalogString}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_sketch"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(
+      buffer: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      if (buffer.size < k) buffer.add(h)
+      else if (h < buffer.last) { if (buffer.add(h)) buffer.pollLast() }
+    }
+    buffer
+  }
+
+  override def merge(
+      buffer: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (buffer.size < k) buffer.add(h)
+      else if (h < buffer.last) { if (buffer.add(h)) buffer.pollLast() }
+    }
+    buffer
+  }
+
+  override def eval(buffer: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buffer.size)
+    val it = buffer.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(
+      buffer: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buffer.size)
+    bb.putInt(buffer.size)
+    val it = buffer.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(
+      bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val s = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { s.add(bb.getLong); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketch =
+    copy(child = newChildren.head)
+}

@@ -1111,6 +1111,66 @@ object Relational {
           countDistinct(concat_ws(":", col("user_id"), col("conv_tus")))
             .as("n_conversions"))
         .orderBy(col("event_type"))
+    },
+
+    // -- q56: KMV sketch set algebra ---------------------------------------
+    // Distinct-cardinality estimates for UNION and INTERSECTION of
+    // audience sets (users per event type) computed purely from
+    // per-set KMV sketches — the composability that makes KMV the
+    // warehouse sketch of choice: sketches are built once per set in
+    // one bounded-state aggregate (kmv_sketch, k longs per group),
+    // then ANY pair's union estimate is the k-trim of the merged
+    // arrays and the intersection estimate is the Jaccard fraction
+    // |S_∪ ∩ S_A ∩ S_B|/k of the union estimate (Beyer et al. 2007).
+    // Exact countDistinct legs ride along for validation (drop them
+    // at 100 TB — the whole point is never re-reading the corpus).
+    // Shape: one sketch aggregate + one distinct-pair aggregate over
+    // events; all set algebra runs on ≤k-element arrays in-plan.
+    "q56_kmv_setops" -> { (s, dir) =>
+      val k = 64
+      val m = 1000000007L
+      val ev = Tables.load(s, dir, "events")
+      val h = (col("user_id") % 1000003L) * lit(2654435761L) % lit(m)
+      val sk = ev.groupBy(col("event_type"))
+        .agg(call_function("kmv_sketch", h, lit(k)).as("sk"))
+      val pairs = sk.select(col("event_type").as("type_a"),
+          col("sk").as("sk_a"))
+        .join(sk.select(col("event_type").as("type_b"),
+          col("sk").as("sk_b")), col("type_a") < col("type_b"))
+      // exact validation legs: one distinct pass, one pair self-join
+      // of the (type, user) distinct table — both cardinality-bounded
+      val ut = ev.select(col("event_type"), col("user_id")).distinct()
+      val np = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val xin = ut.select(col("event_type").as("type_a"), col("user_id"))
+        .join(ut.select(col("event_type").as("type_b"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      pairs
+        .withColumn("u", slice(array_sort(array_union(col("sk_a"),
+          col("sk_b"))), 1, k))
+        .withColumn("n_union_kept", size(col("u")).cast("long"))
+        .withColumn("kth_union", element_at(col("u"), -1))
+        .withColumn("est_union",
+          when(col("n_union_kept") < k, col("n_union_kept"))
+            .otherwise(expr(s"${(k - 1).toLong * m} div kth_union")))
+        .withColumn("n_common", size(array_intersect(
+          array_intersect(col("u"), col("sk_a")), col("sk_b")))
+          .cast("long"))
+        .withColumn("est_inter",
+          expr(s"(n_common * est_union) div ${k.toLong}"))
+        .join(broadcast(np.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), Seq("type_a"))
+        .join(broadcast(np.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), Seq("type_b"))
+        .join(xin, Seq("type_a", "type_b"), "left")
+        .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+        .select(col("type_a"), col("type_b"), col("n_union_kept"),
+          col("kth_union"), col("est_union"), col("est_inter"),
+          (col("n_a") + col("n_b") - col("exact_inter")).as("exact_union"),
+          col("exact_inter"))
+        .orderBy(col("type_a"), col("type_b"))
     }
   )
 
@@ -1762,6 +1822,68 @@ object Relational {
         |  COUNT(DISTINCT CAST(user_id AS VARCHAR) || ':' ||
         |    CAST(conv_tus AS VARCHAR)) AS n_conversions
         |FROM touches GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the sketch set algebra replayed relationally: per-set ORDER BY h
+    // LIMIT k, union sketch = the same trim on the concatenation,
+    // intersection via membership joins against both operand sketches
+    "q56_kmv_setops" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ((user_id % 1000003) * 2654435761) % 1000000007 AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM h),
+        |sk AS (SELECT event_type, h FROM r WHERE rn <= 64),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM types a JOIN types b ON a.event_type < b.event_type),
+        |uni AS (
+        |  SELECT type_a, type_b, h,
+        |    ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h)
+        |      AS rn
+        |  FROM (SELECT DISTINCT p.type_a, p.type_b, s.h
+        |        FROM pairs p
+        |        JOIN sk s ON s.event_type IN (p.type_a, p.type_b)) t),
+        |u AS (
+        |  SELECT type_a, type_b, COUNT(*) AS n_union_kept,
+        |    MAX(h) AS kth_union
+        |  FROM uni WHERE rn <= 64 GROUP BY type_a, type_b),
+        |ix AS (
+        |  SELECT un.type_a, un.type_b, COUNT(*) AS n_common
+        |  FROM uni un
+        |  JOIN sk sa ON sa.event_type = un.type_a AND sa.h = un.h
+        |  JOIN sk sb ON sb.event_type = un.type_b AND sb.h = un.h
+        |  WHERE un.rn <= 64 GROUP BY un.type_a, un.type_b),
+        |est AS (
+        |  SELECT u.*,
+        |    CAST(CASE WHEN n_union_kept < 64 THEN n_union_kept
+        |      ELSE (CAST(63 AS BIGINT) * 1000000007) // kth_union
+        |      END AS BIGINT) AS est_union
+        |  FROM u),
+        |ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |np AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+        |xin AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS exact_inter
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT e.type_a, e.type_b,
+        |  CAST(n_union_kept AS BIGINT) AS n_union_kept, kth_union,
+        |  est_union,
+        |  CAST((COALESCE(n_common, 0) * est_union) // 64 AS BIGINT)
+        |    AS est_inter,
+        |  CAST(na.n + nb.n - COALESCE(exact_inter, 0) AS BIGINT)
+        |    AS exact_union,
+        |  CAST(COALESCE(exact_inter, 0) AS BIGINT) AS exact_inter
+        |FROM est e
+        |LEFT JOIN ix ON ix.type_a = e.type_a AND ix.type_b = e.type_b
+        |JOIN np na ON na.event_type = e.type_a
+        |JOIN np nb ON nb.event_type = e.type_b
+        |LEFT JOIN xin ON xin.type_a = e.type_a AND xin.type_b = e.type_b
+        |ORDER BY e.type_a, e.type_b""".stripMargin,
     // plain unsalted join — hash equality proves salting preserves semantics
     "q19_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

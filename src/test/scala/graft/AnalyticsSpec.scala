@@ -799,4 +799,50 @@ class AnalyticsSpec extends GraftSpec {
       assert(got(nk) == w, s"nation $nk: ${got(nk)} vs $w")
     }
   }
+
+  test("q56: sketch set algebra replays from raw hash sets and the " +
+      "union sketch is the trim of the merged operand sketches") {
+    val k = 64
+    val m = 1000000007L
+    // raw per-type distinct hash sets, the ground truth the sketches
+    // are an order statistic of
+    val rows = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val hashes = rows.groupBy(_._1).view.mapValues(_.map { case (_, u) =>
+      (u % 1000003L) * 2654435761L % m
+    }.toSet).toMap
+    val users = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = SparkEntry.queries("q56_kmv_setops")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    val types = hashes.keySet.toSeq.sorted
+    assert(got.length == types.combinations(2).size)
+    got.foreach { case (a, b, nKept, kth, estU, estI, exU, exI) =>
+      val sa = hashes(a).toSeq.sorted.take(k).toSet
+      val sb = hashes(b).toSeq.sorted.take(k).toSet
+      // union-sketch identity: trimming the merged operand sketches
+      // equals sketching the union of the raw sets (Beyer et al. §4)
+      val uFromSketches = (sa ++ sb).toSeq.sorted.take(k)
+      val uFromRaw = (hashes(a) ++ hashes(b)).toSeq.sorted.take(k)
+      assert(uFromSketches == uFromRaw, s"($a,$b) union sketch")
+      assert(nKept == uFromRaw.size)
+      assert(kth == uFromRaw.last)
+      val wantEstU =
+        if (nKept < k) nKept else (k - 1).toLong * m / kth
+      assert(estU == wantEstU)
+      val nCommon = uFromRaw.toSet.intersect(sa).intersect(sb).size
+      assert(estI == nCommon.toLong * estU / k)
+      // exact legs
+      assert(exU == users(a).union(users(b)).size)
+      assert(exI == users(a).intersect(users(b)).size)
+      // estimator sanity at full sketches: within a factor of 2 of
+      // exact (k=64 → ~13% std error; deterministic for this data)
+      if (nKept == k) {
+        assert(estU >= exU / 2 && estU <= exU * 2,
+          s"($a,$b) estU=$estU exact=$exU")
+      }
+    }
+  }
 }

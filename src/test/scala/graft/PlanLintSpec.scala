@@ -48,7 +48,15 @@ class PlanLintSpec extends GraftSpec {
       // to rebuild the full sources×langs grid INCLUDING zero cells —
       // both sides dimension-sized at any corpus size
       // (Corpus.mixDrift's scale note)
-      "corpus_mix_drift")
+      "corpus_mix_drift",
+      // broadcasts the 1-ROW corpus order-count total into the
+      // brand-pair lift comparison (the zipf/totals shape); the pair
+      // join itself is orderkey-hashed
+      "q53_basket_pairs",
+      // the event-type pairs join (a<b over the |types|-row sketch
+      // table — dimension-sized both sides); sketches are k-long
+      // arrays, corpus rows never enter the nested loop
+      "q56_kmv_setops")
 
   test("no query plan contains a cartesian product or stray nested loop") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, q) =>
