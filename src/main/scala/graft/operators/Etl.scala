@@ -423,9 +423,48 @@ object Etl {
       .orderBy(col("day"))
   }
 
+  /** Feed-freshness audit — the staleness monitor that catches a dead
+    * upstream feed the morning it dies (the volume-anomaly audit sees
+    * a collapse only while the day still gets SOME rows; a feed that
+    * stops entirely vanishes from per-day counts and needs this
+    * last-seen view): per feed (event_type), the last-seen timestamp
+    * against the snapshot as-of (the global max event time — the
+    * load's watermark, derived, not wall-clock, so the audit is
+    * deterministic and replayable), lag in whole hours, rows in the
+    * trailing 3 days before as-of, and a stale alert when the feed has
+    * been silent 72+ hours.
+    *
+    * Shape: ONE corpus-scale map-side-combined (type, day) aggregate
+    * (types×days rows out — calendar-bounded), the as-of from a 1-row
+    * broadcast over that aggregate (the skew-audit totals shape), then
+    * a types-sized rollup. The fact table shuffles only its
+    * (type, day) projection. */
+  def freshness(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"))
+    val asof = daily.agg(max(col("last_ts")).as("asof"))
+    daily.crossJoin(broadcast(asof))
+      .groupBy(col("event_type"))
+      .agg(max(col("last_ts")).as("last_ts"),
+        max(col("asof")).as("asof"),
+        sum(col("n")).as("n_rows"),
+        sum(when(datediff(to_date(col("asof")), col("day")) < 3, col("n"))
+          .otherwise(0L)).as("n_last3d"))
+      .withColumn("lag_us",
+        unix_micros(col("asof")) - unix_micros(col("last_ts")))
+      .select(col("event_type"), col("last_ts"), col("asof"),
+        col("n_rows"), col("n_last3d"),
+        expr("lag_us div 3600000000").as("lag_hours"),
+        (col("lag_us") >= lit(72L * 3600000000L)).as("stale"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- full referential-integrity map (six FK edges, orphan census) -----
     "etl_fk_orphans" -> ((s, dir) => fkOrphans(s, dir)),
+    "etl_freshness" -> ((s, dir) =>
+      freshness(Tables.load(s, dir, "events"))),
     "etl_volume_anomaly" -> ((s, dir) =>
       volumeAnomaly(Tables.load(s, dir, "events"))),
     "etl_skew_audit" -> ((s, dir) =>
@@ -959,6 +998,24 @@ object Etl {
           |  CAST(SUM(h) AS BIGINT) AS sum_digest,
           |  MIN(h) AS min_digest, MAX(h) AS max_digest
           |FROM c GROUP BY grp ORDER BY grp""".stripMargin,
+      // same (type, day) aggregate, as-of from its 1-row max, whole-
+      // hour integer lag; SUM/div outputs cast to BIGINT
+      "etl_freshness" ->
+        """WITH d AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+          |    MAX(ts) AS last_ts
+          |  FROM events GROUP BY 1, 2),
+          |a AS (SELECT MAX(last_ts) AS asof FROM d)
+          |SELECT event_type, MAX(last_ts) AS last_ts, MAX(a.asof) AS asof,
+          |  CAST(SUM(n) AS BIGINT) AS n_rows,
+          |  CAST(SUM(CASE WHEN CAST(a.asof AS DATE) - day < 3
+          |    THEN n ELSE 0 END) AS BIGINT) AS n_last3d,
+          |  CAST((EPOCH_US(MAX(a.asof)) - EPOCH_US(MAX(last_ts)))
+          |    // 3600000000 AS BIGINT) AS lag_hours,
+          |  EPOCH_US(MAX(a.asof)) - EPOCH_US(MAX(last_ts)) >=
+          |    72 * 3600000000 AS stale
+          |FROM d CROSS JOIN a
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
       // same day aggregate, trailing frame, integer permille and
       // cross-multiplied 2x gate; SUM/abs-div outputs cast to BIGINT
       "etl_volume_anomaly" ->

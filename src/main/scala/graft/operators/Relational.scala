@@ -1171,6 +1171,39 @@ object Relational {
           (col("n_a") + col("n_b") - col("exact_inter")).as("exact_union"),
           col("exact_inter"))
         .orderBy(col("type_a"), col("type_b"))
+    },
+
+    // -- q57: cumulative distinct (running unique-user curve) --------------
+    // "Distinct users to date" per feed and day — the growth curve a
+    // naive COUNT(DISTINCT) OVER cannot express (Spark and most
+    // engines reject DISTINCT in window frames, and a per-day
+    // re-count is O(days·rows)). The classic exact reformulation:
+    // a user contributes to the cumulative curve exactly once, on
+    // their FIRST active day — so cum_users(d) = Σ_{d'<=d} new(d'),
+    // where new(d) counts users whose MIN(day) = d. Two map-side-
+    // combined key aggregates ((type,day,user) distinct, then
+    // (type,user) min-day) and one cumulative window over the
+    // calendar-bounded (type, day) table. No day re-scans, no
+    // distinct-in-window, cumulative state is one long per type.
+    "q57_cum_distinct" -> { (s, dir) =>
+      val ud = Tables.load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("user_id"))
+        .distinct()
+      val dau = ud.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("dau"))
+      val newu = ud.groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("day")).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("new_users"))
+      // a user's first day is an active day, so newu's days are a
+      // subset of dau's — the left join loses nothing
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dau.join(newu, Seq("event_type", "day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy(col("event_type"), col("day"))
     }
   )
 
@@ -1884,6 +1917,29 @@ object Relational {
         |JOIN np nb ON nb.event_type = e.type_b
         |LEFT JOIN xin ON xin.type_a = e.type_a AND xin.type_b = e.type_b
         |ORDER BY e.type_a, e.type_b""".stripMargin,
+    // same first-day reformulation: new users = MIN(day) census,
+    // cumulative window over the (type, day) aggregate
+    "q57_cum_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |dau AS (
+        |  SELECT event_type, day, COUNT(*) AS dau
+        |  FROM ud GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, user_id, MIN(day) AS day
+        |  FROM ud GROUP BY 1, 2),
+        |nu AS (
+        |  SELECT event_type, day, COUNT(*) AS new_users
+        |  FROM f GROUP BY 1, 2)
+        |SELECT d.event_type, d.day, d.dau,
+        |  COALESCE(nu.new_users, 0) AS new_users,
+        |  CAST(SUM(COALESCE(nu.new_users, 0)) OVER (
+        |    PARTITION BY d.event_type ORDER BY d.day) AS BIGINT)
+        |    AS cum_users
+        |FROM dau d
+        |LEFT JOIN nu ON nu.event_type = d.event_type AND nu.day = d.day
+        |ORDER BY d.event_type, d.day""".stripMargin,
     // plain unsalted join — hash equality proves salting preserves semantics
     "q19_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

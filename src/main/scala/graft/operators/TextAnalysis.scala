@@ -857,7 +857,54 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Exact ROC-AUC of a quality signal by rank-sum (Mann-Whitney U) —
+    * the classifier-evaluation primitive a training-data pipeline
+    * needs the moment any learned or heuristic quality score gates the
+    * corpus ("does this score actually separate the curated slice?").
+    * AUC = U/(n⁺·n⁻) with U = Σ_pos rank − n⁺(n⁺+1)/2 over average
+    * ranks, kept INTEGER throughout by working in doubled ranks:
+    * for a score value s with n_s rows (p_s positive) and C rows
+    * strictly below it, every row at s has 2·avgrank = 2C + n_s + 1,
+    * so u2 = Σ_s p_s·(2C_s + n_s + 1) and
+    * auc_permille = 1000·(u2 − n⁺(n⁺+1)) div (2·n⁺·n⁻) — ties
+    * handled exactly, no floats anywhere.
+    *
+    * The pivotal scale trick: ranks are computed on the per-(lang,
+    * score) HISTOGRAM, not on rows — the corpus collapses map-side to
+    * ≤ langs × |distinct scores| cells before any exchange, the
+    * cumulative window runs over that bounded histogram, and the
+    * per-lang rollup is dimension-sized. A row-level rank window
+    * would per-lang-sort the whole corpus; this never sorts rows at
+    * all. Signal under audit here: document length (n_chars) against
+    * the deterministic even/odd-source split — the machinery is
+    * score-agnostic. */
+  def qualityAuc(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .select(col("lang"), col("n_chars").as("score"),
+        (regexp_extract(col("source"), "(\\d+)$", 1).cast("long") % 2
+          === 0).as("pos"))
+      .groupBy(col("lang"), col("score"))
+      .agg(count(lit(1)).as("n_s"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("p_s"))
+    val cum = Window.partitionBy(col("lang")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("c_below", coalesce(sum(col("n_s")).over(cum), lit(0L)))
+      .groupBy(col("lang"))
+      .agg(sum(col("p_s")).as("n_pos"),
+        sum(col("n_s") - col("p_s")).as("n_neg"),
+        sum(col("p_s") * (lit(2L) * col("c_below") + col("n_s") + 1L))
+          .as("u2"))
+      .select(col("lang"), col("n_pos"), col("n_neg"), col("u2"),
+        expr("1000 * (u2 - n_pos * (n_pos + 1)) div (2 * n_pos * n_neg)")
+          .as("auc_permille"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_auc" -> ((s, dir) =>
+      qualityAuc(Tables.load(s, dir, "documents"))),
     "text_tfidf_keywords" -> ((s, dir) =>
       tfidfKeywords(Tables.load(s, dir, "documents"))),
     "text_bm25" -> ((s, dir) =>
@@ -900,6 +947,30 @@ object TextAnalysis {
       bpeMergeCandidates(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // same doubled-rank formulation on the (lang, score) histogram:
+    // cumulative strictly-below counts, tie-exact 2·avgrank, integer
+    // permille; every SUM re-cast to BIGINT
+    "text_quality_auc" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars AS score, COUNT(*) AS n_s,
+        |    CAST(SUM(CASE WHEN CAST(REGEXP_EXTRACT(source, '(\d+)$', 1)
+        |      AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS p_s
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, score, n_s, p_s,
+        |    CAST(COALESCE(SUM(n_s) OVER (PARTITION BY lang
+        |      ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 0) AS BIGINT) AS c_below
+        |  FROM h)
+        |SELECT lang,
+        |  CAST(SUM(p_s) AS BIGINT) AS n_pos,
+        |  CAST(SUM(n_s - p_s) AS BIGINT) AS n_neg,
+        |  CAST(SUM(p_s * (2 * c_below + n_s + 1)) AS BIGINT) AS u2,
+        |  CAST(1000 * (SUM(p_s * (2 * c_below + n_s + 1))
+        |      - SUM(p_s) * (SUM(p_s) + 1))
+        |    // (2 * SUM(p_s) * SUM(n_s - p_s)) AS BIGINT)
+        |    AS auc_permille
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     // full replay: tokenization, (doc, word) tf, df-from-tf, the
     // integer score tf·⌊1e6·ln(n/df)⌋ (division and ln in the same
     // double order as the Spark expression), rank with term tie-break

@@ -845,4 +845,37 @@ class AnalyticsSpec extends GraftSpec {
       }
     }
   }
+
+  test("q57: the first-day reformulation replays the brute-force " +
+      "cumulative distinct-user curve day by day") {
+    import org.apache.spark.sql.functions._
+    // the raw (type, day, user) activity set, days via the SAME
+    // to_date the operator uses (date semantics are oracle-gated)
+    val acts = Tables.load(spark, sf, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val got = SparkEntry.queries("q57_cum_distinct")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    val byType = acts.groupBy(_._1)
+    assert(got.size == byType.valuesIterator
+      .map(_.map(_._2).distinct.size).sum)
+    byType.foreach { case (t, rows) =>
+      var seen = Set.empty[Long]
+      rows.map(_._2).distinct.sorted.foreach { d =>
+        val today = rows.filter(_._2 == d).map(_._3).toSet
+        val newU = today -- seen
+        seen ++= today
+        val (dau, nu, cum) = got((t, d))
+        assert(dau == today.size && nu == newU.size && cum == seen.size,
+          s"$t $d: got ($dau,$nu,$cum) want " +
+            s"(${today.size},${newU.size},${seen.size})")
+      }
+      // the curve ends at the type's total distinct users
+      assert(seen.size.toLong ==
+        rows.map(_._3).distinct.size.toLong)
+    }
+  }
 }

@@ -474,4 +474,37 @@ class MedallionSpec extends GraftSpec {
       assert(orphan <= child0 && missing <= orphan)
     }
   }
+
+  test("freshness: a feed that went silent is the only stale one; lag " +
+      "hours, trailing-3-day counts, and the derived as-of all replay") {
+    import spark.implicits._
+    def ts(d: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$d%02d 06:00:00")
+    // feed a: every day 1..10; feed b: stops after day 5
+    val rows = (1 to 10).map(d => (d.toLong, "a", ts(d))) ++
+      (1 to 5).map(d => (100L + d, "b", ts(d)))
+    val got = graft.operators.Etl.freshness(
+        rows.toDF("event_id", "event_type", "ts")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.size == 2)
+    // as-of = feed a's last event (the global max)
+    got.values.foreach(r => assert(r.getTimestamp(2) == ts(10)))
+    val a = got("a")
+    assert(a.getTimestamp(1) == ts(10) && a.getLong(3) == 10 &&
+      a.getLong(4) == 3 && // days 8,9,10 are within 3 days of as-of
+      a.getLong(5) == 0 && !a.getBoolean(6))
+    val b = got("b")
+    assert(b.getTimestamp(1) == ts(5) && b.getLong(3) == 5 &&
+      b.getLong(4) == 0 && // silent feed: nothing near the as-of
+      b.getLong(5) == 5L * 24 && b.getBoolean(6))
+    // boundary: exactly 72h of silence IS stale (>=), 71h is not
+    val edge = Seq((1L, "live", ts(10)), (2L, "edge",
+        java.sql.Timestamp.valueOf("2024-03-07 06:00:00")),
+      (3L, "near", java.sql.Timestamp.valueOf("2024-03-07 07:00:00")))
+      .toDF("event_id", "event_type", "ts")
+    val e = graft.operators.Etl.freshness(edge).collect()
+      .map(r => r.getString(0) -> (r.getLong(5), r.getBoolean(6))).toMap
+    assert(e("edge") == ((72L, true)) && e("near") == ((71L, false)) &&
+      e("live") == ((0L, false)))
+  }
 }

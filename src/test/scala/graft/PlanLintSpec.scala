@@ -44,6 +44,9 @@ class PlanLintSpec extends GraftSpec {
       // broadcasts the 1-ROW totals row against the month-partition
       // counts (the zipf/totals shape)
       "etl_skew_audit",
+      // broadcasts the 1-ROW derived as-of watermark against the
+      // (type, day) aggregate — the skew-audit totals shape
+      "etl_freshness",
       // broadcasts the language-margin (|langs| rows) and 1-row total
       // to rebuild the full sources×langs grid INCLUDING zero cells —
       // both sides dimension-sized at any corpus size

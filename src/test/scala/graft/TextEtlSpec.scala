@@ -525,4 +525,42 @@ class TextEtlSpec extends GraftSpec {
     val canon = TextAnalysis.urlCanonDedup(mixed).collect().head.getString(2)
     assert(canon == "example0.com/p/0")
   }
+
+  test("quality auc: perfect separation scores 1000, all-ties scores " +
+      "500, and the histogram formulation equals brute-force " +
+      "average-rank AUC on the corpus") {
+    // hand cases: lang x separates perfectly, lang y is one big tie
+    val hand = Seq(
+      ("x", 10L, "src0"), ("x", 9L, "src2"), // positives (even src)
+      ("x", 2L, "src1"), ("x", 1L, "src3"), // negatives
+      ("y", 5L, "src0"), ("y", 5L, "src2"),
+      ("y", 5L, "src1"), ("y", 5L, "src3"))
+      .toDF("lang", "n_chars", "source")
+    val h = TextAnalysis.qualityAuc(hand).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(h("x") == 1000L, s"perfect separation: ${h("x")}")
+    assert(h("y") == 500L, s"all ties: ${h("y")}")
+    // corpus replay: brute-force doubled average ranks per positive
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("n_chars"), col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).replaceAll("\\D", "").toLong % 2 == 0))
+    val got = TextAnalysis.qualityAuc(
+        graft.sources.Tables.load(spark, sf, "documents")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    docs.groupBy(_._1).foreach { case (lang, rows) =>
+      val nPos = rows.count(_._3).toLong
+      val nNeg = rows.length - nPos
+      val u2 = rows.filter(_._3).map { case (_, s, _) =>
+        2L * rows.count(_._2 < s) + rows.count(_._2 == s) + 1L
+      }.sum
+      val (gp, gn, gu2, gauc) = got(lang)
+      assert(gp == nPos && gn == nNeg && gu2 == u2, s"$lang u2")
+      assert(gauc == 1000L * (u2 - nPos * (nPos + 1)) / (2 * nPos * nNeg),
+        s"$lang auc")
+      assert(gauc >= 0 && gauc <= 1000)
+    }
+  }
 }
