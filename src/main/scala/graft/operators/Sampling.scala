@@ -439,7 +439,33 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** GROUP-holdout split — the leakage-free counterpart to the row-
+    * keyed [[splitCounts]]: ALL rows of one group (here the user) land
+    * in the same fold, so a user's events can never straddle train and
+    * test. That straddle is the canonical eval-contamination bug for
+    * behavioral, per-author, or per-site corpora — a row-hash split
+    * leaks every multi-row entity across folds; the fix is hashing the
+    * GROUP key, and disjointness then holds by construction (fold is a
+    * function of the key). Same multiplicative hash as every sampling
+    * face (deterministic, engine-independent, no rand()).
+    *
+    * Emits the per-fold census (groups, rows). Shape: one map-side-
+    * combined group aggregate (the only corpus-scale exchange, keyed
+    * by the group), then a 3-row fold rollup. */
+  def groupSplit(events: DataFrame): DataFrame = {
+    val b = hashBucket(col("user_id"))
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(when(b < 800, "train").when(b < 900, "val")
+        .otherwise("test").as("split"), col("n"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_rows"))
+      .orderBy(col("split"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_group_split" -> ((s, dir) =>
+      groupSplit(Tables.load(s, dir, "events"))),
     "sample_reservoir" -> ((s, dir) =>
       reservoirSample(Tables.load(s, dir, "documents"))),
     "sample_temperature" -> ((s, dir) =>
@@ -469,6 +495,17 @@ object Sampling {
       interleave(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // same group-key hash, fold rule, and two-level census; SUM cast
+    // to BIGINT
+    "sample_group_split" ->
+      """WITH g AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    ((user_id % 1000003) * 2654435761) % 1000 AS b
+        |  FROM events GROUP BY user_id)
+        |SELECT CASE WHEN b < 800 THEN 'train'
+        |  WHEN b < 900 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_rows
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same fixed permutation priority, the same bottom-k — hash
     // equality proves the merged per-partition heaps equal the global
     // ORDER BY ... LIMIT definition

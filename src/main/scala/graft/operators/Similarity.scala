@@ -947,6 +947,55 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** PQ distortion / codebook-quality audit — the compression-QA
+    * report a pipeline needs before swapping exact vectors for codes
+    * ("how much signal does the quantizer keep, and did training
+    * actually help"): per subspace, the corpus size, the exact
+    * fixed-point subspace energy Σ‖x_m‖² (the denominator of any
+    * distortion ratio — DuckDB recomputes it independently from the
+    * raw embeddings, tying the audit to the actual vector data and to
+    * a correct slicing), and two in-plan certificates: the refined
+    * codebook's total assigned cosine must be ≥ the unrefined seed's
+    * (Lloyd training improved the quantizer on THIS corpus — the
+    * claim a distortion audit exists to check), and every assigned
+    * similarity is a valid cosine (|sim| ≤ 1). The assigned-similarity
+    * totals themselves are k-means output — engine-specific by
+    * design — so they gate as booleans, not hashed floats, the
+    * emb_pq discipline.
+    *
+    * Scale: two assignment passes (seed + refined) over the subvector
+    * frame — each the broadcast-codebook argmax with NO corpus
+    * shuffle — then one map-side-combined M-row aggregate each. */
+  def pqDistortionAudit(vecs: DataFrame): DataFrame = {
+    val sub = pqSubvectors(vecs, PqM)
+    def stats(iters: Int): DataFrame = {
+      val cents = pqCodebooks(vecs, PqK, iters, PqM).localCheckpoint(true)
+      joinCents(pqAssign(sub, pqPackByM(cents)), cents)
+        .select(col("m"), col("e"),
+          coalesce(safeCos(dot(col("e"), col("c_e")),
+            col("nrm"), col("c_nrm")), lit(0.0)).as("sim"))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n_vecs"),
+          // per-ELEMENT fixed-point quantization before any fold (the
+          // emb_centroids discipline): a whole-subvector float dot
+          // crosses floor boundaries on 1-ulp engine differences
+          sum(aggregate(
+            transform(col("e"),
+              x => floor(x.cast("double") * 1e3).cast("long")),
+            lit(0L), (a, q) => a + q * q)).as("nrm2_fp"),
+          sum(floor(col("sim") * 1e9).cast("long")).as("sim_fp"),
+          max(abs(col("sim"))).as("max_abs"))
+    }
+    stats(RefineIters)
+      .join(stats(0).select(col("m").as("m0"),
+        col("sim_fp").as("sim_fp_seed")), col("m") === col("m0"))
+      .select(col("m").cast("long").as("m"), col("n_vecs"),
+        col("nrm2_fp"),
+        (col("sim_fp") >= col("sim_fp_seed")).as("improved_ok"),
+        (col("max_abs") <= lit(1.0 + 1e-9)).as("bounded_ok"))
+      .orderBy(col("m"))
+  }
+
   /** ADC (asymmetric distance computation) top-k over PQ codes: per
     * query, a broadcast M·K partial-dot table (query subvector ×
     * centroid); each corpus vector's approximate dot is then K lookups
@@ -2199,6 +2248,12 @@ object Similarity {
     // determinism/optimality/compression spec-tested)
     "emb_pq" -> ((s, dir) =>
       pqCodesGate(Tables.load(s, dir, "embeddings"))),
+    // PQ distortion audit: oracle recomputes the per-subspace energy
+    // from raw embeddings; training-improved + valid-cosine ride as
+    // in-plan boolean certificates (assigned totals are k-means
+    // output — spec-tested, not hashed)
+    "emb_pq_distortion" -> ((s, dir) =>
+      pqDistortionAudit(Tables.load(s, dir, "embeddings"))),
     // retrieve-then-rerank: ADC top-C → exact re-rank → top-k equals
     // brute force, so the oracle recomputes the WHOLE answer; the
     // table≡reconstruction identity certificate rides each row
@@ -2697,6 +2752,20 @@ object Similarity {
       """SELECT vec_id, 4 AS n_codes, TRUE AS argmax_ok,
         |  ROUND(SQRT(LIST_DOT_PRODUCT(embedding, embedding)), 4) AS nrm_r
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // per-subspace energy recomputed from the raw embeddings with the
+    // same slicing and fixed-point fold; certificates assert TRUE
+    "emb_pq_distortion" ->
+      """WITH s AS (
+        |  SELECT m, embedding[m * 16 + 1 : m * 16 + 16] AS e
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS m) t)
+        |SELECT CAST(m AS BIGINT) AS m, COUNT(*) AS n_vecs,
+        |  CAST(SUM(LIST_SUM(LIST_TRANSFORM(e, x ->
+        |    CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT) *
+        |    CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT))))
+        |    AS BIGINT) AS nrm2_fp,
+        |  TRUE AS improved_ok, TRUE AS bounded_ok
+        |FROM s GROUP BY m ORDER BY m""".stripMargin,
     // every rerank face (build AND serve) equals brute-force top-k, so
     // each oracle IS the brute-force recomputation (same SQL as
     // knn_brute, plus the certificate column)

@@ -902,7 +902,52 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Heaps'-law vocabulary-growth curve — "how fast does the corpus
+    * stop teaching new words": cumulative distinct token TYPES against
+    * cumulative TOKENS at power-of-two document checkpoints (the
+    * natural log-log sampling for V(n) ≈ K·n^β; a flattening curve is
+    * the classic diminishing-returns / near-dup-saturation signal,
+    * complementing [[zipfFit]]'s static frequency fit). Exact via the
+    * same first-occurrence reformulation as the cumulative-distinct
+    * query: a type enters the vocabulary once, at its MIN(doc_id), so
+    * types_cum(b) = Σ first-seen census ≤ b. The checkpoint bucket
+    * ⌊log₂(doc_id+1)⌋ is computed as LENGTH(BIN(doc_id+1))−1 —
+    * integer-exact on both engines, no float log.
+    *
+    * Scale: one corpus tokenize feeding two map-side-combined
+    * aggregates (per-bucket token counts; per-type min doc), then
+    * cumulative windows over the ≤64-row bucket table (buckets grow
+    * as log₂ of the corpus — bounded at ANY size, hence the exempted
+    * global window). */
+  def heapsGrowth(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bucket(c: Column): Column = (length(bin(c + 1)) - 1).cast("long")
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val docsPer = docs.groupBy(bucket(col("doc_id")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tokPer = tok.groupBy(bucket(col("doc_id")).as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = tok.groupBy(col("w"))
+      .agg(min(col("doc_id")).as("fd"))
+      .groupBy(bucket(col("fd")).as("bucket"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsPer
+      .join(tokPer, Seq("bucket"), "left")
+      .join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("docs_cum", sum(col("n_docs")).over(cum))
+      .withColumn("tokens_cum", sum(col("n_tokens")).over(cum))
+      .withColumn("types_cum", sum(col("n_new_types")).over(cum))
+      .orderBy(col("bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heaps" -> ((s, dir) =>
+      heapsGrowth(Tables.load(s, dir, "documents"))),
     "text_quality_auc" -> ((s, dir) =>
       qualityAuc(Tables.load(s, dir, "documents"))),
     "text_tfidf_keywords" -> ((s, dir) =>
@@ -947,6 +992,38 @@ object TextAnalysis {
       bpeMergeCandidates(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // same power-of-two bucket (LENGTH(BIN(n))−1), first-occurrence
+    // census, cumulative windows; COUNT/SUM cast to BIGINT
+    "text_heaps" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+        |  FROM documents),
+        |dp AS (
+        |  SELECT LENGTH(BIN(doc_id + 1)) - 1 AS bucket,
+        |    COUNT(*) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |tp AS (
+        |  SELECT LENGTH(BIN(doc_id + 1)) - 1 AS bucket,
+        |    COUNT(*) AS n_tokens
+        |  FROM tok GROUP BY 1),
+        |nt AS (
+        |  SELECT LENGTH(BIN(fd + 1)) - 1 AS bucket,
+        |    COUNT(*) AS n_new_types
+        |  FROM (SELECT w, MIN(doc_id) AS fd FROM tok GROUP BY w)
+        |  GROUP BY 1)
+        |SELECT CAST(dp.bucket AS BIGINT) AS bucket, dp.n_docs,
+        |  COALESCE(tp.n_tokens, 0) AS n_tokens,
+        |  COALESCE(nt.n_new_types, 0) AS n_new_types,
+        |  CAST(SUM(dp.n_docs) OVER (ORDER BY dp.bucket) AS BIGINT)
+        |    AS docs_cum,
+        |  CAST(SUM(COALESCE(tp.n_tokens, 0)) OVER (ORDER BY dp.bucket)
+        |    AS BIGINT) AS tokens_cum,
+        |  CAST(SUM(COALESCE(nt.n_new_types, 0)) OVER (ORDER BY dp.bucket)
+        |    AS BIGINT) AS types_cum
+        |FROM dp
+        |LEFT JOIN tp ON tp.bucket = dp.bucket
+        |LEFT JOIN nt ON nt.bucket = dp.bucket
+        |ORDER BY bucket""".stripMargin,
     // same doubled-rank formulation on the (lang, score) histogram:
     // cumulative strictly-below counts, tie-exact 2·avgrank, integer
     // permille; every SUM re-cast to BIGINT

@@ -47,6 +47,10 @@ class PlanLintSpec extends GraftSpec {
       // broadcasts the 1-ROW derived as-of watermark against the
       // (type, day) aggregate — the skew-audit totals shape
       "etl_freshness",
+      // two pqAssign passes, each crossing the corpus with the 1-ROW
+      // packed PQ codebook — the same bounded-codebook shape as
+      // knn_pq_adc
+      "emb_pq_distortion",
       // broadcasts the language-margin (|langs| rows) and 1-row total
       // to rebuild the full sources×langs grid INCLUDING zero cells —
       // both sides dimension-sized at any corpus size
@@ -94,7 +98,11 @@ class PlanLintSpec extends GraftSpec {
       // the trailing-week window runs over the per-DAY aggregate —
       // calendar-bounded at any corpus size (Etl.volumeAnomaly's
       // scale note; the skew-audit precedent with an ordered frame)
-      "etl_volume_anomaly")
+      "etl_volume_anomaly",
+      // the cumulative windows run over the power-of-two checkpoint
+      // table — ≤64 rows at ANY corpus size (log₂ of the doc count;
+      // TextAnalysis.heapsGrowth's scale note)
+      "text_heaps")
 
   private def physOps(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {

@@ -350,4 +350,35 @@ class SamplingSpec extends GraftSpec {
       .map(_.getLong(0)).toSeq
     assert(re == want)
   }
+
+  test("group split: every group lands in exactly one fold, the census " +
+      "conserves rows and groups, and the fold replays from the hash") {
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id")).collect().map(_.getLong(0))
+    def fold(u: Long): String = {
+      val b = u % 1000003L * 2654435761L % 1000L
+      if (b < 800) "train" else if (b < 900) "val" else "test"
+    }
+    val got = Sampling.groupSplit(
+        graft.sources.Tables.load(spark, sf, "events")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // brute replay of both census levels
+    val byFold = ev.groupBy(fold)
+    byFold.foreach { case (f, rows) =>
+      val (g, n) = got(f)
+      assert(g == rows.distinct.length && n == rows.length, s"fold $f")
+    }
+    // conservation: all rows, all groups, no fold invented
+    assert(got.keySet == byFold.keySet)
+    assert(got.values.map(_._2).sum == ev.length)
+    assert(got.values.map(_._1).sum == ev.distinct.length)
+    // planted: one multi-row group stays whole — its 5 rows all land
+    // in ITS fold's census (the property a row-hash split violates)
+    val planted = ((1 to 5).map(i => (i.toLong * 100, 7L)) ++
+      Seq((900L, 3L))).toDF("event_id", "user_id")
+    val p = Sampling.groupSplit(planted).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(p(fold(7L))._2 >= 5, "multi-row group split across folds")
+    assert(p.values.map(_._1).sum == 2 && p.values.map(_._2).sum == 6)
+  }
 }

@@ -876,4 +876,33 @@ class SimilaritySpec extends GraftSpec {
         r.getLong(4), r.getLong(5))).toSeq
     assert(got == want)
   }
+
+  test("pq distortion audit: per-subspace energy replays from the raw " +
+      "vectors, training improves the codebook, and the audit is " +
+      "deterministic") {
+    val rows = vecs.select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    // brute per-subspace quantized energy (the emb_centroids
+    // fixed-point discipline: floor(x*1e3) per element, integer fold)
+    val want = (0 until 4).map { m =>
+      rows.map { e =>
+        (m * 16 until (m + 1) * 16).map { d =>
+          val q = math.floor(e(d).toDouble * 1e3).toLong
+          q * q
+        }.sum
+      }.sum
+    }
+    val got = Similarity.pqDistortionAudit(vecs).collect()
+    assert(got.length == 4)
+    got.zipWithIndex.foreach { case (r, m) =>
+      assert(r.getLong(0) == m && r.getLong(1) == rows.length)
+      assert(r.getLong(2) == want(m), s"subspace $m energy")
+      assert(r.getBoolean(3), s"subspace $m: refinement did not improve")
+      assert(r.getBoolean(4), s"subspace $m: invalid cosine")
+    }
+    // pure function of the data: identical output on a re-run over a
+    // different physical layout
+    val re = Similarity.pqDistortionAudit(vecs.repartition(7)).collect()
+    assert(re.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+  }
 }

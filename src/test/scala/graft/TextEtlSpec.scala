@@ -526,6 +526,38 @@ class TextEtlSpec extends GraftSpec {
     assert(canon == "example0.com/p/0")
   }
 
+  test("heaps growth: hand-computed vocabulary curve on a crafted " +
+      "corpus, and the cumulative totals close over the fixture") {
+    // doc 0: "a b" | doc 1: "a c" | docs 2,3: "a b c d" -> buckets
+    // b0={0}, b1={1,2}, b2={3}
+    val crafted = Seq((0L, "a b"), (1L, "a c"), (2L, "a b c d"),
+      (3L, "a b c d")).toDF("doc_id", "text")
+    val h = TextAnalysis.heapsGrowth(crafted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // bucket 0: 1 doc, 2 tokens, types {a,b} new
+    assert(h(0L) == ((1L, 2L, 2L, 1L, 2L, 2L)))
+    // bucket 1 (docs 1,2): 6 tokens, new types {c,d}
+    assert(h(1L) == ((2L, 6L, 2L, 3L, 8L, 4L)))
+    // bucket 2 (doc 3): 4 tokens, nothing new
+    assert(h(2L) == ((1L, 4L, 0L, 4L, 12L, 4L)))
+    // fixture closure: the curve ends at the corpus totals and every
+    // cumulative column is monotone
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val rows = TextAnalysis.heapsGrowth(docs).collect()
+    val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+    val last = rows.last
+    assert(last.getLong(4) == docs.count())
+    assert(last.getLong(5) == toks.count())
+    assert(last.getLong(6) == toks.distinct().count())
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(0) < b.getLong(0))
+        (4 to 6).foreach(i => assert(a.getLong(i) <= b.getLong(i)))
+      case _ =>
+    }
+  }
+
   test("quality auc: perfect separation scores 1000, all-ties scores " +
       "500, and the histogram formulation equals brute-force " +
       "average-rank AUC on the corpus") {
