@@ -408,7 +408,63 @@ object Graph {
       .orderBy(col("bucket"))
   }
 
+  /** Fixed-round k-core peel (k=2 by default) — the graph-densification
+    * step corpus curation runs before community/authority analysis:
+    * iteratively remove nodes of degree < k, so tendrils and isolated
+    * pairs fall away and the dense backbone remains (the 2-core is
+    * where triangles, communities, and link prediction live; peeled
+    * nodes can't participate). Each round is exactly one peel: cut
+    * low-degree nodes, induce the subgraph, recount degrees — a FIXED
+    * number of rounds keeps the plan shape and the oracle replay
+    * deterministic (full coreness would need data-dependent rounds;
+    * the face reports which round took each node, so convergence is
+    * visible in the output: an empty final round = fixpoint reached).
+    *
+    * Scale shape: per round two node-keyed semi-join filters of the
+    * edge list + one map-side-combined degree count — the
+    * bfs/pagerank exchange template, edge-bounded; every intermediate
+    * is checkpointed so loop lineage stays flat. */
+  def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 5, s"rounds out of range: $rounds")
+    val bi = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val deg0 = bi.groupBy(col("src")).agg(count(lit(1)).as("deg0"))
+      .localCheckpoint(true)
+    var e = bi
+    var deg = deg0.select(col("src").as("node"), col("deg0").as("deg"))
+    var removed: DataFrame = null
+    for (r <- 1 to rounds) {
+      val cut = deg.filter(col("deg") < k)
+        .select(col("node"), lit(r.toLong).as("removed_round"))
+        .localCheckpoint(true)
+      removed =
+        if (removed == null) cut
+        else removed.unionAll(cut).localCheckpoint(true)
+      val alive = deg.filter(col("deg") >= k).select(col("node"))
+        .localCheckpoint(true)
+      e = e.join(alive.withColumnRenamed("node", "src"), "src")
+        .join(alive.withColumnRenamed("node", "dst"), "dst")
+        .localCheckpoint()
+      val dn = e.groupBy(col("src")).agg(count(lit(1)).as("dn"))
+      deg = alive.join(dn, alive("node") === dn("src"), "left")
+        .select(col("node"), coalesce(col("dn"), lit(0L)).as("deg"))
+        .localCheckpoint(true)
+    }
+    deg0.select(col("src").as("node"), col("deg0"))
+      .join(removed, Seq("node"), "left")
+      .join(deg.select(col("node"), col("deg").as("deg_final")),
+        Seq("node"), "left")
+      .select(col("node"), col("deg0"),
+        coalesce(col("removed_round"), lit(0L)).as("removed_round"),
+        col("removed_round").isNull.as("in_core"),
+        coalesce(col("deg_final"), lit(0L)).as("deg_final"))
+      .orderBy(col("node"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> ((s, dir) =>
+      kCore(coSupplyEdges(Tables.load(s, dir, "lineitem")))),
     "graph_degree_audit" -> ((s, dir) =>
       degreeAudit(coPurchaseEdges(Tables.load(s, dir, "orders"),
         Tables.load(s, dir, "lineitem")))),
@@ -459,6 +515,49 @@ object Graph {
     // the DEFINITION, not the algorithm: min reachable node id by
     // recursive closure — hash equality proves the engine's
     // pointer-jumping loop converged to the exact fixpoint
+    // the same three peels unrolled: cut / induce / recount per round,
+    // COUNT stays BIGINT, removal-round and final-degree COALESCEd
+    "graph_kcore" ->
+      """WITH os AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+        |e0 AS (
+        |  SELECT DISTINCT x.s AS a, y.s AS b
+        |  FROM os x JOIN os y ON x.ok = y.ok AND x.s < y.s
+        |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % 20 = 0),
+        |e AS (
+        |  SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b AS src, a AS dst FROM e0),
+        |d0 AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+        |a1 AS (SELECT node FROM d0 WHERE deg >= 2),
+        |r1 AS (SELECT node, 1 AS rr FROM d0 WHERE deg < 2),
+        |e1 AS (SELECT e.src, e.dst FROM e
+        |       JOIN a1 x ON e.src = x.node JOIN a1 y ON e.dst = y.node),
+        |d1 AS (SELECT a1.node, COALESCE(c.deg, 0) AS deg FROM a1
+        |       LEFT JOIN (SELECT src AS node, COUNT(*) AS deg
+        |                  FROM e1 GROUP BY src) c ON a1.node = c.node),
+        |a2 AS (SELECT node FROM d1 WHERE deg >= 2),
+        |r2 AS (SELECT node, 2 AS rr FROM d1 WHERE deg < 2),
+        |e2 AS (SELECT e1.src, e1.dst FROM e1
+        |       JOIN a2 x ON e1.src = x.node JOIN a2 y ON e1.dst = y.node),
+        |d2 AS (SELECT a2.node, COALESCE(c.deg, 0) AS deg FROM a2
+        |       LEFT JOIN (SELECT src AS node, COUNT(*) AS deg
+        |                  FROM e2 GROUP BY src) c ON a2.node = c.node),
+        |a3 AS (SELECT node FROM d2 WHERE deg >= 2),
+        |r3 AS (SELECT node, 3 AS rr FROM d2 WHERE deg < 2),
+        |e3 AS (SELECT e2.src, e2.dst FROM e2
+        |       JOIN a3 x ON e2.src = x.node JOIN a3 y ON e2.dst = y.node),
+        |d3 AS (SELECT a3.node, COALESCE(c.deg, 0) AS deg FROM a3
+        |       LEFT JOIN (SELECT src AS node, COUNT(*) AS deg
+        |                  FROM e3 GROUP BY src) c ON a3.node = c.node),
+        |rm AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |       UNION ALL SELECT * FROM r3)
+        |SELECT d0.node, d0.deg AS deg0,
+        |  CAST(COALESCE(rm.rr, 0) AS BIGINT) AS removed_round,
+        |  rm.rr IS NULL AS in_core,
+        |  CAST(COALESCE(d3.deg, 0) AS BIGINT) AS deg_final
+        |FROM d0 LEFT JOIN rm ON rm.node = d0.node
+        |LEFT JOIN d3 ON d3.node = d0.node
+        |ORDER BY d0.node""".stripMargin,
     "graph_cc" ->
       """WITH RECURSIVE os AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),

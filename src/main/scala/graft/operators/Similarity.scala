@@ -297,6 +297,45 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Contrastive hard-negative mining — per anchor, the top-k most-
+    * similar vectors carrying a DIFFERENT label: the negatives that
+    * teach a contrastive/embedding model the most (random negatives
+    * are mostly easy and waste batch slots; the hardest in-batch
+    * confusions drive the gradient — the standard mining step before
+    * dual-encoder / reranker training). Same contract as [[knnBrute]]
+    * (broadcast anchor set, one corpus pass, rank ties on neighbor id,
+    * ROUND(4) similarity) with the label-mismatch predicate pushed
+    * BEFORE ranking, so the window ranks only true negatives.
+    *
+    * Scale: the knn_brute shape — the corpus never shuffles, the
+    * anchor set broadcasts, output is |anchors|·k. Production swaps
+    * the brute leg for the IVF/PQ index scan with the same label
+    * filter; the mining contract (hardest different-label top-k) is
+    * engine-independent. */
+  def hardNegatives(vecs: DataFrame, queryPred: Column,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = vecs.select(col("vec_id"), col("label"),
+      col("embedding").as("e"), l2norm(col("embedding")).as("nrm"))
+    val queries = corpus.filter(queryPred)
+      .toDF("query_id", "q_label", "q_e", "q_nrm")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") =!= col("q_label"))
+      .select(col("query_id"), col("q_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("neg_label"),
+        safeCos(dot(col("e"), col("q_e")), col("nrm"), col("q_nrm"))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("q_label"), col("neighbor_id"),
+        col("neg_label"), round(col("cos_sim"), 4).as("cos_r"),
+        col("rank").cast("int").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Matryoshka truncation audit (Kusupati et al. 2022): MRL-trained
     * embeddings pack most signal into their PREFIX dims, so serving
     * can truncate D=64 → 16 for a 4× index shrink — IF retrieval
@@ -2149,6 +2188,10 @@ object Similarity {
     // ~1e-6 on this corpus) hash-matches. Ranks come from the
     // UNROUNDED similarity on both sides, so the top-k selection
     // itself is on the hash, not just the rounded score.
+    // hardest different-label top-k per anchor, fully brute-oracled
+    "emb_hard_negatives" -> ((s, dir) =>
+      hardNegatives(Tables.load(s, dir, "embeddings"),
+        col("vec_id") < 10)),
     "knn_brute" -> { (s, dir) =>
       knnBrute(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)
         .select(col("query_id"), col("neighbor_id"),
@@ -2790,6 +2833,30 @@ object Similarity {
         |  FROM scored)
         |SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_r,
         |  CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the knn_brute replay with the label-mismatch predicate applied
+    // before ranking — the mining contract end to end
+    "emb_hard_negatives" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, label, embedding,
+        |    SQRT(LIST_DOT_PRODUCT(embedding, embedding)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS q_label,
+        |        embedding AS qe, nrm AS qn
+        |      FROM corpus WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, q_label, c.vec_id AS neighbor_id,
+        |    c.label AS neg_label,
+        |    LIST_DOT_PRODUCT(c.embedding, q.qe) / (c.nrm * q.qn)
+        |      AS cos_sim
+        |  FROM corpus c, q
+        |  WHERE c.vec_id <> q.query_id AND c.label <> q.q_label),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, q_label, neighbor_id, neg_label,
+        |  ROUND(cos_sim, 4) AS cos_r, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "knn_brute" ->
       """WITH corpus AS (

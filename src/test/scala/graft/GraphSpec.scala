@@ -294,4 +294,49 @@ class GraphSpec extends GraftSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(g2 == naiveLabelProp(base, 4), "random-graph replay mismatch")
   }
+
+  test("k-core peel: a path sheds endpoints round by round, the " +
+      "triangle survives as the 2-core, and a driver replay matches " +
+      "on a random graph") {
+    // path 1-2-3-4 (peels completely: endpoints r1, middle r2) plus
+    // triangle 5-6-7 (the 2-core)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (5L, 7L)).toDF("a", "b")
+    val got = Graph.kCore(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((1L, 1L, false, 0L)))
+    assert(got(4L) == ((1L, 1L, false, 0L)))
+    assert(got(2L) == ((2L, 2L, false, 0L)))
+    assert(got(3L) == ((2L, 2L, false, 0L)))
+    Seq(5L, 6L, 7L).foreach(n => assert(got(n) == ((2L, 0L, true, 2L))))
+    // driver replay of the fixed-round peel on a random graph
+    val rnd = new scala.util.Random(47)
+    val base = (1 to 120).map(_ => (rnd.nextInt(25).toLong,
+      rnd.nextInt(25).toLong)).filter(e => e._1 < e._2).distinct
+    def replay(es: Seq[(Long, Long)], k: Int, rounds: Int)
+        : Map[Long, (Long, Long, Boolean, Long)] = {
+      val bi = (es ++ es.map(_.swap)).distinct
+      val deg0 = bi.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var alive = deg0.keySet
+      var deg = deg0
+      val removedAt = collection.mutable.Map[Long, Long]()
+      for (r <- 1 to rounds) {
+        val cut = alive.filter(n => deg(n) < k)
+        cut.foreach(n => removedAt(n) = r.toLong)
+        alive = alive -- cut
+        deg = alive.map(n => n ->
+          bi.count(e => e._1 == n && alive(e._2)).toLong).toMap
+      }
+      deg0.map { case (n, d0) =>
+        n -> ((d0, removedAt.getOrElse(n, 0L), !removedAt.contains(n),
+          if (alive(n)) deg(n) else 0L))
+      }
+    }
+    val want = replay(base, 2, 3)
+    val g2 = Graph.kCore(base.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))).toMap
+    assert(g2 == want, "random-graph k-core replay mismatch")
+  }
 }

@@ -38,6 +38,9 @@ class PlanLintSpec extends GraftSpec {
       // runs knn_brute twice (full-dim and truncated-prefix legs),
       // both the same bounded query-set broadcast
       "emb_matryoshka",
+      // knn_brute's bounded anchor-set broadcast with the label
+      // filter pushed before ranking
+      "emb_hard_negatives",
       // joins the 1-row vocabulary totals with the 1-row regression
       // fit (1 × 1 cross)
       "text_zipf",

@@ -905,4 +905,35 @@ class SimilaritySpec extends GraftSpec {
     val re = Similarity.pqDistortionAudit(vecs.repartition(7)).collect()
     assert(re.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
   }
+
+  test("hard negatives: every mined negative carries a different label " +
+      "and the ranking equals the label-filtered brute force") {
+    val rows = vecs.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = Similarity.hardNegatives(vecs, col("vec_id") < 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getInt(5)))
+    assert(got.nonEmpty)
+    val byId = rows.map(r => r._1 -> r).toMap
+    got.foreach { case (q, ql, n, nl, _, _) =>
+      assert(byId(q)._2 == ql && byId(n)._2 == nl && ql != nl,
+        s"query $q: negative $n shares its label")
+    }
+    // brute replay: per query, top-5 by cosine among different-label
+    // vectors, ties on neighbor id
+    rows.filter(_._1 < 10).foreach { case (q, ql, qe) =>
+      val want = rows.filter(r => r._1 != q && r._2 != ql)
+        .map(r => (r._1, cos(qe, r._3)))
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+      val mine = got.filter(_._1 == q).sortBy(_._6).map(_._3).toSeq
+      assert(mine == want, s"query $q ranking")
+    }
+  }
 }
