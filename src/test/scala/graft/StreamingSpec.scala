@@ -327,4 +327,30 @@ class StreamingSpec extends GraftSpec {
         s"window $ws ranks $ranks")
     }
   }
+
+  test("streaming approx distinct: watermarked per-window HLL equals " +
+      "the batch sketch, and the exact-vs-sketch gate face is green") {
+    import org.apache.spark.sql.functions._
+    val stream = Streaming.eventsStream(spark, sf)
+    val q = Streaming.streamingDistinctUsers(stream).writeStream
+      .format("memory").queryName("adist_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("adist_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // same sketch, same hash, same estimate as the batch computation
+    val want = Tables.load(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+      .select(col("window.start"), col("event_type"), col("n_approx"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    // the registered gate face: every window inside the sketch bound
+    val face = Streaming.batchDistinctUsers(
+      Tables.load(spark, sf, "events")).collect()
+    assert(face.nonEmpty && face.forall(_.getBoolean(3)))
+  }
 }
