@@ -463,7 +463,55 @@ object Sampling {
       .orderBy(col("split"))
   }
 
+  /** DSIR-style importance selection (Xie et al. 2023, simplified to
+    * unigram LMs): score every document by how much more likely its
+    * tokens are under the TARGET slice's unigram distribution than
+    * under the whole corpus's — imp(d) = Σ_w ln P_t(w) − ln P_s(w)
+    * with add-one smoothing — and keep the target-leaning documents
+    * (imp > 0). This is the data-selection step that tilts a generic
+    * crawl toward a domain (here: the 'en' slice stands in for the
+    * target domain) without training a classifier.
+    *
+    * Exactness: each per-token term is ⌊ln(c_t+1)·1e6⌋ −
+    * ⌊ln(c_all+1)·1e6⌋ — lns of EXACT integers (the unigramLogProb
+    * contract), so both engines floor the same doubles and the
+    * per-doc sum is an order-independent BIGINT; the corpus-level
+    * normalizer ln(N_s+V) − ln(N_t+V) enters as n_tokens · (constant
+    * integer), never a float. The keep flag compares the integer
+    * score to 0 — length normalization cannot change its sign, so no
+    * integer division (and no trunc-vs-floor seam on negatives).
+    *
+    * Scale: one corpus tokenize, ONE token-keyed count aggregate
+    * (map-side combined, both slices in one pass), scores joined back
+    * broadcast (key-shuffled at web scale — the unigramLogProb seam),
+    * one per-doc rollup. V and the totals are one bounded scalar
+    * aggregate. */
+  def importanceWeight(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("w"))
+    val counts = toks.groupBy(col("w"))
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+    val st = counts.agg(sum(col("c_all")).as("n_all"),
+      sum(col("c_t")).as("n_t"), count(lit(1)).as("v")).head()
+    val (nAll, nT, v) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val shift = math.floor(math.log((nAll + v).toDouble) * 1e6).toLong -
+      math.floor(math.log((nT + v).toDouble) * 1e6).toLong
+    toks.join(broadcast(counts), "w")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(floor(log((col("c_t") + 1).cast("double")) * 1e6).cast("long")
+          - floor(log((col("c_all") + 1).cast("double")) * 1e6)
+            .cast("long")).as("ratio_fp"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("ratio_fp") + col("n_tokens") * shift).as("imp_fp"),
+        (col("ratio_fp") + col("n_tokens") * shift > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_importance" -> ((s, dir) =>
+      importanceWeight(Tables.load(s, dir, "documents"))),
     "sample_group_split" -> ((s, dir) =>
       groupSplit(Tables.load(s, dir, "events"))),
     "sample_reservoir" -> ((s, dir) =>
@@ -495,6 +543,35 @@ object Sampling {
       interleave(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // full replay: one-pass two-slice token counts, per-token integer
+    // log-ratio terms, the corpus normalizer as an integer constant
+    "sample_importance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT w, COUNT(*) AS c_all,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_t
+        |  FROM toks GROUP BY w),
+        |s AS (
+        |  SELECT CAST(SUM(c_all) AS BIGINT) AS n_all,
+        |    CAST(SUM(c_t) AS BIGINT) AS n_t, COUNT(*) AS v FROM c),
+        |d AS (
+        |  SELECT t.doc_id, t.lang, COUNT(*) AS n_tokens,
+        |    CAST(SUM(CAST(FLOOR(LN(c_t + 1) * 1e6) AS BIGINT)
+        |      - CAST(FLOOR(LN(c_all + 1) * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS ratio_fp
+        |  FROM toks t JOIN c ON c.w = t.w GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(ratio_fp + n_tokens *
+        |    (CAST(FLOOR(LN(n_all + v) * 1e6) AS BIGINT)
+        |     - CAST(FLOOR(LN(n_t + v) * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS imp_fp,
+        |  ratio_fp + n_tokens *
+        |    (CAST(FLOOR(LN(n_all + v) * 1e6) AS BIGINT)
+        |     - CAST(FLOOR(LN(n_t + v) * 1e6) AS BIGINT)) > 0 AS keep
+        |FROM d CROSS JOIN s ORDER BY doc_id""".stripMargin,
     // same group-key hash, fold rule, and two-level census; SUM cast
     // to BIGINT
     "sample_group_split" ->

@@ -945,7 +945,31 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** Calibration / reliability table for a quality signal — the
+    * companion to [[qualityAuc]]: AUC measures DISCRIMINATION (does
+    * the score order positives above negatives), but a gating
+    * threshold also needs the score→rate mapping to be honest, and
+    * that is what the reliability table shows — per score bin, the
+    * observed positive rate in integer permille. Bins are FIXED-WIDTH
+    * (score div 64), not quantiles: bin identity is a pure per-row
+    * projection — no global sort, no data-dependent cuts — so the
+    * whole table is ONE map-side-combined aggregate at any corpus
+    * size (a quantile-binned variant composes from the q18 broadcast
+    * cutoffs with this same rollup). Same signal/label pair as the
+    * AUC face (n_chars vs even/odd source). */
+  def calibration(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(expr("n_chars div 64").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(regexp_extract(col("source"), "(\\d+)$", 1)
+          .cast("long") % 2 === 0, 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("1000 * n_pos div n").as("pos_permille"))
+      .orderBy(col("bin"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_calibration" -> ((s, dir) =>
+      calibration(Tables.load(s, dir, "documents"))),
     "text_heaps" -> ((s, dir) =>
       heapsGrowth(Tables.load(s, dir, "documents"))),
     "text_quality_auc" -> ((s, dir) =>
@@ -992,6 +1016,15 @@ object TextAnalysis {
       bpeMergeCandidates(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // same fixed-width bins, label rule, and integer permille
+    "text_calibration" ->
+      """SELECT n_chars // 64 AS bin, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN CAST(REGEXP_EXTRACT(source, '(\d+)$', 1)
+        |    AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(1000 * SUM(CASE WHEN CAST(REGEXP_EXTRACT(source,
+        |    '(\d+)$', 1) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END)
+        |    // COUNT(*) AS BIGINT) AS pos_permille
+        |FROM documents GROUP BY 1 ORDER BY bin""".stripMargin,
     // same power-of-two bucket (LENGTH(BIN(n))−1), first-occurrence
     // census, cumulative windows; COUNT/SUM cast to BIGINT
     "text_heaps" ->

@@ -381,4 +381,48 @@ class SamplingSpec extends GraftSpec {
     assert(p(fold(7L))._2 >= 5, "multi-row group split across folds")
     assert(p.values.map(_._1).sum == 2 && p.values.map(_._2).sum == 6)
   }
+
+  test("importance selection: target-vocabulary docs keep, off-target " +
+      "docs drop, and the fixed-point scores replay from raw counts") {
+    // target slice ('en') speaks aa, the rest speak bb; one mixed doc
+    val crafted = Seq(
+      (0L, "en", "aa aa"), (1L, "en", "aa aa"),
+      (2L, "de", "bb bb"), (3L, "de", "bb bb"),
+      (4L, "fr", "aa bb")).toDF("doc_id", "lang", "text")
+    val h = Sampling.importanceWeight(crafted).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(h(0L) && h(1L), "target-vocab docs must keep")
+    assert(!h(2L) && !h(3L), "off-target docs must drop")
+    // full driver replay over the fixture corpus
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.flatMap { case (id, lang, t) =>
+      t.split(" ", -1).map(w => (id, lang, w))
+    }
+    val cAll = toks.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val cT = toks.filter(_._2 == "en").groupBy(_._3).view
+      .mapValues(_.length.toLong).toMap
+    val nAll = toks.length.toLong
+    val nT = toks.count(_._2 == "en").toLong
+    val v = cAll.size.toLong
+    val shift = math.floor(math.log((nAll + v).toDouble) * 1e6).toLong -
+      math.floor(math.log((nT + v).toDouble) * 1e6).toLong
+    def fp(c: Long): Long = math.floor(math.log((c + 1).toDouble) * 1e6)
+      .toLong
+    val want = toks.groupBy(_._1).map { case (id, ws) =>
+      val ratio = ws.map(w =>
+        fp(cT.getOrElse(w._3, 0L)) - fp(cAll(w._3))).sum
+      id -> ((ws.length.toLong, ratio + ws.length * shift))
+    }
+    val got = Sampling.importanceWeight(
+        graft.sources.Tables.load(spark, sf, "documents")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, (n, imp)) =>
+      val (gn, gimp, gkeep) = got(id)
+      assert(gn == n && gimp == imp && gkeep == (imp > 0), s"doc $id")
+    }
+  }
 }

@@ -558,6 +558,28 @@ class TextEtlSpec extends GraftSpec {
     }
   }
 
+  test("calibration: bin census replays brute-force and conserves the " +
+      "corpus totals") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("n_chars"), col("source")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).replaceAll("\\D", "").toLong % 2 == 0))
+    val got = TextAnalysis.calibration(
+        graft.sources.Tables.load(spark, sf, "documents")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3))))
+    assert(got.nonEmpty)
+    val byBin = docs.groupBy(_._1 / 64)
+    assert(got.length == byBin.size)
+    got.foreach { case (bin, (n, pos, pm)) =>
+      val rows = byBin(bin)
+      assert(n == rows.length && pos == rows.count(_._2), s"bin $bin")
+      assert(pm == 1000L * pos / n)
+    }
+    assert(got.map(_._2._1).sum == docs.length)
+    assert(got.map(_._2._2).sum == docs.count(_._2))
+  }
+
   test("quality auc: perfect separation scores 1000, all-ties scores " +
       "500, and the histogram formulation equals brute-force " +
       "average-rank AUC on the corpus") {
