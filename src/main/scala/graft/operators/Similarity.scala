@@ -2076,6 +2076,25 @@ object Similarity {
       .orderBy(col("vec_id"), col("rk"))
   }
 
+  /** Mutual-kNN graph — the standard denoising cut before clustering
+    * on a kNN graph (spectral, community, agglomerative): keep an
+    * edge (a→b) only when b also lists a in ITS top-k. One-directional
+    * edges are mostly hub artifacts — a generic vector near everything
+    * collects inbound edges it does not reciprocate — and dropping
+    * them is what turns the raw graph into one whose components track
+    * semantic clusters. Built ON the [[knnGraph]] output (checkpointed
+    * once, feeding both sides), so the only added work is a self
+    * semi-join on the |V|·k edge table keyed by the edge pair —
+    * edge-bounded at any corpus size; rank and similarity carry over
+    * from the underlying graph unchanged. */
+  def mutualKnn(vecs: DataFrame, k: Int = 4): DataFrame = {
+    val g = knnGraph(vecs, k).localCheckpoint(true)
+    val rev = g.select(col("neighbor_id").as("a"), col("vec_id").as("b"))
+    g.join(rev, g("vec_id") === rev("a") && g("neighbor_id") === rev("b"),
+        "left_semi")
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
   /** Incremental embedding dedup — the vector-store ingestion shape:
     * verdicts for a new batch of vectors against the historical corpus
     * (dup_of_history: some historical vector sits at cosine ≥
@@ -2253,6 +2272,9 @@ object Similarity {
     // neighbors, fully replayed by the oracle incl. the assignment
     "emb_knn_graph" -> ((s, dir) =>
       knnGraph(Tables.load(s, dir, "embeddings"))),
+    // reciprocal-edge cut of the same graph (rank/sim carried over)
+    "emb_mutual_knn" -> ((s, dir) =>
+      mutualKnn(Tables.load(s, dir, "embeddings"))),
     // per-dim z-score standardization, both moments fixed-point exact
     "emb_standardize" -> ((s, dir) =>
       standardize(Tables.load(s, dir, "embeddings"))),
@@ -2477,6 +2499,59 @@ object Similarity {
     * construction and centroid-independent); emb_centroids is
     * full-oracle via the fixed-point mean; emb_quantize hash-matches
     * the exact per-vector scale plus in-plan error-bound gates. */
+  /** Shared replay CTEs for the cell-bucketed kNN graph (cent →
+    * cells → pairs → ranked `r`): emb_knn_graph emits the rk ≤ 4 cut
+    * directly; emb_mutual_knn keeps an edge only when its reverse is
+    * also in that cut. */
+  private val knnGraphReplayCtes: String =
+    """WITH cent AS (
+        |  SELECT label, pos - 1 AS dim,
+        |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e9) AS BIGINT))
+        |      AS DOUBLE) / (COUNT(*) * 1e9) AS mean_v
+        |  FROM (SELECT label, UNNEST(embedding) AS v,
+        |          GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+        |        FROM embeddings) t
+        |  GROUP BY label, pos),
+        |carr AS (SELECT label AS clabel, LIST(mean_v ORDER BY dim) AS cvec
+        |         FROM cent GROUP BY label),
+        |ev AS (SELECT vec_id,
+        |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT vec_id, clabel,
+        |    LIST_DOT_PRODUCT(emb, cvec)
+        |      / (SQRT(LIST_DOT_PRODUCT(emb, emb))
+        |         * SQRT(LIST_DOT_PRODUCT(cvec, cvec))) AS c
+        |  FROM ev CROSS JOIN carr),
+        |sh AS (
+        |  SELECT GREATEST(1, COUNT(*) //
+        |    ((SELECT COUNT(DISTINCT label) FROM embeddings) * 50))
+        |    AS shards
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT vec_id, CAST(clabel AS BIGINT) AS cell,
+        |    (vec_id % 1000003) * 2654435761 % (SELECT shards FROM sh)
+        |      AS sub
+        |  FROM (
+        |    SELECT vec_id, clabel, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY c DESC, clabel) AS rk
+        |    FROM sims) r WHERE rk = 1),
+        |pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    LIST_DOT_PRODUCT(ea.emb, eb.emb)
+        |      / (SQRT(LIST_DOT_PRODUCT(ea.emb, ea.emb))
+        |         * SQRT(LIST_DOT_PRODUCT(eb.emb, eb.emb))) AS c
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.sub = b.sub
+        |    AND a.vec_id != b.vec_id
+        |  JOIN ev ea ON ea.vec_id = a.vec_id
+        |  JOIN ev eb ON eb.vec_id = b.vec_id),
+        |r AS (
+        |  SELECT vec_id, neighbor_id, c, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id ORDER BY c DESC, neighbor_id) AS rk
+        |  FROM pairs)
+""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // the greedy replayed as a recursive CTE carrying the chosen list:
     // pick 1 = relevance argmax, pick i+1 = argmax of
@@ -3165,56 +3240,21 @@ object Similarity {
         |FROM fin ORDER BY vec_id""".stripMargin,
     // cells replayed exactly as in dedup_semantic, then within-cell
     // ordered pairs ranked on the unrounded cosine, neighbor-id ties
-    "emb_knn_graph" ->
-      """WITH cent AS (
-        |  SELECT label, pos - 1 AS dim,
-        |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e9) AS BIGINT))
-        |      AS DOUBLE) / (COUNT(*) * 1e9) AS mean_v
-        |  FROM (SELECT label, UNNEST(embedding) AS v,
-        |          GENERATE_SUBSCRIPTS(embedding, 1) AS pos
-        |        FROM embeddings) t
-        |  GROUP BY label, pos),
-        |carr AS (SELECT label AS clabel, LIST(mean_v ORDER BY dim) AS cvec
-        |         FROM cent GROUP BY label),
-        |ev AS (SELECT vec_id,
-        |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        |  FROM embeddings),
-        |sims AS (
-        |  SELECT vec_id, clabel,
-        |    LIST_DOT_PRODUCT(emb, cvec)
-        |      / (SQRT(LIST_DOT_PRODUCT(emb, emb))
-        |         * SQRT(LIST_DOT_PRODUCT(cvec, cvec))) AS c
-        |  FROM ev CROSS JOIN carr),
-        |sh AS (
-        |  SELECT GREATEST(1, COUNT(*) //
-        |    ((SELECT COUNT(DISTINCT label) FROM embeddings) * 50))
-        |    AS shards
-        |  FROM embeddings),
-        |cells AS (
-        |  SELECT vec_id, CAST(clabel AS BIGINT) AS cell,
-        |    (vec_id % 1000003) * 2654435761 % (SELECT shards FROM sh)
-        |      AS sub
-        |  FROM (
-        |    SELECT vec_id, clabel, ROW_NUMBER() OVER (
-        |      PARTITION BY vec_id ORDER BY c DESC, clabel) AS rk
-        |    FROM sims) r WHERE rk = 1),
-        |pairs AS (
-        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
-        |    LIST_DOT_PRODUCT(ea.emb, eb.emb)
-        |      / (SQRT(LIST_DOT_PRODUCT(ea.emb, ea.emb))
-        |         * SQRT(LIST_DOT_PRODUCT(eb.emb, eb.emb))) AS c
-        |  FROM cells a JOIN cells b
-        |    ON a.cell = b.cell AND a.sub = b.sub
-        |    AND a.vec_id != b.vec_id
-        |  JOIN ev ea ON ea.vec_id = a.vec_id
-        |  JOIN ev eb ON eb.vec_id = b.vec_id),
-        |r AS (
-        |  SELECT vec_id, neighbor_id, c, ROW_NUMBER() OVER (
-        |    PARTITION BY vec_id ORDER BY c DESC, neighbor_id) AS rk
-        |  FROM pairs)
+    "emb_knn_graph" -> (knnGraphReplayCtes +
+      """
         |SELECT vec_id, CAST(rk AS BIGINT) AS rk, neighbor_id,
         |  ROUND(c, 4) AS cos_r
-        |FROM r WHERE rk <= 4 ORDER BY vec_id, rk""".stripMargin,
+        |FROM r WHERE rk <= 4 ORDER BY vec_id, rk""".stripMargin),
+    // the same graph, cut to rk <= 4, semi-joined against its own
+    // reverse — an edge survives iff its mirror does
+    "emb_mutual_knn" -> (knnGraphReplayCtes +
+      """,
+        |g AS (SELECT vec_id, neighbor_id, c, rk FROM r WHERE rk <= 4)
+        |SELECT g.vec_id, CAST(g.rk AS BIGINT) AS rk, g.neighbor_id,
+        |  ROUND(g.c, 4) AS cos_r
+        |FROM g JOIN g g2 ON g2.vec_id = g.neighbor_id
+        |  AND g2.neighbor_id = g.vec_id
+        |ORDER BY g.vec_id, rk""".stripMargin),
     "dedup_semantic" ->
       """WITH cent AS (
         |  SELECT label, pos - 1 AS dim,

@@ -967,7 +967,33 @@ object TextAnalysis {
         expr("1000 * n_pos div n").as("pos_permille"))
       .orderBy(col("bin"))
 
+  /** Code-vs-prose detection — the routing gate every mixed crawl
+    * needs before language-specific processing (code goes to the code
+    * pipeline: different dedup granularity, different quality rules;
+    * prose tokenizers mangle code and code filters starve prose).
+    * Two cheap engine-exact signals per document: the code-symbol
+    * census (occurrences of ;{}()=<># — prose uses almost none,
+    * source text is ~5-15%) and a keyword-token count over a fixed
+    * evidence set (def/return/import/…). Verdict: symbols ≥ 5% of
+    * chars (cross-multiplied integers, no float ratio) OR ≥ 3 keyword
+    * hits. Pure per-row projection — regexp strip + one list filter,
+    * no exchange, linear at any corpus size. */
+  def codeDetect(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[;{}()=<>#]", "")))
+          .cast("long").as("n_sym"),
+        size(filter(split(col("text"), " "), w => w.isin(
+          "def", "return", "import", "if", "else", "for", "while",
+          "var", "const", "class"))).cast("long").as("kw_hits"))
+      .withColumn("is_code",
+        col("n_sym") * 20 >= col("n_chars") || col("kw_hits") >= 3)
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_code_detect" -> ((s, dir) =>
+      codeDetect(Tables.load(s, dir, "documents"))),
     "text_calibration" -> ((s, dir) =>
       calibration(Tables.load(s, dir, "documents"))),
     "text_heaps" -> ((s, dir) =>
@@ -1016,6 +1042,21 @@ object TextAnalysis {
       bpeMergeCandidates(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // same symbol census (global regexp strip), keyword filter, and
+    // cross-multiplied verdict
+    "text_code_detect" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+        |    '[;{}()=<>#]', '', 'g')) AS BIGINT) AS n_sym,
+        |  CAST(LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN
+        |    ('def', 'return', 'import', 'if', 'else', 'for', 'while',
+        |     'var', 'const', 'class'))) AS BIGINT) AS kw_hits,
+        |  (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[;{}()=<>#]',
+        |    '', 'g'))) * 20 >= LENGTH(text)
+        |    OR LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN
+        |      ('def', 'return', 'import', 'if', 'else', 'for', 'while',
+        |       'var', 'const', 'class'))) >= 3 AS is_code
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // same fixed-width bins, label rule, and integer permille
     "text_calibration" ->
       """SELECT n_chars // 64 AS bin, COUNT(*) AS n,

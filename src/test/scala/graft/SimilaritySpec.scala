@@ -906,6 +906,24 @@ class SimilaritySpec extends GraftSpec {
     assert(re.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
   }
 
+  test("mutual knn: exactly the reciprocal edges of the knn graph " +
+      "survive, with rank and similarity carried over") {
+    val graph = Similarity.knnGraph(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val edges = graph.map(e => (e._1, e._3)).toSet
+    val want = graph.filter(e => edges((e._3, e._1)))
+      .sortBy(e => (e._1, e._2)).toSeq
+    val got = Similarity.mutualKnn(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == want, "mutual cut diverges from the driver filter")
+    assert(got.nonEmpty && got.size < graph.size,
+      "fixture graph has no one-directional edges to cut")
+    // symmetry: the mutual edge SET is closed under reversal
+    val mset = got.map(e => (e._1, e._3)).toSet
+    assert(mset.forall(e => mset((e._2, e._1))))
+  }
+
   test("hard negatives: every mined negative carries a different label " +
       "and the ranking equals the label-filtered brute force") {
     val rows = vecs.select("vec_id", "label", "embedding").collect()

@@ -558,6 +558,41 @@ class TextEtlSpec extends GraftSpec {
     }
   }
 
+  test("code detect: source text routes to code, prose stays prose, " +
+      "and the symbol/keyword census replays on the corpus") {
+    val crafted = Seq(
+      (0L, "def f(x): return x + 1 # comment"), // keywords + symbols
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "x = {a: 1}; y = (2 < 3); z = [];"), // symbol-dense, no kw
+      (3L, "if you return for a while import nothing")) // kw-only prose
+      .toDF("doc_id", "text")
+    val h = TextAnalysis.codeDetect(crafted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(h(0L)._3, "def/return + symbols must flag")
+    assert(!h(1L)._3, "prose flagged as code")
+    assert(h(2L)._3, "symbol-dense text must flag")
+    assert(h(3L)._3 && h(3L)._1 == 0,
+      "3+ keywords must flag even with zero symbols")
+    // corpus replay
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val kw = Set("def", "return", "import", "if", "else", "for",
+      "while", "var", "const", "class")
+    val got = TextAnalysis.codeDetect(
+        graft.sources.Tables.load(spark, sf, "documents")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    docs.foreach { case (id, t) =>
+      val sym = t.count(";{}()=<>#".contains(_)).toLong
+      val hits = t.split(" ", -1).count(kw).toLong
+      val (gc, gs, gk, gcode) = got(id)
+      assert(gc == t.length.toLong && gs == sym && gk == hits, s"doc $id")
+      assert(gcode == (sym * 20 >= t.length || hits >= 3))
+    }
+  }
+
   test("calibration: bin census replays brute-force and conserves the " +
       "corpus totals") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
