@@ -460,9 +460,41 @@ object Etl {
       .orderBy(col("event_type"))
   }
 
+  /** Late-arriving-dimension handling (Kimball's "inferred members"):
+    * facts referencing a dimension key the dimension does not carry
+    * yet must not be dropped or nulled — the warehouse inserts a
+    * PLACEHOLDER dimension row per missing key and backfills when the
+    * real row lands. This face emits exactly those inferred rows:
+    * key, the 'INFERRED' placeholder name, the fact evidence (row
+    * count, first/last seen date) the backfill job uses. The late
+    * slice is simulated deterministically (custkey % 97 = 0 withheld
+    * from the dim — the withSyntheticPii fixture-in-operator
+    * pattern), so the face has rows at every SF and both engines
+    * derive the identical slice.
+    *
+    * Shape: one key-shuffled left-anti join (broadcast here — the dim
+    * is AQE-small; key-shuffled at scale) + one map-side-combined
+    * per-key rollup, output = |missing keys|. */
+  def inferredDim(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val dim = customer.filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey"))
+    orders.select(col("o_custkey"), col("o_orderdate"))
+      .join(dim, col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_facts"),
+        min(to_date(col("o_orderdate"))).as("first_seen"),
+        max(to_date(col("o_orderdate"))).as("last_seen"))
+      .select(col("c_custkey"), lit("INFERRED").as("c_name"),
+        col("n_facts"), col("first_seen"), col("last_seen"))
+      .orderBy(col("c_custkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- full referential-integrity map (six FK edges, orphan census) -----
     "etl_fk_orphans" -> ((s, dir) => fkOrphans(s, dir)),
+    "etl_inferred_dim" -> ((s, dir) =>
+      inferredDim(Tables.load(s, dir, "orders"),
+        Tables.load(s, dir, "customer"))),
     "etl_freshness" -> ((s, dir) =>
       freshness(Tables.load(s, dir, "events"))),
     "etl_volume_anomaly" -> ((s, dir) =>
@@ -998,6 +1030,16 @@ object Etl {
           |  CAST(SUM(h) AS BIGINT) AS sum_digest,
           |  MIN(h) AS min_digest, MAX(h) AS max_digest
           |FROM c GROUP BY grp ORDER BY grp""".stripMargin,
+      // same withheld slice, anti join, and evidence rollup
+      "etl_inferred_dim" ->
+        """SELECT o_custkey AS c_custkey, 'INFERRED' AS c_name,
+          |  COUNT(*) AS n_facts,
+          |  MIN(CAST(o_orderdate AS DATE)) AS first_seen,
+          |  MAX(CAST(o_orderdate AS DATE)) AS last_seen
+          |FROM orders
+          |WHERE o_custkey NOT IN (
+          |  SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0)
+          |GROUP BY o_custkey ORDER BY c_custkey""".stripMargin,
       // same (type, day) aggregate, as-of from its 1-row max, whole-
       // hour integer lag; SUM/div outputs cast to BIGINT
       "etl_freshness" ->

@@ -459,6 +459,33 @@ object Multimodal {
         .orderBy(col("doc_id"), col("bin"))
     },
 
+    // -- per-image brightness-entropy / contrast gate ------------------------
+    // The low-information-image filter (all-black frames, flat scans,
+    // solid-color padding tiles) a multimodal pass drops before
+    // captioning: gray-histogram entropy kept EXACT as the integer
+    // Σ cnt·⌊ln(cnt)·1e6⌋ over occupied bins (lns of exact integers —
+    // the unigramLogProb discipline; true entropy recovers as
+    // ln N − ent_sum/(N·1e6)), plus the cross-multiplied low-contrast
+    // flag (one bin holds ≥ 90% of pixel mass). Composes the SAME
+    // native bmp_gray_hist decode as mm_image_hist but folds the
+    // 16-bin array with in-row HOFs — zero exchanges, blobs never
+    // leave their split; the only sort is presentation.
+    "mm_image_entropy" -> { (s, dir) =>
+      srcImageTable(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"),
+          call_function("bmp_gray_hist", col("blob")).as("g"))
+        .select(col("doc_id"),
+          aggregate(col("g.hist"), lit(0L), (a, c) => a + c).as("n_px"),
+          aggregate(col("g.hist"), lit(0L), (a, c) =>
+            a + when(c > 0,
+              c * floor(log(c.cast("double")) * 1e6).cast("long"))
+              .otherwise(0L)).as("ent_sum_fp"),
+          array_max(col("g.hist")).as("max_bin"))
+        .select(col("doc_id"), col("n_px"), col("ent_sum_fp"),
+          (col("max_bin") * 10 >= col("n_px") * 9).as("low_contrast"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- real PCM sample decoding over binary audio -------------------------
     // The codec-free audio decode (8-bit PCM ≙ raw biased samples — the
     // BMP-pixel story's audio twin): chunk-walk the RIFF bytes, fold
@@ -682,6 +709,27 @@ object Multimodal {
     // every bin count and the pixel mass replayed from the planted
     // per-pixel gray formula; zero bins emitted via the RANGE(0,16)
     // cross join so the 16-row-per-doc shape matches exactly
+    // same planted-pixel histogram (occupied bins only — matching the
+    // cnt>0 guard), integer entropy terms, cross-multiplied flag
+    "mm_image_entropy" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 16 + 8 * (doc_id % 3) AS w FROM documents),
+        |cells AS (
+        |  SELECT doc_id, w,
+        |    4 * (((doc_id * 7 + i * 3 + j * 5) % 13)
+        |       + ((doc_id * 4 + i * 6 + j) % 11)
+        |       + ((doc_id * 2 + i * 5 + j * 3) % 17)
+        |       + ((doc_id * 5 + i + j * 7) % 19)) AS g
+        |  FROM dims, UNNEST(RANGE(0, 32)) ri(i), UNNEST(RANGE(0, 32)) rj(j)
+        |  WHERE i < w AND j < w),
+        |hb AS (
+        |  SELECT doc_id, g // 16 AS bin, COUNT(*) AS cnt
+        |  FROM cells GROUP BY doc_id, g // 16)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_px,
+        |  CAST(SUM(cnt * CAST(FLOOR(LN(cnt) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS ent_sum_fp,
+        |  MAX(cnt) * 10 >= SUM(cnt) * 9 AS low_contrast
+        |FROM hb GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_image_hist" ->
       """WITH dims AS (
         |  SELECT doc_id, 16 + 8 * (doc_id % 3) AS w FROM documents),

@@ -277,6 +277,23 @@ class FunctionsSpec extends GraftSpec {
     assert(rows(1).isNullAt(1))
   }
 
+  test("mm_image_entropy: integer entropy terms and the contrast flag " +
+      "replay from the histogram face over the corpus") {
+    val hist = SparkEntry.queries("mm_image_hist")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    val want = hist.groupBy(_._1).map { case (d, rows) =>
+      val cnts = rows.map(_._3).filter(_ > 0)
+      d -> ((cnts.sum,
+        cnts.map(c => c * math.floor(math.log(c.toDouble) * 1e6).toLong)
+          .sum,
+        cnts.max * 10 >= cnts.sum * 9))
+    }
+    val got = SparkEntry.queries("mm_image_entropy")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.nonEmpty && got == want)
+  }
+
   test("wav_pcm_stats folds real 8-bit PCM: silence, clipping, LIST " +
       "chunk walk, NULL on 16-bit") {
     def wav(samples: Array[Int], bits: Int = 8,

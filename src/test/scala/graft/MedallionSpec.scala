@@ -475,6 +475,23 @@ class MedallionSpec extends GraftSpec {
     }
   }
 
+  test("inferred dim: facts referencing withheld keys become " +
+      "placeholder members with backfill evidence; covered keys and " +
+      "the real dim stay untouched") {
+    import spark.implicits._
+    val cust = (1L to 200L).toDF("c_custkey")
+    val ords = Seq((97L, "1995-01-03"), (97L, "1995-02-01"),
+      (5L, "1995-01-05"), (194L, "1996-07-09"))
+      .toDF("o_custkey", "o_orderdate")
+    val got = graft.operators.Etl.inferredDim(ords, cust).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getDate(3).toString, r.getDate(4).toString))).toMap
+    // 97 and 194 are withheld (% 97 == 0) -> inferred; 5 is covered
+    assert(got.keySet == Set(97L, 194L))
+    assert(got(97L) == (("INFERRED", 2L, "1995-01-03", "1995-02-01")))
+    assert(got(194L) == (("INFERRED", 1L, "1996-07-09", "1996-07-09")))
+  }
+
   test("freshness: a feed that went silent is the only stale one; lag " +
       "hours, trailing-3-day counts, and the derived as-of all replay") {
     import spark.implicits._
