@@ -58,6 +58,14 @@ SF1_KEYS=(
   # item 4) + round-11 additions (CC fixpoint, link prediction)
   emb_mmr etl_k_anon graph_cc q41_kmv_distinct q42_mv_rewrite
   sample_curriculum graph_link_pred
+  # round-11 new operators (sketch set algebra, cumulative distinct,
+  # AUC/calibration, group split, Heaps growth, PQ distortion, hard
+  # negatives, k-core, importance selection, mutual kNN, code detect,
+  # inferred dim, image entropy, freshness, windowed HLL)
+  q56_kmv_setops q57_cum_distinct text_quality_auc text_calibration
+  sample_group_split sample_importance text_heaps emb_pq_distortion
+  emb_hard_negatives emb_mutual_knn graph_kcore text_code_detect
+  etl_inferred_dim mm_image_entropy etl_freshness stream_approx_distinct
 )
 
 echo "[round_bench] full registry at sf0.1 ..."

