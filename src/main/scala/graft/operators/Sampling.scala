@@ -509,7 +509,44 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** WEIGHTED reservoir sample (Efraimidis–Spirakis 2006) — k docs
+    * drawn with probability proportional to weight (here n_chars, the
+    * token-count proxy), the primitive behind size-proportional corpus
+    * subsampling ("sample 10k docs but let long docs count more").
+    * E-S keeps the k largest u^(1/w) for uniform u — equivalently the
+    * k SMALLEST −ln(u)/w. Both engines must agree on the order, so
+    * the priority is an exact INTEGER: u = h/P for the deterministic
+    * hash h ∈ [1, P), −ln(u) = ln P − ln h, and
+    * key = (⌊ln P·10⁶⌋ − ⌊ln h·10⁶⌋)·10⁶ div w — lns of exact
+    * integers (the unigramLogProb discipline), integer scale and
+    * division, doc_id tie-break. No rand(), no float comparison, no
+    * pow: the sample is a pure function of the data, reproducible on
+    * any engine and any partitioning.
+    *
+    * Scale: the priority is a per-row projection and bottom-k
+    * compiles to TakeOrderedAndProject — per-partition heaps of k,
+    * one k-row merge at the driver, NO global sort at any corpus
+    * size (the reservoirSample plan, weighted). */
+  def weightedSample(docs: DataFrame, k: Int = 200): DataFrame = {
+    val p = 1000000007L
+    val lnPFp = math.floor(math.log(p.toDouble) * 1e6).toLong
+    docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars").as("w"),
+        ((col("doc_id") % p) * 2654435761L % (p - 1) + 1).as("h"))
+      .withColumn("key_fp",
+        expr(s"($lnPFp - CAST(FLOOR(LN(h) * 1e6) AS BIGINT)) " +
+          "* 1000000 div w"))
+      .orderBy(col("key_fp"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("lang"), col("w"),
+        col("key_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted" -> ((s, dir) =>
+      weightedSample(Tables.load(s, dir, "documents"))),
     "sample_importance" -> ((s, dir) =>
       importanceWeight(Tables.load(s, dir, "documents"))),
     "sample_group_split" -> ((s, dir) =>
@@ -543,6 +580,19 @@ object Sampling {
       interleave(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
+    // same hash, integer E-S priority, bottom-k, tie-break
+    "sample_weighted" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, lang, n_chars AS w,
+        |    (doc_id % 1000000007) * 2654435761 % 1000000006 + 1 AS h
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source, lang, w,
+        |    (20723265 - CAST(FLOOR(LN(h) * 1e6) AS BIGINT))
+        |      * 1000000 // w AS key_fp
+        |  FROM p ORDER BY key_fp, doc_id LIMIT 200)
+        |SELECT doc_id, source, lang, w, key_fp FROM k
+        |ORDER BY doc_id""".stripMargin,
     // full replay: one-pass two-slice token counts, per-token integer
     // log-ratio terms, the corpus normalizer as an integer constant
     "sample_importance" ->

@@ -382,6 +382,37 @@ class SamplingSpec extends GraftSpec {
     assert(p.values.map(_._1).sum == 2 && p.values.map(_._2).sum == 6)
   }
 
+  test("weighted reservoir: integer E-S priorities replay, the sample " +
+      "is layout-independent, and weight monotonicity holds per hash") {
+    val corpus = graft.sources.Tables.load(spark, sf, "documents")
+    val rows = corpus.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val p = 1000000007L
+    val lnP = math.floor(math.log(p.toDouble) * 1e6).toLong
+    def key(id: Long, w: Long): Long = {
+      val h = id % p * 2654435761L % (p - 1) + 1
+      (lnP - math.floor(math.log(h.toDouble) * 1e6).toLong) * 1000000L / w
+    }
+    val want = rows.map { case (id, w) => (key(id, w), id) }
+      .sorted.take(30).map(_._2).sorted.toSeq
+    val got = Sampling.weightedSample(corpus, k = 30).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == want)
+    // pure function of the data, not of partitioning
+    val re = Sampling.weightedSample(corpus.repartition(13), k = 30)
+      .collect().map(_.getLong(0)).toSeq
+    assert(re == want)
+    // per-row monotonicity: for a FIXED hash the priority falls as the
+    // weight grows (heavier docs sample first) — the E-S property the
+    // integer formulation must preserve through the div
+    val ks = Sampling.weightedSample(corpus, k = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    ks.foreach { case (id, w, kfp) => assert(kfp == key(id, w)) }
+    rows.take(50).foreach { case (id, w) =>
+      assert(key(id, w * 2) <= key(id, w), s"doc $id priority not monotone")
+    }
+  }
+
   test("importance selection: target-vocabulary docs keep, off-target " +
       "docs drop, and the fixed-point scores replay from raw counts") {
     // target slice ('en') speaks aa, the rest speak bb; one mixed doc
