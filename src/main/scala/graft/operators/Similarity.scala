@@ -1964,6 +1964,53 @@ object Similarity {
         array_sort(collect_list(struct(col("dim"), col("mean_v")))),
         s => s.getField("mean_v")).as("cvec"))
 
+  /** IVF cell-purity audit — how semantically coherent each coarse
+    * cell is (the quality signal behind nprobe tuning and cell-split
+    * decisions: a cell mixing many labels forces wider probes for the
+    * same recall; SemDeDup-style semantic dedup also assumes
+    * label-coherent cells): per cell, the member count, distinct-label
+    * count, majority-label count, purity in integer permille, and the
+    * label-distribution entropy term Σ n·⌊ln(n)·10⁶⌋ (the
+    * mm_image_entropy discipline — exact integer, true entropy
+    * recovers as ln N − ent/(N·10⁶)).
+    *
+    * Scale: assignment is the broadcast-codebook argmax fold (corpus
+    * never shuffles for it), then ONE (cell, label) map-side-combined
+    * count and a cells-sized rollup — output ≤ C rows at any corpus
+    * size. */
+  def cellPurity(vecs: DataFrame): DataFrame = {
+    val cents = labelCentroidArrays(vecs)
+      .select(col("label").cast("long").as("c_id"), col("cvec").as("c_e"),
+        l2norm(col("cvec")).as("c_nrm"))
+    val assigned = vecs
+      .select(col("vec_id"), col("label"), col("embedding").as("e"),
+        l2norm(col("embedding")).as("nrm"))
+      .crossJoin(packCodebook(cents))
+      .select(col("label"),
+        aggregate(transform(col("cents"), c =>
+          struct(safeCos(dot(col("e"), c.getField("c_e")), col("nrm"),
+            c.getField("c_nrm")).as("sim"),
+            c.getField("c_id").as("cell"))),
+          struct(lit(Double.NegativeInfinity).as("sim"),
+            lit(Long.MaxValue).as("cell")),
+          (acc, x) => when(x.getField("sim") > acc.getField("sim") ||
+            (x.getField("sim") === acc.getField("sim") &&
+              x.getField("cell") < acc.getField("cell")), x)
+            .otherwise(acc)).getField("cell").as("cell"))
+    assigned.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(sum(col("n")).as("n_vecs"),
+        count(lit(1)).as("n_labels"),
+        max(col("n")).as("n_major"),
+        sum(col("n") * floor(log(col("n").cast("double")) * 1e6)
+          .cast("long")).as("ent_sum_fp"))
+      .select(col("cell"), col("n_vecs"), col("n_labels"), col("n_major"),
+        expr("1000 * n_major div n_vecs").as("purity_permille"),
+        col("ent_sum_fp"))
+      .orderBy(col("cell"))
+  }
+
   def centroidOutliers(vecs: DataFrame): DataFrame = {
     val cvecs = labelCentroidArrays(vecs)
     vecs
@@ -2266,6 +2313,9 @@ object Similarity {
     },
     "emb_centroids" -> ((s, dir) =>
       labelCentroids(Tables.load(s, dir, "embeddings"))),
+    // per-cell label coherence: census, integer purity, entropy terms
+    "emb_cell_purity" -> ((s, dir) =>
+      cellPurity(Tables.load(s, dir, "embeddings"))),
     "emb_outlier" -> ((s, dir) =>
       centroidOutliers(Tables.load(s, dir, "embeddings"))),
     // the knn family's GRAPH face: cells + within-cell ranked
@@ -3255,6 +3305,41 @@ object Similarity {
         |FROM g JOIN g g2 ON g2.vec_id = g.neighbor_id
         |  AND g2.neighbor_id = g.vec_id
         |ORDER BY g.vec_id, rk""".stripMargin),
+    // same centroid/argmax assignment replay as dedup_semantic, then
+    // the (cell, label) census with integer purity and entropy terms
+    "emb_cell_purity" ->
+      """WITH cent AS (
+        |  SELECT label, pos - 1 AS dim,
+        |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e9) AS BIGINT))
+        |      AS DOUBLE) / (COUNT(*) * 1e9) AS mean_v
+        |  FROM (SELECT label, UNNEST(embedding) AS v,
+        |          GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+        |        FROM embeddings) t
+        |  GROUP BY label, pos),
+        |carr AS (SELECT label AS clabel, LIST(mean_v ORDER BY dim) AS cvec
+        |         FROM cent GROUP BY label),
+        |ev AS (SELECT vec_id, label,
+        |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT vec_id, label, clabel,
+        |    LIST_DOT_PRODUCT(emb, cvec)
+        |      / (SQRT(LIST_DOT_PRODUCT(emb, emb))
+        |         * SQRT(LIST_DOT_PRODUCT(cvec, cvec))) AS c
+        |  FROM ev CROSS JOIN carr),
+        |cells AS (
+        |  SELECT vec_id, label, CAST(clabel AS BIGINT) AS cell FROM (
+        |    SELECT vec_id, label, clabel, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY c DESC, clabel) AS rk
+        |    FROM sims) r WHERE rk = 1),
+        |lc AS (
+        |  SELECT cell, label, COUNT(*) AS n FROM cells GROUP BY 1, 2)
+        |SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vecs,
+        |  COUNT(*) AS n_labels, CAST(MAX(n) AS BIGINT) AS n_major,
+        |  CAST(1000 * MAX(n) // SUM(n) AS BIGINT) AS purity_permille,
+        |  CAST(SUM(n * CAST(FLOOR(LN(n) * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS ent_sum_fp
+        |FROM lc GROUP BY cell ORDER BY cell""".stripMargin,
     "dedup_semantic" ->
       """WITH cent AS (
         |  SELECT label, pos - 1 AS dim,

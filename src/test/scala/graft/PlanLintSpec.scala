@@ -54,6 +54,9 @@ class PlanLintSpec extends GraftSpec {
       // packed PQ codebook — the same bounded-codebook shape as
       // knn_pq_adc
       "emb_pq_distortion",
+      // the broadcast-codebook argmax assignment (1-ROW packed
+      // codebook cross) feeding the (cell, label) census
+      "emb_cell_purity",
       // broadcasts the language-margin (|langs| rows) and 1-row total
       // to rebuild the full sources×langs grid INCLUDING zero cells —
       // both sides dimension-sized at any corpus size

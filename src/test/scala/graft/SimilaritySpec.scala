@@ -906,6 +906,46 @@ class SimilaritySpec extends GraftSpec {
     assert(re.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
   }
 
+  test("cell purity: census conserves the corpus, purity and entropy " +
+      "terms replay from a driver argmax assignment") {
+    val rows = vecs.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    // driver centroids with the SAME fixed-point mean
+    val cents = rows.groupBy(_._2).map { case (l, vs) =>
+      val d = vs.head._3.length
+      l.toLong -> Array.tabulate(d) { j =>
+        vs.map(v => math.floor(v._3(j) * 1e9).toLong).sum.toDouble /
+          (vs.length * 1e9)
+      }
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      dp / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val assign = rows.map { case (_, l, e) =>
+      val best = cents.toSeq.map { case (c, cv) => (-cos(e, cv), c) }
+        .sorted.head._2
+      (best, l)
+    }
+    val want = assign.groupBy(_._1).map { case (cell, ms) =>
+      val byLabel = ms.groupBy(_._2).map(_._2.length.toLong)
+      cell -> ((ms.length.toLong, byLabel.size.toLong, byLabel.max,
+        1000L * byLabel.max / ms.length,
+        byLabel.map(n =>
+          n * math.floor(math.log(n.toDouble) * 1e6).toLong).sum))
+    }
+    val got = Similarity.cellPurity(vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want)
+    assert(got.values.map(_._1).sum == rows.length)
+    got.values.foreach { case (n, nl, nm, pm, _) =>
+      assert(nm <= n && nl >= 1 && pm >= 1000 / nl && pm <= 1000)
+    }
+  }
+
   test("mutual knn: exactly the reciprocal edges of the knn graph " +
       "survive, with rank and similarity carried over") {
     val graph = Similarity.knnGraph(vecs).collect()
