@@ -513,6 +513,40 @@ object Multimodal {
     // row_number, exact). Everything after the decode is clip-local,
     // so the per-clip shuffle is the posexplode's narrow
     // (doc_id, idx, energy) rows and one doc-keyed window+aggregate.
+    // -- speech-to-noise ratio over the same energy windows -----------------
+    // The audio-quality gate a speech-data pipeline applies after VAD
+    // (a clip can HAVE speech and still be unusable under the noise
+    // floor): per clip, total energy in gated (speech) vs un-gated
+    // (noise) windows, the SNR as the exact integer
+    // ⌊ln(E_s)·10⁶⌋ − ⌊ln(E_n)·10⁶⌋ (natural-log fixed point — lns of
+    // exact integer energies, the unigramLogProb discipline; dB =
+    // 10/ln10 × that), NULL when either side is empty, plus the
+    // speech-dominant flag (gated energy ≥ un-gated energy).
+    // Same zero-shuffle shape as the VAD: one native per-row energy
+    // fold, one doc-keyed map-side-combined rollup.
+    "mm_audio_snr" -> { (s, dir) =>
+      pcmTable(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"),
+          posexplode(call_function("wav_window_energy", col("blob")))
+            .as(Seq("win_idx", "energy")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("energy") >= VadEnergyGate, 1L).otherwise(0L))
+            .as("n_speech"),
+          sum(when(col("energy") >= VadEnergyGate, col("energy"))
+            .otherwise(0L)).as("e_speech"),
+          sum(when(col("energy") < VadEnergyGate, col("energy"))
+            .otherwise(0L)).as("e_noise"))
+        .select(col("doc_id"), col("n_windows"), col("n_speech"),
+          col("e_speech"), col("e_noise"),
+          when(col("e_speech") > 0 && col("e_noise") > 0,
+            floor(log(col("e_speech").cast("double")) * 1e6).cast("long")
+              - floor(log(col("e_noise").cast("double")) * 1e6)
+                .cast("long")).as("snr_ln_fp"),
+          (col("e_speech") >= col("e_noise")).as("speech_dominant"))
+        .orderBy(col("doc_id"))
+    },
+
     "mm_audio_vad" -> { (s, dir) =>
       val winE = pcmTable(Tables.load(s, dir, "documents"))
         .select(col("doc_id"),
@@ -660,6 +694,34 @@ object Multimodal {
     // full formula replay: per-sample devs -> 16-sample window
     // energies -> integer gate -> islands (win - ROW_NUMBER) -> per-
     // clip segment stats; generation and extraction share no code
+    // same planted window energies, gated split, integer ln-SNR
+    "mm_audio_snr" ->
+      """WITH s AS (
+        |  SELECT doc_id, t // 16 AS win_idx,
+        |    (doc_id * 31 + t * 13 + (t * t) % 97) % 256 - 128 AS dev
+        |  FROM (SELECT doc_id,
+        |          UNNEST(RANGE(0, 64 + doc_id % 192)) AS t
+        |        FROM documents) u),
+        |we AS (
+        |  SELECT doc_id, win_idx,
+        |    CAST(SUM(dev * dev) AS BIGINT) AS energy
+        |  FROM s GROUP BY doc_id, win_idx),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_windows,
+        |    CAST(SUM(CASE WHEN energy >= 85000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_speech,
+        |    CAST(SUM(CASE WHEN energy >= 85000 THEN energy ELSE 0 END)
+        |      AS BIGINT) AS e_speech,
+        |    CAST(SUM(CASE WHEN energy < 85000 THEN energy ELSE 0 END)
+        |      AS BIGINT) AS e_noise
+        |  FROM we GROUP BY doc_id)
+        |SELECT doc_id, n_windows, n_speech, e_speech, e_noise,
+        |  CASE WHEN e_speech > 0 AND e_noise > 0 THEN
+        |    CAST(FLOOR(LN(e_speech) * 1e6) AS BIGINT)
+        |      - CAST(FLOOR(LN(e_noise) * 1e6) AS BIGINT) END
+        |    AS snr_ln_fp,
+        |  e_speech >= e_noise AS speech_dominant
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "mm_audio_vad" ->
       """WITH s AS (
         |  SELECT doc_id, t // 16 AS win_idx,

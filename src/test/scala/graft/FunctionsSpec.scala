@@ -277,6 +277,35 @@ class FunctionsSpec extends GraftSpec {
     assert(rows(1).isNullAt(1))
   }
 
+  test("mm_audio_snr: gated energy split, integer ln-SNR, and NULL " +
+      "on empty sides replay from the raw window energies") {
+    import org.apache.spark.sql.functions._
+    val winE = graft.operators.Multimodal.pcmTable(
+        graft.sources.Tables.load(spark, sf, "documents"))
+      .select(col("doc_id"),
+        explode(call_function("wav_window_energy", col("blob")))
+          .as("energy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val gate = graft.operators.Multimodal.VadEnergyGate
+    val want = winE.groupBy(_._1).map { case (d, es) =>
+      val sp = es.filter(_._2 >= gate).map(_._2)
+      val no = es.filter(_._2 < gate).map(_._2)
+      def lnFp(x: Long) = math.floor(math.log(x.toDouble) * 1e6).toLong
+      d -> ((es.length.toLong, sp.length.toLong, sp.sum, no.sum,
+        if (sp.sum > 0 && no.sum > 0) Some(lnFp(sp.sum) - lnFp(no.sum))
+        else None,
+        sp.sum >= no.sum))
+    }
+    val got = SparkEntry.queries("mm_audio_snr")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getBoolean(6)))).toMap
+    assert(got == want)
+    // the fixture must exercise both flag polarities
+    assert(got.values.exists(_._6) && got.values.exists(!_._6))
+  }
+
   test("mm_image_entropy: integer entropy terms and the contrast flag " +
       "replay from the histogram face over the corpus") {
     val hist = SparkEntry.queries("mm_image_hist")(spark, sf).collect()
