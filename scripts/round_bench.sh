@@ -67,7 +67,7 @@ SF1_KEYS=(
   emb_hard_negatives emb_mutual_knn graph_kcore text_code_detect
   etl_inferred_dim mm_image_entropy etl_freshness stream_approx_distinct
   text_ngram_novelty stream_cep_pairs sample_weighted emb_cell_purity
-  mm_audio_snr
+  mm_audio_snr corpus_attrition
 )
 
 echo "[round_bench] full registry at sf0.1 ..."

@@ -184,7 +184,36 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Stage-attrition funnel for the corpus pipeline — the build report
+    * every curation run ships ("where did the documents go"): doc
+    * count at every stage boundary (raw → quality gate → exact dedup →
+    * near-dup components → decontamination), documents dropped by each
+    * stage, and the per-stage drop rate in integer permille. The
+    * counts come from the SAME checkpointed frames the pipeline
+    * materializes anyway (buildSummary's persist-per-stage pattern),
+    * so the extra cost over one pipeline run is five count() scans of
+    * in-memory frames; the 5-row result assembles on the driver —
+    * bounded scalars, the bm25-stats pattern. */
+  def attrition(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val raw = docs.localCheckpoint(true)
+    val q = qualityGate(raw).localCheckpoint(true)
+    val ex = dropExactDups(q).localCheckpoint(true)
+    val nd = dropNearDups(ex).localCheckpoint(true)
+    val cl = dropContaminated(nd).localCheckpoint(true)
+    val counts = Seq(("0_raw", raw.count()), ("1_quality", q.count()),
+      ("2_exact_dedup", ex.count()), ("3_near_dedup", nd.count()),
+      ("4_decontaminated", cl.count()))
+    import spark.implicits._
+    counts.zipWithIndex.map { case ((stage, n), i) =>
+      val prev = if (i == 0) n else counts(i - 1)._2
+      (stage, n, prev - n, 1000L * (prev - n) / prev)
+    }.toDF("stage", "n_docs", "dropped", "drop_permille")
+      .orderBy(col("stage"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_attrition" -> ((s, dir) =>
+      attrition(s, Tables.load(s, dir, "documents"))),
     "corpus_stats" -> ((s, dir) =>
       datasheet(Tables.load(s, dir, "documents"))),
     "corpus_mix_drift" -> ((s, dir) =>
@@ -198,6 +227,50 @@ object Corpus {
     * (same contract as the dedup_minhash/dedup_cluster oracles: a hash
     * match also proves LSH recall), 13-gram decontamination, and the
     * multiplicative-hash split. One hash certifies the COMPOSITION. */
+  /** Shared replay CTEs for the five-stage corpus pipeline (quality
+    * gate → exact dedup → near-dup components → decontamination):
+    * pipeline_corpus aggregates the `clean` survivors; the attrition
+    * face counts every stage boundary. */
+  private val corpusPipelineCtes: String =
+    """WITH RECURSIVE
+        |q AS (SELECT * FROM documents
+        |      WHERE LEN(STRING_SPLIT(text,' ')) >= 20
+        |        AND LENGTH(text) >= 120),
+        |keepers AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),
+        |ex AS (SELECT q.* FROM q JOIN keepers USING (doc_id)),
+        |toks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t FROM ex),
+        |grams AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2],' ') AS g
+        |          FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t)-2,1)+1)) AS r(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |          FROM grams a JOIN grams b
+        |            ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1,2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT src AS node, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+        |clusters AS (SELECT node AS member_id, MIN(r) AS keep_id
+        |             FROM reach GROUP BY node),
+        |nd AS (SELECT ex.* FROM ex LEFT JOIN clusters ON doc_id = member_id
+        |       WHERE keep_id IS NULL OR keep_id = doc_id),
+        |ndtoks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t FROM nd),
+        |grams13 AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+12],' ') AS g
+        |            FROM ndtoks,
+        |              UNNEST(RANGE(1, GREATEST(LEN(t)-12,1)+1)) AS r(i)),
+        |bench AS (SELECT DISTINCT g FROM grams13 WHERE doc_id % 50 = 0),
+        |bad AS (SELECT DISTINCT doc_id FROM grams13
+        |        WHERE g IN (SELECT g FROM bench)),
+        |clean AS (SELECT nd.* FROM nd
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // same zero-cell grid (margin cross join), same integer permille
     // floor division, same (dev desc, lang) worst-language order
@@ -239,44 +312,7 @@ object Corpus {
         |  CAST(MAX(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS max_tokens
         |FROM documents GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
-    "pipeline_corpus" ->
-      """WITH RECURSIVE
-        |q AS (SELECT * FROM documents
-        |      WHERE LEN(STRING_SPLIT(text,' ')) >= 20
-        |        AND LENGTH(text) >= 120),
-        |keepers AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),
-        |ex AS (SELECT q.* FROM q JOIN keepers USING (doc_id)),
-        |toks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t FROM ex),
-        |grams AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2],' ') AS g
-        |          FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t)-2,1)+1)) AS r(i)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-        |          FROM grams a JOIN grams b
-        |            ON a.g = b.g AND a.doc_id < b.doc_id
-        |          GROUP BY 1,2),
-        |pairs AS (SELECT doc_a, doc_b FROM inter
-        |  JOIN sizes sa ON doc_a = sa.doc_id
-        |  JOIN sizes sb ON doc_b = sb.doc_id
-        |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT DISTINCT src AS node, src AS r FROM edges
-        |  UNION
-        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
-        |clusters AS (SELECT node AS member_id, MIN(r) AS keep_id
-        |             FROM reach GROUP BY node),
-        |nd AS (SELECT ex.* FROM ex LEFT JOIN clusters ON doc_id = member_id
-        |       WHERE keep_id IS NULL OR keep_id = doc_id),
-        |ndtoks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t FROM nd),
-        |grams13 AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+12],' ') AS g
-        |            FROM ndtoks,
-        |              UNNEST(RANGE(1, GREATEST(LEN(t)-12,1)+1)) AS r(i)),
-        |bench AS (SELECT DISTINCT g FROM grams13 WHERE doc_id % 50 = 0),
-        |bad AS (SELECT DISTINCT doc_id FROM grams13
-        |        WHERE g IN (SELECT g FROM bench)),
-        |clean AS (SELECT nd.* FROM nd
-        |          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+    "pipeline_corpus" -> (corpusPipelineCtes + """
         |final AS (
         |  SELECT lang,
         |    CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000 < 800
@@ -290,5 +326,26 @@ object Corpus {
         |SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        |FROM final GROUP BY lang, split ORDER BY lang, split""".stripMargin)
+        |FROM final GROUP BY lang, split ORDER BY lang, split""".stripMargin),
+    // the same stages, counted at every boundary: funnel census with
+    // integer drop permille (prev is never 0 on a non-empty corpus)
+    "corpus_attrition" -> (corpusPipelineCtes + """
+        |counts AS (
+        |  SELECT (SELECT COUNT(*) FROM documents) AS c0,
+        |    (SELECT COUNT(*) FROM q) AS c1,
+        |    (SELECT COUNT(*) FROM ex) AS c2,
+        |    (SELECT COUNT(*) FROM nd) AS c3,
+        |    (SELECT COUNT(*) FROM clean) AS c4)
+        |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(dropped AS BIGINT) AS dropped,
+        |  CAST(1000 * dropped // prev AS BIGINT) AS drop_permille
+        |FROM (
+        |  SELECT '0_raw' AS stage, c0 AS n_docs, 0 AS dropped,
+        |    c0 AS prev FROM counts
+        |  UNION ALL SELECT '1_quality', c1, c0 - c1, c0 FROM counts
+        |  UNION ALL SELECT '2_exact_dedup', c2, c1 - c2, c1 FROM counts
+        |  UNION ALL SELECT '3_near_dedup', c3, c2 - c3, c2 FROM counts
+        |  UNION ALL SELECT '4_decontaminated', c4, c3 - c4, c3
+        |    FROM counts) t
+        |ORDER BY stage""".stripMargin))
 }

@@ -32,6 +32,42 @@ class CorpusSpec extends GraftSpec {
     assert(got == want, s"got $got")
   }
 
+  test("attrition funnel: each stage's census matches the planted " +
+      "drops, permilles replay, and the funnel is monotone") {
+    val base = (0 until 120).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w119", "zzz")
+    val other = (0 until 60).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en", "webA"), // kept throughout
+      (2L, base, "en", "webB"), // exact copy — stage 2 drop
+      (3L, nearDup, "en", "webC"), // near-dup — stage 3 drop
+      (4L, "too short", "en", "webD"), // quality — stage 1 drop
+      (5L, other, "de", "webE")) // kept throughout
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Corpus.attrition(spark, docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      ("0_raw", 5L, 0L, 0L),
+      ("1_quality", 4L, 1L, 200L),
+      ("2_exact_dedup", 3L, 1L, 250L),
+      ("3_near_dedup", 2L, 1L, 333L),
+      ("4_decontaminated", 2L, 0L, 0L)), s"got $got")
+    // funnel monotone on the fixture corpus, totals conserve
+    val face = Corpus.attrition(spark,
+      graft.sources.Tables.load(spark, sf, "documents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    face.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 <= a._2 && b._2 == a._2 - b._3, s"$a -> $b")
+      case _ =>
+    }
+    face.foreach { case (_, n, d, pm) =>
+      assert(pm == (if (d == 0) 0L else 1000L * d / (n + d)))
+    }
+  }
+
   test("decontamination drops eval members and verbatim leaks") {
     val span = (0 until 20).map(i => s"e$i").mkString(" ")
     val evalDoc = span + " " + (0 until 30).map(i => s"q$i").mkString(" ")
