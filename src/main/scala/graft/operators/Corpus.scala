@@ -206,7 +206,10 @@ object Corpus {
     import spark.implicits._
     counts.zipWithIndex.map { case ((stage, n), i) =>
       val prev = if (i == 0) n else counts(i - 1)._2
-      (stage, n, prev - n, 1000L * (prev - n) / prev)
+      // prev == 0 (a stage emptied the corpus): NULL, matching the
+      // oracle's integer-division-by-zero semantics, instead of throwing
+      val rate = if (prev == 0) None else Some(1000L * (prev - n) / prev)
+      (stage, n, prev - n, rate)
     }.toDF("stage", "n_docs", "dropped", "drop_permille")
       .orderBy(col("stage"))
   }

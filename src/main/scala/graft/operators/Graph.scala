@@ -229,8 +229,13 @@ object Graph {
       .distinct().localCheckpoint(true)
     var frontier = settled
     var h = 0
-    var frontierSize = frontier.count()
-    while (h < hops && frontierSize > 0) {
+    // emptiness, not count(): the early-exit test only needs ONE row to
+    // exist, and isEmpty's limit(1) short-circuits after the first
+    // non-empty partition of the already-checkpointed frontier, where a
+    // count() is a full job barrier over every partition per hop —
+    // at depth-d traversals that halves the per-hop driver round-trips
+    var frontierEmpty = frontier.isEmpty
+    while (h < hops && !frontierEmpty) {
       h += 1
       val reached = frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
@@ -238,8 +243,8 @@ object Graph {
         .join(settled, Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("dist"))
         .localCheckpoint(true)
-      frontierSize = frontier.count()
-      if (frontierSize > 0)
+      frontierEmpty = frontier.isEmpty
+      if (!frontierEmpty)
         settled = settled.unionAll(frontier).localCheckpoint(true)
     }
     settled.orderBy(col("node"))

@@ -531,6 +531,11 @@ object Sampling {
     val p = 1000000007L
     val lnPFp = math.floor(math.log(p.toDouble) * 1e6).toLong
     docs
+      // a zero-weight item has selection probability 0 in E-S; without
+      // this filter `div w` yields a NULL priority, which Spark sorts
+      // FIRST (zero-weight doc enters the sample) while SQL engines
+      // default NULLS LAST — filter the seam out entirely
+      .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("source"), col("lang"),
         col("n_chars").as("w"),
         ((col("doc_id") % p) * 2654435761L % (p - 1) + 1).as("h"))
@@ -585,7 +590,7 @@ object Sampling {
       """WITH p AS (
         |  SELECT doc_id, source, lang, n_chars AS w,
         |    (doc_id % 1000000007) * 2654435761 % 1000000006 + 1 AS h
-        |  FROM documents),
+        |  FROM documents WHERE n_chars > 0),
         |k AS (
         |  SELECT doc_id, source, lang, w,
         |    (20723265 - CAST(FLOOR(LN(h) * 1e6) AS BIGINT))

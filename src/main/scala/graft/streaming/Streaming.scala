@@ -60,11 +60,20 @@ object Streaming {
     * in a streaming aggregate (per-window state would be unbounded);
     * `approx_count_distinct` is the streaming answer — so this face
     * certifies the sketch against exact truth on every gate run:
-    * |approx − exact| ≤ max(10%·exact, 2) — HLL++ at rsd 0.02 sits ~5×
-    * inside the relative bound, and the absolute slack of 2 covers the
-    * small-cardinality regime where the linear-counting estimate can
-    * be off by a hash collision (observed: exact 4-8 windows off by
-    * 1). The exact leg shuffles (window, type, user) once; the sketch
+    * |approx − exact| ≤ max(5·rsd·exact, 2). The relative slack is
+    * DERIVED from the configured rsd (5 standard errors of rsd=0.02 =
+    * 10% — a ~3·10⁻⁷ per-window false-alarm rate if the estimator
+    * error were Gaussian; HLL++'s tails are thinner), and the absolute
+    * slack of 2 covers the small-cardinality linear-counting regime
+    * where the estimate can be off by a hash collision (observed:
+    * exact 4-8 windows off by 1). The DuckDB oracle hardcodes
+    * approx_ok = TRUE (it cannot run Spark's sketch), so a red gate
+    * here means the sketch left its published envelope on THIS data —
+    * if a new scale factor or fixture ever trips it, the bound itself
+    * is the suspect to re-derive, not the pipeline (no code defect is
+    * implied). Changing `rsd` below requires updating the gate's
+    * multiplier to match (5/rsd). The exact leg shuffles (window,
+    * type, user) once; the sketch
     * leg is fixed-size state per group at any cardinality — the
     * 100 TB path keeps only the sketch. */
   def batchDistinctUsers(events: DataFrame): DataFrame =

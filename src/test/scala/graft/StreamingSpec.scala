@@ -295,7 +295,12 @@ class StreamingSpec extends GraftSpec {
       .collect().map(r => (r.getLong(0), r.getTimestamp(1),
         r.getLong(2), r.getString(3)))
       .groupBy(_._1).view
-      .mapValues(_.maxBy(x => (x._2.getTime, x._3))._4).toMap
+      // order on the FULL timestamp resolution (micros), not getTime's
+      // milliseconds — batchCdcApply orders by the complete ts, and a
+      // future sub-millisecond fixture must not diverge the expectation
+      .mapValues(_.maxBy(x =>
+        (x._2.getTime / 1000 * 1000000 + x._2.getNanos / 1000,
+          x._3))._4).toMap
     val deleted = lastOps.filter(_._2 == "D").keySet
     assert(deleted.nonEmpty, "fixture has no trailing tombstones")
     val gotKeys = got.map(_._1)
