@@ -14,9 +14,15 @@ per-key work constant):
     lockstep (replica r adds r*KEY_STRIDE) so the order join stays
     intact, while o_custkey / l_partkey / l_suppkey stay UNSHIFTED —
     every customer now has 10x orders, every part 10x lineitems.
-  - events: 10 replicas, event_id shifted, user_id/ts unchanged —
-    10x events per user in the same time range (10x sessionization
-    and window state per key).
+  - events: 10 replicas, event_id shifted, user_id unchanged, ts
+    shifted per replica by the full original span (plus a 1 h guard) —
+    the timeline widens 10x, the way 10x of a real event feed arrives
+    as a LONGER history, not a denser one. Every user still carries
+    10x events (10x sessionization work), but time-bounded state
+    (interval joins, windows) sees ~1x concurrent density, so
+    stream_stream_join's matched pairs scale ~10x linearly instead of
+    the 100x a same-range replication fabricates (the round-11 18.8x
+    bench row was exactly that artifact).
   - documents: 10 replicas, doc_id shifted, and every token gets a
     replica suffix ("tok" -> "tok_r3"). Within-replica shingle/token
     structure (and thus the planted dup/near-dup groups) is preserved
@@ -72,7 +78,15 @@ def main(out_dir: str) -> None:
         f"{out_dir}/lineitem.parquet", index=False)
 
     events = pd.read_parquet(f"{SRC}/events.parquet")
-    replicate(events, ["event_id"]).to_parquet(
+    span = (events["ts"].max() - events["ts"].min()) + pd.Timedelta(hours=1)
+
+    def shift_ts(c: pd.DataFrame, r: int) -> pd.DataFrame:
+        if r == 0:
+            return c
+        c["ts"] = c["ts"] + r * span
+        return c
+
+    replicate(events, ["event_id"], shift_ts).to_parquet(
         f"{out_dir}/events.parquet", index=False)
 
     docs = pd.read_parquet(f"{SRC}/documents.parquet")

@@ -208,6 +208,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intArg(children(1), "k"), intArg(children(2), "w"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("word_gram_digests"),
+      info("word_gram_digests",
+        "word_gram_digests(tokens, n) - first-occurrence-distinct " +
+          "poly_digest values of every word n-gram (space-joined), " +
+          "computed without materializing gram strings; exactly " +
+          "replayable in standard SQL"),
+      (children: Seq[Expression]) => {
+        expectArity("word_gram_digests(tokens, n)", 2, children)
+        WordGramDigests(children.head, intArg(children(1), "n"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kmv_kth"),
       info("kmv_kth",
         "kmv_kth(h, k) - KMV distinct sketch: struct(n_kept, kth) of " +

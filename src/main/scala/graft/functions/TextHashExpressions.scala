@@ -252,6 +252,98 @@ case class PolyDigest(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct word n-gram digests over a token array, without EVER
+  * building a gram string: element i of the result is
+  * poly_digest(concat_ws(" ", slice(tokens, i, n))) — bit-identical to
+  * composing those built-ins (FunctionsSpec asserts it) — but computed
+  * from per-token polynomial hashes with a modular fold, so a 13-word
+  * gram costs ~26 multiply-mods instead of a ~90-byte string
+  * allocation + copy + re-hash. The gram families (decontamination,
+  * substring-duplication, n-gram novelty) explode these digests
+  * straight into their exchanges: 8 B/gram leaves the row, the gram
+  * text never exists anywhere. Digests are first-occurrence distinct
+  * per document (the wordShingles contract — shingle SETS, not bags).
+  *
+  * The identity used: folding a seed S through a word w of L code
+  * points equals (S·B^L + poly0(w)) mod p, so each gram is a chain of
+  * per-word (h_k = poly0(t_k), pw_k = B^len_k) pairs with a single
+  * space step between words — O(total chars) token hashing + O(n) per
+  * gram. Positions run 1..max(m−n+1, 1): a document shorter than n
+  * words contributes its single truncated whole-document gram, an
+  * empty one the digest of "" (= the seed) — both exactly the
+  * wordShingles/slice clipping. Tokens must be non-null (split()
+  * output; concat_ws's null-skipping is NOT replicated). */
+case class WordGramDigests(child: Expression, n: Int)
+    extends UnaryExpression with StringArrayInput {
+
+  require(n >= 1 && n <= 64, s"gram width out of range: $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "word_gram_digests"
+
+  def compute(input: ArrayData): ArrayData = {
+    import PolyHash._
+    val m = input.numElements()
+    val h = new Array[Long](m)
+    val pw = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      val cps = codePoints(input.getUTF8String(k))
+      h(k) = hash(cps, 0, cps.length, B1, P1, 0L)
+      var p = 1L; var i = 0
+      while (i < cps.length) { p = p * B1 % P1; i += 1 }
+      pw(k) = p
+      k += 1
+    }
+    val g = math.max(m - n + 1, 1)
+    // first-occurrence distinct via linear probing; digests are in
+    // [0, P1) so -1 is a safe empty slot
+    var cap = 8
+    while (cap < g * 2) cap <<= 1
+    val slots = new Array[Long](cap)
+    java.util.Arrays.fill(slots, -1L)
+    val out = new Array[Long](g)
+    var nOut = 0
+    var i = 0
+    while (i < g) {
+      var s = S1
+      val end = math.min(i + n, m)
+      var j = i
+      while (j < end) {
+        s = (s * pw(j) + h(j)) % P1
+        if (j < end - 1) s = (s * B1 + 32L) % P1 // the joining space
+        j += 1
+      }
+      var slot = ((s * 0x9E3779B97F4A7C15L) >>> (64 - java.lang.Long
+        .numberOfTrailingZeros(cap))).toInt
+      var seen = false
+      while (slots(slot) != -1L && !seen) {
+        if (slots(slot) == s) seen = true
+        else slot = (slot + 1) & (cap - 1)
+      }
+      if (!seen) {
+        slots(slot) = s
+        out(nOut) = s; nOut += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordGramDigestsExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramDigests =
+    copy(child = newChild)
+}
+
 /** 60-bit SimHash whose token hashes are the two [[PolyHash]]
   * polynomials (bits 0–29 from B=31 mod 1000000007, bits 30–59 from
   * B=37 mod 998244353): bit i is set iff strictly more than half the

@@ -164,16 +164,24 @@ object Dedup {
     * set BROADCASTS; the corpus side is a scan-local explode to
     * (doc_id, gram-hash) — corpus text never shuffles, and the
     * broadcast left-semi + per-doc count is the entire data movement.
-    * Gram sets are per-doc distinct (wordShingles), so n_hits counts
-    * distinct contaminated grams. 64-bit gram hashing has the same
-    * collision contract as [[exact]]. */
+    * Gram sets are per-doc distinct (the word_gram_digests contract),
+    * so n_hits counts distinct contaminated grams.
+    *
+    * The gram hash is the native `word_gram_digests` rolling
+    * poly-digest: gram STRINGS are never materialized anywhere (a
+    * 13-word gram costs ~26 multiply-mods instead of a ~90-byte
+    * allocation+copy+rehash — the text_ngram_novelty fingerprint
+    * pattern, which measured the string path 9.2× vs 5.3× at 10×
+    * data), and the digest replays exactly in the oracle's SQL, so a
+    * mod-10⁹ collision merges the same gram pair in BOTH engines
+    * (probability ~n²/2·10⁻⁹ over distinct grams). */
   def contamination(corpus: DataFrame, benchPred: Column,
       n: Int = 13): DataFrame = {
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), wordShingles(col("toks"), n).as("grams"))
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .select(col("doc_id"),
+        explode(call_function("word_gram_digests", col("toks"), lit(n)))
+          .as("h"))
     val benchHashes = grams(corpus.filter(benchPred))
       .select(col("h")).distinct()
     grams(corpus)
@@ -194,8 +202,11 @@ object Dedup {
     *
     * Scale shape: identical to [[contamination]] — the eval side is
     * eval-suite-sized, so its (eval_id, gram-hash) set BROADCASTS into
-    * the corpus gram stream (per-doc distinct, hashed 64-bit); the
-    * per-(doc, eval) intersection count is the only aggregation and is
+    * the corpus gram stream (per-doc distinct, the native
+    * word_gram_digests rolling poly-digest — gram strings never
+    * materialize, and the oracle replays the digest arithmetic so
+    * collisions merge identically in both engines); the per-(doc,
+    * eval) intersection count is the only aggregation and is
     * hit-bounded. Corpus text never shuffles. Jaccard divides two
     * exact integer counts, so both engines produce bit-identical
     * doubles and the threshold cut is hash-stable. */
@@ -203,9 +214,9 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), wordShingles(col("toks"), n).as("grams"))
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .select(col("doc_id"),
+        explode(call_function("word_gram_digests", col("toks"), lit(n)))
+          .as("h"))
     val corpusGrams = grams(corpus)
     val benchGrams = grams(corpus.filter(benchPred))
       .select(col("doc_id").as("eval_id"), col("h"))
@@ -236,22 +247,26 @@ object Dedup {
     * dup_frac, is_dup at the 20% cut); removal policy is the
     * caller's (drop, or excise the spans).
     *
-    * Scale shape: per-doc DISTINCT grams hash to 64 bits scan-side, so
-    * the only wide data movement is ONE (doc_id, hash)-row exchange
-    * keyed by gram hash — the canonical substring-dedup shuffle,
-    * 16 B/row regardless of document size. Document frequency comes
-    * from a count window over that same exchange (no second shuffle of
-    * the gram stream, no join back); the window group size is bounded
-    * by the corpus's worst per-gram doc frequency. Thresholding is
-    * integer arithmetic (n_dup·5 ≥ n_grams), and the oracle groups by
-    * the RAW gram strings — agreement also certifies the 64-bit
-    * hashing collision-free on this corpus. */
+    * Scale shape: per-doc DISTINCT grams digest to 8 bytes INSIDE the
+    * scan via the native word_gram_digests rolling poly-digest (gram
+    * strings never materialize — the text_ngram_novelty fingerprint
+    * pattern), so the only wide data movement is ONE (doc_id,
+    * digest)-row exchange keyed by gram digest — the canonical
+    * substring-dedup shuffle, 16 B/row regardless of document size.
+    * Document frequency comes from a count window over that same
+    * exchange (no second shuffle of the gram stream, no join back);
+    * the window group size is bounded by the corpus's worst per-gram
+    * doc frequency. Thresholding is integer arithmetic
+    * (n_dup·5 ≥ n_grams), and the oracle replays the digest
+    * arithmetic itself, so a mod-10⁹ collision merges the same gram
+    * pair in both engines. */
   def substringStats(docs: DataFrame, n: Int = 13): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(wordShingles(col("toks"), n)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .select(col("doc_id"),
+        explode(call_function("word_gram_digests", col("toks"), lit(n)))
+          .as("h"))
     g.withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
@@ -446,7 +461,11 @@ object Dedup {
 
   // -- SimHash ------------------------------------------------------------
 
-  val SimHashChunks = 4 // 4 × 16-bit chunks; hamming<=3 ⇒ some chunk equal
+  // 6 chunks; hamming<=3 touches <=3 of them, so every qualifying pair
+  // shares at least one full 3-chunk SUBSET — bucket by all C(6,3)=20
+  // subsets (exact recall by pigeonhole, like the old some-chunk-equal
+  // rule, but on 30+-bit keys instead of 15/16-bit ones)
+  val SimHashChunks = 6
 
   /** 64-bit SimHash over a token-array column (occurrence weight 1):
     * bit i is set iff the sum over tokens of ±1 (sign of bit i of the
@@ -455,23 +474,27 @@ object Dedup {
   def simHash64(tokens: Column): Column = call_function("simhash64", tokens)
 
   /** Near-dup pairs by SimHash hamming distance <= maxDist, bucketed by
-    * 16-bit chunks (pigeonhole: distance<=3 guarantees at least one of
-    * the 4 chunks is identical, so bucket recall is exact). Same
-    * checkpoint + bucket-self-join shape as minhashCandidates: one
-    * signature evaluation, shuffles keyed on (chunk, value), pair
-    * generation in the join's codegen loop with no per-bucket array
-    * row.
+    * 3-chunk subsets of a 6-chunk split (the Manku et al. 2007
+    * permuted-table idea in subset form — pigeonhole: distance<=3
+    * flips bits in at most 3 chunks, so at least one of the C(6,3)=20
+    * three-chunk subsets is IDENTICAL on both sides; bucket recall is
+    * exact). Same checkpoint + bucket-self-join shape as
+    * minhashCandidates: one signature evaluation, shuffles keyed on
+    * (subset, packed value), pair generation in the join's codegen
+    * loop with no per-bucket array row.
     *
-    * Scale note: random-hash bucket occupancy is ~n/65536 per chunk, so
-    * candidate volume grows as n²/65536 — fine to ~10⁸ docs; beyond
-    * that, split the corpus by a cheap partition key (e.g. language or
-    * length band) before pairing, or widen chunks to 32 bits with
-    * multiple permuted tables (standard simhash sharding). */
+    * Scale note: random-hash bucket occupancy per subset key is
+    * ~n/2^33 (11-bit chunks packed 3-wide), so candidate volume is
+    * ~20·n²/2^33 — the round-11 4×16-bit single-chunk scheme measured
+    * 8.4× at 10× data precisely because its n²/2^15 candidate mass
+    * grew 100×; the subset keys push the quadratic term out beyond
+    * 10⁹ docs at the cost of 20 vs 4 fixed-width rows per doc in the
+    * bucket exchange (640 B vs 128 B — still no text anywhere). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame =
     simhashPairsFrom(
       docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), simHash64(col("toks")).as("simhash")),
-      chunkBits = 16, maxDist = maxDist)
+      totalBits = 64, maxDist = maxDist)
 
   /** Oracle-gated SimHash face: identical bucketing/pair semantics to
     * [[simhashPairs]], but the signature is the 60-bit
@@ -479,31 +502,52 @@ object Dedup {
     * majority vote per bit) — exact integer math a SQL engine replays
     * verbatim, so the emitted pair set hash-matches an ALL-PAIRS
     * hamming oracle. A green gate therefore proves the signature, the
-    * pigeonhole bucket recall (4×15-bit chunks are exact for
-    * hamming<=3), and the distance filter in one hash. The 64-bit
-    * production face keeps its property spec (denser bits for
+    * pigeonhole bucket recall (every hamming<=3 pair shares a full
+    * 3-of-6-chunk subset), and the distance filter in one hash. The
+    * 64-bit production face keeps its property spec (denser bits for
     * 100 TB bucket occupancy); this face is the correctness contract. */
   def polySimhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame =
     simhashPairsFrom(
       docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"),
           call_function("poly_simhash", col("toks")).as("simhash")),
-      chunkBits = 15, maxDist = maxDist)
+      totalBits = 60, maxDist = maxDist)
 
-  /** Chunk-bucketed hamming pair generation over a (doc_id, simhash)
-    * frame: explode into [[SimHashChunks]] chunk keys of `chunkBits`
-    * bits, keep multi-occupant buckets, pair within buckets, filter by
-    * hamming. Columns are renamed BY NAME before the self-join — the
+  /** Subset-bucketed hamming pair generation over a (doc_id, simhash)
+    * frame: the signature splits into [[SimHashChunks]] chunks
+    * (width ⌈totalBits/6⌉, last chunk narrower when 6 ∤ totalBits) and
+    * each row explodes into the C(6, 6−maxDist) chunk-SUBSET keys —
+    * (subset id, packed chunk values); a hamming≤maxDist pair differs
+    * in ≤maxDist chunks, so at least one subset of the remaining
+    * chunks matches exactly on both sides (exact recall, no verify
+    * loss). Multi-occupant buckets pair within buckets, the XOR
+    * popcount filters, distinct() collapses pairs caught by several
+    * subsets. Columns are renamed BY NAME before the self-join — the
     * USING-join output order is an analyzer detail no correctness
     * should ride on. */
-  private def simhashPairsFrom(sigs: DataFrame, chunkBits: Int,
+  private[graft] def simhashPairsFrom(sigs: DataFrame, totalBits: Int,
       maxDist: Int): DataFrame = {
-    val mask = (1L << chunkBits) - 1
+    require(maxDist >= 1 && maxDist < SimHashChunks,
+      s"maxDist out of range for $SimHashChunks chunks: $maxDist")
+    val w = (totalBits + SimHashChunks - 1) / SimHashChunks
+    def chunkVal(i: Int): Column = {
+      val width = math.min(w, totalBits - w * i)
+      val mask = (1L << width) - 1
+      expr(s"(simhash >> ${w * i}) & $mask")
+    }
+    val subsets =
+      (0 until SimHashChunks).combinations(SimHashChunks - maxDist).toSeq
+    val keys = subsets.zipWithIndex.map { case (idx, sid) =>
+      val packed = idx.zipWithIndex.map { case (ci, pos) =>
+        chunkVal(ci) * lit(1L << (w * pos))
+      }.reduce(_ + _)
+      struct(lit(sid).as("chunk"), packed.as("chunk_val"))
+    }
     val b = sigs
       .select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(SimHashChunks - 1))).as("chunk"))
-      .select(col("chunk"),
-        expr(s"(simhash >> ($chunkBits * chunk)) & $mask").as("chunk_val"),
+        explode(array(keys: _*)).as("k"))
+      .select(col("k.chunk").as("chunk"),
+        col("k.chunk_val").as("chunk_val"),
         col("doc_id"), col("simhash"))
       .localCheckpoint(true)
     val keep = b.groupBy(col("chunk"), col("chunk_val"))
@@ -558,12 +602,15 @@ object Dedup {
     * and the reassembled surviving text (NULL when nothing survived).
     *
     * Shape: explode to (doc_id, seg_idx, seg) — corpus-sized but
-    * narrow; one groupBy(seg) keeps the global min (doc_id, seg_idx)
-    * per distinct segment; survivors reassemble with a per-doc sorted
-    * collect. The gated face groups on the segment TEXT so DuckDB
-    * replays it exactly; at 100 TB the grouping/join key becomes
-    * xxhash64(seg) — identical semantics modulo 2⁻⁶⁴ collisions — so
-    * only (8B hash, 8B doc, 4B idx) rows shuffle, never the text. */
+    * narrow; the first-occurrence census groups on the segment's
+    * 8-byte poly_digest, NOT the segment text: the census exchange
+    * carries (8B digest, 8B doc, 4B idx) rows with map-side combine,
+    * and the join back is digest-keyed, so the segment text crosses
+    * the wire exactly ONCE (with the probe side, for reassembly)
+    * instead of three times (as the groupBy key, then both join
+    * sides). The digest replays exactly in the oracle's SQL, so a
+    * mod-10⁹ collision picks the same global survivor in both
+    * engines. Survivors reassemble with a per-doc sorted collect. */
   def segmentDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
     val segs = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -572,9 +619,11 @@ object Dedup {
            |  sequence(0, cast(ceil(size(toks) / ${segWords}.0) as int) - 1),
            |  i -> array_join(slice(toks, i * $segWords + 1, $segWords), ' '))"""
           .stripMargin)).as(Seq("seg_idx", "seg")))
-    val firsts = segs.groupBy(col("seg"))
+      .withColumn("h", call_function("poly_digest", col("seg")))
+    val firsts = segs.select(col("h"), col("doc_id"), col("seg_idx"))
+      .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
-    val kept = segs.join(firsts, "seg")
+    val kept = segs.join(firsts, "h")
       .filter(col("doc_id") === col("first.doc_id") &&
         col("seg_idx") === col("first.seg_idx"))
     val rebuilt = kept.groupBy(col("doc_id"))
@@ -888,16 +937,21 @@ object Dedup {
         |  LEFT JOIN rebuilt k USING (doc_id)
         |  LEFT JOIN removed x USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
-    // raw-gram-string replay of substringStats: shingling (including
-    // the one-short-gram rule for <13-token docs), per-gram document
-    // frequency, per-doc dup share, and the integer 20% cut — grouping
-    // by the gram TEXT also certifies the 64-bit hashing collision-free
+    // digest-level replay of substringStats: shingling (including the
+    // one-short-gram rule for <13-token docs), the engine's own
+    // word_gram_digests fingerprint (seeded codepoint fold — a
+    // collision merges the same gram pair in both engines), per-gram
+    // document frequency, per-doc dup share, and the integer 20% cut
     "dedup_substring" ->
       """WITH toks AS (
         |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
         |grams AS (
         |  SELECT DISTINCT doc_id,
-        |    ARRAY_TO_STRING(t[i + 1 : i + 13], ' ') AS g
+        |    LIST_REDUCE(LIST_PREPEND(CAST(888888883 AS BIGINT),
+        |      LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(
+        |        ARRAY_TO_STRING(t[i + 1 : i + 13], ' '), ''), c -> c <> ''),
+        |        c -> CAST(UNICODE(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS g
         |  FROM toks,
         |    UNNEST(RANGE(0, GREATEST(LEN(t) - 12, 1))) r(i)),
         |wd AS (
@@ -912,9 +966,11 @@ object Dedup {
         |  CAST(n_dup_grams AS DOUBLE) / n_grams AS dup_frac,
         |  (n_dup_grams * 5 >= n_grams) AS is_dup
         |FROM per ORDER BY doc_id""".stripMargin,
-    // the whole stage replayed: chunking, global first-occurrence per
-    // segment, per-doc reassembly — a dropped or misordered segment
-    // anywhere fails the hash
+    // the whole stage replayed: chunking, the engine's own
+    // poly_digest segment fingerprint (first occurrence is chosen PER
+    // DIGEST, so a mod-1e9 collision keeps the same global survivor in
+    // both engines), per-doc reassembly — a dropped or misordered
+    // segment anywhere fails the hash
     "dedup_segments" ->
       """WITH toks AS (
         |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
@@ -925,7 +981,11 @@ object Dedup {
         |    UNNEST(RANGE(0, CAST(CEIL(LEN(t)/10.0) AS BIGINT))) AS r(i)),
         |kept AS (
         |  SELECT doc_id, seg_idx, seg,
-        |    ROW_NUMBER() OVER (PARTITION BY seg
+        |    ROW_NUMBER() OVER (PARTITION BY
+        |      LIST_REDUCE(LIST_PREPEND(CAST(888888883 AS BIGINT),
+        |        LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(seg, ''),
+        |          c -> c <> ''), c -> CAST(UNICODE(c) AS BIGINT))),
+        |        (acc, x) -> (acc * 31 + x) % 1000000007)
         |      ORDER BY doc_id, seg_idx) AS rn
         |  FROM segs),
         |rebuilt AS (
@@ -977,26 +1037,41 @@ object Dedup {
         |FROM batch b ORDER BY b.doc_id""".stripMargin,
     // gram positions i = 1..max(len-11, 1): for docs shorter than 13
     // words both engines emit the single truncated whole-doc gram
-    // (Spark's slice and DuckDB's list slicing both clip at the end)
+    // (Spark's slice and DuckDB's list slicing both clip at the end).
+    // The gram key is the engine's own word_gram_digests fingerprint,
+    // REPLAYED here (seeded codepoint fold — the ngram_novelty
+    // convention), so a mod-1e9 collision merges the same pair in
+    // both engines and the hash still matches; the LIST_FILTER drops
+    // the '' char STRING_SPLIT fabricates for an empty gram
     "dedup_contain" ->
       """WITH toks AS (
         |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
         |grams AS (
-        |  SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+12], ' ') AS g
+        |  SELECT DISTINCT doc_id,
+        |    LIST_REDUCE(LIST_PREPEND(CAST(888888883 AS BIGINT),
+        |      LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(
+        |        ARRAY_TO_STRING(t[i:i+12], ' '), ''), c -> c <> ''),
+        |        c -> CAST(UNICODE(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS g
         |  FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 12, 1) + 1)) AS r(i)),
         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
         |SELECT doc_id, COUNT(*) AS n_hits
         |FROM grams WHERE g IN (SELECT g FROM bench)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // the fuzzy rule replayed on raw trigram STRINGS (the Spark side
-    // intersects 64-bit gram hashes — a hash match also certifies
-    // collision-freedom on this corpus); int/int Jaccard divides
+    // the fuzzy rule replayed on the engine's own word_gram_digests
+    // trigram fingerprints (seeded codepoint fold — collisions merge
+    // identically in both engines); int/int Jaccard divides
     // bit-identically on both engines
     "dedup_contain_near" ->
       """WITH toks AS (
         |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
         |grams AS (
-        |  SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2], ' ') AS g
+        |  SELECT DISTINCT doc_id,
+        |    LIST_REDUCE(LIST_PREPEND(CAST(888888883 AS BIGINT),
+        |      LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(
+        |        ARRAY_TO_STRING(t[i:i+2], ' '), ''), c -> c <> ''),
+        |        c -> CAST(UNICODE(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS g
         |  FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 2, 1) + 1)) AS r(i)),
         |bench AS (SELECT doc_id AS eval_id, g FROM grams
         |          WHERE doc_id % 40 = 0),

@@ -1013,6 +1013,10 @@ object TextAnalysis {
     * out by definition (both engines apply the same length filter). */
   def ngramNovelty(docs: DataFrame, n: Int = 5): DataFrame = {
     val toks = docs.select(col("doc_id"), words(col("text")).as("t"))
+    // note: this face counts gram OCCURRENCES (a within-doc repeat is
+    // by definition non-novel), so the per-doc-distinct
+    // word_gram_digests expression the dedup gram family uses does NOT
+    // apply here — the digests themselves are identical
     val grams = toks.filter(size(col("t")) >= n)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(col("t")) - n),

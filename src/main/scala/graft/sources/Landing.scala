@@ -47,6 +47,70 @@ object Landing {
     try in.readAllBytes() finally in.close()
   }
 
+  /** Production HTTP(S) transport for the fetch seam — the part of the
+    * reference's download step (scraping.py:24-50, a requests GET of a
+    * flaky ~50 MB government archive) that a deployment otherwise
+    * writes on day one: connect/read timeouts, bounded retries with
+    * exponential backoff, and PARTIAL-CONTENT RESUME — bytes received
+    * before a mid-body failure are kept and the retry asks for the
+    * remainder with a `Range` header (a 206 response appends; a 200
+    * means the server ignored the range, so the buffer restarts).
+    * Retry only what can heal: I/O failures, 5xx and 429 retry; other
+    * 4xx are permanent and fail immediately. `sleep` is injectable so
+    * tests assert the backoff schedule without waiting on a clock.
+    * Driver-side by design, like [[acquireArchive]] — one archive
+    * lands per call; everything distributed starts at
+    * [[readBinary]]. */
+  def httpFetch(connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000,
+      maxAttempts: Int = 4, backoffMs: Long = 200,
+      sleep: Long => Unit = Thread.sleep): String => Array[Byte] = url => {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
+    val buf = new java.io.ByteArrayOutputStream()
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      try {
+        val conn = java.net.URI.create(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(connectTimeoutMs)
+        conn.setReadTimeout(readTimeoutMs)
+        if (buf.size > 0)
+          conn.setRequestProperty("Range", s"bytes=${buf.size}-")
+        val code = conn.getResponseCode
+        if (code == 200 && buf.size > 0) buf.reset() // range ignored
+        if (code >= 500 || code == 429)
+          throw new java.io.IOException(s"HTTP $code for $url")
+        if (code != 200 && code != 206)
+          throw new IllegalStateException( // permanent — do not retry
+            s"HTTP $code for $url")
+        val declared = conn.getContentLengthLong
+        val before = buf.size
+        val in = conn.getInputStream
+        try {
+          val chunk = new Array[Byte](64 * 1024)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        } finally in.close()
+        // a server that dies mid-body can surface as a CLEAN stream EOF
+        // (the JDK client does not always raise premature-EOF on a
+        // closed keep-alive connection) — compare against the declared
+        // Content-Length and treat a short body as an I/O failure; the
+        // partial bytes stay in the buffer, so the retry resumes them
+        if (declared >= 0 && buf.size - before < declared)
+          throw new java.io.IOException(
+            s"truncated body: ${buf.size - before} of $declared bytes " +
+              s"for $url")
+        done = true
+      } catch {
+        case e: java.io.IOException =>
+          if (attempt >= maxAttempts) throw e
+          sleep(backoffMs << (attempt - 1))
+      }
+    }
+    buf.toByteArray
+  }
+
   /** The full acquire step behind the fetch seam: fetch the index
     * page, locate the target archive, fetch it, land the raw bytes at
     * `landingDir/target`. Driver-side by design — ONE archive lands

@@ -95,6 +95,44 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("subset-bucketed hamming pairs are EXACT vs brute force on " +
+      "random signatures at both face widths") {
+    // the chunk-subset pigeonhole (hamming<=3 => a full 3-of-6-chunk
+    // subset matches) must lose nothing and add nothing relative to
+    // the all-pairs definition — including planted pairs at hamming
+    // exactly 3 (spread across 3 chunks, the worst case) and exactly
+    // 4 (must be filtered), and including bit 63 of the 64-bit face
+    // (arithmetic-shift sign-extension territory)
+    val rnd = new scala.util.Random(42)
+    Seq(60, 64).foreach { bits =>
+      def mask(x: Long) = if (bits == 64) x else x & ((1L << bits) - 1)
+      val base = Array.fill(40)(mask(rnd.nextLong()))
+      val planted = base.take(10).zipWithIndex.flatMap { case (s, i) =>
+        val d3 = s ^ (1L << (bits - 1)) ^ (1L << (bits / 2)) ^ 1L
+        val d4 = s ^ (1L << (bits - 2)) ^ (1L << (bits / 3)) ^
+          (1L << (bits / 5)) ^ 2L
+        Seq(d3, d4)
+      }
+      val sigs = (base ++ planted).zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toSeq
+        .toDF("doc_id", "simhash")
+      val got = Dedup.simhashPairsFrom(sigs, totalBits = bits, maxDist = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val all = (base ++ planted).zipWithIndex
+      val want = (for {
+        (x, i) <- all; (y, j) <- all
+        if i < j
+        h = java.lang.Long.bitCount(x ^ y)
+        if h <= 3
+      } yield (i.toLong, j.toLong, h.toLong)).toSet
+      assert(want.nonEmpty, s"bits=$bits: fixture planted no pairs")
+      assert(got == want,
+        s"bits=$bits: missing=${(want -- got).take(5)} " +
+          s"extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("contamination flags verbatim 13-gram overlap with the benchmark") {
     val span = (1 to 15).map(i => s"s$i").mkString(" ") // 15 shared words
     val benchDoc = span + " " + (1 to 10).map(i => s"b$i").mkString(" ")

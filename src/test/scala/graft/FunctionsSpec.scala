@@ -566,6 +566,34 @@ class FunctionsSpec extends GraftSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("word_gram_digests equals the composed built-ins " +
+      "(array_distinct . poly_digest . concat_ws . slice) everywhere") {
+    // variety: normal docs, within-doc repeated grams (distinct rule),
+    // shorter-than-n docs (single truncated gram), one word, empty
+    // string (split -> [""]), surrogate pairs, multi-space-free texts
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aa bb aa bb aa bb aa bb aa bb",
+      "one two", "solo", "",
+      "café 😀x naïve über café 😀x naïve",
+      (1 to 40).map(i => s"w${i % 7}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Seq(1, 3, 5, 13).foreach { n =>
+      val got = df.selectExpr("doc_id",
+        s"word_gram_digests(split(text, ' '), $n) AS g")
+      val want = df.selectExpr("doc_id",
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)),
+           |  i -> poly_digest(
+           |    concat_ws(' ', slice(split(text, ' '), i, $n))))) AS g"""
+          .stripMargin)
+      val g = got.orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq)
+      val w = want.orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq)
+      assert(g.toSeq == w.toSeq, s"n=$n: ${g.toSeq} vs ${w.toSeq}")
+    }
+  }
+
   test("wav_window_energy windows the PCM fold: hand energies, short " +
       "tail, chunk walk, NULL off-contract; VAD face segments gate") {
     def wav(samples: Array[Int], bits: Int = 8,

@@ -125,6 +125,109 @@ class LandingSpec extends GraftSpec {
     } finally server.stop(0)
   }
 
+  test("httpFetch transport: 5xx retry with exponential backoff, " +
+    "mid-body resume via Range/206, range-ignored restart, permanent " +
+    "4xx fails fast, retries exhaust") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val payload = (0 until 1000).map(i => s"line$i").mkString("\n")
+      .getBytes("UTF-8")
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // /flaky: 503 twice, then the full body
+    val flakyHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/flaky", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        if (flakyHits.incrementAndGet() <= 2) {
+          ex.sendResponseHeaders(503, -1); ex.close()
+        } else {
+          ex.sendResponseHeaders(200, payload.length.toLong)
+          ex.getResponseBody.write(payload); ex.close()
+        }
+      }
+    })
+    // /cut: first request declares the full length but sends half and
+    // drops; later requests honor Range with a 206 of the remainder
+    val cutRanges = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val cutHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/cut", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val range = Option(ex.getRequestHeaders.getFirst("Range"))
+        range.foreach(cutRanges.add)
+        if (cutHits.incrementAndGet() == 1) {
+          ex.sendResponseHeaders(200, payload.length.toLong)
+          ex.getResponseBody.write(payload, 0, payload.length / 2)
+          ex.close() // premature EOF on the client
+        } else range match {
+          case Some(r) =>
+            val from = r.stripPrefix("bytes=").stripSuffix("-").toInt
+            ex.getResponseHeaders.add("Content-Range",
+              s"bytes $from-${payload.length - 1}/${payload.length}")
+            ex.sendResponseHeaders(206, (payload.length - from).toLong)
+            ex.getResponseBody.write(payload, from, payload.length - from)
+            ex.close()
+          case None =>
+            ex.sendResponseHeaders(200, payload.length.toLong)
+            ex.getResponseBody.write(payload); ex.close()
+        }
+      }
+    })
+    // /stubborn: cut first, then IGNORES the Range and replays 200 full
+    val stubbornHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/stubborn", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        if (stubbornHits.incrementAndGet() == 1) {
+          ex.sendResponseHeaders(200, payload.length.toLong)
+          ex.getResponseBody.write(payload, 0, payload.length / 2)
+          ex.close()
+        } else {
+          ex.sendResponseHeaders(200, payload.length.toLong)
+          ex.getResponseBody.write(payload); ex.close()
+        }
+      }
+    })
+    server.createContext("/gone", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        ex.sendResponseHeaders(404, -1); ex.close()
+      }
+    })
+    server.createContext("/dead", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        ex.sendResponseHeaders(503, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      def fetcher(sleeps: collection.mutable.Buffer[Long]) =
+        Landing.httpFetch(maxAttempts = 4, backoffMs = 100,
+          sleep = sleeps.append(_))
+      // 5xx retry + backoff schedule
+      val s1 = collection.mutable.Buffer[Long]()
+      assert(java.util.Arrays.equals(fetcher(s1)(s"$base/flaky"), payload))
+      assert(s1.toSeq == Seq(100L, 200L), s"backoff schedule: $s1")
+      // mid-body cut → Range resume → 206 appends the remainder
+      val s2 = collection.mutable.Buffer[Long]()
+      assert(java.util.Arrays.equals(fetcher(s2)(s"$base/cut"), payload))
+      assert(cutRanges.size() == 1 &&
+        cutRanges.get(0) == s"bytes=${payload.length / 2}-",
+        s"resume ranges: $cutRanges")
+      // server ignores the Range → 200 restarts the buffer, no dup bytes
+      val s3 = collection.mutable.Buffer[Long]()
+      assert(java.util.Arrays.equals(
+        fetcher(s3)(s"$base/stubborn"), payload))
+      // permanent 4xx: immediate failure, zero retries, zero sleeps
+      val s4 = collection.mutable.Buffer[Long]()
+      val notFound = intercept[IllegalStateException] {
+        fetcher(s4)(s"$base/gone")
+      }
+      assert(notFound.getMessage.contains("404") && s4.isEmpty)
+      // exhausted retries surface the I/O failure after maxAttempts
+      val s5 = collection.mutable.Buffer[Long]()
+      intercept[java.io.IOException] { fetcher(s5)(s"$base/dead") }
+      assert(s5.toSeq == Seq(100L, 200L, 400L), s"exhaust schedule: $s5")
+    } finally server.stop(0)
+  }
+
   test("distributed unzip explodes archive entries to decoded rows") {
     val dir = Files.createTempDirectory(Paths.get("target"), "zipland")
     val iso = Charset.forName("ISO-8859-1")
