@@ -36,6 +36,28 @@ object Etl {
   def roundtripRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft_tmp")
 
+  /** Drop + physically clear a managed table so saveAsTable recreates
+    * it cleanly: the catalog is in-memory per JVM but the managed
+    * LOCATION is not — a previous session's table directory survives
+    * the no-op DROP and blocks the write with LOCATION_ALREADY_EXISTS.
+    * The recursive delete is guarded to the one directory directly
+    * under the warehouse root: a misconfigured warehouse.dir (e.g.
+    * resolving to "/") must fail loudly rather than recurse into it. */
+  private def freshManagedTable(s: SparkSession, tbl: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val warehouse = new java.io.File(
+      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
+    val loc = new java.io.File(warehouse, tbl)
+    require(loc.getCanonicalFile.getParentFile ==
+        warehouse.getCanonicalFile && loc.getName == tbl,
+      s"refusing recursive delete outside the warehouse: $loc")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    if (loc.exists) rm(loc)
+  }
+
   val trustedSchema: StructType = StructType(Seq(
     StructField("codigo", LongType),
     StructField("descricao", StringType),
@@ -796,25 +818,7 @@ object Etl {
       val sfName = dir.replaceAll(".*/", "")
       val root = s"$roundtripRoot/$sfName/ledger"
       val tbl = s"graft_run_ledger_${sfName.replace('.', '_')}"
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      // the catalog is in-memory per JVM but the managed location is
-      // not: a previous session's table directory would survive the
-      // no-op DROP and block saveAsTable with LOCATION_ALREADY_EXISTS
-      val warehouse = new java.io.File(
-        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
-      val loc = new java.io.File(warehouse, tbl)
-      // guard the recursive delete: only ever remove the one managed
-      // table directory directly under the warehouse root — a
-      // misconfigured warehouse.dir (e.g. resolving to "/") must fail
-      // loudly rather than recurse into it
-      require(loc.getCanonicalFile.getParentFile ==
-          warehouse.getCanonicalFile && loc.getName == tbl,
-        s"refusing recursive delete outside the warehouse: $loc")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(): Unit
-      }
-      if (loc.exists) rm(loc)
+      freshManagedTable(s, tbl)
       Tables.load(s, dir, "customer")
         .select(col("c_custkey").cast("long"), col("c_name"))
         .coalesce(1).write.mode("overwrite")
@@ -828,6 +832,115 @@ object Etl {
           tbl, clock)
       }
       s.table(tbl).orderBy(col("dt_start"))
+    },
+
+    // -- catalog load: truncate-write into a named governed table ----------
+    // load_bq.py:13-73's one-call face: schema-autodetected
+    // truncate-write + post-load row-count/schema audit keyed off the
+    // run ledger. A STALE first load (the previous day's partial
+    // extract) precedes the gated one — truncate semantics demand its
+    // rows vanish, so any append/merge misbehavior changes the row set
+    // and fails the hash. The output is the table read back FROM THE
+    // CATALOG carrying the load's ledger receipt (uid, rows, start/
+    // end), all deterministic (injected clock), so DuckDB rebuilds it
+    // relationally from customer.
+    "etl_catalog_load" -> { (s, dir) =>
+      val suffix = dir.replaceAll(".*/", "").replace('.', '_')
+      val tbl = s"graft_catalog_$suffix"
+      val audit = s"graft_catalog_audit_$suffix"
+      Seq(tbl, audit).foreach(freshManagedTable(s, _))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"),
+          col("c_name").as("name"),
+          when(col("c_custkey") % 2 === 0, "PAR").otherwise("IMPAR")
+            .as("segmento"))
+      val tick = new java.util.concurrent.atomic.AtomicInteger(0)
+      val clock = () => f"2024-06-01T00:00:${tick.incrementAndGet()}%02dZ"
+      Medallion.catalogLoad(s, cust.filter(col("id") % 3 === 0), tbl,
+        audit, "load-1", "graft", clock)
+      val loaded = Medallion.catalogLoad(s, cust, tbl, audit, "load-2",
+        "graft", clock)
+      val receipt = s.table(audit).filter(col("uid") === "load-2")
+        .select(col("uid").as("load_uid"),
+          col("qtd_rows").as("loaded_rows"),
+          col("dt_start"), col("dt_end"))
+      // 1-row receipt broadcast onto the table rows (the skew-audit
+      // totals shape)
+      loaded.crossJoin(broadcast(receipt)).orderBy(col("id"))
+    },
+
+    // -- DAG runner with ledger-receipted resume ---------------------------
+    // dag.py:45-167's task graph (download→transform→bom→refine→load
+    // with per-step monitoring) as a deterministic topological runner:
+    // per-step ledger rows, resume-from-failed-step. The gated face
+    // ARMS a one-shot fault in the refine step: run-1 completes
+    // raw+trusted then dies; run-2 resumes off the ledger receipts,
+    // skips the finished layers, and completes refine+load. Output =
+    // the full ledger (two uids, four steps, injected clock) plus the
+    // final loaded table's row count carried on every row — a resume
+    // that re-ran a finished step, skipped a pending one, or converged
+    // to different layer contents fails the hash.
+    "etl_dag_resume" -> { (s, dir) =>
+      val suffix = dir.replaceAll(".*/", "").replace('.', '_')
+      val root = s"$roundtripRoot/${dir.replaceAll(".*/", "")}/dag"
+      val ledger = s"graft_dag_ledger_$suffix"
+      val outTbl = s"graft_dag_out_$suffix"
+      Seq(ledger, outTbl).foreach(freshManagedTable(s, _))
+      val tick = new java.util.concurrent.atomic.AtomicInteger(0)
+      val clock = () => f"2024-06-01T00:00:${tick.incrementAndGet()}%02dZ"
+      val refineFault = new java.util.concurrent.atomic.AtomicBoolean(true)
+      def steps: Seq[graft.pipeline.Dag.Step] = {
+        def rawStep = graft.pipeline.Dag.Step("a_raw", Nil, () => {
+          Tables.load(s, dir, "customer")
+            .select(col("c_custkey").cast("long"), col("c_name"))
+            .coalesce(1).write.mode("overwrite")
+            .options(Map("delimiter" -> ";", "header" -> "false"))
+            .csv(s"$root/raw")
+          (1L, Tables.load(s, dir, "customer").count())
+        })
+        def trustedStep = graft.pipeline.Dag.Step("b_trusted",
+          Seq("a_raw"), () => {
+            Medallion.rawToTrusted(s, s"$root/raw", s"$root/trusted",
+              rawSchema, "codigo")
+            (1L, CsvIngest.read(s, s"$root/trusted", trustedSchema,
+              CsvIngest.trustedOptions).count())
+          })
+        def refineStep = graft.pipeline.Dag.Step("c_refined",
+          Seq("b_trusted"), () => {
+            if (refineFault.getAndSet(false))
+              throw new RuntimeException("injected refine fault")
+            Medallion.trustedToRefined(s, s"$root/trusted",
+              s"$root/refined", trustedSchema)
+            val refined = s.read.parquet(s"$root/refined")
+            (refined.inputFiles.length.toLong, refined.count())
+          })
+        def loadStep = graft.pipeline.Dag.Step("d_load",
+          Seq("c_refined"), () => {
+            val refined = s.read.parquet(s"$root/refined")
+            Medallion.loadWarehouse(refined, outTbl)
+            (1L, s.table(outTbl).count())
+          })
+        Seq(rawStep, trustedStep, refineStep, loadStep)
+      }
+      // run-1: dies at the armed refine step with raw+trusted receipted
+      val died =
+        try {
+          graft.pipeline.Dag.run(s, steps, ledger, "run-1", "graft_dag",
+            clock)
+          false
+        } catch {
+          case e: RuntimeException
+              if e.getMessage == "injected refine fault" => true
+        }
+      require(died, "the armed refine fault did not fire")
+      // run-2: resumes off the ledger, runs only refine+load
+      graft.pipeline.Dag.run(s, steps, ledger, "run-2", "graft_dag", clock)
+      val outRows = s.table(outTbl).count()
+      s.table(ledger)
+        .select(col("uid"), col("step"), col("qtd_rows"),
+          col("dt_start"), col("dt_end"),
+          lit(outRows).as("final_rows"))
+        .orderBy(col("step"))
     },
 
     // -- composed daily-ingest pipeline ------------------------------------
@@ -1365,6 +1478,41 @@ object Etl {
           |  CAST(1 AS BIGINT) AS qtd_files, n.c AS qtd_rows,
           |  dt_start, dt_end
           |FROM runs, n ORDER BY dt_start""".stripMargin,
+      // the governed table rebuilt relationally from customer; the
+      // ledger receipt (uid, row count, clock ticks 3-4 — the stale
+      // load-1 consumed 1-2) rides on every row. A failed truncate
+      // would leave the stale slice's duplicates in the table and
+      // break the hash.
+      "etl_catalog_load" ->
+        """WITH cur AS (
+          |  SELECT c_custkey AS id, c_name AS name,
+          |    CASE WHEN c_custkey % 2 = 0 THEN 'PAR' ELSE 'IMPAR' END
+          |      AS segmento
+          |  FROM customer)
+          |SELECT id, name, segmento, 'load-2' AS load_uid,
+          |  CAST((SELECT COUNT(*) FROM cur) AS BIGINT) AS loaded_rows,
+          |  '2024-06-01T00:00:03Z' AS dt_start,
+          |  '2024-06-01T00:00:04Z' AS dt_end
+          |FROM cur ORDER BY id""".stripMargin,
+      // the resumed DAG's exact ledger: run-1 receipts a_raw (ticks
+      // 1-2) and b_trusted (3-4), the armed refine fault burns tick 5
+      // and receipts nothing, run-2 resumes with c_refined (6-7) and
+      // d_load (8-9); every layer's row count recomputes from customer
+      "etl_dag_resume" ->
+        """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM customer),
+          |runs AS (SELECT * FROM (VALUES
+          |  ('run-1', 'a_raw',
+          |   '2024-06-01T00:00:01Z', '2024-06-01T00:00:02Z'),
+          |  ('run-1', 'b_trusted',
+          |   '2024-06-01T00:00:03Z', '2024-06-01T00:00:04Z'),
+          |  ('run-2', 'c_refined',
+          |   '2024-06-01T00:00:06Z', '2024-06-01T00:00:07Z'),
+          |  ('run-2', 'd_load',
+          |   '2024-06-01T00:00:08Z', '2024-06-01T00:00:09Z'))
+          |  AS t(uid, step, dt_start, dt_end))
+          |SELECT uid, step, n.c AS qtd_rows, dt_start, dt_end,
+          |  n.c AS final_rows
+          |FROM runs, n ORDER BY step""".stripMargin,
       "etl_compact" ->
         """SELECT event_id, ts, user_id, event_type, value, props
           |FROM events ORDER BY event_id""".stripMargin,

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Minimal deterministic DAG runner over engine steps — the
+  * orchestration layer of the reference (dag.py:45-167: a task graph
+  * download→transform→bom→refine→load with per-step monitoring rows
+  * and restart-from-failure), re-expressed as a library: no scheduler
+  * process, no cron — a RUNNER a caller invokes, with the run ledger
+  * as the single source of truth for what already happened.
+  *
+  * Semantics:
+  *  - Steps declare explicit dependencies; execution order is the
+  *    unique deterministic topological order that always runs the
+  *    lexicographically smallest READY step next (no wall-clock or
+  *    hash-map iteration order anywhere — two runs of the same graph
+  *    execute identically).
+  *  - Every completed step appends one ledger row (uid, project, step
+  *    name, emitted file count, emitted row count, start/end from the
+  *    injected clock) to the audit table — monitor.py:123-164's row
+  *    shape, shared with [[Medallion.auditedRun]] and
+  *    [[Medallion.catalogLoad]].
+  *  - RESUME: steps already recorded in the ledger for this `project`
+  *    are skipped (their side effects — written layers, loaded tables
+  *    — are durable, the ledger row is the receipt). A run killed
+  *    after step k therefore re-runs ONLY steps k+1.., converging to
+  *    the same layers as an uninterrupted run.
+  *  - Failure is fail-fast: the exception propagates, the ledger keeps
+  *    the completed prefix, nothing is recorded for the failed step.
+  *
+  * Scale note: the runner is driver-side control flow (as every
+  * orchestrator is); all data movement lives inside the steps, which
+  * are ordinary engine operators. The ledger read at resume is one
+  * catalog-table scan of audit-row cardinality.
+  */
+object Dag {
+
+  /** One DAG node: a unique name, the names it depends on, and the
+    * action. `run()` returns (files, rows) emitted — the numbers the
+    * ledger row records, computed by the step itself because only the
+    * step knows which layer it materialized. */
+  final case class Step(name: String, deps: Seq[String],
+      run: () => (Long, Long))
+
+  /** Validate the graph: unique names, known dependencies, no cycles
+    * (a topological enumeration must reach every step). */
+  private def validate(steps: Seq[Step]): Unit = {
+    val names = steps.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate step names: ${names.diff(names.distinct).distinct}")
+    val known = names.toSet
+    steps.foreach(s => s.deps.foreach(d => require(known.contains(d),
+      s"step '${s.name}' depends on unknown step '$d'")))
+    val done = scala.collection.mutable.Set[String]()
+    var progressed = true
+    while (progressed) {
+      val ready = steps.filter(s => !done(s.name) && s.deps.forall(done))
+      progressed = ready.nonEmpty
+      ready.foreach(s => done += s.name)
+    }
+    require(done.size == steps.size,
+      s"dependency cycle through: ${names.filterNot(done).mkString(", ")}")
+  }
+
+  /** Steps of `project` already receipted in the ledger (any run id —
+    * a resumed run has a fresh uid but inherits prior progress). */
+  def completedSteps(spark: SparkSession, auditTable: String,
+      project: String): Set[String] =
+    if (!spark.catalog.tableExists(auditTable)) Set.empty
+    else spark.table(auditTable)
+      .filter(col("nm_project") === project)
+      .select(col("step")).distinct()
+      .collect().map(_.getString(0)).toSet
+
+  /** Run the graph (resuming past any ledger-receipted steps), append
+    * one ledger row per step completed IN THIS RUN, and return those
+    * rows. An empty result on a fully-receipted graph is the no-op
+    * re-run a scheduler's catchup performs. */
+  def run(spark: SparkSession, steps: Seq[Step], auditTable: String,
+      uid: String, project: String, clock: () => String): DataFrame = {
+    validate(steps)
+    val done = scala.collection.mutable.Set[String]() ++
+      completedSteps(spark, auditTable, project)
+    val ran = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var next = nextReady(steps, done.toSet)
+    while (next.isDefined) {
+      val step = next.get
+      val t0 = clock()
+      val (files, rows) = step.run() // fail-fast: exceptions propagate
+      val row = Monitor.runAudit(spark, uid, project, step.name,
+        qtdFiles = files, qtdRows = rows, dtStart = t0, dtEnd = clock())
+      Medallion.appendWarehouse(row, auditTable)
+      ran += row
+      done += step.name
+      next = nextReady(steps, done.toSet)
+    }
+    ran.reduceOption(_.unionAll(_)).getOrElse(
+      Monitor.runAudit(spark, uid, project, "", 0L, 0L, "", "").limit(0))
+  }
+
+  /** The lexicographically smallest step whose dependencies are all
+    * done — the deterministic scheduling rule. */
+  private def nextReady(steps: Seq[Step], done: Set[String]): Option[Step] =
+    steps.filter(s => !done(s.name) && s.deps.forall(done))
+      .sortBy(_.name).headOption
+}

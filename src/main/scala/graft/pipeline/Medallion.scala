@@ -78,6 +78,38 @@ object Medallion {
   def trustedSchemaOf(rawSchema: StructType): StructType =
     StructType(rawSchema.fields :+ StructField("segmento", StringType))
 
+  /** One-call catalog load — the reference's warehouse-load face
+    * (load_bq.py:13-73: truncate-write into a named governed table
+    * with schema autodetect) plus the post-load audit a production
+    * load runs before declaring success: TRUNCATE-WRITE `df` into the
+    * managed `table` (the schema is autodetected from the frame,
+    * exactly as BigQuery autodetects from parquet), verify the
+    * catalog round-trip preserved every column name and type (a
+    * widened or re-ordered column fails loudly HERE, not in the first
+    * downstream query), and append a run-ledger row (uid, project,
+    * step='load', file count, row count, start/end) to `auditTable`
+    * — monitor.py:123-164's shape, the same ledger auditedRun feeds.
+    * Returns the table as read back FROM THE CATALOG, so callers
+    * consume the governed table, not the input lineage. */
+  def catalogLoad(spark: SparkSession, df: DataFrame, table: String,
+      auditTable: String, uid: String, project: String,
+      clock: () => String): DataFrame = {
+    val t0 = clock()
+    loadWarehouse(df, table)
+    val loaded = spark.table(table)
+    // name+type equality; nullability is legitimately widened by the
+    // parquet round-trip and is not schema drift
+    require(loaded.schema.map(f => (f.name, f.dataType)) ==
+        df.schema.map(f => (f.name, f.dataType)),
+      s"catalog schema drifted for $table: " +
+        s"${loaded.schema.catalogString} vs ${df.schema.catalogString}")
+    val audit = Monitor.runAudit(spark, uid, project, "load",
+      qtdFiles = loaded.inputFiles.length.toLong,
+      qtdRows = loaded.count(), dtStart = t0, dtEnd = clock())
+    appendWarehouse(audit, auditTable)
+    loaded
+  }
+
   /** AUDITED raw→trusted→refined run — the reference's full job chain
     * (dag.py task order) with monitor.py:126-204's run-level audit: one
     * (uid, project, step, file count, row count, start/end) row per

@@ -524,4 +524,86 @@ class MedallionSpec extends GraftSpec {
     assert(e("edge") == ((72L, true)) && e("near") == ((71L, false)) &&
       e("live") == ((0L, false)))
   }
+
+  test("catalogLoad is a TRUNCATE-write: the second load fully replaces " +
+      "the first, schema survives the catalog, the ledger receipts both") {
+    val tbl = "graft_spec_catalog"
+    val audit = "graft_spec_catalog_audit"
+    Seq(tbl, audit).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val tick = new java.util.concurrent.atomic.AtomicInteger(0)
+    val clock = () => s"t${tick.incrementAndGet()}"
+    val first = Seq((1L, "stale"), (2L, "stale"), (3L, "stale"))
+      .toDF("id", "v")
+    val second = Seq((2L, "fresh"), (9L, "fresh")).toDF("id", "v")
+    Medallion.catalogLoad(spark, first, tbl, audit, "u1", "p", clock)
+    val loaded = Medallion.catalogLoad(spark, second, tbl, audit, "u2",
+      "p", clock)
+    // truncate semantics: no stale row survives — not an append, not a
+    // merge; the overlapping key 2 carries ONLY the fresh value
+    val got = loaded.collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(got == Map(2L -> "fresh", 9L -> "fresh"), got.toString)
+    assert(spark.table(tbl).count() == 2)
+    // schema autodetect: names and types came from the frame
+    assert(loaded.schema.map(f => (f.name, f.dataType)) ==
+      second.schema.map(f => (f.name, f.dataType)))
+    // both loads receipted with their own counts and clock brackets
+    val ledger = spark.table(audit).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(4),
+        r.getString(5), r.getString(6))).toSet
+    assert(ledger == Set(("u1", "load", 3L, "t1", "t2"),
+      ("u2", "load", 2L, "t3", "t4")), ledger.toString)
+    Seq(tbl, audit).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("Dag: deterministic order, ledger receipts, resume skips " +
+      "finished steps, no-op on a fully-receipted graph, cycles refuse") {
+    import graft.pipeline.Dag
+    val ledger = "graft_spec_dag_ledger"
+    spark.sql(s"DROP TABLE IF EXISTS $ledger")
+    val runs = scala.collection.mutable.ArrayBuffer[String]()
+    val fault = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def step(name: String, deps: String*): Dag.Step =
+      Dag.Step(name, deps, () => { runs += name; (1L, 1L) })
+    // diamond with a one-shot fault on d: a → {b, c} → d
+    val graph = Seq(
+      step("a"),
+      step("c", "a"), // declared out of order: scheduling must not care
+      step("b", "a"),
+      Dag.Step("d", Seq("b", "c"), () => {
+        if (fault.getAndSet(false))
+          throw new RuntimeException("boom")
+        runs += "d"; (1L, 1L)
+      }))
+    val tick = new java.util.concurrent.atomic.AtomicInteger(0)
+    val clock = () => s"t${tick.incrementAndGet()}"
+    intercept[RuntimeException] {
+      Dag.run(spark, graph, ledger, "r1", "p", clock)
+    }
+    // lexicographic-ready order ran a, b, c — then died on d
+    assert(runs.toSeq == Seq("a", "b", "c"), runs.toString)
+    assert(Dag.completedSteps(spark, ledger, "p") == Set("a", "b", "c"))
+    // resume: ONLY d runs; its receipt lands under the new uid
+    val resumed = Dag.run(spark, graph, ledger, "r2", "p", clock)
+    assert(runs.toSeq == Seq("a", "b", "c", "d"), runs.toString)
+    assert(resumed.collect().map(r =>
+      (r.getString(0), r.getString(2))).toSeq == Seq(("r2", "d")))
+    // fully receipted: a further run executes nothing, returns no rows
+    val noop = Dag.run(spark, graph, ledger, "r3", "p", clock)
+    assert(runs.size == 4 && noop.count() == 0)
+    // a different project shares the ledger table without interference
+    assert(Dag.completedSteps(spark, ledger, "other").isEmpty)
+    // malformed graphs refuse loudly
+    intercept[IllegalArgumentException] {
+      Dag.run(spark, Seq(step("x", "y"), step("y", "x")), ledger, "r",
+        "p2", clock)
+    }
+    intercept[IllegalArgumentException] {
+      Dag.run(spark, Seq(step("x", "nope")), ledger, "r", "p2", clock)
+    }
+    intercept[IllegalArgumentException] {
+      Dag.run(spark, Seq(step("x"), step("x")), ledger, "r", "p2", clock)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $ledger")
+  }
 }

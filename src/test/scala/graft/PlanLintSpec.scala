@@ -69,7 +69,10 @@ class PlanLintSpec extends GraftSpec {
       // the event-type pairs join (a<b over the |types|-row sketch
       // table — dimension-sized both sides); sketches are k-long
       // arrays, corpus rows never enter the nested loop
-      "q56_kmv_setops")
+      "q56_kmv_setops",
+      // broadcasts the 1-ROW ledger receipt of the gated load onto the
+      // loaded table rows (the skew-audit totals shape)
+      "etl_catalog_load")
 
   test("no query plan contains a cartesian product or stray nested loop") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, q) =>
