@@ -326,11 +326,75 @@ object Warehouse {
     served
   }
 
+  /** Build + register the STAR summary — orders⋈customer rolled up to
+    * (market segment, priority) — over the two base reads; returns
+    * them. Callers own deregistration. */
+  def mvStarRegister(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val orders = Tables.load(s, dir, "orders")
+    val customer = Tables.load(s, dir, "customer")
+    val cents = floor(col("o_totalprice") * 100)
+    val mvDef = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents).as("revenue_cents"))
+    val mvPath = s"${Etl.roundtripRoot}/mv_star_segment"
+    mvDef.write.mode("overwrite").parquet(mvPath)
+    graft.plans.MvCatalog.register(s, "star_segment", mvDef, mvPath)
+    (orders, customer)
+  }
+
+  /** Materialized-view rewrite over a STAR JOIN — the next BI shape
+    * after [[mvRewriteServe]]'s fact-only aggregates: the user writes
+    * GROUP BY over fact⋈dim, the rule matches the join (same two base
+    * reads, INNER, semantically equal condition — either side order)
+    * against the registered star summary and answers from it, so at
+    * 100 TB neither the fact scan NOR the dimension join runs. The
+    * face REQUIRES summary-scanned + fact-not-scanned +
+    * dim-not-scanned on BOTH the plain and the dim-filtered leg; the
+    * oracle computes the same aggregates from the BASE tables, so hash
+    * equality proves the join-aware rewrite is semantics-preserving. */
+  def mvStarServe(s: SparkSession, dir: String): DataFrame = {
+    val (orders, customer) = mvStarRegister(s, dir)
+    val cents = floor(col("o_totalprice") * 100)
+    def joined = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+    val q = joined.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents).as("revenue_cents"))
+    val phys = q.queryExecution.executedPlan.toString
+    require(phys.contains("mv_star_segment"),
+      "star rewrite did not fire: summary not scanned")
+    require(!phys.contains("orders.parquet") &&
+        !phys.contains("customer.parquet"),
+      "star rewrite did not fire: base tables still scanned")
+    // dim-filtered leg: a predicate over a view dimension pushes onto
+    // the summary scan; the optimizer has usually pushed it BELOW the
+    // join by the time the rule runs — the peel hoists it back
+    val qf = joined.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_urgent"))
+    val physF = qf.queryExecution.executedPlan.toString
+    require(physF.contains("mv_star_segment") &&
+        !physF.contains("orders.parquet") &&
+        !physF.contains("customer.parquet"),
+      "filtered star rewrite did not fire")
+    val served = q.join(qf, Seq("c_mktsegment"), "left")
+      .select(col("c_mktsegment"), col("n_orders"), col("revenue_cents"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"))
+      .orderBy(col("c_mktsegment"))
+      .localCheckpoint(true)
+    graft.plans.MvCatalog.remove("star_segment")
+    served
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_bucketed_join" -> ((s, dir) => bucketedJoin(s, dir)),
 
     // -- q42: aggregate served from a registered materialized view ---------
     "q42_mv_rewrite" -> ((s, dir) => mvRewriteServe(s, dir)),
+
+    // -- q58: fact⋈dim aggregate served from a registered STAR summary -----
+    "q58_mv_star" -> ((s, dir) => mvStarServe(s, dir)),
 
     // -- Z-order zone map with the tile-span guarantee as gate bits --------
     "etl_zorder" -> ((s, dir) =>
@@ -401,6 +465,19 @@ object Warehouse {
         |    AS n_h1_orders
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // the star-join aggregate the USER wrote, against the BASE tables
+    // — hash equality proves the join-aware MV rewrite preserved
+    // semantics (the engine answered it without scanning either side)
+    "q58_mv_star" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+        |    AS BIGINT) AS n_urgent
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     // identical interleave text (shared generator), identical masks,
     // tile grouping and span gates — the hash carries the whole curve
     "etl_zorder" ->

@@ -3,34 +3,39 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
 /** Materialized-view rewrite: an optimizer [[Rule]] that answers an
-  * aggregate over a fact table FROM a pre-aggregated summary when the
-  * query's grouping keys are a subset of the view's dimensions and its
-  * aggregates are derivable from the view's measures (COUNT(*) ←
-  * SUM(view.n), SUM(x) ← SUM(view.sum_x) — the classic rollup
-  * property). This is THE warehouse scale lever: a 100 TB fact scan
-  * collapses to a dimension-cardinality summary scan, and because the
-  * rewrite happens in Catalyst the query author keeps writing the
-  * query against the fact table — exactly how production MV/cube
-  * engines surface it.
+  * aggregate over a fact table — or over a fact⋈dim STAR JOIN — from a
+  * pre-aggregated summary when the query's grouping keys are a subset
+  * of the view's dimensions and its aggregates are derivable from the
+  * view's measures (COUNT(*) ← SUM(view.n), SUM(x) ← SUM(view.sum_x) —
+  * the classic rollup property). This is THE warehouse scale lever: a
+  * 100 TB fact scan (and its dimension join) collapses to a
+  * dimension-cardinality summary scan, and because the rewrite happens
+  * in Catalyst the query author keeps writing the query against the
+  * base tables — exactly how production MV/cube engines surface it.
   *
   * Correctness posture: the rule rewrites ONLY when every grouping
   * expression and every aggregate input matches the view definition
   * under Catalyst semantic equality ([[Expression.semanticEquals]]
-  * after substituting projection aliases down to the base relation and
-  * remapping the definition's attribute ids onto the query's), and the
-  * rewritten Aggregate preserves the original output attribute ids, so
-  * parent operators are untouched. Anything else — extra filters,
-  * unknown aggregate shapes, DISTINCT, agg filters — bails to the
-  * original plan. The q42 face then proves semantic preservation
+  * after substituting projection aliases down to the base relation(s)
+  * and remapping the definition's attribute ids onto the query's), and
+  * — for star views — when the query joins the SAME two base reads
+  * INNER on a semantically equal condition (sides may appear in either
+  * order; canonicalization makes a=b ≡ b=a). The rewritten Aggregate
+  * preserves the original output attribute ids, so parent operators
+  * are untouched. Anything else — extra filters not expressible over
+  * view dimensions, unknown aggregate shapes, DISTINCT, agg filters,
+  * outer/other join types, nested joins, self-joins — bails to the
+  * original plan. The q42/q58 faces then prove semantic preservation
   * end-to-end: the oracle computes the same aggregate from the BASE
-  * table and the hashes must match.
+  * tables and the hashes must match.
   *
   * Single-JVM stand-in: [[MvCatalog]] is a process-local registry; on
   * a cluster this is a catalog service lookup, the rule itself is
@@ -38,15 +43,31 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   */
 object MvCatalog {
 
-  /** One registered view: where its base relation lives, its
-    * definition re-expressed over the base relation's attributes, and
-    * the analyzed scan of its materialized data. `outputs` aligns
-    * positionally with the definition's output columns: Left(dim
-    * index) for grouping passthroughs, Right(measure) for aggregates.
-    */
+  /** The view definition's base shape: one relation, or exactly one
+    * inner-joined pair (the star fact⋈dim case). */
+  private[plans] sealed trait BaseShape
+  private[plans] final case class RelBase(rel: LogicalRelation)
+    extends BaseShape
+  private[plans] final case class StarBase(left: LogicalRelation,
+      right: LogicalRelation, cond: Expression) extends BaseShape
+
+  /** Matching signature stored per view. */
+  sealed trait BaseSig
+  /** Single-relation view: match queries reading these root paths. */
+  final case class RelSig(paths: Set[String]) extends BaseSig
+  /** Star view: the two sides' root paths, THEIR base attribute
+    * outputs (for id→query remapping), and the join condition over
+    * those attributes. */
+  final case class StarSig(leftPaths: Set[String], leftOut: Seq[Attribute],
+      rightPaths: Set[String], rightOut: Seq[Attribute],
+      cond: Expression) extends BaseSig
+
+  /** One registered view: its base signature, its definition
+    * re-expressed over the base relations' attributes, and the
+    * analyzed scan of its materialized data. */
   final case class Entry(
       name: String,
-      basePaths: Set[String],
+      sig: BaseSig,
       dims: Seq[Expression],
       measures: Seq[Measure],
       mvPlan: LogicalPlan)
@@ -95,19 +116,29 @@ object MvCatalog {
       Literal.create(f.eval(null), f.dataType)
   }
 
-  /** Walk a chain of Projects down to a LogicalRelation, composing
-    * alias substitutions; None for any other operator (filters etc.
-    * are out of rewrite scope by design). */
+  /** Walk Project chains down to the base shape — a LogicalRelation,
+    * or ONE Inner Join whose sides are themselves projection chains
+    * over a LogicalRelation — composing alias substitutions; None for
+    * any other operator (filters are out of DEFINITION scope by
+    * design: a filtered view definition would change the view's
+    * semantics). */
   private[plans] def baseAndSubst(plan: LogicalPlan)
-      : Option[(LogicalRelation, Map[Attribute, Expression])] = plan match {
-    case rel: LogicalRelation => Some((rel, Map.empty))
+      : Option[(BaseShape, Map[Attribute, Expression])] = plan match {
+    case rel: LogicalRelation => Some((RelBase(rel), Map.empty))
     case Project(projList, child) =>
-      baseAndSubst(child).map { case (rel, inner) =>
+      baseAndSubst(child).map { case (shape, inner) =>
         val m = projList.map {
           case a: Alias => (a.toAttribute: Attribute) -> subst(a.child, inner)
           case a: AttributeReference => (a: Attribute) -> subst(a, inner)
         }.toMap
-        (rel, m)
+        (shape, m)
+      }
+    case Join(l, r, Inner, Some(cond), _) =>
+      (baseAndSubst(l), baseAndSubst(r)) match {
+        case (Some((RelBase(lr), lm)), Some((RelBase(rr), rm))) =>
+          val m = lm ++ rm // disjoint attribute ids by construction
+          Some((StarBase(lr, rr, subst(cond, m)), m))
+        case _ => None // nested joins are out of scope
       }
     case _ => None
   }
@@ -120,10 +151,10 @@ object MvCatalog {
     }
 
   /** Register `definition` (an un-materialized groupBy().agg() over a
-    * parquet-backed base table) with its materialized parquet at
-    * `mvPath`. Parses the definition's analyzed plan once; throws on
-    * shapes the rewrite cannot serve (fail loudly at registration, not
-    * silently at query time). */
+    * parquet-backed base table or a fact⋈dim inner join of two) with
+    * its materialized parquet at `mvPath`. Parses the definition's
+    * analyzed plan once; throws on shapes the rewrite cannot serve
+    * (fail loudly at registration, not silently at query time). */
   def register(spark: SparkSession, name: String, definition: DataFrame,
       mvPath: String): Unit = {
     val mvDf = spark.read.parquet(mvPath)
@@ -131,9 +162,22 @@ object MvCatalog {
     val byName = mvOut.map(a => a.name -> a).toMap
     definition.queryExecution.analyzed match {
       case Aggregate(dims, aggs, child, _) =>
-        val (rel, sub) = baseAndSubst(child).getOrElse(
+        val (shape, sub) = baseAndSubst(child).getOrElse(
           throw new IllegalArgumentException(
-            s"mv $name: definition child is not Project*/LogicalRelation"))
+            s"mv $name: definition child is not Project*/Join/LogicalRelation"))
+        val sig = shape match {
+          case RelBase(rel) =>
+            val p = rootPaths(rel)
+            require(p.nonEmpty, s"mv $name: base relation has no root paths")
+            RelSig(p)
+          case StarBase(l, r, cond) =>
+            val (lp, rp) = (rootPaths(l), rootPaths(r))
+            require(lp.nonEmpty && rp.nonEmpty,
+              s"mv $name: star side has no root paths")
+            require(lp != rp,
+              s"mv $name: self-joins are not rewrite-servable")
+            StarSig(lp, l.output, rp, r.output, fold(cond))
+        }
         val baseDims = dims.map(d => fold(subst(d, sub)))
         val measures = aggs.flatMap {
           case a @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
@@ -148,7 +192,7 @@ object MvCatalog {
             }
           case _ => None // grouping passthrough
         }
-        entries.put(name, Entry(name, rootPaths(rel), baseDims, measures,
+        entries.put(name, Entry(name, sig, baseDims, measures,
           mvDf.queryExecution.analyzed))
       case other => throw new IllegalArgumentException(
         s"mv $name: definition is not a plain Aggregate: ${other.nodeName}")
@@ -180,65 +224,124 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       : Expression =
     e.transformUp { case a: Attribute if m.contains(a) => m(a) }
 
-  /** Walk Project/Filter chains down to the base read, composing alias
-    * substitutions and conjoining filter predicates (substituted down
-    * to base-relation attributes). Filters are in scope here — unlike
-    * [[MvCatalog.baseAndSubst]], which registration uses and which
-    * rejects them (a filtered VIEW DEFINITION would change the view's
-    * semantics; a filtered QUERY is the classic filter-to-dimension
-    * pushdown, handled in [[rewriteWith]]). */
+  /** Walk Project/Filter/Inner-Join chains down to the base shape,
+    * composing alias substitutions and conjoining filter predicates
+    * (substituted down to base-relation attributes). Filters are in
+    * scope here — unlike [[MvCatalog.baseAndSubst]], which
+    * registration uses and which rejects them (a filtered VIEW
+    * DEFINITION would change the view's semantics; a filtered QUERY is
+    * the classic filter-to-dimension pushdown, handled in
+    * [[rewriteWith]]). A filter below an INNER join hoists above it
+    * unchanged (inner-join/filter commutativity), which is exactly
+    * where the optimizer usually pushed it down from. */
   private def peel(plan: LogicalPlan): Option[
-      (LogicalRelation, Map[Attribute, Expression], Option[Expression])] =
+      (BaseShape, Map[Attribute, Expression], Option[Expression])] =
     plan match {
-      case rel: LogicalRelation => Some((rel, Map.empty, None))
+      case rel: LogicalRelation => Some((RelBase(rel), Map.empty, None))
       case Project(projList, child) =>
-        peel(child).map { case (rel, inner, cond) =>
+        peel(child).map { case (shape, inner, cond) =>
           val m = projList.map {
             case a: Alias =>
               (a.toAttribute: Attribute) -> MvCatalog.substPub(a.child, inner)
             case a: AttributeReference =>
               (a: Attribute) -> MvCatalog.substPub(a, inner)
           }.toMap
-          (rel, m, cond)
+          (shape, m, cond)
         }
       case Filter(cond, child) =>
-        peel(child).map { case (rel, inner, prev) =>
+        peel(child).map { case (shape, inner, prev) =>
           val c = MvCatalog.substPub(cond, inner)
-          (rel, inner,
-            Some(prev.map(p => org.apache.spark.sql.catalyst.expressions
-              .And(p, c)).getOrElse(c)))
+          (shape, inner, Some(prev.map(p => And(p, c)).getOrElse(c)))
+        }
+      case Join(l, r, Inner, Some(cond), _) =>
+        (peel(l), peel(r)) match {
+          case (Some((RelBase(lr), lm, lc)), Some((RelBase(rr), rm, rc))) =>
+            val m = lm ++ rm
+            val hoisted = (lc ++ rc).reduceOption(And(_, _))
+            Some((StarBase(lr, rr, MvCatalog.substPub(cond, m)), m, hoisted))
+          case _ => None // nested joins are out of scope
         }
       case _ => None
     }
 
+  /** Remap an entry-side expression (over the STORED base attribute
+    * ids) onto the query's base attributes, by (side, name). Returns
+    * None when any attribute fails to remap. */
+  private def remapWith(attrMap: AttributeReference => Option[Expression])
+      (e: Expression): Option[Expression] = {
+    var ok = true
+    val out = e.transformUp {
+      case a: AttributeReference =>
+        attrMap(a) match {
+          case Some(q) => q
+          case None => ok = false; a
+        }
+    }
+    if (ok) Some(out) else None
+  }
+
+  /** Find the entry matching the query's base shape, returning the
+    * stored→query attribute remapper alongside. */
+  private def findEntry(shape: BaseShape)
+      : Option[(Entry, Expression => Option[Expression])] = shape match {
+    case RelBase(rel) =>
+      val p = rootPaths(rel)
+      if (p.isEmpty) None
+      else {
+        val byName = rel.output.map(a => a.name -> (a: Expression)).toMap
+        registered.collectFirst {
+          case e if e.sig == RelSig(p) =>
+            (e, remapWith(a => byName.get(a.name)) _)
+        }
+      }
+    case StarBase(ql, qr, qcond) =>
+      val (qlp, qrp) = (rootPaths(ql), rootPaths(qr))
+      if (qlp.isEmpty || qrp.isEmpty || qlp == qrp) None
+      else registered.iterator.flatMap { e =>
+        e.sig match {
+          case s: StarSig =>
+            // the query may list the sides in either order
+            val pairing =
+              if (s.leftPaths == qlp && s.rightPaths == qrp) Some((ql, qr))
+              else if (s.leftPaths == qrp && s.rightPaths == qlp)
+                Some((qr, ql))
+              else None
+            pairing.flatMap { case (qLeft, qRight) =>
+              val lByName = qLeft.output.map(a => a.name -> (a: Expression)).toMap
+              val rByName = qRight.output.map(a => a.name -> (a: Expression)).toMap
+              val lIds = AttributeSet(s.leftOut)
+              val rIds = AttributeSet(s.rightOut)
+              val remap = remapWith { a =>
+                if (lIds.contains(a)) lByName.get(a.name)
+                else if (rIds.contains(a)) rByName.get(a.name)
+                else None
+              } _
+              // the join conditions must agree semantically once the
+              // stored one is remapped onto the query's attributes
+              remap(s.cond).filter(_.semanticEquals(qcond))
+                .map(_ => (e, remap))
+            }
+          case _ => None
+        }
+      }.nextOption()
+  }
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val Aggregate(gExprs, aExprs, child, _) = agg
     for {
-      (rel, sub, filterCond) <- peel(child)
-      entry <- registered.find(e =>
-        e.basePaths.nonEmpty && e.basePaths == rootPaths(rel))
-      rewritten <- rewriteWith(entry, rel, gExprs, aExprs, sub, filterCond)
+      (shape, sub, filterCond) <- peel(child)
+      (entry, remap) <- findEntry(shape)
+      rewritten <- rewriteWith(entry, remap, gExprs, aExprs, sub, filterCond)
     } yield rewritten
   }
 
-  private def rewriteWith(entry: Entry, rel: LogicalRelation,
+  private def rewriteWith(entry: Entry,
+      remap: Expression => Option[Expression],
       gExprs: Seq[Expression], aExprs: Seq[NamedExpression],
       sub: Map[Attribute, Expression],
       filterCond: Option[Expression]): Option[LogicalPlan] = {
-    // remap the stored definition (expressed over ITS base read's
-    // attribute ids) onto this query's base read, by column name
-    val relByName = rel.output.map(a => a.name -> (a: Expression)).toMap
-    def remap(e: Expression): Option[Expression] = {
-      var ok = true
-      val out = e.transformUp {
-        case a: AttributeReference =>
-          relByName.get(a.name) match {
-            case Some(q) => q
-            case None => ok = false; a
-          }
-      }
-      if (ok) Some(out) else None
-    }
+    // remap the stored definition (expressed over ITS base reads'
+    // attribute ids) onto this query's base reads, by (side, name)
     val dims = entry.dims.map(remap)
     val mvDims = dimAttrs(entry)
     if (dims.exists(_.isEmpty)) return None
@@ -262,9 +365,8 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case e if dimPairs.exists(_._1.semanticEquals(e)) =>
           dimPairs.find(_._1.semanticEquals(e)).get._2
       }
-      if (onMv.references.subsetOf(
-          org.apache.spark.sql.catalyst.expressions.AttributeSet(
-            entry.mvPlan.output))) Some(onMv)
+      if (onMv.references.subsetOf(AttributeSet(entry.mvPlan.output)))
+        Some(onMv)
       else None
     }
     if (newFilter.exists(_.isEmpty)) return None

@@ -224,6 +224,84 @@ class WarehouseSpec extends GraftSpec {
     } finally MvCatalog.clear()
   }
 
+  test("mv star rewrite: join-served legs equal the base plan; wrong " +
+      "key, wrong join type, off-dim grouping, and lone-fact bail") {
+    import graft.plans.MvCatalog
+    import org.apache.spark.sql.functions._
+    try {
+      // the face itself REQUIRES summary-scanned + neither base scanned
+      // on both legs; here prove the VALUES match the base plan too
+      val served = Warehouse.mvStarServe(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(MvCatalog.registered.isEmpty, "mvStarServe leaked its entry")
+      val orders = graft.sources.Tables.load(spark, sf, "orders")
+      val customer = graft.sources.Tables.load(spark, sf, "customer")
+      val cents = floor(col("o_totalprice") * 100)
+      val base = orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents).as("revenue_cents"),
+          count(when(col("o_orderpriority") === "1-URGENT", 1))
+            .as("n_urgent"))
+        .orderBy(col("c_mktsegment")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(served.sameElements(base), "star served != base")
+      // re-register for the bail legs
+      Warehouse.mvStarRegister(spark, sf)
+      def plan(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString
+      // sides in the OPPOSITE order still serve (canonicalized cond)
+      val swapped = customer
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      assert(plan(swapped).contains("mv_star_segment"),
+        "swapped-side star query not served")
+      // a DIFFERENT join key must bail (not the view's join)
+      val wrongKey = orders
+        .join(customer, col("o_custkey") === col("c_nationkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      assert(!plan(wrongKey).contains("mv_star_segment"),
+        "wrong-key join was served")
+      // a LEFT join must bail (the summary pre-counts inner matches)
+      val leftJoin = orders
+        .join(customer, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      assert(!plan(leftJoin).contains("mv_star_segment"),
+        "left join was served")
+      // grouping by a non-dimension column of the dim side must bail
+      val offDim = orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      assert(!plan(offDim).contains("mv_star_segment"),
+        "off-dimension star grouping served")
+      // an aggregate over the FACT ALONE must not be served by the
+      // star view (its counts are join-dependent)
+      val loneFact = orders.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      assert(!plan(loneFact).contains("mv_star_segment"),
+        "fact-only aggregate served from the star view")
+      // a filter on a NON-dimension column must bail
+      val badFilter = orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .filter(col("c_acctbal") > 0)
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      assert(!plan(badFilter).contains("mv_star_segment"),
+        "non-dimension filter was served on the star view")
+      // self-join definitions refuse at registration (fail loudly)
+      val selfDef = orders.as("a")
+        .join(graft.sources.Tables.load(spark, sf, "orders").as("b"),
+          col("a.o_orderkey") === col("b.o_orderkey"))
+        .groupBy(col("a.o_orderpriority")).agg(count(lit(1)).as("n"))
+      val selfPath = s"${graft.operators.Etl.roundtripRoot}/mv_self"
+      selfDef.write.mode("overwrite").parquet(selfPath)
+      intercept[IllegalArgumentException] {
+        MvCatalog.register(spark, "self_view", selfDef, selfPath)
+      }
+    } finally MvCatalog.clear()
+  }
+
   test("mv rewrite hardening: global COUNT over an empty base stays 0, " +
       "type-widening measures bail") {
     import graft.plans.MvCatalog
