@@ -650,14 +650,14 @@ object Dedup {
     * IS the signal that it carries no training value).
     *
     * Shape: the same fixed-window segmentation as [[segmentDedup]],
-    * one groupBy(seg) computing DISTINCT-doc frequency (map-side
-    * combinable after an in-partition (seg, doc) dedup), one join back
-    * on seg, one per-doc sorted reassembly — three corpus-keyed
-    * exchanges, all linear in segment count. The gated face keys on
-    * the segment TEXT so DuckDB replays it; at 100 TB the key becomes
-    * xxhash64(seg) so only fixed-width rows shuffle, and the df table
-    * above the boilerplate threshold (a tiny fraction of distinct
-    * segments) broadcasts into the removal join. */
+    * and the same DIGEST-KEYED exchanges: the distinct-doc frequency
+    * census groups the segment's 8-byte poly_digest ((8B, 8B) rows,
+    * map-side combinable), the join back is digest-keyed so segment
+    * text crosses the wire exactly once (with the probe side, for
+    * reassembly), and the oracle replays the digest fold so collisions
+    * merge identically in both engines. At 100 TB the df table above
+    * the boilerplate threshold (a tiny fraction of distinct segments)
+    * broadcasts into the removal join. */
   def boilerplateStrip(docs: DataFrame, segWords: Int = 10,
       maxDf: Int = 3): DataFrame = {
     val segs = docs
@@ -667,9 +667,10 @@ object Dedup {
            |  sequence(0, cast(ceil(size(toks) / ${segWords}.0) as int) - 1),
            |  i -> array_join(slice(toks, i * $segWords + 1, $segWords), ' '))"""
           .stripMargin)).as(Seq("seg_idx", "seg")))
-    val df = segs.select(col("seg"), col("doc_id")).distinct()
-      .groupBy(col("seg")).agg(count(lit(1)).as("df"))
-    val flagged = segs.join(df, "seg")
+      .withColumn("h", call_function("poly_digest", col("seg")))
+    val df = segs.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val flagged = segs.join(df, "h")
     val rebuilt = flagged.filter(col("df") < maxDf)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
@@ -906,21 +907,28 @@ object Dedup {
       boilerplateStrip(Tables.load(s, dir, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
-    // same segmentation, DISTINCT-doc frequency, df>=3 removal and
-    // ordered reassembly replayed relationally
+    // same segmentation, DISTINCT-doc frequency grouped on the
+    // engine's own poly_digest segment fingerprint (collisions merge
+    // identically in both engines), df>=3 removal and ordered
+    // reassembly replayed relationally
     "dedup_boilerplate" ->
       """WITH toks AS (
         |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
         |segs AS (
         |  SELECT doc_id, i AS seg_idx,
-        |    ARRAY_TO_STRING(t[i*10+1 : i*10+10], ' ') AS seg
+        |    ARRAY_TO_STRING(t[i*10+1 : i*10+10], ' ') AS seg,
+        |    LIST_REDUCE(LIST_PREPEND(CAST(888888883 AS BIGINT),
+        |      LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(
+        |        ARRAY_TO_STRING(t[i*10+1 : i*10+10], ' '), ''),
+        |        c -> c <> ''), c -> CAST(UNICODE(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
         |  FROM toks,
         |    UNNEST(RANGE(0, CAST(CEIL(LEN(t)/10.0) AS BIGINT))) AS r(i)),
         |df AS (
-        |  SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg),
+        |  SELECT h, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY h),
         |flagged AS (
         |  SELECT s.doc_id, s.seg_idx, s.seg, f.df
-        |  FROM segs s JOIN df f USING (seg)),
+        |  FROM segs s JOIN df f USING (h)),
         |rebuilt AS (
         |  SELECT doc_id, COUNT(*) AS n_kept,
         |    STRING_AGG(seg, ' ' ORDER BY seg_idx) AS text_kept

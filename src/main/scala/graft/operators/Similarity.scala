@@ -1817,6 +1817,13 @@ object Similarity {
     }
     var cents: Array[Array[Long]] =
       seedRows.map(_.getSeq[Long](1).toArray)
+    // the codebook enters the plan as a FOLDABLE K·D-long literal — the
+    // broadcast-codebook pattern at literal scale. That re-plans the
+    // query every round with a literal of K·D longs (~KmK·Dim·8 B of
+    // plan tree), which is fine at the configured KmK/Dim (≤ a few
+    // thousand longs) but is the size bound to watch before raising K:
+    // past ~10⁵ entries, switch to an actual broadcast variable read by
+    // a non-foldable expression instead of growing the plan text.
     def centLit: Column = typedlit(cents.map(_.toSeq).toSeq)
     for (_ <- 1 to KmIters) {
       val upd = q

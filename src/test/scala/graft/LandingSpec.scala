@@ -228,6 +228,52 @@ class LandingSpec extends GraftSpec {
     } finally server.stop(0)
   }
 
+  test("profiles: the reference's ENV-sectioned config resolves with " +
+    "defaults, overrides, typed access, and loud failures") {
+    import graft.sources.Profiles
+    val cfg =
+      """# deployment config (dag.py:17-35 shape)
+        |retries = 3
+        |[default]
+        |raw_dir = /data/raw
+        |bom = true
+        |[GCP-dev]
+        |gcp_nm_project = "graft-dev"
+        |gcp_bucket_name = dev-bucket
+        |gcp_table_id = cnae
+        |[GCP-prod]
+        |gcp_nm_project = 'graft-prod'
+        |gcp_bucket_name = prod-bucket
+        |raw_dir = /mnt/prod/raw
+        |""".stripMargin
+    val dev = Profiles.load(cfg, "dev", sectionPrefix = "GCP-")
+    // section + defaults + sectionless head compose
+    assert(dev.required("gcp_nm_project") == "graft-dev") // dequoted
+    assert(dev.required("gcp_bucket_name") == "dev-bucket")
+    assert(dev.required("raw_dir") == "/data/raw")
+    assert(dev.long("retries") == 3L && dev.bool("bom"))
+    // the env's own section wins over defaults
+    val prod = Profiles.load(cfg, "prod", sectionPrefix = "GCP-")
+    assert(prod.required("raw_dir") == "/mnt/prod/raw")
+    assert(prod.required("gcp_nm_project") == "graft-prod")
+    // caller overrides win over everything (the hotfix path)
+    val fixed = Profiles.load(cfg, "prod", sectionPrefix = "GCP-",
+      overrides = Profiles.envOverrides(
+        Map("GRAFT_RAW_DIR" -> "/tmp/replay", "UNRELATED" -> "x")))
+    assert(fixed.required("raw_dir") == "/tmp/replay")
+    assert(fixed.get("unrelated").isEmpty)
+    // loud failures: unknown env, missing key, bad types, bad syntax
+    intercept[NoSuchElementException] {
+      Profiles.load(cfg, "staging", sectionPrefix = "GCP-")
+    }
+    intercept[NoSuchElementException] { dev.required("nope") }
+    intercept[IllegalArgumentException] { dev.long("raw_dir") }
+    intercept[IllegalArgumentException] { dev.bool("retries") }
+    intercept[IllegalArgumentException] {
+      Profiles.parse("not a config line at all!")
+    }
+  }
+
   test("distributed unzip explodes archive entries to decoded rows") {
     val dir = Files.createTempDirectory(Paths.get("target"), "zipland")
     val iso = Charset.forName("ISO-8859-1")
