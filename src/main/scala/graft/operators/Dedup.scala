@@ -603,14 +603,16 @@ object Dedup {
     *
     * Shape: explode to (doc_id, seg_idx, seg) — corpus-sized but
     * narrow; the first-occurrence census groups on the segment's
-    * 8-byte poly_digest, NOT the segment text: the census exchange
-    * carries (8B digest, 8B doc, 4B idx) rows with map-side combine,
-    * and the join back is digest-keyed, so the segment text crosses
-    * the wire exactly ONCE (with the probe side, for reassembly)
-    * instead of three times (as the groupBy key, then both join
-    * sides). The digest replays exactly in the oracle's SQL, so a
-    * mod-10⁹ collision picks the same global survivor in both
-    * engines. Survivors reassemble with a per-doc sorted collect. */
+    * 8-byte poly_digest, NOT the segment text, and the winning row's
+    * TEXT rides inside the min(struct(doc_id, seg_idx, seg)) census
+    * state — (doc_id, seg_idx) is unique per row, so the seg field
+    * never decides the min, it just travels with the winner. That
+    * removes the join-back stage entirely: the pipeline is census →
+    * per-doc reassembly, two exchanges total, with map-side combine
+    * shedding every within-partition duplicate before its text ever
+    * crosses the wire. The digest replays exactly in the oracle's
+    * SQL, so a mod-10⁹ collision picks the same global survivor in
+    * both engines. */
   def segmentDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
     val segs = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -620,12 +622,12 @@ object Dedup {
            |  i -> array_join(slice(toks, i * $segWords + 1, $segWords), ' '))"""
           .stripMargin)).as(Seq("seg_idx", "seg")))
       .withColumn("h", call_function("poly_digest", col("seg")))
-    val firsts = segs.select(col("h"), col("doc_id"), col("seg_idx"))
+    val kept = segs
       .groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
-    val kept = segs.join(firsts, "h")
-      .filter(col("doc_id") === col("first.doc_id") &&
-        col("seg_idx") === col("first.seg_idx"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg")))
+        .as("first"))
+      .select(col("first.doc_id").as("doc_id"),
+        col("first.seg_idx").as("seg_idx"), col("first.seg").as("seg"))
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(
