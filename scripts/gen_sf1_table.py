@@ -1,0 +1,34 @@
+#!/usr/bin/env python3
+"""Regenerate BASELINE.md's sf1 scale table from a same-session pair of
+artifacts: the sf1 scale run and the full-registry sf0.1 run (ratios
+use same-session numbers so uniform co-tenancy inflation cancels).
+
+Usage: python3 scripts/gen_sf1_table.py bench_sf1.json bench_sf01.json
+Prints the markdown two-column table, highest ratio first.
+"""
+import json
+import sys
+
+sf1 = json.load(open(sys.argv[1]))
+sf01 = json.load(open(sys.argv[2]))
+rows = []
+for k, v in sf1["queries"].items():
+    b = sf01["queries"].get(k)
+    if b:
+        rows.append((k, v, b, v / b))
+rows.sort(key=lambda r: -r[3])
+n = len(rows)
+half = (n + 1) // 2
+left, right = rows[:half], rows[half:]
+print(f"| key | sf1 s | sf0.1 s | ratio | | key | sf1 s | sf0.1 s | ratio |")
+print("| --- | --- | --- | --- | --- | --- | --- | --- | --- |")
+for i in range(half):
+    def cell(r):
+        return f" {r[0]} | {r[1]:.2f} | {r[2]:.2f} | {r[3]:.1f}× "
+    l = f"|{cell(left[i])}|"
+    r = f"|{cell(right[i])}|" if i < len(right) else "| | | | |"
+    print(l + r)
+errs = sf1.get("errors", {})
+print()
+print(f"{n} keys; errors: {errs if errs else 'none'}; "
+      f"sf1 loadavg {sf1.get('loadavg')}")

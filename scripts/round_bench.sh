@@ -68,6 +68,11 @@ SF1_KEYS=(
   etl_inferred_dim mm_image_entropy etl_freshness stream_approx_distinct
   text_ngram_novelty stream_cep_pairs sample_weighted emb_cell_purity
   mm_audio_snr corpus_attrition
+  # round-12 additions (fuzzy decontamination + digest-censused
+  # boilerplate join the gram family; the catalog load, the resumed
+  # DAG and the star-MV serve are new keys)
+  dedup_contain_near dedup_boilerplate etl_catalog_load etl_dag_resume
+  q58_mv_star
 )
 
 echo "[round_bench] full registry at sf0.1 ..."
