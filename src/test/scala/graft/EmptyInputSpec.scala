@@ -45,11 +45,33 @@ class EmptyInputSpec extends GraftSpec {
         ((d: DataFrame) => Sampling.stratifiedSample(d)),
       "topKPerStratum" -> ((d: DataFrame) => Sampling.topKPerStratum(d)),
       "packSequences" -> ((d: DataFrame) => Sampling.packSequences(d)),
-      "temperatureMix" -> ((d: DataFrame) => Sampling.temperatureMix(d)))
+      "temperatureMix" -> ((d: DataFrame) => Sampling.temperatureMix(d)),
+      // round-12 gram-digest faces: the digest arrays come from a
+      // native expression, so prove the empty corpus flows through
+      "contamination" ->
+        ((d: DataFrame) => Dedup.contamination(d, col("doc_id") < 0)),
+      "nearContamination" ->
+        ((d: DataFrame) => Dedup.nearContamination(d, col("doc_id") < 0)),
+      "substringStats" -> ((d: DataFrame) => Dedup.substringStats(d)),
+      "segmentDedup" -> ((d: DataFrame) => Dedup.segmentDedup(d)),
+      "boilerplateStrip" -> ((d: DataFrame) => Dedup.boilerplateStrip(d)),
+      "weightedSample" -> ((d: DataFrame) => Sampling.weightedSample(d)))
     faces.foreach { case (name, f) =>
       val out = f(emptyDocs)
       assert(out.schema.nonEmpty, s"$name lost its schema")
       assert(out.count() == 0, s"$name fabricated rows from nothing")
+    }
+  }
+
+  test("attrition over an emptied corpus emits NULL drop rates, " +
+      "never a division error") {
+    val rows = graft.operators.Corpus.attrition(spark, emptyDocs)
+      .orderBy(col("stage")).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L)
+      assert(r.isNullAt(3),
+        s"stage ${r.getString(0)}: drop_permille must be NULL at prev=0")
     }
   }
 
