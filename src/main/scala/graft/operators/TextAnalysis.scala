@@ -881,9 +881,13 @@ object TextAnalysis {
   def qualityAuc(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = docs
+      // NULLIF before the cast: a source with no trailing digits
+      // (adversarial/foreign feeds) extracts '' and an ANSI cast
+      // throws — NULLIF makes the label NULL, the when() below counts
+      // it as negative, and the oracle applies the identical NULLIF
       .select(col("lang"), col("n_chars").as("score"),
-        (regexp_extract(col("source"), "(\\d+)$", 1).cast("long") % 2
-          === 0).as("pos"))
+        (nullif(regexp_extract(col("source"), "(\\d+)$", 1), lit(""))
+          .cast("long") % 2 === 0).as("pos"))
       .groupBy(col("lang"), col("score"))
       .agg(count(lit(1)).as("n_s"),
         sum(when(col("pos"), 1L).otherwise(0L)).as("p_s"))
@@ -961,8 +965,11 @@ object TextAnalysis {
     docs
       .groupBy(expr("n_chars div 64").as("bin"))
       .agg(count(lit(1)).as("n"),
-        sum(when(regexp_extract(col("source"), "(\\d+)$", 1)
-          .cast("long") % 2 === 0, 1L).otherwise(0L)).as("n_pos"))
+        // NULLIF before the cast — the qualityAuc label contract: a
+        // digitless source is a NULL label and counts as negative
+        sum(when(nullif(regexp_extract(col("source"), "(\\d+)$", 1),
+            lit("")).cast("long") % 2 === 0, 1L).otherwise(0L))
+          .as("n_pos"))
       .select(col("bin"), col("n"), col("n_pos"),
         expr("1000 * n_pos div n").as("pos_permille"))
       .orderBy(col("bin"))
@@ -1123,13 +1130,16 @@ object TextAnalysis {
         |      ('def', 'return', 'import', 'if', 'else', 'for', 'while',
         |       'var', 'const', 'class'))) >= 3 AS is_code
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // same fixed-width bins, label rule, and integer permille
+    // same fixed-width bins, label rule (NULLIF before the cast — a
+    // digitless source is a NULL label counted negative), integer
+    // permille
     "text_calibration" ->
       """SELECT n_chars // 64 AS bin, COUNT(*) AS n,
-        |  CAST(SUM(CASE WHEN CAST(REGEXP_EXTRACT(source, '(\d+)$', 1)
-        |    AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-        |  CAST(1000 * SUM(CASE WHEN CAST(REGEXP_EXTRACT(source,
-        |    '(\d+)$', 1) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END)
+        |  CAST(SUM(CASE WHEN CAST(NULLIF(REGEXP_EXTRACT(source,
+        |    '(\d+)$', 1), '') AS BIGINT) % 2 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(1000 * SUM(CASE WHEN CAST(NULLIF(REGEXP_EXTRACT(source,
+        |    '(\d+)$', 1), '') AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END)
         |    // COUNT(*) AS BIGINT) AS pos_permille
         |FROM documents GROUP BY 1 ORDER BY bin""".stripMargin,
     // same power-of-two bucket (LENGTH(BIN(n))−1), first-occurrence
@@ -1170,8 +1180,9 @@ object TextAnalysis {
     "text_quality_auc" ->
       """WITH h AS (
         |  SELECT lang, n_chars AS score, COUNT(*) AS n_s,
-        |    CAST(SUM(CASE WHEN CAST(REGEXP_EXTRACT(source, '(\d+)$', 1)
-        |      AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS p_s
+        |    CAST(SUM(CASE WHEN CAST(NULLIF(REGEXP_EXTRACT(source,
+        |      '(\d+)$', 1), '') AS BIGINT) % 2 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS p_s
         |  FROM documents GROUP BY 1, 2),
         |c AS (
         |  SELECT lang, score, n_s, p_s,
