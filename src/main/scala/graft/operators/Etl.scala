@@ -511,7 +511,69 @@ object Etl {
       .orderBy(col("c_custkey"))
   }
 
+  // -- CNPJ-style mod-11 check-digit validation ----------------------------
+
+  /** Weighted mod-11 check digit over the first `ws.length` digits of
+    * string column/expression `s` — the Receita Federal registry rule
+    * (CNPJ shown; CPF differs only in weights). dv = 0 when
+    * (Σ dᵢ·wᵢ) mod 11 < 2, else 11 − that remainder. ONE generator
+    * emits the arithmetic for BOTH engines (the etl_zorder
+    * one-arithmetic-two-engines discipline) — SUBSTR, CAST and % are
+    * dialect-shared. */
+  private[graft] def dvSql(s: String, ws: Seq[Int]): String = {
+    val sum = ws.zipWithIndex.map { case (w, i) =>
+      s"CAST(SUBSTR($s, ${i + 1}, 1) AS BIGINT) * $w" }.mkString(" + ")
+    s"CASE WHEN ($sum) % 11 < 2 THEN 0 ELSE 11 - ($sum) % 11 END"
+  }
+  private[graft] val Dv1Weights = Seq(5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2)
+  private[graft] val Dv2Weights = Seq(6, 5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2)
+
+  /** Registry check-digit audit — the domain validation the
+    * reference's own data (Receita Federal public registries) is
+    * universally subjected to before a load is trusted: every CNPJ
+    * carries two weighted mod-11 check digits, and a corrupted
+    * extract (truncation, column shift, encoding damage) is caught by
+    * recomputing them from the number alone. The fixture-in-operator
+    * pattern synthesizes a 14-digit registry number per customer
+    * (base = zero-padded custkey, both digits computed correctly) and
+    * CORRUPTS the second check digit of every 7th key, so both
+    * engines derive the identical planted-invalid slice at every SF.
+    * The validator path is independent of the construction path: it
+    * re-derives both digits from the number's first 12/13 digits —
+    * exactly what a production gate does to an arriving feed.
+    *
+    * Scale shape: ~25 SUBSTR/multiply ops per row inside whole-stage
+    * codegen, then ONE map-side-combined segment rollup — the
+    * dq-audit cost model (the scan is the price, never a wide
+    * shuffle). */
+  def checkDigitAudit(customer: DataFrame): DataFrame =
+    customer
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 2 === 0, "PAR").otherwise("IMPAR")
+          .as("segmento"),
+        expr("LPAD(CAST(c_custkey % 1000000000000 AS STRING), 12, '0')")
+          .as("base12"))
+      .withColumn("dv1", expr(dvSql("base12", Dv1Weights)))
+      .withColumn("s13", concat(col("base12"), col("dv1").cast("string")))
+      .withColumn("dv2", expr(dvSql("s13", Dv2Weights)))
+      .withColumn("cnpj", concat(col("s13"),
+        when(col("c_custkey") % 7 === 0, (col("dv2") + 1) % 10)
+          .otherwise(col("dv2")).cast("string")))
+      .withColumn("vdv1", expr(dvSql("SUBSTR(cnpj, 1, 12)", Dv1Weights)))
+      .withColumn("vdv2", expr(dvSql("SUBSTR(cnpj, 1, 13)", Dv2Weights)))
+      .withColumn("valid",
+        expr("CAST(SUBSTR(cnpj, 13, 1) AS BIGINT)") === col("vdv1") &&
+          expr("CAST(SUBSTR(cnpj, 14, 1) AS BIGINT)") === col("vdv2"))
+      .groupBy(col("segmento"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+        sum(when(!col("valid"), 1L).otherwise(0L)).as("n_invalid"))
+      .orderBy(col("segmento"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // registry check-digit audit over the synthesized CNPJ column
+    "etl_check_digit" -> ((s, dir) =>
+      checkDigitAudit(Tables.load(s, dir, "customer"))),
     // -- full referential-integrity map (six FK edges, orphan census) -----
     "etl_fk_orphans" -> ((s, dir) => fkOrphans(s, dir)),
     "etl_inferred_dim" -> ((s, dir) =>
@@ -1119,6 +1181,38 @@ object Etl {
     ).mkString("", "UNION ALL\n", "ORDER BY relation")
     Map(
       "etl_fk_orphans" -> fkOrphansSql,
+      // the same dvSql generator emits the mod-11 arithmetic for both
+      // engines (only the string-cast keyword differs); construction,
+      // planted corruption (%7), independent revalidation and the
+      // segment rollup all replay relationally
+      "etl_check_digit" -> {
+        val base = "LPAD(CAST(c_custkey % 1000000000000 AS VARCHAR), " +
+          "12, '0')"
+        s"""WITH b AS (
+           |  SELECT c_custkey,
+           |    CASE WHEN c_custkey % 2 = 0 THEN 'PAR' ELSE 'IMPAR' END
+           |      AS segmento,
+           |    $base AS base12 FROM customer),
+           |d1 AS (SELECT *, ${dvSql("base12", Dv1Weights)} AS dv1 FROM b),
+           |d2 AS (SELECT *, base12 || CAST(dv1 AS VARCHAR) AS s13
+           |       FROM d1),
+           |d3 AS (SELECT *, ${dvSql("s13", Dv2Weights)} AS dv2 FROM d2),
+           |c AS (SELECT *, s13 || CAST(CASE WHEN c_custkey % 7 = 0
+           |        THEN (dv2 + 1) % 10 ELSE dv2 END AS VARCHAR) AS cnpj
+           |      FROM d3),
+           |v AS (SELECT segmento, cnpj,
+           |    ${dvSql("SUBSTR(cnpj, 1, 12)", Dv1Weights)} AS vdv1,
+           |    ${dvSql("SUBSTR(cnpj, 1, 13)", Dv2Weights)} AS vdv2
+           |  FROM c)
+           |SELECT segmento, COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN CAST(SUBSTR(cnpj, 13, 1) AS BIGINT) = vdv1
+           |    AND CAST(SUBSTR(cnpj, 14, 1) AS BIGINT) = vdv2
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           |  CAST(SUM(CASE WHEN CAST(SUBSTR(cnpj, 13, 1) AS BIGINT) = vdv1
+           |    AND CAST(SUBSTR(cnpj, 14, 1) AS BIGINT) = vdv2
+           |    THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
+           |FROM v GROUP BY segmento ORDER BY segmento""".stripMargin
+      },
       // the oracle is a FULL INDEPENDENT RECOMPUTATION of the digests
       // (LIST_REDUCE polynomial fold over the same canonical string),
       // so hash equality here is the actual migration-validation

@@ -5,6 +5,27 @@ import graft.operators.{Cleaning, TextAnalysis}
 import graft.sources.Sinks
 
 class TextEtlSpec extends GraftSpec {
+
+  test("check-digit audit: the canonical CNPJ validates by hand, the " +
+      "planted-invalid slice is exactly the %7 keys") {
+    import graft.operators.Etl
+    // 11.222.333/0001-81 — the textbook valid CNPJ: dv1 = 8, dv2 = 1
+    val dv = spark.sql(
+      s"SELECT ${Etl.dvSql("'112223330001'", Etl.Dv1Weights)} AS d1, " +
+        s"${Etl.dvSql("'1122233300018'", Etl.Dv2Weights)} AS d2")
+      .collect().head
+    assert(dv.getLong(0) == 8L && dv.getLong(1) == 1L,
+      s"canonical CNPJ digits: got (${dv.getLong(0)}, ${dv.getLong(1)})")
+    // audit over keys 1..70: invalid = the 10 multiples of 7, split
+    // 5 even (PAR) / 5 odd (IMPAR); everything else validates
+    import spark.implicits._
+    val cust = (1L to 70L).map(k => (k, s"c$k")).toDF("c_custkey", "c_name")
+    val got = Etl.checkDigitAudit(cust).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got("PAR") == ((35L, 30L, 5L)), s"PAR: ${got("PAR")}")
+    assert(got("IMPAR") == ((35L, 30L, 5L)), s"IMPAR: ${got("IMPAR")}")
+  }
   import spark.implicits._
 
   test("quality scores: exact values on a crafted doc") {
