@@ -330,38 +330,96 @@ object Dedup {
         xxhash64(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1,
           lit(RowsPerBand))).as("bucket"))
 
-  /** Candidate pairs (doc_a < doc_b) from any shared LSH bucket.
+  /** Degenerate-bucket cap for LSH candidate generation: buckets whose
+    * occupancy (AFTER the exact pre-collapse below) exceeds this are
+    * DROPPED from pair generation and surfaced in the audit frame —
+    * the [[graft.operators.Similarity]] `bucketStats`/`emb_lsh_audit`
+    * discipline applied to MinHash. 1024 distinct texts agreeing on a
+    * full band (4 of 64 signature slots) is no longer near-dup
+    * evidence, it is a pathological key that would emit >0.5M pairs
+    * from one bucket. */
+  val MaxBucket = 1024
+
+  /** Restrict a corpus to its exact-duplicate REPRESENTATIVES: the
+    * smallest doc_id per distinct text (the [[exact]] census as a
+    * semi-join). Byte-identical duplicates carry no extra near-dup
+    * information — their signatures, buckets, and Jaccard relations
+    * are identical to their representative's — but a production
+    * boilerplate mega-cluster (10⁶ identical docs) would otherwise
+    * land in ONE bucket and emit O(n²) candidate pairs. Pipelines
+    * that need per-member verdicts expand the representative's
+    * verdict back over the group (see [[nearDupClusters]],
+    * [[incrementalNear]]). */
+  private def exactReps(docs: DataFrame): DataFrame = {
+    val reps = docs.groupBy(xxhash64(col("text")).as("_ch"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs.join(reps, Seq("doc_id"), "left_semi")
+  }
+
+  /** (doc_id, rep) for every document — rep = smallest doc_id sharing
+    * the exact text. ONE window shuffle over (8B hash, 8B id) rows. */
+  private def exactRepMap(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("doc_id"), xxhash64(col("text")).as("_ch"))
+      .withColumn("rep",
+        min(col("doc_id")).over(Window.partitionBy(col("_ch"))))
+      .select(col("doc_id"), col("rep"))
+  }
+
+  /** Candidate pairs (doc_a < doc_b) from any shared LSH bucket, over
+    * exact-duplicate REPRESENTATIVES only (see [[exactReps]]), with
+    * degenerate buckets cut at [[MaxBucket]].
     *
     * The signature pipeline still evaluates ONCE — the banded frame is
     * narrow (doc_id, band, bucket) and localCheckpoints cheaply — but
     * pairs come from a (band, bucket) equi-self-join over the
     * checkpointed rows restricted (semi-join on metadata-scale counts)
-    * to buckets with >1 member, NOT from collect_list + in-array pair
-    * explosion. Two scale reasons: the join's generated loop emits
-    * pairs without ever materializing a bucket's id list as one array
-    * row (a cluster of boilerplate duplicates at production scale would
-    * be a multi-GB collect_list row on a single executor — the pair
-    * VOLUME for such a cluster is inherent to all-pairs near-dup, the
-    * single giant row is not), and per-pair generation cost drops from
-    * the HOF lambda interpreter (~2 µs/pair) into codegen. Shuffles:
-    * the count agg, the self-join (both keyed on (band, bucket)), and
-    * the pair distinct. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val b = banded(docs).localCheckpoint(true)
-    val keep = b.groupBy(col("band"), col("bucket"))
+    * to buckets with 1 < n <= maxBucket, NOT from collect_list +
+    * in-array pair explosion. Two scale reasons: the join's generated
+    * loop emits pairs without ever materializing a bucket's id list as
+    * one array row, and per-pair generation cost drops from the HOF
+    * lambda interpreter (~2 µs/pair) into codegen. Shuffles: the exact
+    * census, the count agg, the self-join (keyed on (band, bucket)),
+    * and the pair distinct. Worst-case pair volume is now bounded by
+    * buckets·maxBucket² rather than n² — the exact pre-collapse
+    * removes the byte-identical mega-cluster case entirely, and the
+    * cap bounds whatever distinct-text degeneracy remains (audited,
+    * never silent: [[minhashCandidatesAudited]]). */
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesAudited(docs)._1
+
+  /** [[minhashCandidates]] plus the audit frame of DROPPED buckets —
+    * (band, bucket, n) for every bucket whose occupancy exceeded
+    * `maxBucket`. An empty audit means pair recall is exact over
+    * representatives (the CORRECTNESS gate replays the all-pairs truth
+    * and stays green precisely because the cap never fires at gate
+    * scale); a non-empty one quantifies what a pathological corpus
+    * would have cost. */
+  def minhashCandidatesAudited(docs: DataFrame,
+      maxBucket: Int = MaxBucket): (DataFrame, DataFrame) = {
+    val b = banded(exactReps(docs)).localCheckpoint(true)
+    val counts = b.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    val keep = counts.filter(col("n") <= maxBucket)
       .select(col("band"), col("bucket"))
+    val dropped = counts.filter(col("n") > maxBucket)
     val kept = b.join(keep, Seq("band", "bucket"), "left_semi")
-    kept.withColumnRenamed("doc_id", "doc_a")
+    val cands = kept.withColumnRenamed("doc_id", "doc_a")
       .join(kept.withColumnRenamed("doc_id", "doc_b"),
         Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+    (cands, dropped)
   }
 
   /** Verified near-dup pairs: LSH candidates with exact word-shingle
-    * Jaccard >= threshold.
+    * Jaccard >= threshold, among exact-duplicate REPRESENTATIVES (the
+    * [[minhashCandidates]] contract — byte-identical copies are
+    * collapsed before banding; their pair relations are recovered by
+    * expansion in [[nearDupClusters]]/[[incrementalNear]], never by
+    * re-emitting the O(group²) within-group pairs).
     *
     * The verify stage shingles ONLY candidate-involved documents: the
     * (tiny) candidate pair frame is checkpointed, its id set semi-joins
@@ -397,27 +455,49 @@ object Dedup {
     * Scale shape: the store probe is an equi-join on (band, bucket) —
     * uniformly hashed keys, no skew; a mostly-novel daily batch
     * produces few candidates, so the expensive shingle verify touches
-    * a small id set (candidateShingles). The oracle replays the TRUE
-    * all-pairs Jaccard answer over the same split, so a green hash
-    * also proves LSH recall across the history×batch boundary — the
-    * dedup_minhash contract extended to the incremental shape. */
+    * a small id set (candidateShingles). Both sides are exact-collapsed
+    * to representatives before banding and buckets are capped at
+    * `maxBucket` over the COMBINED occupancy (the [[minhashCandidates]]
+    * discipline — a boilerplate mega-cluster arriving in one batch, or
+    * accumulated in the history store, must not emit O(n²) candidates);
+    * member verdicts are recovered EXACTLY by expansion: a member's
+    * text equals its representative's, so dup_of_history(member) =
+    * dup_of_history(rep), and dup_in_batch(member) = true (the rep
+    * itself is a smaller-id batch duplicate at Jaccard 1). The oracle
+    * replays the TRUE all-pairs Jaccard answer over the same split, so
+    * a green hash also proves LSH recall across the history×batch
+    * boundary AND the collapse/expansion algebra — the dedup_minhash
+    * contract extended to the incremental shape. */
   def incrementalNear(history: DataFrame, batch: DataFrame,
-      threshold: Double = 0.8): DataFrame = {
-    val store = banded(history).withColumnRenamed("doc_id", "hist_id")
+      threshold: Double = 0.8, maxBucket: Int = MaxBucket): DataFrame = {
+    val histReps = exactReps(history)
+    val bmap = exactRepMap(batch).localCheckpoint(true)
+    val batchReps = batch.join(
+      bmap.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val store = banded(histReps).withColumnRenamed("doc_id", "hist_id")
       .localCheckpoint(true)
-    val probe = banded(batch).localCheckpoint(true)
-    val histCands = probe.join(store, Seq("band", "bucket"))
+    val probe = banded(batchReps).localCheckpoint(true)
+    // degenerate-bucket cut over the combined store+probe occupancy
+    val keep = store.select(col("band"), col("bucket"))
+      .unionAll(probe.select(col("band"), col("bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val storeK = store.join(keep, Seq("band", "bucket"), "left_semi")
+    val probeK = probe.join(keep, Seq("band", "bucket"), "left_semi")
+    val histCands = probeK.join(storeK, Seq("band", "bucket"))
       .select(col("doc_id").as("doc_a"), col("hist_id").as("doc_b"))
       .distinct()
-    val p2 = probe.select(col("band"), col("bucket"), col("doc_id"))
+    val p2 = probeK.select(col("band"), col("bucket"), col("doc_id"))
     val batchCands = p2.toDF("band", "bucket", "doc_a")
       .join(p2.toDF("band", "bucket", "doc_b"), Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     // ONE tagged verify pass for both candidate families — the
-    // corpus is scanned once for the shingle lookup, not once per
+    // rep corpus is scanned once for the shingle lookup, not once per
     // family (candidateShingles ignores the tag column)
-    val corpus = history.unionByName(batch)
+    val corpus = histReps.unionByName(batchReps)
     val cands = histCands.withColumn("from_history", lit(true))
       .unionByName(batchCands.withColumn("from_history", lit(false)))
       .localCheckpoint(true)
@@ -432,19 +512,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("from_history"))
       .localCheckpoint(true)
     val histDup = ver.filter(col("from_history"))
-      .select(col("doc_a").as("doc_id")).distinct()
+      .select(col("doc_a").as("rep")).distinct()
       .withColumn("doh", lit(true))
     val batchDup = ver.filter(!col("from_history"))
-      .select(col("doc_b").as("doc_id")).distinct()
+      .select(col("doc_b").as("rep")).distinct()
       .withColumn("dib", lit(true))
-    batch.select(col("doc_id"))
-      .join(histDup, Seq("doc_id"), "left_outer")
-      .join(batchDup, Seq("doc_id"), "left_outer")
+    // expand rep verdicts over exact-dup members: same text ⇒ same
+    // history relations; the rep (smaller id, Jaccard 1) makes every
+    // non-rep member dup_in_batch by definition
+    bmap
+      .join(histDup, Seq("rep"), "left_outer")
+      .join(batchDup, Seq("rep"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("doh"), lit(false)).as("dup_of_history"),
-        coalesce(col("dib"), lit(false)).as("dup_in_batch"),
-        (!coalesce(col("doh"), lit(false)) &&
-          !coalesce(col("dib"), lit(false))).as("keep"))
+        (col("doc_id") =!= col("rep") ||
+          coalesce(col("dib"), lit(false))).as("dup_in_batch"))
+      .withColumn("keep", !col("dup_of_history") && !col("dup_in_batch"))
       .orderBy(col("doc_id"))
   }
 
@@ -823,9 +906,36 @@ object Dedup {
     (children.union(selfLabeled).orderBy(col("doc_id")), iter)
   }
 
-  /** Cluster resolution over the verified MinHash near-dup pairs. */
-  def nearDupClusters(docs: DataFrame): DataFrame =
-    resolveClusters(minhashPairs(docs))
+  /** Cluster resolution over the verified MinHash near-dup pairs, with
+    * exact-duplicate members EXPANDED back in: [[minhashPairs]] emits
+    * pairs among exact-representatives only (the mega-cluster cut), so
+    * the star-forest labels are computed over representatives and then
+    * joined over the (doc_id → rep) map — a member belongs to its
+    * rep's cluster (identical text ⇒ identical Jaccard relations), and
+    * an exact-dup group whose rep has no near-dup pair is itself a
+    * cluster labeled by the rep. Output is IDENTICAL to resolving the
+    * un-collapsed pair graph (members form Jaccard-1 cliques through
+    * their rep; the component minimum is always a rep because each
+    * group's minimum id IS its rep) at a fraction of the pair volume —
+    * the dedup_cluster oracle still replays the raw all-pairs
+    * reachability, so the equivalence is on the gate. */
+  def nearDupClusters(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = docs
+      .select(col("doc_id"), xxhash64(col("text")).as("_ch"))
+      .withColumn("rep",
+        min(col("doc_id")).over(Window.partitionBy(col("_ch"))))
+      .withColumn("grp_n",
+        count(lit(1)).over(Window.partitionBy(col("_ch"))))
+      .select(col("doc_id"), col("rep"), col("grp_n"))
+    val repLabels = resolveClusters(minhashPairs(docs))
+      .withColumnsRenamed(Map("doc_id" -> "rep", "keep_id" -> "rep_label"))
+    grouped.join(repLabels, Seq("rep"), "left_outer")
+      .filter(col("rep_label").isNotNull || col("grp_n") > 1)
+      .select(col("doc_id"),
+        coalesce(col("rep_label"), col("rep")).as("keep_id"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Canonical-member selection by QUALITY within each near-dup
     * cluster — production dedup keeps the best member, not the lowest
@@ -1133,8 +1243,10 @@ object Dedup {
         |LEFT JOIN dib ON b.doc_id = dib.doc_id
         |ORDER BY b.doc_id""".stripMargin,
     "dedup_minhash" ->
-      """WITH toks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t
-        |             FROM documents),
+      """WITH reps AS (SELECT MIN(doc_id) AS doc_id, text
+        |             FROM documents GROUP BY text),
+        |toks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t
+        |             FROM reps),
         |grams AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2],' ') AS g
         |          FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t)-2,1)+1)) AS r(i)),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
@@ -1148,10 +1260,13 @@ object Dedup {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
-    // Same all-pairs-vs-LSH-recall contract, char-5-gram space.
+    // Same all-pairs-vs-LSH-recall contract, char-5-gram space, over
+    // the same exact-representative collapse as the engine.
     "dedup_ngram_jaccard" ->
-      """WITH grams AS (SELECT DISTINCT doc_id, text[i:i+4] AS g
-        |  FROM documents,
+      """WITH reps AS (SELECT MIN(doc_id) AS doc_id, text
+        |  FROM documents GROUP BY text),
+        |grams AS (SELECT DISTINCT doc_id, text[i:i+4] AS g
+        |  FROM reps,
         |    UNNEST(RANGE(1, GREATEST(LEN(text)-4,1)+1)) AS r(i)),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i

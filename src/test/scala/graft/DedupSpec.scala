@@ -388,6 +388,76 @@ class DedupSpec extends GraftSpec {
     assert(8L * 5 >= 38L)
   }
 
+  test("planted mega-cluster: 1000 byte-identical docs collapse before " +
+      "banding — candidate volume is rep-bounded and clusters expand " +
+      "exactly") {
+    // the classic LSH scale-killer: a boilerplate mega-cluster lands in
+    // ONE bucket per band and (pre-fix) emitted O(n²) ≈ 500k pairs.
+    // After the exact pre-collapse only the representative is banded.
+    val base = (1 to 40).map(i => s"m$i").mkString(" ")
+    val mega = (0L until 1000L).map(i => (10L + i * 2, base))
+    val docs = (mega ++ Seq((5001L, base + " tail extra"),
+      (7001L, (1 to 40).map(i => s"q$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val (cands, audit) = Dedup.minhashCandidatesAudited(docs)
+    val c = cands.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reps = {10, 5001, 7001}: at most C(3,2) candidate pairs, vs the
+    // ~499500 the uncollapsed mega-bucket would have produced
+    assert(c.length <= 3, s"candidate volume not rep-bounded: ${c.length}")
+    assert(c.contains((10L, 5001L)), s"near-dup candidate lost: ${c.toSeq}")
+    assert(audit.isEmpty, "no bucket should exceed the cap after collapse")
+    // pairs stay rep-only; the cluster face recovers every member
+    val pairs = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((10L, 5001L)), s"pairs: ${pairs.toSeq}")
+    val labels = Dedup.nearDupClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 1001, s"expanded cluster size ${labels.length}")
+    assert(labels.forall(_._2 == 10L), "all members must label to rep 10")
+    assert(!labels.exists(_._1 == 7001L), "singleton unrelated doc clustered")
+    // weights see the whole group through the expansion
+    val w = Dedup.clusterWeights(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(w(10L) == 1001L && w(7001L) == 1L, s"weights: $w")
+  }
+
+  test("distinct-text degenerate buckets above the cap are dropped and " +
+      "audited, never silently exploded") {
+    // 6 DISTINCT texts at pairwise Jaccard ~1 co-bucket on most bands —
+    // with maxBucket=3 those buckets must drop into the audit frame
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 6L).map(i => (i, s"$base t$i"))
+      .toDF("doc_id", "text")
+    val (_, audit) = Dedup.minhashCandidatesAudited(docs, maxBucket = 3)
+    val dropped = audit.collect()
+    assert(dropped.nonEmpty, "cap never fired on a 6-member co-bucket")
+    assert(dropped.forall(_.getLong(2) > 3L),
+      "audit rows must only carry above-cap occupancies")
+    // with the default cap the same corpus generates candidates freely
+    val (cands, audit2) = Dedup.minhashCandidatesAudited(docs)
+    assert(audit2.isEmpty && cands.count() == 15L,
+      "default cap must admit the 6-member family (C(6,2) pairs)")
+  }
+
+  test("incremental near-dup expands exact-dup members to their rep's " +
+      "verdict across the history boundary") {
+    val h = (1 to 30).map(i => s"h$i").mkString(" ")
+    val novel = (1 to 30).map(i => s"n$i").mkString(" ")
+    val history = textsDF(1L -> h)
+    val batch = textsDF(
+      4L -> h,      // rep of the exact group, dup of history
+      6L -> h,      // member: inherits doh, dup_in_batch of its rep
+      9L -> novel,  // rep of the novel group: clean keeper
+      12L -> novel) // member: dup_in_batch only
+    val got = Dedup.incrementalNear(history, batch).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got(4L) == ((true, false, false)), s"4: ${got(4L)}")
+    assert(got(6L) == ((true, true, false)), s"6: ${got(6L)}")
+    assert(got(9L) == ((false, false, true)), s"9: ${got(9L)}")
+    assert(got(12L) == ((false, true, false)), s"12: ${got(12L)}")
+  }
+
   test("no dedup plan contains a cartesian product") {
     Seq("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
       "dedup_embedding").foreach { q =>
