@@ -59,6 +59,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "checksum primitive)"),
       (children: Seq[Expression]) => PolyDigest(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("poly_digest2"),
+      info("poly_digest2",
+        "poly_digest2(s) - WIDE seeded codepoint-polynomial digest: " +
+          "both PolyHash folds packed as h1*P2 + h2 (keyspace " +
+          "P1*P2 ~ 2^59.8); exactly replayable in standard SQL — the " +
+          "dedup-family group/join key"),
+      (children: Seq[Expression]) => PolyDigest2(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("entropy_nats"),
       info("entropy_nats",
         "entropy_nats(x) - Shannon entropy in nats of x's symbol " +
@@ -217,6 +225,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         expectArity("word_gram_digests(tokens, n)", 2, children)
         WordGramDigests(children.head, intArg(children(1), "n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_gram_digests2"),
+      info("word_gram_digests2",
+        "word_gram_digests2(tokens, n) - first-occurrence-distinct " +
+          "poly_digest2 values (both PolyHash folds packed, keyspace " +
+          "~2^59.8) of every word n-gram, computed without " +
+          "materializing gram strings; exactly replayable in " +
+          "standard SQL"),
+      (children: Seq[Expression]) => {
+        expectArity("word_gram_digests2(tokens, n)", 2, children)
+        WordGramDigests2(children.head, intArg(children(1), "n"))
       }))
     ext.injectFunction((
       FunctionIdentifier("kmv_kth"),

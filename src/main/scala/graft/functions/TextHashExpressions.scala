@@ -252,6 +252,51 @@ case class PolyDigest(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** WIDE seeded polynomial digest: BOTH [[PolyHash]] folds packed into
+  * one 64-bit value, h1·P2 + h2 with h1 = fold (acc·31 + cp) mod
+  * 1000000007 from seed 888888883 and h2 = fold (acc·37 + cp) mod
+  * 998244353 from seed 777777777. Still exact-integer SQL (two
+  * LIST_REDUCE folds and one multiply-add; max value (P1−1)·P2 +
+  * (P2−1) ≈ 9.98·10¹⁷ < 2⁶³), but the keyspace is P1·P2 ≈ 2^59.8 —
+  * the 50% birthday bound moves from ~37k distinct keys (a single
+  * mod-10⁹ fold — crossed by any sf1+ segment census) to ~1.2·10⁹.
+  * This is the digest the dedup-family GROUP/JOIN keys use; the
+  * narrow [[PolyDigest]] remains for checksum folds whose SUMs must
+  * stay far below int64. Production corpora above ~10⁹ distinct
+  * segments/grams should key on xxhash64 (2⁶⁴) and keep this digest
+  * for the oracle-gated faces — the documented size bound. */
+case class PolyDigest2(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "poly_digest2"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+
+  def compute(s: UTF8String): Long = {
+    import PolyHash._
+    val cps = codePoints(s)
+    hash(cps, 0, cps.length, B1, P1, S1) * P2 +
+      hash(cps, 0, cps.length, B2, P2, S2)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("polyDigest2Expr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolyDigest2 =
+    copy(child = newChild)
+}
+
 /** Distinct word n-gram digests over a token array, without EVER
   * building a gram string: element i of the result is
   * poly_digest(concat_ws(" ", slice(tokens, i, n))) — bit-identical to
@@ -271,8 +316,11 @@ case class PolyDigest(child: Expression) extends UnaryExpression {
   * gram. Positions run 1..max(m−n+1, 1): a document shorter than n
   * words contributes its single truncated whole-document gram, an
   * empty one the digest of "" (= the seed) — both exactly the
-  * wordShingles/slice clipping. Tokens must be non-null (split()
-  * output; concat_ws's null-skipping is NOT replicated). */
+  * wordShingles/slice clipping. NULL token elements fail loudly with
+  * a descriptive error: the callers feed split() output, which never
+  * contains NULL, and concat_ws's silent null-skipping is deliberately
+  * NOT replicated — a null here means a broken upstream projection,
+  * not absent data. */
 case class WordGramDigests(child: Expression, n: Int)
     extends UnaryExpression with StringArrayInput {
 
@@ -289,7 +337,7 @@ case class WordGramDigests(child: Expression, n: Int)
     val pw = new Array[Long](m)
     var k = 0
     while (k < m) {
-      val cps = codePoints(input.getUTF8String(k))
+      val cps = codePoints(WordGramDigests.tokenAt(input, k, prettyName))
       h(k) = hash(cps, 0, cps.length, B1, P1, 0L)
       var p = 1L; var i = 0
       while (i < cps.length) { p = p * B1 % P1; i += 1 }
@@ -299,10 +347,8 @@ case class WordGramDigests(child: Expression, n: Int)
     val g = math.max(m - n + 1, 1)
     // first-occurrence distinct via linear probing; digests are in
     // [0, P1) so -1 is a safe empty slot
-    var cap = 8
-    while (cap < g * 2) cap <<= 1
-    val slots = new Array[Long](cap)
-    java.util.Arrays.fill(slots, -1L)
+    val slots = WordGramDigests.probeTable(g, prettyName)
+    val cap = slots.length
     val out = new Array[Long](g)
     var nOut = 0
     var i = 0
@@ -341,6 +387,121 @@ case class WordGramDigests(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordGramDigests =
+    copy(child = newChild)
+}
+
+object WordGramDigests {
+  /** Token accessor failing LOUDLY on NULL elements — getUTF8String
+    * returns null there, which previously surfaced as an executor NPE
+    * deep inside the fold. */
+  private[functions] def tokenAt(input: ArrayData, k: Int,
+      fn: String): UTF8String = {
+    val tok = input.getUTF8String(k)
+    if (tok == null) throw new IllegalArgumentException(
+      s"$fn: NULL token at position $k — token arrays must be " +
+        "null-free (split() output); a null indicates a broken " +
+        "upstream projection, not absent data")
+    tok
+  }
+
+  /** Power-of-two linear-probe table sized 2·g, computed in LONG
+    * arithmetic: the previous `while (cap < g * 2) cap <<= 1` Int loop
+    * overflowed (looping forever) past 2³⁰ grams. Sizes above 2²⁹
+    * grams (a half-billion-word single row) fail loudly instead. */
+  private[functions] def probeTable(g: Int, fn: String): Array[Long] = {
+    if (g > (1 << 29)) throw new IllegalArgumentException(
+      s"$fn: $g grams in one row exceeds the 2^29 probe capacity — " +
+        "split the document upstream")
+    var cap = 8L
+    while (cap < g.toLong * 2) cap <<= 1
+    val slots = new Array[Long](cap.toInt)
+    java.util.Arrays.fill(slots, -1L)
+    slots
+  }
+}
+
+/** WIDE variant of [[WordGramDigests]]: element i is
+  * poly_digest2(concat_ws(" ", slice(tokens, i, n))) — BOTH
+  * [[PolyHash]] fold chains run per gram and pack as h1·P2 + h2 (the
+  * [[PolyDigest2]] layout, keyspace P1·P2 ≈ 2^59.8). This is the gram
+  * key the dedup family joins/groups on: a single mod-10⁹ fold
+  * crosses its 50% birthday bound at ~37k distinct grams — reached by
+  * ANY sf1+ corpus census — where the packed pair holds it out to
+  * ~1.2·10⁹. Same per-word chain identity, clipping, first-occurrence
+  * distinctness, and null-element contract as the narrow face; the
+  * oracle replays both folds with two LIST_REDUCEs and one
+  * multiply-add. */
+case class WordGramDigests2(child: Expression, n: Int)
+    extends UnaryExpression with StringArrayInput {
+
+  require(n >= 1 && n <= 64, s"gram width out of range: $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "word_gram_digests2"
+
+  def compute(input: ArrayData): ArrayData = {
+    import PolyHash._
+    val m = input.numElements()
+    val h1 = new Array[Long](m); val pw1 = new Array[Long](m)
+    val h2 = new Array[Long](m); val pw2 = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      val cps = codePoints(WordGramDigests.tokenAt(input, k, prettyName))
+      h1(k) = hash(cps, 0, cps.length, B1, P1, 0L)
+      h2(k) = hash(cps, 0, cps.length, B2, P2, 0L)
+      var p1 = 1L; var p2 = 1L; var i = 0
+      while (i < cps.length) { p1 = p1 * B1 % P1; p2 = p2 * B2 % P2; i += 1 }
+      pw1(k) = p1; pw2(k) = p2
+      k += 1
+    }
+    val g = math.max(m - n + 1, 1)
+    // packed digests are in [0, P1·P2) so -1 stays a safe empty slot
+    val slots = WordGramDigests.probeTable(g, prettyName)
+    val cap = slots.length
+    val out = new Array[Long](g)
+    var nOut = 0
+    var i = 0
+    while (i < g) {
+      var s1 = S1; var s2 = S2
+      val end = math.min(i + n, m)
+      var j = i
+      while (j < end) {
+        s1 = (s1 * pw1(j) + h1(j)) % P1
+        s2 = (s2 * pw2(j) + h2(j)) % P2
+        if (j < end - 1) { // the joining space
+          s1 = (s1 * B1 + 32L) % P1
+          s2 = (s2 * B2 + 32L) % P2
+        }
+        j += 1
+      }
+      val s = s1 * P2 + s2
+      var slot = ((s * 0x9E3779B97F4A7C15L) >>> (64 - java.lang.Long
+        .numberOfTrailingZeros(cap))).toInt
+      var seen = false
+      while (slots(slot) != -1L && !seen) {
+        if (slots(slot) == s) seen = true
+        else slot = (slot + 1) & (cap - 1)
+      }
+      if (!seen) {
+        slots(slot) = s
+        out(nOut) = s; nOut += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordGramDigests2Expr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramDigests2 =
     copy(child = newChild)
 }
 

@@ -180,7 +180,7 @@ object Dedup {
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        explode(call_function("word_gram_digests", col("toks"), lit(n)))
+        explode(call_function("word_gram_digests2", col("toks"), lit(n)))
           .as("h"))
     val benchHashes = grams(corpus.filter(benchPred))
       .select(col("h")).distinct()
@@ -215,7 +215,7 @@ object Dedup {
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        explode(call_function("word_gram_digests", col("toks"), lit(n)))
+        explode(call_function("word_gram_digests2", col("toks"), lit(n)))
           .as("h"))
     val corpusGrams = grams(corpus)
     val benchGrams = grams(corpus.filter(benchPred))
@@ -265,7 +265,7 @@ object Dedup {
     val g = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        explode(call_function("word_gram_digests", col("toks"), lit(n)))
+        explode(call_function("word_gram_digests2", col("toks"), lit(n)))
           .as("h"))
     g.withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
@@ -613,6 +613,14 @@ object Dedup {
     require(maxDist >= 1 && maxDist < SimHashChunks,
       s"maxDist out of range for $SimHashChunks chunks: $maxDist")
     val w = (totalBits + SimHashChunks - 1) / SimHashChunks
+    // every chunk must be non-empty: with w = ceil(totalBits/6), a
+    // width like 7 gives the last chunks NEGATIVE widths, whose
+    // (1L << width) - 1 masks are garbage — fail loudly instead of
+    // bucketing on junk keys (the 60/64-bit faces both satisfy this)
+    require(totalBits > w * (SimHashChunks - 1),
+      s"totalBits=$totalBits leaves empty chunks at width $w — " +
+        s"use a signature width of at least ${5 * w + 1} bits for " +
+        s"$SimHashChunks chunks")
     def chunkVal(i: Int): Column = {
       val width = math.min(w, totalBits - w * i)
       val mask = (1L << width) - 1
@@ -704,7 +712,7 @@ object Dedup {
            |  sequence(0, cast(ceil(size(toks) / ${segWords}.0) as int) - 1),
            |  i -> array_join(slice(toks, i * $segWords + 1, $segWords), ' '))"""
           .stripMargin)).as(Seq("seg_idx", "seg")))
-      .withColumn("h", call_function("poly_digest", col("seg")))
+      .withColumn("h", call_function("poly_digest2", col("seg")))
     val kept = segs
       .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg")))
@@ -752,7 +760,7 @@ object Dedup {
            |  sequence(0, cast(ceil(size(toks) / ${segWords}.0) as int) - 1),
            |  i -> array_join(slice(toks, i * $segWords + 1, $segWords), ' '))"""
           .stripMargin)).as(Seq("seg_idx", "seg")))
-      .withColumn("h", call_function("poly_digest", col("seg")))
+      .withColumn("h", call_function("poly_digest2", col("seg")))
     val df = segs.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
     val flagged = segs.join(df, "h")
@@ -1018,22 +1026,34 @@ object Dedup {
     "dedup_boilerplate" -> ((s, dir) =>
       boilerplateStrip(Tables.load(s, dir, "documents"))))
 
+  /** DuckDB replay of the engine's poly_digest2/word_gram_digests2
+    * key: BOTH PolyHash code-point folds of `e`, packed h1·P2 + h2 —
+    * exact BIGINT arithmetic, one line. (A helper shared between
+    * ORACLE entries only; the engine side is the independent JVM
+    * expression, so there is no generator collusion.) */
+  private def dualDigestSql(e: String): String =
+    s"(LIST_REDUCE(LIST_PREPEND(CAST(888888883 AS BIGINT), " +
+      s"LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT($e, ''), c -> c <> ''), " +
+      s"c -> CAST(UNICODE(c) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % 1000000007) * 998244353 + " +
+      s"LIST_REDUCE(LIST_PREPEND(CAST(777777777 AS BIGINT), " +
+      s"LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT($e, ''), c -> c <> ''), " +
+      s"c -> CAST(UNICODE(c) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 37 + x) % 998244353))"
+
   def oracleSql: Map[String, String] = Map(
     // same segmentation, DISTINCT-doc frequency grouped on the
     // engine's own poly_digest segment fingerprint (collisions merge
     // identically in both engines), df>=3 removal and ordered
     // reassembly replayed relationally
     "dedup_boilerplate" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
         |segs AS (
         |  SELECT doc_id, i AS seg_idx,
         |    ARRAY_TO_STRING(t[i*10+1 : i*10+10], ' ') AS seg,
-        |    LIST_REDUCE(LIST_PREPEND(CAST(888888883 AS BIGINT),
-        |      LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(
-        |        ARRAY_TO_STRING(t[i*10+1 : i*10+10], ' '), ''),
-        |        c -> c <> ''), c -> CAST(UNICODE(c) AS BIGINT))),
-        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        |    ${dualDigestSql("ARRAY_TO_STRING(t[i*10+1 : i*10+10], ' ')")}
+        |      AS h
         |  FROM toks,
         |    UNNEST(RANGE(0, CAST(CEIL(LEN(t)/10.0) AS BIGINT))) AS r(i)),
         |df AS (
@@ -1063,15 +1083,12 @@ object Dedup {
     // collision merges the same gram pair in both engines), per-gram
     // document frequency, per-doc dup share, and the integer 20% cut
     "dedup_substring" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
         |grams AS (
         |  SELECT DISTINCT doc_id,
-        |    LIST_REDUCE(LIST_PREPEND(CAST(888888883 AS BIGINT),
-        |      LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(
-        |        ARRAY_TO_STRING(t[i + 1 : i + 13], ' '), ''), c -> c <> ''),
-        |        c -> CAST(UNICODE(c) AS BIGINT))),
-        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS g
+        |    ${dualDigestSql("ARRAY_TO_STRING(t[i + 1 : i + 13], ' ')")}
+        |      AS g
         |  FROM toks,
         |    UNNEST(RANGE(0, GREATEST(LEN(t) - 12, 1))) r(i)),
         |wd AS (
@@ -1092,7 +1109,7 @@ object Dedup {
     // both engines), per-doc reassembly — a dropped or misordered
     // segment anywhere fails the hash
     "dedup_segments" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
         |segs AS (
         |  SELECT doc_id, i AS seg_idx,
@@ -1102,10 +1119,7 @@ object Dedup {
         |kept AS (
         |  SELECT doc_id, seg_idx, seg,
         |    ROW_NUMBER() OVER (PARTITION BY
-        |      LIST_REDUCE(LIST_PREPEND(CAST(888888883 AS BIGINT),
-        |        LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(seg, ''),
-        |          c -> c <> ''), c -> CAST(UNICODE(c) AS BIGINT))),
-        |        (acc, x) -> (acc * 31 + x) % 1000000007)
+        |      ${dualDigestSql("seg")}
         |      ORDER BY doc_id, seg_idx) AS rn
         |  FROM segs),
         |rebuilt AS (
@@ -1164,15 +1178,12 @@ object Dedup {
     // both engines and the hash still matches; the LIST_FILTER drops
     // the '' char STRING_SPLIT fabricates for an empty gram
     "dedup_contain" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
         |grams AS (
         |  SELECT DISTINCT doc_id,
-        |    LIST_REDUCE(LIST_PREPEND(CAST(888888883 AS BIGINT),
-        |      LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(
-        |        ARRAY_TO_STRING(t[i:i+12], ' '), ''), c -> c <> ''),
-        |        c -> CAST(UNICODE(c) AS BIGINT))),
-        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS g
+        |    ${dualDigestSql("ARRAY_TO_STRING(t[i:i+12], ' ')")}
+        |      AS g
         |  FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 12, 1) + 1)) AS r(i)),
         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
         |SELECT doc_id, COUNT(*) AS n_hits
@@ -1183,15 +1194,12 @@ object Dedup {
     // identically in both engines); int/int Jaccard divides
     // bit-identically on both engines
     "dedup_contain_near" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
         |grams AS (
         |  SELECT DISTINCT doc_id,
-        |    LIST_REDUCE(LIST_PREPEND(CAST(888888883 AS BIGINT),
-        |      LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(
-        |        ARRAY_TO_STRING(t[i:i+2], ' '), ''), c -> c <> ''),
-        |        c -> CAST(UNICODE(c) AS BIGINT))),
-        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS g
+        |    ${dualDigestSql("ARRAY_TO_STRING(t[i:i+2], ' ')")}
+        |      AS g
         |  FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 2, 1) + 1)) AS r(i)),
         |bench AS (SELECT doc_id AS eval_id, g FROM grams
         |          WHERE doc_id % 40 = 0),

@@ -133,6 +133,18 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("simhashPairsFrom rejects signature widths that leave empty " +
+      "chunks (negative mask widths)") {
+    val sigs = Seq((1L, 5L), (2L, 6L)).toDF("doc_id", "simhash")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairsFrom(sigs, totalBits = 7, maxDist = 3)
+    }
+    assert(e.getMessage.contains("empty chunks"), e.getMessage)
+    // the supported faces still pass the guard
+    Dedup.simhashPairsFrom(sigs, totalBits = 60, maxDist = 3).collect()
+    Dedup.simhashPairsFrom(sigs, totalBits = 64, maxDist = 3).collect()
+  }
+
   test("contamination flags verbatim 13-gram overlap with the benchmark") {
     val span = (1 to 15).map(i => s"s$i").mkString(" ") // 15 shared words
     val benchDoc = span + " " + (1 to 10).map(i => s"b$i").mkString(" ")

@@ -594,6 +594,67 @@ class FunctionsSpec extends GraftSpec {
     }
   }
 
+  test("poly_digest2 packs both folds (h1*P2 + h2) and word_gram_digests2 " +
+      "equals the composed built-ins everywhere") {
+    def fold(s: String, b: Long, p: Long, seed: Long): Long = {
+      var h = seed
+      s.codePoints().toArray.foreach(cp => h = (h * b + cp) % p)
+      h
+    }
+    def dual(s: String): Long =
+      fold(s, 31, 1000000007L, 888888883L) * 998244353L +
+        fold(s, 37, 998244353L, 777777777L)
+    val inputs = Seq("", "a", "abc", "the cat", "café", "😀x")
+    val got = inputs.toDF("s")
+      .selectExpr("poly_digest2(s) AS h").collect().map(_.getLong(0))
+    assert(got.toSeq == inputs.map(dual),
+      s"packed digest mismatch: ${got.toSeq} vs ${inputs.map(dual)}")
+    // keyspace is genuinely wider: strings colliding mod neither prime
+    // stay distinct, and every packed value decomposes back into the
+    // two folds (h1 = h / P2, h2 = h % P2)
+    got.zip(inputs).foreach { case (h, s) =>
+      assert(h / 998244353L == fold(s, 31, 1000000007L, 888888883L))
+      assert(h % 998244353L == fold(s, 37, 998244353L, 777777777L))
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aa bb aa bb aa bb aa bb aa bb",
+      "one two", "solo", "",
+      "café 😀x naïve über café 😀x naïve",
+      (1 to 40).map(i => s"w${i % 7}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Seq(1, 3, 5, 13).foreach { n =>
+      val g = df.selectExpr("doc_id",
+        s"word_gram_digests2(split(text, ' '), $n) AS g")
+        .orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq)
+      val w = df.selectExpr("doc_id",
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)),
+           |  i -> poly_digest2(
+           |    concat_ws(' ', slice(split(text, ' '), i, $n))))) AS g"""
+          .stripMargin)
+        .orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq)
+      assert(g.toSeq == w.toSeq, s"n=$n: ${g.toSeq} vs ${w.toSeq}")
+    }
+  }
+
+  test("word_gram_digests rejects NULL token elements with a " +
+      "descriptive error instead of an executor NPE") {
+    Seq("word_gram_digests", "word_gram_digests2").foreach { fn =>
+      val e = intercept[Exception] {
+        Seq(Tuple1(Seq("a", null, "c"))).toDF("toks")
+          .selectExpr(s"$fn(toks, 2) AS g").collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c =>
+        c.isInstanceOf[IllegalArgumentException] &&
+          c.getMessage.contains("NULL token")),
+        s"$fn: wrong failure ${e.getMessage}")
+    }
+  }
+
   test("wav_window_energy windows the PCM fold: hand energies, short " +
       "tail, chunk walk, NULL off-contract; VAD face segments gate") {
     def wav(samples: Array[Int], bits: Int = 8,
