@@ -53,8 +53,17 @@ object Landing {
     * writes on day one: connect/read timeouts, bounded retries with
     * exponential backoff, and PARTIAL-CONTENT RESUME — bytes received
     * before a mid-body failure are kept and the retry asks for the
-    * remainder with a `Range` header (a 206 response appends; a 200
-    * means the server ignored the range, so the buffer restarts).
+    * remainder with a `Range` header, VERSION-GUARDED by `If-Range`:
+    * the ETag (or, failing that, Last-Modified) of the first response
+    * is captured and sent with every resume, so a server whose
+    * archive changed between attempts answers 200 with the new full
+    * body instead of splicing bytes of two versions into the buffer
+    * (a same-length update would otherwise pass the declared-length
+    * check and land silently corrupt). A response exposing NO
+    * validator cannot be resumed safely — the buffer restarts from
+    * zero on retry. A 206 appends; a 200 on a resume attempt (range
+    * ignored, or the If-Range validator no longer matched) restarts
+    * the buffer and re-captures the validator.
     * Retry only what can heal: I/O failures, 5xx and 429 retry; other
     * 4xx are permanent and fail immediately. `sleep` is injectable so
     * tests assert the backoff schedule without waiting on a clock.
@@ -66,6 +75,7 @@ object Landing {
       sleep: Long => Unit = Thread.sleep): String => Array[Byte] = url => {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
     val buf = new java.io.ByteArrayOutputStream()
+    var validator: String = null // ETag > Last-Modified of the last full body
     var attempt = 0
     var done = false
     while (!done) {
@@ -75,10 +85,20 @@ object Landing {
           .asInstanceOf[java.net.HttpURLConnection]
         conn.setConnectTimeout(connectTimeoutMs)
         conn.setReadTimeout(readTimeoutMs)
-        if (buf.size > 0)
+        if (buf.size > 0 && validator == null)
+          buf.reset() // unversioned bytes cannot be proven resumable
+        if (buf.size > 0) {
           conn.setRequestProperty("Range", s"bytes=${buf.size}-")
+          conn.setRequestProperty("If-Range", validator)
+        }
         val code = conn.getResponseCode
-        if (code == 200 && buf.size > 0) buf.reset() // range ignored
+        if (code == 200 && buf.size > 0) buf.reset() // range ignored or
+                                                     // version changed
+        if (code == 200) {
+          val et = conn.getHeaderField("ETag")
+          validator =
+            if (et != null) et else conn.getHeaderField("Last-Modified")
+        }
         if (code >= 500 || code == 429)
           throw new java.io.IOException(s"HTTP $code for $url")
         if (code != 200 && code != 206)
@@ -156,6 +176,33 @@ object Landing {
           .filterNot(_.isDirectory)
           .map(e => (path, e.getName, zis.readAllBytes()))
           .toVector // drain while the stream is open
+      }
+      .toDF("path", "entry", "content")
+  }
+
+  /** The reference's SINGLE-ENTRY landing contract (scraping.py:77-85:
+    * `zipfile.namelist()[0]` extracted and landed RENAMED, e.g. the
+    * government archive's internal name becoming `Cnaes.csv`): one row
+    * per archive carrying only its FIRST entry, with the entry column
+    * rewritten to `renameTo`. [[unzipEntries]]' all-entries fan-out is
+    * the general engine behavior (a superset); this face pins the
+    * reference's exact take-first-and-rename semantic for pipelines
+    * that must reproduce its landing layout byte for byte. Entry order
+    * is the archive's central-directory order, exactly what
+    * namelist()[0] reads. */
+  def unzipFirstEntry(files: DataFrame, renameTo: String): DataFrame = {
+    import files.sparkSession.implicits._
+    files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val zis = new java.util.zip.ZipInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        Iterator.continually(zis.getNextEntry)
+          .takeWhile(_ != null)
+          .filterNot(_.isDirectory)
+          .take(1)
+          .map(_ => (path, renameTo, zis.readAllBytes()))
+          .toVector
       }
       .toDF("path", "entry", "content")
   }

@@ -21,7 +21,16 @@ object Sinks {
 
   val BomUtf8: Array[Byte] = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
 
-  /** Single-file CSV export (trusted layer). Returns the part-file path. */
+  /** Single-file CSV export (trusted layer). Returns the part-file path.
+    *
+    * `_SUCCESS` markers are SUPPRESSED at the committer level (the
+    * reference disables `mapreduce.fileoutputcommitter.
+    * marksuccessfuljobs` for exactly this export — script.py:25-28):
+    * the trusted dir is a human/spreadsheet-facing landing zone whose
+    * consumers glob `*.csv`-adjacent files, and a marker file there is
+    * byte-level infidelity to the reference layout. Spark merges write
+    * options into the job's Hadoop conf, so the option scopes to THIS
+    * write only. */
   def writeSingleCsv(
       df: DataFrame,
       dir: String,
@@ -33,6 +42,7 @@ object Sinks {
       .mode("overwrite")
       .option("header", header.toString)
       .option("delimiter", delimiter)
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       // doubled-quote escaping, matching CsvIngest.trustedOptions — the
       // writer default (backslash escape) would silently corrupt values
       // containing quotes on the trusted→refined read-back

@@ -71,6 +71,30 @@ class LandingSpec extends GraftSpec {
       refined.head.getString(1) == "Cultivo de café")
   }
 
+  test("unzipFirstEntry lands ONLY the first entry, renamed — the " +
+    "reference's namelist()[0] contract") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "firstentry")
+    val iso = Charset.forName("ISO-8859-1")
+    val zos = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(dir.resolve("multi.zip")))
+    zos.putNextEntry(new java.util.zip.ZipEntry("F.K03200$Z.CNAE.CSV"))
+    zos.write("1;Cultivo de café".getBytes(iso))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("LEIAME.txt"))
+    zos.write("segundo arquivo".getBytes(iso))
+    zos.closeEntry()
+    zos.close()
+    val files = Landing.readBinary(spark, s"$dir/*.zip")
+    val got = Landing.unzipFirstEntry(files, "Cnaes.csv").collect()
+    assert(got.length == 1, s"must land exactly one row: ${got.length}")
+    assert(got.head.getString(1) == "Cnaes.csv",
+      s"entry must be renamed: ${got.head.getString(1)}")
+    assert(new String(got.head.getAs[Array[Byte]](2), iso)
+      == "1;Cultivo de café", "first entry's bytes must land")
+    // the general face still fans out BOTH entries (superset behavior)
+    assert(Landing.unzipEntries(files).count() == 2L)
+  }
+
   test("acquire seam: the same transport walks a real HTTP index on " +
     "loopback") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
@@ -146,13 +170,18 @@ class LandingSpec extends GraftSpec {
       }
     })
     // /cut: first request declares the full length but sends half and
-    // drops; later requests honor Range with a 206 of the remainder
+    // drops (with an ETag); later requests honor Range+If-Range with a
+    // 206 of the remainder
     val cutRanges = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val cutIfRanges = new java.util.concurrent.CopyOnWriteArrayList[String]()
     val cutHits = new java.util.concurrent.atomic.AtomicInteger(0)
     server.createContext("/cut", new HttpHandler {
       def handle(ex: HttpExchange): Unit = {
         val range = Option(ex.getRequestHeaders.getFirst("Range"))
         range.foreach(cutRanges.add)
+        Option(ex.getRequestHeaders.getFirst("If-Range"))
+          .foreach(cutIfRanges.add)
+        ex.getResponseHeaders.add("ETag", "\"cut-v1\"")
         if (cutHits.incrementAndGet() == 1) {
           ex.sendResponseHeaders(200, payload.length.toLong)
           ex.getResponseBody.write(payload, 0, payload.length / 2)
@@ -168,6 +197,49 @@ class LandingSpec extends GraftSpec {
           case None =>
             ex.sendResponseHeaders(200, payload.length.toLong)
             ex.getResponseBody.write(payload); ex.close()
+        }
+      }
+    })
+    // /noval: cuts mid-body like /cut but exposes NO validator — the
+    // client must NOT resume unversioned bytes (no Range header ever)
+    val novalRanges = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val novalHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/noval", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        Option(ex.getRequestHeaders.getFirst("Range")).foreach(novalRanges.add)
+        if (novalHits.incrementAndGet() == 1) {
+          ex.sendResponseHeaders(200, payload.length.toLong)
+          ex.getResponseBody.write(payload, 0, payload.length / 2)
+          ex.close()
+        } else {
+          ex.sendResponseHeaders(200, payload.length.toLong)
+          ex.getResponseBody.write(payload); ex.close()
+        }
+      }
+    })
+    // /mutate: the archive CHANGES between the cut first response (v1)
+    // and the resume — an If-Range-honoring server answers 200 with the
+    // full NEW body; the client must land v2 intact, never a v1/v2
+    // splice (same-length bodies, so the length check alone can't tell)
+    val payload2 = (0 until 1000).map(i => s"LINE$i").mkString("\n")
+      .getBytes("UTF-8")
+    val mutateIfRanges =
+      new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val mutateHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/mutate", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        Option(ex.getRequestHeaders.getFirst("If-Range"))
+          .foreach(mutateIfRanges.add)
+        if (mutateHits.incrementAndGet() == 1) {
+          ex.getResponseHeaders.add("ETag", "\"mut-v1\"")
+          ex.sendResponseHeaders(200, payload.length.toLong)
+          ex.getResponseBody.write(payload, 0, payload.length / 2)
+          ex.close()
+        } else {
+          // validator mismatch → full new body, new validator
+          ex.getResponseHeaders.add("ETag", "\"mut-v2\"")
+          ex.sendResponseHeaders(200, payload2.length.toLong)
+          ex.getResponseBody.write(payload2); ex.close()
         }
       }
     })
@@ -205,12 +277,27 @@ class LandingSpec extends GraftSpec {
       val s1 = collection.mutable.Buffer[Long]()
       assert(java.util.Arrays.equals(fetcher(s1)(s"$base/flaky"), payload))
       assert(s1.toSeq == Seq(100L, 200L), s"backoff schedule: $s1")
-      // mid-body cut → Range resume → 206 appends the remainder
+      // mid-body cut → Range resume guarded by If-Range → 206 appends
       val s2 = collection.mutable.Buffer[Long]()
       assert(java.util.Arrays.equals(fetcher(s2)(s"$base/cut"), payload))
       assert(cutRanges.size() == 1 &&
         cutRanges.get(0) == s"bytes=${payload.length / 2}-",
         s"resume ranges: $cutRanges")
+      assert(cutIfRanges.size() == 1 && cutIfRanges.get(0) == "\"cut-v1\"",
+        s"resume must carry the captured validator: $cutIfRanges")
+      // no validator on the first response → NO resume attempt: the
+      // retry restarts from byte zero and still lands the full body
+      val s6 = collection.mutable.Buffer[Long]()
+      assert(java.util.Arrays.equals(fetcher(s6)(s"$base/noval"), payload))
+      assert(novalRanges.isEmpty,
+        s"unversioned bytes must not be resumed: $novalRanges")
+      // archive changed between attempts (same length!) → the 200 on
+      // the If-Range resume replaces the buffer with the NEW body
+      val s7 = collection.mutable.Buffer[Long]()
+      assert(java.util.Arrays.equals(fetcher(s7)(s"$base/mutate"), payload2),
+        "client must land the new version intact, not a two-version splice")
+      assert(mutateIfRanges.size() == 1 &&
+        mutateIfRanges.get(0) == "\"mut-v1\"", s"if-range: $mutateIfRanges")
       // server ignores the Range → 200 restarts the buffer, no dup bytes
       val s3 = collection.mutable.Buffer[Long]()
       assert(java.util.Arrays.equals(

@@ -24,6 +24,11 @@ class MedallionSpec extends GraftSpec {
     assert(back(0).getString(1) == tricky,
       s"quoted value corrupted on roundtrip: '${back(0).getString(1)}'")
     assert(back(1).getString(1) == "plain")
+    // the trusted export is marker-free (script.py:25-28 disables the
+    // _SUCCESS committer marker for exactly this layer)
+    val files = new java.io.File(s"$dir/csv").listFiles().map(_.getName)
+    assert(!files.contains("_SUCCESS"),
+      s"trusted dir must carry no _SUCCESS marker: ${files.toSeq}")
   }
 
   test("etl_raw_roundtrip: accents and quoting survive zip→raw→refined") {
