@@ -387,8 +387,84 @@ object Warehouse {
     served
   }
 
+  /** Copy-on-write MERGE at PARTITION granularity — the incremental
+    * warehouse load the reference's truncate-write (load_bq.py:44-47)
+    * generalizes to: apply a keyed changeset to a `partCol`-partitioned
+    * parquet table by rewriting ONLY the partitions that contain
+    * changed keys; every other partition's files stay untouched on disk
+    * (byte-identical — WarehouseSpec asserts it on file metadata). At
+    * fact scale this is the difference between rewriting 100 TB
+    * nightly (what etl_upsert's whole-table overwrite would do) and
+    * rewriting the handful of partitions a late-arriving changeset
+    * touches.
+    *
+    * Mechanics: the changeset's DISTINCT partition values collect to
+    * the driver (metadata-scale — bounded by the partition count, the
+    * same driver step every partition listing performs) and prune the
+    * base scan, so untouched partitions are never READ either; the
+    * pruned slice merges with the changeset (Medallion.upsert's
+    * full-outer join, one shuffle keyed on `key`); the result is
+    * localCheckpoint'ed (it must not hold a live scan over the path it
+    * is about to replace) and lands with dynamic partitionOverwrite —
+    * Spark's INSERT OVERWRITE PARTITION semantic that swaps exactly
+    * the partitions present in the output frame.
+    *
+    * PRECONDITION (standard for COW merges on partitioned layouts): a
+    * key's partition value is immutable — a changeset that moved a key
+    * across partitions would leave the old copy stale, because its
+    * former partition is not rewritten. Date-partitioned facts satisfy
+    * this by construction. */
+  def mergeCow(s: SparkSession, tableDir: String, changes: DataFrame,
+      key: String, partCol: String): Unit = {
+    val parts = changes.select(col(partCol)).distinct().collect()
+      .map(_.get(0))
+    if (parts.nonEmpty) {
+      val base = s.read.parquet(tableDir)
+        .filter(col(partCol).isin(parts.toIndexedSeq: _*))
+      val merged = graft.pipeline.Medallion.upsert(
+        base, changes.select(base.columns.toIndexedSeq.map(col): _*), key)
+        .localCheckpoint(true)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol)
+        .parquet(tableDir)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_bucketed_join" -> ((s, dir) => bucketedJoin(s, dir)),
+
+    // -- partition-granular COW merge, FULL oracle --------------------------
+    // Orders partition by priority (5 partitions); the changeset
+    // updates every 10th key INSIDE two partitions and inserts re-keyed
+    // rows into one of them, so three partitions must survive the merge
+    // byte-identical (WarehouseSpec pins that on file metadata) while
+    // the oracle rebuilds the exact merged STATE relationally.
+    "etl_merge_cow" -> { (s, dir) =>
+      val root = s"${Etl.roundtripRoot}/${sfTag(dir)}/merge_cow"
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      base.write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(root)
+      val updates = base
+        .filter(col("o_orderkey") % 10 === 0 &&
+          col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 100).as("o_totalprice"),
+          col("o_orderpriority"))
+      val inserts = base
+        .filter(col("o_orderkey") % 97 === 3 &&
+          col("o_orderpriority") === "1-URGENT")
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          lit(0.0).as("o_totalprice"), col("o_orderpriority"))
+      mergeCow(s, root, updates.unionAll(inserts),
+        "o_orderkey", "o_orderpriority")
+      s.read.parquet(root)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority").cast("string").as("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    },
 
     // -- q42: aggregate served from a registered materialized view ---------
     "q42_mv_rewrite" -> ((s, dir) => mvRewriteServe(s, dir)),
@@ -453,6 +529,32 @@ object Warehouse {
     }.mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
+    // the merged STATE rebuilt relationally: same deterministic
+    // changeset (updates inside two partitions, inserts re-keyed into
+    // one), full-outer merge semantics — changeset row wins on key
+    // match, snapshot persists otherwise, inserts append. +100 on a
+    // double is IEEE-exact on both engines.
+    "etl_merge_cow" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_totalprice + 100 AS o_totalprice,
+        |    o_orderpriority
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |    AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')),
+        |ins AS (
+        |  SELECT o_orderkey + 1000000000 AS o_orderkey,
+        |    0.0 AS o_totalprice, o_orderpriority
+        |  FROM base WHERE o_orderkey % 97 = 3
+        |    AND o_orderpriority = '1-URGENT'),
+        |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice
+        |       ELSE b.o_totalprice END AS o_totalprice,
+        |  CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderpriority
+        |       ELSE b.o_orderpriority END AS o_orderpriority
+        |FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     // the aggregate the USER wrote, against the BASE table — hash
     // equality proves the engine's MV rewrite preserved semantics
     "q42_mv_rewrite" ->

@@ -118,6 +118,57 @@ class WarehouseSpec extends GraftSpec {
     assert(opened.isNullAt(1) && opened.isNullAt(2) && opened.isNullAt(4))
   }
 
+  test("mergeCow rewrites ONLY partitions containing changed keys — " +
+      "untouched partition files stay byte-identical on disk") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "mergecow").toString + "/tbl"
+    val base = Seq(
+      (1L, 10.0, "A"), (2L, 20.0, "A"),
+      (3L, 30.0, "B"), (4L, 40.0, "B"),
+      (5L, 50.0, "C"), (6L, 60.0, "C"))
+      .toDF("k", "v", "p")
+    base.write.partitionBy("p").parquet(dir)
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath.stripPrefix(dir) ->
+          ((f.length(), f.lastModified()))).toMap
+    }
+    val before = snapshot()
+    assert(before.keys.exists(_.contains("p=C")), "fixture layout broken")
+    // changes touch partitions A (update) and B (insert) — never C
+    val changes = Seq((1L, 11.0, "A"), (9L, 90.0, "B"))
+      .toDF("k", "v", "p")
+    Warehouse.mergeCow(spark, dir, changes, "k", "p")
+    val after = snapshot()
+    val (cBefore, cAfter) = (
+      before.filter(_._1.contains("p=C")), after.filter(_._1.contains("p=C")))
+    assert(cBefore == cAfter,
+      s"untouched partition C was rewritten: $cBefore vs $cAfter")
+    assert(before.filter(_._1.contains("p=A"))
+        != after.filter(_._1.contains("p=A")),
+      "changed partition A must have been rewritten")
+    // merged state is exact
+    val got = spark.read.parquet(dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 11.0, "A"), (2L, 20.0, "A"),
+      (3L, 30.0, "B"), (4L, 40.0, "B"), (5L, 50.0, "C"), (6L, 60.0, "C"),
+      (9L, 90.0, "B")), s"merged state: ${got.toSeq}")
+    // an empty changeset is a no-op: nothing read, nothing rewritten
+    Warehouse.mergeCow(spark, dir,
+      changes.filter(col("k") < 0), "k", "p")
+    assert(snapshot() == after, "empty changeset must not rewrite")
+    // the pruned base scan partition-prunes: only changed partitions
+    // are READ, visible as a PartitionFilters entry on the scan
+    val pruned = spark.read.parquet(dir).filter(col("p").isin("A"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p"),
+      s"partition filter missing from pruned scan:\n$plan")
+  }
+
   test("morton interleave matches hand-computed codes and the zone map " +
       "honors the tile-span guarantee") {
     import spark.implicits._
