@@ -785,9 +785,10 @@ object Etl {
     "etl_partitioned_write" -> { (s, dir) =>
       val sfName = dir.replaceAll(".*/", "")
       val pdir = s"$roundtripRoot/$sfName/events_by_day"
-      Tables.load(s, dir, "events")
-        .withColumn("day", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("day").parquet(pdir)
+      // Sinks.writeParquet rebalances on the partition column first —
+      // one file per day instead of tasks × days (the sf1 file storm)
+      Sinks.writeParquet(Tables.load(s, dir, "events")
+        .withColumn("day", to_date(col("ts"))), pdir, Seq("day"))
       s.read.parquet(pdir)
         .filter(col("day") === lit("2024-01-15").cast("date"))
         .groupBy(col("event_type"))

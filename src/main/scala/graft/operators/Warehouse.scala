@@ -108,8 +108,9 @@ object Warehouse {
     val root = s"${Etl.roundtripRoot}/${sfTag(dir)}/dpp"
     val events = Tables.load(s, dir, "events")
       .withColumn("day", to_date(col("ts")))
-    events.write.mode("overwrite").partitionBy("day")
-      .parquet(s"$root/events_by_day")
+    // rebalance-on-day write: one file per day, not tasks × days
+    graft.sources.Sinks.writeParquet(events, s"$root/events_by_day",
+      Seq("day"))
     events.select(col("day")).distinct()
       .withColumn("week_part", (dayofmonth(col("day")) % 7).cast("int"))
       .write.mode("overwrite").parquet(s"$root/dim_days")
@@ -424,7 +425,7 @@ object Warehouse {
       val merged = graft.pipeline.Medallion.upsert(
         base, changes.select(base.columns.toIndexedSeq.map(col): _*), key)
         .localCheckpoint(true)
-      merged.write.mode("overwrite")
+      merged.hint("rebalance", partCol).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol)
         .parquet(tableDir)
@@ -445,8 +446,8 @@ object Warehouse {
       val base = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderpriority"))
-      base.write.mode("overwrite").partitionBy("o_orderpriority")
-        .parquet(root)
+      base.hint("rebalance", "o_orderpriority").write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(root)
       val updates = base
         .filter(col("o_orderkey") % 10 === 0 &&
           col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))

@@ -74,13 +74,28 @@ object Sinks {
   }
 
   /** Refined layer: snappy parquet, optionally partitioned by columns
-    * (partition pruning at read time is the 100 TB win). */
+    * (partition pruning at read time is the 100 TB win).
+    *
+    * Partitioned writes REBALANCE on the partition columns first: a
+    * naive partitionBy write has every task emit one file per
+    * partition value it happens to hold — tasks × partitions files
+    * (the classic lake file storm; at sf1 the day-partitioned events
+    * write measured 6.9× its sf0.1 time almost entirely in file
+    * creation/listing). The AQE rebalance shuffle routes each
+    * partition value to as few tasks as possible — one file per
+    * partition in the common case — while still SPLITTING a skewed
+    * partition across tasks instead of funneling it through one
+    * writer (what a plain repartition(partCols) would do); this is
+    * the \"optimized write\" every production lake writer performs. */
   def writeParquet(
       df: DataFrame,
       dir: String,
       partitionBy: Seq[String] = Nil,
       compression: String = "snappy"): Unit = {
-    val w = df.write.mode("overwrite").option("compression", compression)
+    val out =
+      if (partitionBy.nonEmpty) df.hint("rebalance", partitionBy: _*)
+      else df
+    val w = out.write.mode("overwrite").option("compression", compression)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
   }
 
