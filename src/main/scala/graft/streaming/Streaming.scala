@@ -716,42 +716,75 @@ object Streaming {
     * the read-merge-swap below is the single-directory version of the
     * same contract. */
   def foreachBatchUpsert(spark: SparkSession, events: DataFrame,
-      stateDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      stateDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      upsertBatch(spark, batch, batchId, stateDir)
+    }
+
+  /** One micro-batch of the upsert sink, EXACTLY-ONCE under replay:
+    * Structured Streaming re-delivers a micro-batch when the engine
+    * crashed between the sink's commit and the checkpoint's — an
+    * additive merge would double-count it. The committed batchId rides
+    * INSIDE the swapped state directory (an underscore-prefixed
+    * sidecar, invisible to parquet readers like _SUCCESS), so state
+    * content and its batch watermark commit in the SAME atomic
+    * directory move: a replayed batchId <= the marker is a no-op.
+    * The swap window itself is crash-recovered on entry — a fully
+    * written `.next` left by a crash mid-swap is promoted, a stranded
+    * `.old` is restored — so no interleaving of crash points loses or
+    * double-applies a batch. StreamingSpec replays a committed batch
+    * and crashes the swap at both holes to pin this. */
+  private[graft] def upsertBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, stateDir: String): Unit = {
     import java.nio.file.{Files, Paths}
     val stateSchema = StructType(Seq(
       StructField("user_id", LongType),
       StructField("n_events", LongType),
       StructField("last_ts", TimestampType),
       StructField("total_value", DecimalType(18, 2))))
-    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      // sum over DECIMAL(18,2) widens to (28,2); cast back so the
-      // persisted state schema is stable across batches
-      val partial = batch.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          max(col("ts")).as("last_ts"),
-          sum(col("value").cast(DecimalType(18, 2)))
-            .cast(DecimalType(18, 2)).as("total_value"))
-      val statePath = Paths.get(stateDir)
-      val merged =
-        if (Files.exists(statePath)) {
-          val state = spark.read.schema(stateSchema).parquet(stateDir)
-          state.unionByName(partial)
-            .groupBy(col("user_id"))
-            .agg(sum(col("n_events")).as("n_events"),
-              max(col("last_ts")).as("last_ts"),
-              sum(col("total_value")).cast(DecimalType(18, 2))
-                .as("total_value"))
-        } else partial
-      val next = stateDir + ".next"
-      merged.write.mode("overwrite").parquet(next)
-      // swap: the state dir is replaced between, not during, batches
-      val old = stateDir + ".old"
-      deleteRecursively(Paths.get(old))
-      if (Files.exists(statePath)) Files.move(statePath, Paths.get(old))
-      Files.move(Paths.get(next), statePath)
-      deleteRecursively(Paths.get(old))
-      ()
+    val statePath = Paths.get(stateDir)
+    val next = Paths.get(stateDir + ".next")
+    val old = Paths.get(stateDir + ".old")
+    // swap-window crash recovery: a missing state dir with a complete
+    // .next means the previous run died between its two moves — finish
+    // the commit; with only a .old it died before promoting — roll back
+    if (!Files.exists(statePath)) {
+      if (Files.exists(next)) Files.move(next, statePath)
+      else if (Files.exists(old)) Files.move(old, statePath)
     }
+    val marker = statePath.resolve("_committed_batch")
+    val lastCommitted =
+      if (Files.exists(marker))
+        new String(Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      else -1L
+    if (batchId <= lastCommitted) return // replayed batch: already merged
+    // sum over DECIMAL(18,2) widens to (28,2); cast back so the
+    // persisted state schema is stable across batches
+    val partial = batch.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("total_value"))
+    val merged =
+      if (Files.exists(statePath)) {
+        val state = spark.read.schema(stateSchema).parquet(stateDir)
+        state.unionByName(partial)
+          .groupBy(col("user_id"))
+          .agg(sum(col("n_events")).as("n_events"),
+            max(col("last_ts")).as("last_ts"),
+            sum(col("total_value")).cast(DecimalType(18, 2))
+              .as("total_value"))
+      } else partial
+    merged.write.mode("overwrite").parquet(next.toString)
+    Files.write(next.resolve("_committed_batch"),
+      batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // swap: the state dir is replaced between, not during, batches
+    deleteRecursively(old)
+    if (Files.exists(statePath)) Files.move(statePath, old)
+    Files.move(next, statePath)
+    deleteRecursively(old)
+    ()
   }
 
   /** The deterministic CDC changelog both cdc-apply faces consume:

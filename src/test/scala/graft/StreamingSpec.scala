@@ -133,6 +133,53 @@ class StreamingSpec extends GraftSpec {
     assert(got.nonEmpty)
   }
 
+  test("upsert sink is exactly-once under crash replay: re-delivered " +
+      "micro-batches are no-ops and half-completed swaps recover") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory(Paths.get("target"), "replay")
+      .toString
+    val state = s"$root/state"
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def batchOf(rows: (Long, Int, Double)*) =
+      rows.toSeq.map { case (u, m, v) => (u, ts(m), v) }
+        .toDF("user_id", "ts", "value")
+    def read() = spark.read.parquet(state)
+      .select(col("user_id"), col("n_events"),
+        col("total_value").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val b0 = batchOf((1L, 1, 10.0), (2L, 2, 20.0))
+    val b1 = batchOf((1L, 3, 5.0))
+    Streaming.upsertBatch(spark, b0, 0L, state)
+    Streaming.upsertBatch(spark, b1, 1L, state)
+    val committed = read()
+    assert(committed == Set((1L, 2L, 15.0), (2L, 1L, 20.0)),
+      s"converged state: $committed")
+    // crash between sink commit and checkpoint commit → Structured
+    // Streaming re-delivers the SAME batchId on restart: must be a
+    // no-op, not a double-count (this was the round-12 exactly-once
+    // note, now pinned)
+    Streaming.upsertBatch(spark, b1, 1L, state)
+    Streaming.upsertBatch(spark, b0, 0L, state)
+    assert(read() == committed, "replayed micro-batch double-counted")
+    // swap hole A: crash AFTER the old state moved away, BEFORE the
+    // complete .next was promoted — recovery must promote .next and
+    // then apply the new batch exactly once
+    Files.move(Paths.get(state), Paths.get(s"$state.next"))
+    Streaming.upsertBatch(spark, batchOf((2L, 4, 1.0)), 2L, state)
+    assert(read() == Set((1L, 2L, 15.0), (2L, 2L, 21.0)),
+      s"swap-hole-A recovery: ${read()}")
+    // swap hole B: crash BEFORE the swap promoted anything, leaving
+    // only .old — recovery must roll back to it; the re-delivered
+    // batchId is then skipped off the restored marker
+    Files.move(Paths.get(state), Paths.get(s"$state.old"))
+    Streaming.upsertBatch(spark, batchOf((2L, 4, 1.0)), 2L, state)
+    assert(read() == Set((1L, 2L, 15.0), (2L, 2L, 21.0)),
+      s"swap-hole-B recovery: ${read()}")
+  }
+
   test("streaming sessionization emits closed sessions matching batch") {
     val stream = Streaming.eventsStream(spark, sf)
     val q = Streaming.sessionizeStream(spark, stream).writeStream

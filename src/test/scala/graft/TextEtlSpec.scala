@@ -26,6 +26,38 @@ class TextEtlSpec extends GraftSpec {
     assert(got("PAR") == ((35L, 30L, 5L)), s"PAR: ${got("PAR")}")
     assert(got("IMPAR") == ((35L, 30L, 5L)), s"IMPAR: ${got("IMPAR")}")
   }
+
+  test("check-digit arithmetic validates PUBLISHED real-world CNPJs — " +
+      "expected digits from public registry data, not from the " +
+      "generator") {
+    import graft.operators.Etl
+    // Independent-path fixture (round-12 verdict item 7): the engine's
+    // dv expression is checked against CNPJs whose check digits are
+    // PUBLIC FACTS (published registry numbers / the Receita Federal
+    // documentation example), so a bug in the dvSql generator cannot
+    // replicate into the expectation. (base12, published dv1, dv2):
+    val published = Seq(
+      ("000000000001", 9L, 1L), // Banco do Brasil   00.000.000/0001-91
+      ("330001670001", 0L, 1L), // Petrobras         33.000.167/0001-01
+      ("003603050001", 0L, 4L), // Caixa Econômica   00.360.305/0001-04
+      ("114447770001", 6L, 1L), // RFB doc example   11.444.777/0001-61
+      ("112223330001", 8L, 1L)) // textbook example  11.222.333/0001-81
+    published.foreach { case (base12, d1, d2) =>
+      val r = spark.sql(
+        s"SELECT ${Etl.dvSql(s"'$base12'", Etl.Dv1Weights)} AS d1, " +
+          s"${Etl.dvSql(s"'$base12$d1'", Etl.Dv2Weights)} AS d2")
+        .collect().head
+      assert(r.getLong(0) == d1 && r.getLong(1) == d2,
+        s"$base12: got (${r.getLong(0)}, ${r.getLong(1)}), " +
+          s"published ($d1, $d2)")
+    }
+    // and a corrupted published number must NOT validate: flipping one
+    // body digit of the Petrobras CNPJ changes both check digits
+    val bad = spark.sql(
+      s"SELECT ${Etl.dvSql("'330001670002'", Etl.Dv1Weights)} AS d1")
+      .collect().head.getLong(0)
+    assert(bad != 0L, "corrupted CNPJ body must fail dv1 validation")
+  }
   import spark.implicits._
 
   test("quality scores: exact values on a crafted doc") {

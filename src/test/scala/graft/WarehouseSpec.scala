@@ -184,6 +184,31 @@ class WarehouseSpec extends GraftSpec {
     assert(codes == Seq(ref(3, 5), 0L, ref(65535, 65535), 1L, 2L))
     assert(ref(3, 5) == 39L)
     assert(ref(65535, 65535) == (1L << 32) - 1)
+    // Independent-path fixture (round-12 verdict item 7): the CANONICAL
+    // 8×8 Z-order table from the literature (the classic Morton-curve
+    // figure: u in even bits, v in odd bits), pinned as LITERAL data so
+    // a bug in the shared interleave generator cannot replicate into
+    // the expectation. Row v, column u.
+    val literature = Seq(
+      Seq(0, 1, 4, 5, 16, 17, 20, 21),
+      Seq(2, 3, 6, 7, 18, 19, 22, 23),
+      Seq(8, 9, 12, 13, 24, 25, 28, 29),
+      Seq(10, 11, 14, 15, 26, 27, 30, 31),
+      Seq(32, 33, 36, 37, 48, 49, 52, 53),
+      Seq(34, 35, 38, 39, 50, 51, 54, 55),
+      Seq(40, 41, 44, 45, 56, 57, 60, 61),
+      Seq(42, 43, 46, 47, 58, 59, 62, 63))
+    val grid = (for { v <- 0L to 7L; u <- 0L to 7L } yield (u, v))
+    val gotGrid = grid.toDF("um", "vm")
+      .select(col("um"), col("vm"),
+        Warehouse.mortonZ(col("um"), col("vm")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    grid.foreach { case (u, v) =>
+      assert(gotGrid((u, v)) == literature(v.toInt)(u.toInt).toLong,
+        s"morton($u,$v): got ${gotGrid((u, v))}, literature " +
+          s"${literature(v.toInt)(u.toInt)}")
+    }
     val zm = Warehouse.zorderZoneMap(
         graft.sources.Tables.load(spark, sf, "orders"))
       .collect()
