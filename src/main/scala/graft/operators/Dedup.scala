@@ -662,11 +662,19 @@ object Dedup {
 
   // -- char n-gram Jaccard (verify stage) ---------------------------------
 
-  /** Character-5-gram Jaccard computed ONLY on MinHash-LSH candidate
-    * pairs (never all-pairs), gram arrays built only for
-    * candidate-involved documents (see [[minhashPairs]]). */
+  /** Character-5-gram Jaccard computed over the VERIFIED MinHash
+    * near-dup pairs (word-shingle J >= 0.8) — the second similarity
+    * metric over the near-dup pair set, never all-pairs. The candidate
+    * restriction is itself an ORACLE-REPLAYABLE relation (the
+    * dedup_minhash word-trigram contract), which is what lets this key
+    * stay hash-gated at EVERY scale point: the previous raw-LSH-bucket
+    * restriction forced the oracle into an all-pairs char-5-gram join
+    * (5-grams like "the a" have corpus-scale document frequency) that
+    * spills DuckDB out of disk at 50k docs. Gram arrays are built only
+    * for pair-involved documents. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val cands = minhashCandidates(docs).localCheckpoint(true)
+    val cands = minhashPairs(docs).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
     val sh = candidateShingles(docs, cands, d => charShingles(col("text")))
     val sa = sh.toDF("id_a", "g_a")
     val sb = sh.toDF("id_b", "g_b")
@@ -1268,23 +1276,44 @@ object Dedup {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
-    // Same all-pairs-vs-LSH-recall contract, char-5-gram space, over
-    // the same exact-representative collapse as the engine.
+    // The candidate restriction REPLAYED: true all-pairs word-trigram
+    // Jaccard >= 0.8 (the dedup_minhash contract — a green hash still
+    // proves LSH recall) names the pair set, then char-5-gram Jaccard
+    // is computed ONLY over pair-involved docs — the same restriction
+    // the engine applies, so the oracle never builds the all-pairs
+    // char-gram join that spilled DuckDB at 50k docs; this key is
+    // sf1-gateable again.
     "dedup_ngram_jaccard" ->
       """WITH reps AS (SELECT MIN(doc_id) AS doc_id, text
         |  FROM documents GROUP BY text),
-        |grams AS (SELECT DISTINCT doc_id, text[i:i+4] AS g
-        |  FROM reps,
-        |    UNNEST(RANGE(1, GREATEST(LEN(text)-4,1)+1)) AS r(i)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-        |          FROM grams a JOIN grams b
-        |            ON a.g = b.g AND a.doc_id < b.doc_id
-        |          GROUP BY 1,2)
+        |toks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t FROM reps),
+        |wgrams AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2],' ') AS g
+        |  FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t)-2,1)+1)) AS r(i)),
+        |wsizes AS (SELECT doc_id, COUNT(*) AS n FROM wgrams GROUP BY doc_id),
+        |winter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) AS i
+        |  FROM wgrams a JOIN wgrams b
+        |    ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2),
+        |cands AS (SELECT doc_a, doc_b FROM winter
+        |  JOIN wsizes sa ON doc_a = sa.doc_id
+        |  JOIN wsizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+        |cdocs AS (SELECT doc_a AS doc_id FROM cands
+        |  UNION SELECT doc_b FROM cands),
+        |cgrams AS (SELECT DISTINCT r.doc_id, r.text[i:i+4] AS g
+        |  FROM reps r JOIN cdocs USING (doc_id),
+        |    UNNEST(RANGE(1, GREATEST(LEN(r.text)-4,1)+1)) AS rr(i)),
+        |csizes AS (SELECT doc_id, COUNT(*) AS n FROM cgrams GROUP BY doc_id),
+        |cinter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        |  FROM cands c
+        |  JOIN cgrams a ON a.doc_id = c.doc_a
+        |  JOIN cgrams b ON b.doc_id = c.doc_b AND a.g = b.g
+        |  GROUP BY 1,2)
         |SELECT doc_a, doc_b,
         |  CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard5
-        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-        |JOIN sizes sb ON doc_b = sb.doc_id
+        |FROM cinter JOIN csizes sa ON doc_a = sa.doc_id
+        |JOIN csizes sb ON doc_b = sb.doc_id
         |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     // Connected components rebuilt relationally: the all-pairs Jaccard
