@@ -140,6 +140,40 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
+    // Control-key inflation (round-13, BASELINE.md protocol): the host
+    // is a shared VM whose hypervisor co-tenancy inflates timings
+    // UNIFORMLY (~1.4-1.7x observed) while staying invisible in guest
+    // loadavg, so raw per-key ratios against the baseline epoch cannot
+    // distinguish a real plan regression from environment drift. Six
+    // pinned, rarely-touched CONTROL keys spanning the cost spectrum
+    // are compared against their BASELINE.json entries and the MEDIAN
+    // ratio is emitted as `control_inflation`: a key is a real
+    // regression only when measured/baseline materially exceeds
+    // 2 x control_inflation. Emitted only when >=3 controls have both
+    // a baseline entry and a timing in this run (sf0.1 full-registry
+    // runs); null otherwise.
+    val controlKeys = Seq("q1_agg", "q7_window", "text_tokens",
+      "sample_shard", "etl_row_checksum", "mm_image_dims")
+    val baselineQueries: Map[String, Double] =
+      try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(Files.readString(Paths.get("BASELINE.json")))
+        val qs = root.get("queries")
+        if (qs == null) Map.empty
+        else {
+          val it = qs.fields()
+          val b = scala.collection.mutable.Map[String, Double]()
+          while (it.hasNext) { val e = it.next(); b(e.getKey) = e.getValue.asDouble() }
+          b.toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val controlRatios: Seq[(String, Double)] = controlKeys.flatMap(k =>
+      for { b <- baselineQueries.get(k); m <- timings.get(k) if b > 0 }
+        yield k -> m / b)
+    val inflation: Option[Double] =
+      if (controlRatios.size >= 3)
+        Some(controlRatios.map(_._2).sorted.apply(controlRatios.size / 2))
+      else None
     val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val rs = rawRuns.map { case (k, v) =>
@@ -149,8 +183,11 @@ object Bench {
     // "queries" stays median-of-3 (driver contract); "runs" carries the
     // raw per-run timings and "loadavg" the host load bracketing the run,
     // so a contention-polluted artifact is self-diagnosing.
+    val cs = controlRatios.map { case (k, v) => s"${q(k)}:$v" }
+      .mkString("{", ",", "}")
+    val inf = inflation.map(_.toString).getOrElse("null")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"runs":$rs,"loadavg":{"before":${q(loadBefore)},"after":${q(loadAfter)},"idle_wait_sec":$idleWaitSec},"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"runs":$rs,"controls":$cs,"control_inflation":$inf,"loadavg":{"before":${q(loadBefore)},"after":${q(loadAfter)},"idle_wait_sec":$idleWaitSec},"sf":${q(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
     spark.stop()
