@@ -73,6 +73,8 @@ SF1_KEYS=(
   # DAG and the star-MV serve are new keys)
   dedup_contain_near dedup_boilerplate etl_catalog_load etl_dag_resume
   q58_mv_star
+  # round-13 addition: the partition-granular COW merge
+  etl_merge_cow
 )
 
 echo "[round_bench] full registry at sf0.1 ..."

@@ -41,6 +41,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "minhash_sig(shingles) - 64-element MinHash signature of array<string>"),
       (children: Seq[Expression]) => MinHashSignature(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("minhash_gram_sig"),
+      info("minhash_gram_sig",
+        "minhash_gram_sig(tokens, n) - 64-slot ONE-PERMUTATION MinHash " +
+          "signature over word n-grams, computed straight from the " +
+          "token array (no shingle strings, no per-shingle permutation " +
+          "passes; rotation densification)"),
+      (children: Seq[Expression]) => {
+        expectArity("minhash_gram_sig(tokens, n)", 2, children)
+        MinHashGramSignature(children.head, intArg(children(1), "n"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64",
         "simhash64(tokens) - 64-bit SimHash of array<string>"),

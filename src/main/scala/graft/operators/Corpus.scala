@@ -77,14 +77,14 @@ object Corpus {
     * flagged id set; the contamination pass itself moves only gram
     * hashes (broadcast semi-join, see Dedup.scala). */
   def dropContaminated(docs: DataFrame): DataFrame = {
-    // contamination keys grams by the mod-1e9 word_gram_digests
+    // contamination keys grams by the packed ~2^60 word_gram_digests2
     // fingerprint while THIS pipeline's oracle replays raw gram
     // strings: a digest collision between an eval gram and a corpus
     // gram would flip a flag only here. Expected flips per gate run =
-    // |eval grams|·|corpus grams|/1e9 ≈ 5·10⁻⁵ at the sf0.01 gate —
-    // below the xxhash64 standard the oracle contract already accepts
-    // for text-equality faces; dedup_contain's own oracle replays the
-    // digests and is collision-immune.
+    // |eval grams|·|corpus grams|/(P1·P2) ≈ 5·10⁻¹⁴ at the sf0.01
+    // gate — far below the xxhash64 standard the oracle contract
+    // already accepts for text-equality faces; dedup_contain's own
+    // oracle replays the digests and is collision-immune.
     val flagged = Dedup.contamination(docs, BenchPred)
       .select(col("doc_id").as("bad_id"))
     docs.join(flagged, col("doc_id") === col("bad_id"), "left_anti")

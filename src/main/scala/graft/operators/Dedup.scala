@@ -317,13 +317,20 @@ object Dedup {
     * in the same bucket; with b=16, r=4 the S-curve threshold is
     * (1/b)^(1/r) ≈ 0.5 Jaccard.
     *
-    * The shingle array is materialized as a COLUMN before the signature
-    * transform — an expression argument would be re-evaluated once per
-    * hash function (64× shingling per row). */
+    * The signature is the ONE-PERMUTATION native expression
+    * (graft.functions.MinHashGramSignature): word-3-gram hashes
+    * combine straight from per-token hashes — no shingle strings, no
+    * 64 permutation passes — and empty slots densify by rotation, so
+    * per-document signature cost drops from
+    * O(shingles · (stringAlloc + 64 mult-adds)) to O(chars +
+    * shingles). The slot-equality probability stays the Jaccard
+    * similarity (Shrivastava-Li), so the banding S-curve is unchanged
+    * and the all-pairs oracle keeps proving recall at both gate
+    * scales. */
   private def banded(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), wordShingles(col("toks")).as("sh"))
-      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+      .select(col("doc_id"),
+        call_function("minhash_gram_sig", col("toks"), lit(3)).as("sig"))
       .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("band"),
         col("sig"))
       .select(col("doc_id"), col("band"),

@@ -37,6 +37,35 @@ class DedupSpec extends GraftSpec {
       s"minhash estimate $estimate vs true Jaccard $trueJ")
   }
 
+  test("one-permutation minhash signature: agreement approximates true " +
+      "Jaccard, identical texts collide fully, disjoint texts do not") {
+    val common = (1 to 40).map(i => s"w$i").mkString(" ")
+    val a = common + " " + (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = common + " " + (1 to 20).map(i => s"b$i").mkString(" ")
+    val z = (1 to 60).map(i => s"z$i").mkString(" ")
+    val sigs = textsDF(1L -> a, 2L -> b, 3L -> a, 4L -> z)
+      .selectExpr("doc_id", "minhash_gram_sig(split(text, ' '), 3) AS sig")
+      .orderBy("doc_id").collect()
+      .map(_.getSeq[Long](1).toIndexedSeq)
+    def agree(x: IndexedSeq[Long], y: IndexedSeq[Long]) =
+      x.zip(y).count { case (u, v) => u == v }.toDouble / Dedup.NumHashes
+    // identical text → identical signature; disjoint → ~zero agreement
+    assert(sigs(0) == sigs(2), "identical texts must collide slot-wise")
+    assert(agree(sigs(0), sigs(3)) < 0.15,
+      s"disjoint texts agree ${agree(sigs(0), sigs(3))}")
+    val shA = a.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val shB = b.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val trueJ = (shA & shB).size.toDouble / (shA | shB).size
+    assert(math.abs(agree(sigs(0), sigs(1)) - trueJ) < 0.2,
+      s"OPH estimate ${agree(sigs(0), sigs(1))} vs true Jaccard $trueJ")
+    // densification never leaves an empty sentinel in the signature —
+    // a 3-word doc occupies at most 1 slot and borrows the other 63
+    val tiny = textsDF(9L -> "just three words")
+      .selectExpr("minhash_gram_sig(split(text, ' '), 3) AS sig")
+      .collect().head.getSeq[Long](0)
+    assert(tiny.length == Dedup.NumHashes && !tiny.contains(Long.MaxValue))
+  }
+
   test("simhash: identical texts collide, disjoint texts are distant") {
     val df = textsDF(
       1L -> "spark scales out with partitions and shuffles",
