@@ -41,6 +41,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "minhash_sig(shingles) - 64-element MinHash signature of array<string>"),
       (children: Seq[Expression]) => MinHashSignature(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(tokens, n) - first-occurrence-distinct word " +
+          "n-gram shingle strings (space-joined), one primitive pass — " +
+          "bit-identical to the array_distinct/transform/concat_ws/" +
+          "slice composition"),
+      (children: Seq[Expression]) => {
+        expectArity("word_shingles(tokens, n)", 2, children)
+        WordShingles(children.head, intArg(children(1), "n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("char_shingles"),
+      info("char_shingles",
+        "char_shingles(s, n) - first-occurrence-distinct character " +
+          "n-gram strings, one code-point pass — bit-identical to the " +
+          "array_distinct/transform/substring composition"),
+      (children: Seq[Expression]) => {
+        expectArity("char_shingles(s, n)", 2, children)
+        CharShingles(children.head, intArg(children(1), "n"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("minhash_gram_sig"),
       info("minhash_gram_sig",
         "minhash_gram_sig(tokens, n) - 64-slot ONE-PERMUTATION MinHash " +

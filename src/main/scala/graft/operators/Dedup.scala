@@ -25,22 +25,21 @@ object Dedup {
 
   // -- shingling ----------------------------------------------------------
 
-  /** Distinct word n-gram shingles ("w1 w2 w3") over a MATERIALIZED
-    * token-array column. Takes a column REFERENCE, not the split
-    * expression: `slice` inside the lambda re-evaluates its collection
-    * argument per position, so an inline `split(text)` would re-split
-    * the text once per shingle (O(words²) per row — observed as a
-    * 358 s single task at sf0.1 before this was fixed). */
+  /** Distinct word n-gram shingles ("w1 w2 w3") over a token-array
+    * column — the native graft.functions.WordShingles expression, one
+    * primitive pass per row. Bit-identical to the
+    * array_distinct∘transform∘concat_ws∘slice composition
+    * (FunctionsSpec asserts it), which is an interpreted
+    * CodegenFallback HOF chain; on the near-dup VERIFY path that chain
+    * was the dominant remaining sf1 cost after the one-permutation
+    * signature landed. */
   def wordShingles(tokens: Column, n: Int = 3): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(tokens, i, lit(n)))))
+    call_function("word_shingles", tokens, lit(n))
 
-  /** Distinct character n-gram shingles of a text column. */
+  /** Distinct character n-gram shingles of a text column — native
+    * graft.functions.CharShingles, same composition contract. */
   def charShingles(text: Column, n: Int = 5): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
-      i => text.substr(i, lit(n))))
+    call_function("char_shingles", text, lit(n))
 
   // -- exact dedup --------------------------------------------------------
 

@@ -639,6 +639,40 @@ class FunctionsSpec extends GraftSpec {
     }
   }
 
+  test("word_shingles and char_shingles equal their composed-builtin " +
+      "definitions everywhere (order, distinctness, clipping, unicode)") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aa bb aa bb aa bb aa bb aa bb",
+      "one two", "solo", "",
+      "café 😀x naïve über café 😀x naïve",
+      (1 to 40).map(i => s"w${i % 7}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Seq(1, 3, 13).foreach { n =>
+      val g = df.selectExpr("doc_id",
+        s"word_shingles(split(text, ' '), $n) AS s")
+        .orderBy("doc_id").collect().map(_.getSeq[String](1).toSeq)
+      val w = df.selectExpr("doc_id",
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)),
+           |  i -> concat_ws(' ', slice(split(text, ' '), i, $n)))) AS s"""
+          .stripMargin)
+        .orderBy("doc_id").collect().map(_.getSeq[String](1).toSeq)
+      assert(g.toSeq == w.toSeq, s"word n=$n: ${g.toSeq} vs ${w.toSeq}")
+    }
+    Seq(1, 5, 9).foreach { n =>
+      val g = df.selectExpr("doc_id", s"char_shingles(text, $n) AS s")
+        .orderBy("doc_id").collect().map(_.getSeq[String](1).toSeq)
+      val w = df.selectExpr("doc_id",
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(length(text) - ${n - 1}, 1)),
+           |  i -> substring(text, i, $n))) AS s""".stripMargin)
+        .orderBy("doc_id").collect().map(_.getSeq[String](1).toSeq)
+      assert(g.toSeq == w.toSeq, s"char n=$n: ${g.toSeq} vs ${w.toSeq}")
+    }
+  }
+
   test("word_gram_digests rejects NULL token elements with a " +
       "descriptive error instead of an executor NPE") {
     Seq("word_gram_digests", "word_gram_digests2").foreach { fn =>
