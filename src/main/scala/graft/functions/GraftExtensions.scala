@@ -259,6 +259,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordGramDigests(children.head, intArg(children(1), "n"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("word_gram_digests_bag"),
+      info("word_gram_digests_bag",
+        "word_gram_digests_bag(tokens, n) - one poly_digest per word " +
+          "n-gram POSITION (occurrence bag, no distinctness), computed " +
+          "without materializing gram strings; exactly replayable in " +
+          "standard SQL"),
+      (children: Seq[Expression]) => {
+        expectArity("word_gram_digests_bag(tokens, n)", 2, children)
+        WordGramDigestsBag(children.head, intArg(children(1), "n"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("word_gram_digests2"),
       info("word_gram_digests2",
         "word_gram_digests2(tokens, n) - first-occurrence-distinct " +

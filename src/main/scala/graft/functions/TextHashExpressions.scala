@@ -509,6 +509,71 @@ object WordGramDigests {
   }
 }
 
+/** BAG variant of [[WordGramDigests]]: one digest per gram POSITION
+  * (no distinctness) — element i is exactly
+  * poly_digest(concat_ws(" ", slice(tokens, i, n))). The n-gram
+  * NOVELTY census needs occurrence counts (a within-doc repeat is by
+  * definition non-novel), so the set-semantics face doesn't apply;
+  * the previous formulation built every gram STRING through an
+  * interpreted transform∘concat_ws∘slice chain, the dominant cost of
+  * that key at sf1. Same per-word chain identity, clipping and
+  * null-token contract as the distinct face; the narrow mod-1e9
+  * digest is deliberate — the novelty oracle replays this exact
+  * fold. */
+case class WordGramDigestsBag(child: Expression, n: Int)
+    extends UnaryExpression with StringArrayInput {
+
+  require(n >= 1 && n <= 64, s"gram width out of range: $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "word_gram_digests_bag"
+
+  def compute(input: ArrayData): ArrayData = {
+    import PolyHash._
+    val m = input.numElements()
+    val h = new Array[Long](m)
+    val pw = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      val cps = codePoints(WordGramDigests.tokenAt(input, k, prettyName))
+      h(k) = hash(cps, 0, cps.length, B1, P1, 0L)
+      var p = 1L; var i = 0
+      while (i < cps.length) { p = p * B1 % P1; i += 1 }
+      pw(k) = p
+      k += 1
+    }
+    val g = math.max(m - n + 1, 1)
+    val out = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      var s = S1
+      val end = math.min(i + n, m)
+      var j = i
+      while (j < end) {
+        s = (s * pw(j) + h(j)) % P1
+        if (j < end - 1) s = (s * B1 + 32L) % P1 // the joining space
+        j += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordGramDigestsBagExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordGramDigestsBag = copy(child = newChild)
+}
+
 /** WIDE variant of [[WordGramDigests]]: element i is
   * poly_digest2(concat_ws(" ", slice(tokens, i, n))) — BOTH
   * [[PolyHash]] fold chains run per gram and pack as h1·P2 + h2 (the

@@ -577,7 +577,12 @@ object TextAnalysis {
     * round. */
   def collocations(docs: DataFrame, minCount: Long = 5,
       k: Int = 50): DataFrame = {
-    val t = docs.select(words(col("text")).as("toks"))
+    // tokenize ONCE: the regex token pass dominated this key at sf1
+    // (the previous shape re-evaluated words() for the unigram counts,
+    // the bigram counts, AND two whole-corpus count() actions — four
+    // tokenize passes); the narrow (toks) frame checkpoints and every
+    // consumer reads the materialized arrays
+    val t = docs.select(words(col("text")).as("toks")).localCheckpoint(true)
     val uni = t.select(explode(col("toks")).as("w"))
     val uniCounts = uni.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
     val bi = t.filter(size(col("toks")) >= 2)
@@ -585,8 +590,14 @@ object TextAnalysis {
         i => struct(element_at(col("toks"), i).as("w1"),
           element_at(col("toks"), i + 1).as("w2")))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val nTokens = uni.count()
-    val nBigrams = bi.count()
+    // both corpus scalars in ONE length-projection aggregate — no
+    // explode, no extra pass: Σ len tokens, Σ max(len−1, 0) bigrams
+    val stats = t.agg(
+      sum(size(col("toks")).cast("long")).as("nt"),
+      sum(greatest(size(col("toks")) - 1, lit(0)).cast("long")).as("nb"))
+      .head()
+    val nTokens = stats.getLong(0)
+    val nBigrams = stats.getLong(1)
     val const = 2 * math.log(nTokens.toDouble) - math.log(nBigrams.toDouble)
     bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
@@ -1024,11 +1035,14 @@ object TextAnalysis {
     // by definition non-novel), so the per-doc-distinct
     // word_gram_digests expression the dedup gram family uses does NOT
     // apply here — the digests themselves are identical
+    // native bag digests: one poly_digest per gram position, straight
+    // from per-token hashes (the interpreted transform∘concat_ws∘slice
+    // chain dominated this key at sf1 — gram strings never existed in
+    // the exchanges, but they were still BUILT per row)
     val grams = toks.filter(size(col("t")) >= n)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("t")) - n),
-        i => call_function("poly_digest",
-          concat_ws(" ", slice(col("t"), i + 1, lit(n)))))).as("g"))
+      .select(col("doc_id"),
+        explode(call_function("word_gram_digests_bag", col("t"), lit(n)))
+          .as("g"))
     val cnt = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
     grams.join(cnt, "g")
       .groupBy(col("doc_id"))

@@ -639,6 +639,30 @@ class FunctionsSpec extends GraftSpec {
     }
   }
 
+  test("word_gram_digests_bag equals the composed per-position " +
+      "poly_digest chain (occurrence bag, no distinctness)") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aa bb aa bb aa bb aa bb aa bb",
+      "one two", "solo", "",
+      "café 😀x naïve über café 😀x naïve")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Seq(1, 3, 5).foreach { n =>
+      val g = df.selectExpr("doc_id",
+        s"word_gram_digests_bag(split(text, ' '), $n) AS g")
+        .orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq)
+      val w = df.selectExpr("doc_id",
+        s"""transform(
+           |  sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)),
+           |  i -> poly_digest(
+           |    concat_ws(' ', slice(split(text, ' '), i, $n)))) AS g"""
+          .stripMargin)
+        .orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq)
+      assert(g.toSeq == w.toSeq, s"n=$n: ${g.toSeq} vs ${w.toSeq}")
+    }
+  }
+
   test("word_shingles and char_shingles equal their composed-builtin " +
       "definitions everywhere (order, distinctness, clipping, unicode)") {
     val texts = Seq(
