@@ -1865,9 +1865,16 @@ object Similarity {
     * bounded by the query load, not the corpus; at 100 TB the legs
     * are the expensive stages and they keep their own gated plans
     * unchanged. */
-  def hybridRrf(docs: DataFrame, vecs: DataFrame, every: Long = 100,
-      k: Int = 5): DataFrame = {
+  def hybridRrf(docs: DataFrame, vecs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // bounded query COUNT, not rate (the recallAudit discipline): the
+    // fused evaluation holds ≤ ~128 queries at ANY corpus size, so
+    // both legs stay O(n) — the previous fixed-rate every=100 sample
+    // scaled the query count with the corpus and made the key
+    // super-linear at sf1 (12.2 s, 4.4×). The oracle derives the same
+    // modulus from COUNT(*), so the sampled query set is identical.
+    val n = docs.count() // bounded driver state (the bm25 pattern)
+    val every = math.max(100L, (n + 127) / 128)
     val bm = TextAnalysis.bm25TopK(docs, every, 8, k)
       .select(col("query_id"), col("doc_id"), col("rk").as("bm25_rk"))
     val kn = knnBrute(vecs, col("vec_id") % every === 0, k)
@@ -3183,7 +3190,9 @@ object Similarity {
         |  SELECT DISTINCT query_id, w FROM (
         |    SELECT doc_id AS query_id, UNNEST(t[1:8]) AS w FROM (
         |      SELECT doc_id, STRING_SPLIT(text, ' ') AS t
-        |      FROM documents WHERE doc_id % 100 = 0))),
+        |      FROM documents WHERE doc_id %
+        |        (SELECT GREATEST(100, CAST(CEIL(COUNT(*) / 128.0)
+        |           AS BIGINT)) FROM documents) = 0))),
         |probe AS (
         |  SELECT q.query_id, t.doc_id, t.w, t.tf
         |  FROM tf t JOIN qw q USING (w)),
@@ -3216,7 +3225,9 @@ object Similarity {
         |    SQRT(LIST_DOT_PRODUCT(embedding, embedding)) AS nrm
         |  FROM embeddings),
         |qv AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
-        |       FROM corpus WHERE vec_id % 100 = 0),
+        |       FROM corpus WHERE vec_id %
+        |         (SELECT GREATEST(100, CAST(CEIL(COUNT(*) / 128.0)
+        |            AS BIGINT)) FROM documents) = 0),
         |scored AS (
         |  SELECT query_id, c.vec_id AS neighbor_id,
         |    LIST_DOT_PRODUCT(c.embedding, q.qe) / (c.nrm * q.qn) AS cos_sim

@@ -610,7 +610,9 @@ class SimilaritySpec extends GraftSpec {
       (2L, Array(0.0f, 0.0f, 1.0f), 0),
       (3L, Array(0.8f, 0.2f, 0.0f), 0))
       .toDF("vec_id", "embedding", "label")
-    val every = 4L // query set = {0}
+    val every = 4L // legs' explicit sample; hybridRrf's internal
+    // bounded-count modulus (max(100, n/128) = 100 on 4 docs) selects
+    // the SAME query set {0}
     val bm = TextAnalysis.bm25TopK(docs, every, 8, 5).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
     val kn = Similarity.knnBrute(vecs, col("vec_id") % every === 0, 5)
@@ -623,7 +625,7 @@ class SimilaritySpec extends GraftSpec {
         kn.get(key).map(r => 1000000000000L / (60 + r)).getOrElse(0L)
       key -> ((fp, bm.get(key), kn.get(key)))
     }.toMap
-    val got = Similarity.hybridRrf(docs, vecs, every).collect().map { r =>
+    val got = Similarity.hybridRrf(docs, vecs).collect().map { r =>
       (r.getLong(0), r.getLong(2)) ->
         ((r.getLong(3),
           if (r.isNullAt(4)) None else Some(r.getLong(4)),
@@ -631,7 +633,7 @@ class SimilaritySpec extends GraftSpec {
     }.toMap
     assert(got == expect)
     // ranks strictly follow (rrf_fp desc, doc_id)
-    val ranked = Similarity.hybridRrf(docs, vecs, every).collect()
+    val ranked = Similarity.hybridRrf(docs, vecs).collect()
       .map(r => (r.getLong(1), r.getLong(3), r.getLong(2)))
     assert(ranked.sortBy { case (_, fp, id) => (-fp, id) }
       .map(_._1).toSeq == ranked.map(_._1).sorted.toSeq)
