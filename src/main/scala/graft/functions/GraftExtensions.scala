@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "minhash_sig(shingles) - 64-element MinHash signature of array<string>"),
       (children: Seq[Expression]) => MinHashSignature(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("ascii_normalize"),
+      info("ascii_normalize",
+        "ascii_normalize(s) - strip to [A-Za-z0-9 ], squeeze space " +
+          "runs, trim, lowercase — one pass, bit-identical to the " +
+          "lower/trim/regexp_replace chain"),
+      (children: Seq[Expression]) => AsciiNormalize(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       info("word_shingles",
         "word_shingles(tokens, n) - first-occurrence-distinct word " +

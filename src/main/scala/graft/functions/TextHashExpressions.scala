@@ -659,6 +659,65 @@ case class WordGramDigests2(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** The C4-style normalization chain in ONE code-point pass —
+  * bit-identical to `lower(trim(regexp_replace(regexp_replace(s,
+  * "[^A-Za-z0-9 ]", ""), " +", " ")))` (FunctionsSpec asserts it over
+  * unicode-space/tab/non-BMP edges): strip every code point outside
+  * [A-Za-z0-9 ], squeeze ASCII-space runs, trim leading/trailing
+  * spaces, lowercase A-Z. The equivalence is exact BECAUSE the strip
+  * runs first — after it the alphabet is pure ASCII, so the regex
+  * quantifier, trim and lower have no locale/unicode edge left to
+  * disagree on. Two interpreted regex passes over every document were
+  * the whole cost of the normalized-dedup key at sf1. */
+case class AsciiNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "ascii_normalize"
+
+  def compute(input: UTF8String): UTF8String = {
+    val bytes = input.getBytes
+    val out = new Array[Byte](bytes.length)
+    var n = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      // multi-byte UTF-8 sequences are never in [A-Za-z0-9 ]: skip
+      val keepAlnum = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') ||
+        (b >= 'A' && b <= 'Z')
+      if (keepAlnum) {
+        if (pendingSpace && n > 0) { out(n) = ' '; n += 1 }
+        pendingSpace = false
+        out(n) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+        n += 1
+      } else if (b == ' ') {
+        pendingSpace = true // emitted only if a kept char follows (trim+squeeze)
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, n))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("asciiNormalizeExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiNormalize =
+    copy(child = newChild)
+}
+
 /** First-occurrence-distinct word n-gram SHINGLE STRINGS over a token
   * array — bit-identical to `array_distinct(transform(sequence(1,
   * greatest(size(toks)-n+1, 1)), i -> concat_ws(' ', slice(toks, i,

@@ -67,8 +67,11 @@ object Dedup {
     * the hash itself is on the gate — the oracle engine recomputes
     * the identical digest from the identical normalization chain. */
   def normalizedExact(docs: DataFrame): DataFrame = {
-    val norm = lower(trim(regexp_replace(
-      regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""), " +", " ")))
+    // native one-pass strip/squeeze/trim/lower — bit-identical to the
+    // regex chain (the oracle still replays the regexes on ITS side,
+    // so the equivalence is on the md5 gate); the two interpreted
+    // regex passes were this key's entire sf1 cost
+    val norm = call_function("ascii_normalize", col("text"))
     docs.groupBy(md5(norm.cast("binary")).as("norm_hash"))
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_copies"))

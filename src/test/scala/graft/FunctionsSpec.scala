@@ -639,6 +639,27 @@ class FunctionsSpec extends GraftSpec {
     }
   }
 
+  test("ascii_normalize equals the lower/trim/regexp_replace chain on " +
+      "every edge: unicode spaces, tabs, non-BMP, stripped-char-split " +
+      "space runs, all-stripped strings") {
+    val inputs = Seq(
+      "  Hello,   WORLD!!  ", "MiXeD 123 caSe", "", "   ", "...",
+      "a .b", "a . b", "tab\tand\nnewline", "café über naïve",
+      "😀 emoji 😀 split", " nbsp ", "KKKelvin",
+      "ends with space ", " starts", "a1B2c3")
+    val df = inputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "s")
+    val got = df.selectExpr("id", "ascii_normalize(s) AS n")
+      .orderBy("id").collect().map(_.getString(1))
+    val want = df.selectExpr("id",
+      """lower(trim(regexp_replace(
+        |  regexp_replace(s, '[^A-Za-z0-9 ]', ''), ' +', ' '))) AS n"""
+        .stripMargin)
+      .orderBy("id").collect().map(_.getString(1))
+    assert(got.toSeq == want.toSeq,
+      s"normalize mismatch: ${got.toSeq} vs ${want.toSeq}")
+  }
+
   test("word_gram_digests_bag equals the composed per-position " +
       "poly_digest chain (occurrence bag, no distinctness)") {
     val texts = Seq(
