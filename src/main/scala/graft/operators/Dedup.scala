@@ -395,8 +395,33 @@ object Dedup {
     * removes the byte-identical mega-cluster case entirely, and the
     * cap bounds whatever distinct-text degeneracy remains (audited,
     * never silent: [[minhashCandidatesAudited]]). */
-  def minhashCandidates(docs: DataFrame): DataFrame =
-    minhashCandidatesAudited(docs)._1
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val (cands, dropped) = minhashCandidatesAudited(docs)
+    // the cap must never cut SILENTLY in the default path (ADVICE r13):
+    // at gate scale it never fires, so the oracle can't catch a recall
+    // regression a production corpus would hit — count the dropped
+    // buckets (near-free: the counts frame is bucket-metadata scale and
+    // checkpointed) and surface them in the log + a process-local
+    // counter monitors/specs can read
+    val nDropped = dropped.count()
+    lastDroppedBuckets = nDropped
+    if (nDropped > 0)
+      log.warn(s"minhash LSH cap cut $nDropped bucket(s) above " +
+        s"occupancy $MaxBucket from candidate generation — pair recall " +
+        "is no longer exact; use minhashCandidatesAudited to inspect " +
+        "them or widen band geometry")
+    cands
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Dropped-bucket count of the most recent [[minhashCandidates]] /
+    * [[incrementalNear]] cap evaluation in this JVM — a process-local
+    * observability counter (0 = recall exact over representatives).
+    * The authoritative per-run record is the audit FRAME
+    * ([[minhashCandidatesAudited]]); this scalar exists so the default
+    * path is never silent and specs can pin the cap firing. */
+  @volatile var lastDroppedBuckets: Long = 0L
 
   /** [[minhashCandidates]] plus the audit frame of DROPPED buckets —
     * (band, bucket, n) for every bucket whose occupancy exceeded
@@ -408,8 +433,12 @@ object Dedup {
   def minhashCandidatesAudited(docs: DataFrame,
       maxBucket: Int = MaxBucket): (DataFrame, DataFrame) = {
     val b = banded(exactReps(docs)).localCheckpoint(true)
+    // bucket-metadata scale (one row per multi-occupant (band, bucket));
+    // checkpointed so keep, dropped, and the default path's dropped
+    // COUNT all read one materialization instead of re-running the agg
     val counts = b.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .localCheckpoint(true)
     val keep = counts.filter(col("n") <= maxBucket)
       .select(col("band"), col("bucket"))
     val dropped = counts.filter(col("n") > maxBucket)
@@ -487,12 +516,22 @@ object Dedup {
     val store = banded(histReps).withColumnRenamed("doc_id", "hist_id")
       .localCheckpoint(true)
     val probe = banded(batchReps).localCheckpoint(true)
-    // degenerate-bucket cut over the combined store+probe occupancy
-    val keep = store.select(col("band"), col("bucket"))
+    // degenerate-bucket cut over the combined store+probe occupancy —
+    // never silent (the minhashCandidates discipline): dropped buckets
+    // are counted off the same checkpointed metadata frame and logged
+    val counts = store.select(col("band"), col("bucket"))
       .unionAll(probe.select(col("band"), col("bucket")))
       .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val keep = counts.filter(col("n") <= maxBucket)
       .select(col("band"), col("bucket"))
+    val nDropped = counts.filter(col("n") > maxBucket).count()
+    lastDroppedBuckets = nDropped
+    if (nDropped > 0)
+      log.warn(s"incrementalNear LSH cap cut $nDropped bucket(s) above " +
+        s"occupancy $maxBucket — history×batch pair recall is no " +
+        "longer exact in those buckets")
     val storeK = store.join(keep, Seq("band", "bucket"), "left_semi")
     val probeK = probe.join(keep, Seq("band", "bucket"), "left_semi")
     val histCands = probeK.join(storeK, Seq("band", "bucket"))

@@ -410,15 +410,28 @@ object Warehouse {
     * Spark's INSERT OVERWRITE PARTITION semantic that swaps exactly
     * the partitions present in the output frame.
     *
-    * PRECONDITION (standard for COW merges on partitioned layouts): a
-    * key's partition value is immutable — a changeset that moved a key
-    * across partitions would leave the old copy stale, because its
-    * former partition is not rewritten. Date-partitioned facts satisfy
-    * this by construction. */
+    * PRECONDITIONS (standard for COW merges on partitioned layouts):
+    * (1) a key's partition value is immutable — a changeset that moved
+    * a key across partitions would leave the old copy stale, because
+    * its former partition is not rewritten; date-partitioned facts
+    * satisfy this by construction. (2) the changeset carries no NULL
+    * `partCol` — enforced below, because a NULL poisons the `isin`
+    * prune (NULL comparisons drop every base row of the
+    * __HIVE_DEFAULT_PARTITION__ slice), so the dynamic overwrite would
+    * silently DELETE that partition's unmatched rows. (3) the dynamic
+    * overwrite is not crash-atomic: a failure mid-write leaves the
+    * touched partitions half-rewritten (re-run the merge to repair —
+    * upsert is idempotent); callers needing a crash-safe swap should
+    * land into a fresh directory and flip a symlink/catalog pointer,
+    * the Streaming.upsertBatch protocol. */
   def mergeCow(s: SparkSession, tableDir: String, changes: DataFrame,
       key: String, partCol: String): Unit = {
     val parts = changes.select(col(partCol)).distinct().collect()
       .map(_.get(0))
+    require(!parts.contains(null),
+      s"mergeCow: changeset has NULL $partCol values — a NULL poisons " +
+        "the isin partition prune and the overwrite would drop the " +
+        "null partition's unmatched rows; clean or default them first")
     if (parts.nonEmpty) {
       val base = s.read.parquet(tableDir)
         .filter(col(partCol).isin(parts.toIndexedSeq: _*))

@@ -95,9 +95,17 @@ object Landing {
         if (code == 200 && buf.size > 0) buf.reset() // range ignored or
                                                      // version changed
         if (code == 200) {
+          // RFC 7233 §3.2: If-Range MUST carry a STRONG validator — a
+          // weak ETag (W/"...") admits byte-different representations,
+          // so a weakly-comparing server could answer 206 across a
+          // changed body and splice two versions, the exact corruption
+          // this guard exists to prevent. Last-Modified strength
+          // (§2.2.2) cannot be established from one response either,
+          // so resume is gated on a strong ETag ONLY; anything else →
+          // no validator → the buffer restarts from zero on retry
+          // (slower, never corrupt).
           val et = conn.getHeaderField("ETag")
-          validator =
-            if (et != null) et else conn.getHeaderField("Last-Modified")
+          validator = if (et != null && !et.startsWith("W/")) et else null
         }
         if (code >= 500 || code == 429)
           throw new java.io.IOException(s"HTTP $code for $url")
@@ -188,21 +196,40 @@ object Landing {
     * the general engine behavior (a superset); this face pins the
     * reference's exact take-first-and-rename semantic for pipelines
     * that must reproduce its landing layout byte for byte. Entry order
-    * is the archive's central-directory order, exactly what
-    * namelist()[0] reads. */
+    * is the archive's CENTRAL-DIRECTORY order — exactly what
+    * namelist()[0] reads — which is why this face reads through
+    * java.util.zip.ZipFile (a central-directory reader) rather than
+    * ZipInputStream, whose iteration follows local-file-header STREAM
+    * order; the two orders differ on appended/reordered archives and a
+    * stream read would land the wrong entry there. ZipFile needs a
+    * seekable file, so each archive's bytes spill to a task-local temp
+    * file (one small local write per archive — archives are task-sized
+    * by the binaryFile bound already). Directory entries are skipped:
+    * the reference's archives carry a single file, and extracting a
+    * bare directory entry would land zero bytes. */
   def unzipFirstEntry(files: DataFrame, renameTo: String): DataFrame = {
     import files.sparkSession.implicits._
     files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val zis = new java.util.zip.ZipInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        Iterator.continually(zis.getNextEntry)
-          .takeWhile(_ != null)
-          .filterNot(_.isDirectory)
-          .take(1)
-          .map(_ => (path, renameTo, zis.readAllBytes()))
-          .toVector
+        val tmp = java.nio.file.Files.createTempFile("graft-unzip", ".zip")
+        try {
+          java.nio.file.Files.write(tmp, bytes)
+          val zf = new java.util.zip.ZipFile(tmp.toFile)
+          try {
+            val it = zf.entries()
+            var out = Vector.empty[(String, String, Array[Byte])]
+            while (out.isEmpty && it.hasMoreElements) {
+              val e = it.nextElement()
+              if (!e.isDirectory) {
+                val in = zf.getInputStream(e)
+                try out = Vector((path, renameTo, in.readAllBytes()))
+                finally in.close()
+              }
+            }
+            out
+          } finally zf.close()
+        } finally java.nio.file.Files.deleteIfExists(tmp)
       }
       .toDF("path", "entry", "content")
   }

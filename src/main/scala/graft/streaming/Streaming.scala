@@ -745,12 +745,23 @@ object Streaming {
     val statePath = Paths.get(stateDir)
     val next = Paths.get(stateDir + ".next")
     val old = Paths.get(stateDir + ".old")
-    // swap-window crash recovery: a missing state dir with a complete
-    // .next means the previous run died between its two moves — finish
-    // the commit; with only a .old it died before promoting — roll back
+    // swap-window crash recovery: a missing state dir with a COMMITTED
+    // .next (its _committed_batch marker exists — the marker is written
+    // only after the parquet write finished) means the previous run died
+    // between its two moves — finish the commit. A .next WITHOUT the
+    // marker is a partial parquet write from a crash mid-batch: it never
+    // committed, so delete it (its batch will be redelivered) and fall
+    // through to the .old rollback. Promoting a markerless partial would
+    // double-count its rows on redelivery (marker absent → lastCommitted
+    // = -1) — the exactly-once hole ADVICE r13 flagged.
     if (!Files.exists(statePath)) {
-      if (Files.exists(next)) Files.move(next, statePath)
-      else if (Files.exists(old)) Files.move(old, statePath)
+      if (Files.exists(next) &&
+          Files.exists(next.resolve("_committed_batch")))
+        Files.move(next, statePath)
+      else {
+        deleteRecursively(next)
+        if (Files.exists(old)) Files.move(old, statePath)
+      }
     }
     val marker = statePath.resolve("_committed_batch")
     val lastCommitted =

@@ -480,6 +480,28 @@ class DedupSpec extends GraftSpec {
       "default cap must admit the 6-member family (C(6,2) pairs)")
   }
 
+  test("the default candidate path surfaces a firing cap in the " +
+      "process-local dropped-bucket counter, never silently") {
+    // incrementalNear exposes maxBucket — drive the cut with a tiny cap
+    // and assert the counter observes it (ADVICE r13: at gate scale the
+    // default MaxBucket never fires, so without this seam a production
+    // recall regression would be invisible)
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val history = (1L to 4L).map(i => (i, s"$base h$i"))
+      .toDF("doc_id", "text")
+    val batch = (11L to 14L).map(i => (i, s"$base b$i"))
+      .toDF("doc_id", "text")
+    Dedup.incrementalNear(history, batch, maxBucket = 3).collect()
+    assert(Dedup.lastDroppedBuckets > 0L,
+      "cap fired but the dropped-bucket counter stayed at zero")
+    // a clean run resets the counter back to zero
+    Dedup.minhashCandidates(
+      Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+        .toDF("doc_id", "text")).collect()
+    assert(Dedup.lastDroppedBuckets == 0L,
+      "clean run must report zero dropped buckets")
+  }
+
   test("incremental near-dup expands exact-dup members to their rep's " +
       "verdict across the history boundary") {
     val h = (1 to 30).map(i => s"h$i").mkString(" ")

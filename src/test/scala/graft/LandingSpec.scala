@@ -95,6 +95,51 @@ class LandingSpec extends GraftSpec {
     assert(Landing.unzipEntries(files).count() == 2L)
   }
 
+  test("unzipFirstEntry follows CENTRAL-DIRECTORY order, not stream " +
+    "order — the namelist()[0] contract on reordered archives") {
+    // build a two-entry zip, then swap its two central-directory
+    // records in place: local-file-header (stream) order stays
+    // [first.csv, second.txt] while namelist() order becomes
+    // [second.txt, first.csv] — a valid archive (appended/reordered
+    // zips look like this) where the two orders disagree
+    val dir = Files.createTempDirectory(Paths.get("target"), "cdorder")
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("first.csv"))
+    zos.write("stream-first".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("second.txt"))
+    zos.write("cd-first".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val zip = bos.toByteArray
+    def u16(off: Int) = (zip(off) & 0xff) | ((zip(off + 1) & 0xff) << 8)
+    def u32(off: Int) = u16(off) | (u16(off + 2) << 16)
+    var eocd = zip.length - 22 // EOCD sig PK\5\6, no archive comment
+    assert(zip(eocd) == 0x50 && zip(eocd + 1) == 0x4b &&
+      zip(eocd + 2) == 0x05 && zip(eocd + 3) == 0x06, "EOCD not found")
+    val cdOff = u32(eocd + 16)
+    def recLen(off: Int) = // 46 fixed + name + extra + comment
+      46 + u16(off + 28) + u16(off + 30) + u16(off + 32)
+    val lenA = recLen(cdOff)
+    val lenB = recLen(cdOff + lenA)
+    val swapped = zip.clone()
+    System.arraycopy(zip, cdOff + lenA, swapped, cdOff, lenB)
+    System.arraycopy(zip, cdOff, swapped, cdOff + lenB, lenA)
+    Files.write(dir.resolve("reordered.zip"), swapped)
+    // sanity: a central-directory reader now lists second.txt first
+    val zf = new java.util.zip.ZipFile(dir.resolve("reordered.zip").toFile)
+    try assert(zf.entries().nextElement().getName == "second.txt")
+    finally zf.close()
+    val files = Landing.readBinary(spark, s"$dir/*.zip")
+    val got = Landing.unzipFirstEntry(files, "Cnaes.csv").collect()
+    assert(got.length == 1)
+    assert(new String(got.head.getAs[Array[Byte]](2), "UTF-8")
+      == "cd-first",
+      "must land the central-directory-first entry (what namelist()[0] " +
+        "reads), not the stream-first one")
+  }
+
   test("acquire seam: the same transport walks a real HTTP index on " +
     "loopback") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
@@ -243,6 +288,48 @@ class LandingSpec extends GraftSpec {
         }
       }
     })
+    // /weak: cuts mid-body like /cut but exposes only a WEAK ETag
+    // (W/"...") — RFC 7233 §3.2 forbids weak validators in If-Range
+    // (a weakly-comparing server could 206 across a changed body and
+    // splice two versions), so the client must treat it as NO
+    // validator: restart from zero, never send Range/If-Range
+    val weakRanges = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val weakHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/weak", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        Option(ex.getRequestHeaders.getFirst("Range")).foreach(weakRanges.add)
+        Option(ex.getRequestHeaders.getFirst("If-Range")).foreach(weakRanges.add)
+        ex.getResponseHeaders.add("ETag", "W/\"weak-v1\"")
+        if (weakHits.incrementAndGet() == 1) {
+          ex.sendResponseHeaders(200, payload.length.toLong)
+          ex.getResponseBody.write(payload, 0, payload.length / 2)
+          ex.close()
+        } else {
+          ex.sendResponseHeaders(200, payload.length.toLong)
+          ex.getResponseBody.write(payload); ex.close()
+        }
+      }
+    })
+    // /lastmod: cut with ONLY a Last-Modified — its strength (RFC 7232
+    // §2.2.2) cannot be established from one response, so same deal:
+    // no resume, restart from zero
+    val lmRanges = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val lmHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/lastmod", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        Option(ex.getRequestHeaders.getFirst("Range")).foreach(lmRanges.add)
+        ex.getResponseHeaders.add("Last-Modified",
+          "Wed, 01 Jan 2025 00:00:00 GMT")
+        if (lmHits.incrementAndGet() == 1) {
+          ex.sendResponseHeaders(200, payload.length.toLong)
+          ex.getResponseBody.write(payload, 0, payload.length / 2)
+          ex.close()
+        } else {
+          ex.sendResponseHeaders(200, payload.length.toLong)
+          ex.getResponseBody.write(payload); ex.close()
+        }
+      }
+    })
     // /stubborn: cut first, then IGNORES the Range and replays 200 full
     val stubbornHits = new java.util.concurrent.atomic.AtomicInteger(0)
     server.createContext("/stubborn", new HttpHandler {
@@ -298,6 +385,17 @@ class LandingSpec extends GraftSpec {
         "client must land the new version intact, not a two-version splice")
       assert(mutateIfRanges.size() == 1 &&
         mutateIfRanges.get(0) == "\"mut-v1\"", s"if-range: $mutateIfRanges")
+      // weak ETag → NOT a resume validator: retry restarts from zero,
+      // no Range/If-Range ever sent, full body still lands
+      val s8 = collection.mutable.Buffer[Long]()
+      assert(java.util.Arrays.equals(fetcher(s8)(s"$base/weak"), payload))
+      assert(weakRanges.isEmpty,
+        s"weak validator must not be used for resume: $weakRanges")
+      // Last-Modified alone → strength unknown → same restart behavior
+      val s9 = collection.mutable.Buffer[Long]()
+      assert(java.util.Arrays.equals(fetcher(s9)(s"$base/lastmod"), payload))
+      assert(lmRanges.isEmpty,
+        s"Last-Modified of unknown strength must not resume: $lmRanges")
       // server ignores the Range → 200 restarts the buffer, no dup bytes
       val s3 = collection.mutable.Buffer[Long]()
       assert(java.util.Arrays.equals(

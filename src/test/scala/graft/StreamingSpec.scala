@@ -178,6 +178,38 @@ class StreamingSpec extends GraftSpec {
     Streaming.upsertBatch(spark, batchOf((2L, 4, 1.0)), 2L, state)
     assert(read() == Set((1L, 2L, 15.0), (2L, 2L, 21.0)),
       s"swap-hole-B recovery: ${read()}")
+    // swap hole C (ADVICE r13): crash MID-parquet-write leaves a partial
+    // .next with NO _committed_batch marker. Recovery must NOT promote
+    // it (its rows never committed — promoting would double-count them
+    // when the batch is redelivered with lastCommitted=-1); it must be
+    // deleted and .old restored, after which the redelivered batch
+    // applies exactly once off the restored marker
+    Files.move(Paths.get(state), Paths.get(s"$state.old"))
+    val partial = Paths.get(s"$state.next")
+    Files.createDirectories(partial)
+    Files.write(partial.resolve("part-00000.parquet"),
+      Array[Byte](0x50, 0x41, 0x52)) // truncated parquet, no footer
+    Streaming.upsertBatch(spark, batchOf((2L, 4, 1.0)), 2L, state)
+    assert(!Files.exists(partial), "uncommitted partial .next survived")
+    assert(read() == Set((1L, 2L, 15.0), (2L, 2L, 21.0)),
+      s"swap-hole-C recovery: ${read()}")
+    // and the first-batch variant: no state dir, no .old, only the
+    // markerless partial — recovery deletes it and the (re)delivered
+    // first batch builds fresh state
+    val state2 = s"$root/state2"
+    val partial2 = Paths.get(s"$state2.next")
+    Files.createDirectories(partial2)
+    Files.write(partial2.resolve("part-00000.parquet"),
+      Array[Byte](0x50, 0x41, 0x52))
+    Streaming.upsertBatch(spark, b0, 0L, state2)
+    assert(!Files.exists(partial2), "first-batch partial .next survived")
+    val got2 = spark.read.parquet(state2)
+      .select(col("user_id"), col("n_events"),
+        col("total_value").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got2 == Set((1L, 1L, 10.0), (2L, 1L, 20.0)),
+      s"first-batch recovery state: $got2")
   }
 
   test("streaming sessionization emits closed sessions matching batch") {

@@ -167,6 +167,17 @@ class WarehouseSpec extends GraftSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(p"),
       s"partition filter missing from pruned scan:\n$plan")
+    // a NULL partition value in the changeset must fail LOUDLY before
+    // any write: NULL poisons the isin prune (drops every base row of
+    // the null partition) and the dynamic overwrite would then silently
+    // delete that partition's unmatched rows (ADVICE r13)
+    val ex = intercept[IllegalArgumentException] {
+      Warehouse.mergeCow(spark, dir,
+        Seq((7L, 70.0, null.asInstanceOf[String])).toDF("k", "v", "p"),
+        "k", "p")
+    }
+    assert(ex.getMessage.contains("NULL"), ex.getMessage)
+    assert(snapshot() == after, "rejected changeset must not write")
   }
 
   test("morton interleave matches hand-computed codes and the zone map " +
