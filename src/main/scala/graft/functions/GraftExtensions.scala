@@ -71,13 +71,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("minhash_gram_sig"),
       info("minhash_gram_sig",
-        "minhash_gram_sig(tokens, n) - 64-slot ONE-PERMUTATION MinHash " +
+        "minhash_gram_sig(tokens, n[, slots]) - ONE-PERMUTATION MinHash " +
           "signature over word n-grams, computed straight from the " +
           "token array (no shingle strings, no per-shingle permutation " +
-          "passes; rotation densification)"),
+          "passes; rotation densification); slots defaults to 64, " +
+          "widen it for corpus-derived LSH band geometry"),
       (children: Seq[Expression]) => {
-        expectArity("minhash_gram_sig(tokens, n)", 2, children)
-        MinHashGramSignature(children.head, intArg(children(1), "n"))
+        if (children.size != 2 && children.size != 3)
+          throw new IllegalArgumentException(
+            "minhash_gram_sig(tokens, n[, slots]) takes 2 or 3 " +
+              s"arguments, got ${children.size}")
+        if (children.size == 3)
+          MinHashGramSignature(children.head, intArg(children(1), "n"),
+            intArg(children(2), "slots"))
+        else MinHashGramSignature(children.head, intArg(children(1), "n"))
       }))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),

@@ -94,9 +94,9 @@ object MinHashSignature {
   *    token hashes (the interpreted wordShingles transform+concat_ws
   *    chain is a CodegenFallback HOF, measured dominant at sf1);
   *  - the 64 affine permutation passes per shingle collapse to ONE
-  *    hash + ONE bucket-min update: the 64-bit gram hash's top 6 bits
-  *    pick a signature slot and the remaining 58 bits compete for its
-  *    minimum.
+  *    hash + ONE bucket-min update: the 64-bit gram hash's top 32 bits
+  *    range-map onto a signature slot and the low 58 bits compete for
+  *    its minimum.
   * Empty slots densify by ROTATION: slot k borrows the value of the
   * next non-empty slot at distance d, translated by d·C — both sides
   * of a pair densify identically, so P(slot equality) stays the
@@ -105,13 +105,23 @@ object MinHashSignature {
   * gram semantics are free: MinHash is idempotent under duplicates.
   * The all-pairs CORRECTNESS oracle gates recall at 0.8 on every
   * corpus (sf0.01 and sf1), so a recall regression from the signature
-  * change cannot pass silently. */
-case class MinHashGramSignature(child: Expression, n: Int)
+  * change cannot pass silently.
+  *
+  * `slots` parameterizes the signature WIDTH so LSH band geometry can
+  * widen with corpus count ([[graft.operators.Dedup.autoGeometry]] —
+  * the text-side analog of the embedding autoBitsPerBand discipline;
+  * production multi-billion-doc dedups run hundreds to thousands of
+  * slots, e.g. RefinedWeb's 9000). Slot assignment is the multiply-high
+  * range map floor(top32 · slots / 2^32) — uniform for any slots and
+  * BIT-IDENTICAL to the original top-6-bits scheme at slots=64 (the
+  * gate-scale geometry), so existing signatures never move; the gram
+  * hash loop is slot-count-independent (cost O(grams + slots)). */
+case class MinHashGramSignature(child: Expression, n: Int,
+    slots: Int = MinHashSignature.NumHashes)
     extends UnaryExpression with StringArrayInput {
 
   require(n >= 1 && n <= 64, s"gram width out of range: $n")
-
-  import MinHashSignature.NumHashes
+  require(slots >= 1 && slots <= 65536, s"slots out of range: $slots")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -126,7 +136,7 @@ case class MinHashGramSignature(child: Expression, n: Int)
       i += 1
     }
     val g = math.max(m - n + 1, 1)
-    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    val mins = Array.fill(slots)(Long.MaxValue)
     var j = 0
     while (j < g) {
       // order-sensitive combine of the n token hashes + fmix avalanche
@@ -140,21 +150,22 @@ case class MinHashGramSignature(child: Expression, n: Int)
       h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
       h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
       h ^= h >>> 33
-      val b = (h >>> 58).toInt
+      // multiply-high range map: slots=64 reduces to (h >>> 58) exactly
+      val b = (((h >>> 32) * slots) >>> 32).toInt
       val v = h & 0x03FFFFFFFFFFFFFFL
       if (v < mins(b)) mins(b) = v
       j += 1
     }
     // rotation densification: g >= 1 guarantees at least one occupied
     // slot, so the borrow scan always terminates
-    val out = new Array[Long](NumHashes)
+    val out = new Array[Long](slots)
     var b = 0
-    while (b < NumHashes) {
+    while (b < slots) {
       if (mins(b) != Long.MaxValue) out(b) = mins(b)
       else {
         var d = 1
-        while (mins((b + d) % NumHashes) == Long.MaxValue) d += 1
-        out(b) = mins((b + d) % NumHashes) + d.toLong * 0x100000001L
+        while (mins((b + d) % slots) == Long.MaxValue) d += 1
+        out(b) = mins((b + d) % slots) + d.toLong * 0x100000001L
       }
       b += 1
     }

@@ -308,6 +308,59 @@ object Dedup {
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
 
+  /** LSH band geometry: `bands` band keys of `rowsPerBand` signature
+    * slots each over a `slots = bands·rowsPerBand`-wide OPH signature.
+    * The default (16×4, 64 slots) is the gate-scale geometry; larger
+    * corpora derive wider geometry via [[autoGeometry]]. */
+  final case class BandGeometry(bands: Int, rowsPerBand: Int) {
+    require(bands >= 1 && rowsPerBand >= 1)
+    def slots: Int = bands * rowsPerBand
+  }
+  val DefaultGeometry: BandGeometry = BandGeometry(Bands, RowsPerBand)
+
+  /** Docs-per-band-agreement-class the geometry is sized to tolerate:
+    * rowsPerBand grows once the corpus could hold more than
+    * `GeometryOccupancy · 2^r` documents pairwise-similar at the
+    * band-agreement knee (J ≈ 0.5, where each extra slot halves a
+    * pair's co-bucket probability) — the text-side analog of
+    * [[graft.operators.Similarity]]'s autoBitsPerBand, with the same
+    * integer rule. Matches [[MaxBucket]] so the hard cut becomes the
+    * backstop, not the mechanism. */
+  val GeometryOccupancy = 1024
+
+  /** Slots per band for a corpus of `n` documents:
+    * max(4, ⌈log₂(n / GeometryOccupancy)⌉) clamped to [4, 16] — 4 up
+    * to 16 384 docs (so every gate-scale corpus keeps the original
+    * 16×4 geometry bit-for-bit), then one more slot per doubling;
+    * 10⁹ docs hit the r=16 clamp. */
+  def autoRowsPerBand(n: Long): Int = {
+    var r = 4
+    while (r < 16 && (GeometryOccupancy.toLong << r) < n) r += 1
+    r
+  }
+
+  /** Bands for a given rowsPerBand, scaled to hold RECALL at the 0.8
+    * verify threshold: each extra slot multiplies a J=0.8 pair's
+    * per-band agreement by 0.8, so bands grow as 16/0.8^(r-4) to keep
+    * the expected agreeing-band count b·0.8^r at its default-geometry
+    * value (≥ 0.9995 candidate recall at J = 0.8 for every r in the
+    * clamp range). r=16 → 233 bands × 16 slots = 3728-slot signatures,
+    * the RefinedWeb-scale (9000-slot) regime — signature cost is
+    * O(grams + slots) per doc, banded-frame bytes grow with b. */
+  def autoBands(rowsPerBand: Int): Int =
+    math.ceil(Bands / math.pow(0.8, (rowsPerBand - 4).toDouble)).toInt
+
+  /** Corpus-count-derived band geometry (verdict r13 #2): identical to
+    * [[DefaultGeometry]] at every gate scale, widening past 16 384
+    * docs. Incremental faces must derive ONE geometry for store AND
+    * probe (band buckets join across them) — see [[incrementalNear]];
+    * a persisted store should derive from its planned corpus CEILING,
+    * not the live count, so the geometry never moves under it. */
+  def autoGeometry(n: Long): BandGeometry = {
+    val r = autoRowsPerBand(n)
+    BandGeometry(autoBands(r), r)
+  }
+
   /** 64-element MinHash signature over the shingle set — the native
     * graft.functions.MinHashSignature expression (one strong hash per
     * shingle + 64 affine permutations in a primitive loop). */
@@ -328,16 +381,21 @@ object Dedup {
     * shingles). The slot-equality probability stays the Jaccard
     * similarity (Shrivastava-Li), so the banding S-curve is unchanged
     * and the all-pairs oracle keeps proving recall at both gate
-    * scales. */
-  private def banded(docs: DataFrame): DataFrame =
+    * scales. Geometry (bands × rowsPerBand, signature width) comes
+    * from the caller — [[autoGeometry]] for count-derived faces. */
+  private def banded(docs: DataFrame,
+      g: BandGeometry = DefaultGeometry): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        call_function("minhash_gram_sig", col("toks"), lit(3)).as("sig"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("band"),
+        call_function("minhash_gram_sig", col("toks"), lit(3),
+          lit(g.slots)).as("sig"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(g.bands - 1))).as("band"),
         col("sig"))
       .select(col("doc_id"), col("band"),
-        xxhash64(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1,
-          lit(RowsPerBand))).as("bucket"))
+        xxhash64(col("band"),
+          slice(col("sig"), col("band") * g.rowsPerBand + 1,
+            lit(g.rowsPerBand))).as("bucket"))
 
   /** Degenerate-bucket cap for LSH candidate generation: buckets whose
     * occupancy (AFTER the exact pre-collapse below) exceeds this are
@@ -431,8 +489,14 @@ object Dedup {
     * scale); a non-empty one quantifies what a pathological corpus
     * would have cost. */
   def minhashCandidatesAudited(docs: DataFrame,
-      maxBucket: Int = MaxBucket): (DataFrame, DataFrame) = {
-    val b = banded(exactReps(docs)).localCheckpoint(true)
+      maxBucket: Int = MaxBucket,
+      geometry: Option[BandGeometry] = None): (DataFrame, DataFrame) = {
+    // geometry derives from the RAW corpus count (one metadata-cheap
+    // count-star; an upper bound on the rep count, so never narrower
+    // than the corpus needs) — identical to DefaultGeometry at gate
+    // scales, widening past 16 384 docs (see autoGeometry)
+    val g = geometry.getOrElse(autoGeometry(docs.count()))
+    val b = banded(exactReps(docs), g).localCheckpoint(true)
     // bucket-metadata scale (one row per multi-occupant (band, bucket));
     // checkpointed so keep, dropped, and the default path's dropped
     // COUNT all read one materialization instead of re-running the agg
@@ -513,9 +577,13 @@ object Dedup {
     val batchReps = batch.join(
       bmap.filter(col("doc_id") === col("rep")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-    val store = banded(histReps).withColumnRenamed("doc_id", "hist_id")
+    // ONE geometry for store and probe (their band buckets equi-join),
+    // derived from the combined corpus count; a persisted production
+    // store pins geometry at build time from its corpus ceiling instead
+    val g = autoGeometry(history.count() + batch.count())
+    val store = banded(histReps, g).withColumnRenamed("doc_id", "hist_id")
       .localCheckpoint(true)
-    val probe = banded(batchReps).localCheckpoint(true)
+    val probe = banded(batchReps, g).localCheckpoint(true)
     // degenerate-bucket cut over the combined store+probe occupancy —
     // never silent (the minhashCandidates discipline): dropped buckets
     // are counted off the same checkpointed metadata frame and logged

@@ -76,7 +76,23 @@ object Dag {
   /** Run the graph (resuming past any ledger-receipted steps), append
     * one ledger row per step completed IN THIS RUN, and return those
     * rows. An empty result on a fully-receipted graph is the no-op
-    * re-run a scheduler's catchup performs. */
+    * re-run a scheduler's catchup performs.
+    *
+    * CONCURRENT RUNS of the same `project` (the scheduler-catchup race
+    * the reference dodges with catchup=False, dag.py:52): the contract
+    * is step-level AT-LEAST-ONCE with convergence, not mutual
+    * exclusion — a plain-parquet ledger has no compare-and-swap to
+    * build a lock from. Before executing each step the runner RE-READS
+    * the project's receipts, so a step receipted by a parallel run in
+    * the meantime is skipped like any resumed step; only steps whose
+    * executions overlap in wall-clock can run twice. That is safe
+    * because steps are idempotent by construction (deterministic layer
+    * writes — re-materializing a layer yields the same bytes) and the
+    * ledger tolerates duplicate receipts ([[completedSteps]] reads
+    * DISTINCT step names; monitoring sums stay per-uid). Every step is
+    * receipted at least once, no step is lost, and once any
+    * combination of runs covers the graph a sequential re-run is a
+    * full no-op. DagSpec interleaves two runs to pin exactly this. */
   def run(spark: SparkSession, steps: Seq[Step], auditTable: String,
       uid: String, project: String, clock: () => String): DataFrame = {
     validate(steps)
@@ -86,13 +102,20 @@ object Dag {
     var next = nextReady(steps, done.toSet)
     while (next.isDefined) {
       val step = next.get
-      val t0 = clock()
-      val (files, rows) = step.run() // fail-fast: exceptions propagate
-      val row = Monitor.runAudit(spark, uid, project, step.name,
-        qtdFiles = files, qtdRows = rows, dtStart = t0, dtEnd = clock())
-      Medallion.appendWarehouse(row, auditTable)
-      ran += row
-      done += step.name
+      // concurrent-run convergence: a parallel run may have receipted
+      // this step since our last look — one audit-cardinality catalog
+      // scan per step buys the skip (driver-side orchestrator cost)
+      if (completedSteps(spark, auditTable, project).contains(step.name)) {
+        done += step.name
+      } else {
+        val t0 = clock()
+        val (files, rows) = step.run() // fail-fast: exceptions propagate
+        val row = Monitor.runAudit(spark, uid, project, step.name,
+          qtdFiles = files, qtdRows = rows, dtStart = t0, dtEnd = clock())
+        Medallion.appendWarehouse(row, auditTable)
+        ran += row
+        done += step.name
+      }
       next = nextReady(steps, done.toSet)
     }
     ran.reduceOption(_.unionAll(_)).getOrElse(

@@ -66,6 +66,50 @@ class DedupSpec extends GraftSpec {
     assert(tiny.length == Dedup.NumHashes && !tiny.contains(Long.MaxValue))
   }
 
+  test("band geometry derives from corpus count: default at gate " +
+      "scales, one slot per doubling past 16384, recall-scaled bands") {
+    import Dedup.{autoGeometry, BandGeometry}
+    // gate scales keep the original 16x4 geometry BIT-FOR-BIT
+    assert(autoGeometry(500L) == BandGeometry(16, 4))
+    assert(autoGeometry(5000L) == BandGeometry(16, 4))
+    assert(autoGeometry(16384L) == BandGeometry(16, 4))
+    // one slot per doubling past GeometryOccupancy << 4
+    assert(autoGeometry(16385L) == BandGeometry(20, 5))
+    assert(autoGeometry(50000L) == BandGeometry(25, 6))
+    assert(autoGeometry(1000000L) == BandGeometry(62, 10)) // ~2^20 docs
+    // 10^9 docs hit the r=16 clamp — the RefinedWeb-scale regime
+    assert(autoGeometry(1000000000L) == BandGeometry(233, 16))
+    // bands hold recall: expected agreeing-band mass b*0.8^r never
+    // drops below the default geometry's 16*0.8^4
+    (4 to 16).foreach { r =>
+      val b = Dedup.autoBands(r)
+      assert(b * math.pow(0.8, r.toDouble) >=
+        16 * math.pow(0.8, 4.0) - 1e-9, s"recall mass lost at r=$r")
+    }
+    // the widened slot map is bit-identical to the original at 64
+    val toks = "the quick brown fox jumps over the lazy dog tonight"
+    val cmpRow = textsDF(1L -> toks)
+      .selectExpr("minhash_gram_sig(split(text, ' '), 3, 64) AS a",
+        "minhash_gram_sig(split(text, ' '), 3) AS b")
+      .collect().head
+    val (s64, sDefault) =
+      (cmpRow.getSeq[Long](0).toIndexedSeq, cmpRow.getSeq[Long](1).toIndexedSeq)
+    assert(s64 == sDefault,
+      "slots=64 must reproduce the original top-6-bit slot map exactly")
+    // and a WIDENED geometry still finds planted near-dups: same docs,
+    // one word changed, forced through the 25x6 (150-slot) geometry
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val docs = textsDF(1L -> base, 2L -> (base + " extra"),
+      3L -> (1 to 50).map(i => s"other$i").mkString(" "))
+    val (cands, _) = Dedup.minhashCandidatesAudited(docs,
+      geometry = Some(BandGeometry(25, 6)))
+    val got = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)),
+      s"wide geometry lost the planted near-dup pair: $got")
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)),
+      s"disjoint doc co-bucketed under wide geometry: $got")
+  }
+
   test("simhash: identical texts collide, disjoint texts are distant") {
     val df = textsDF(
       1L -> "spark scales out with partitions and shuffles",

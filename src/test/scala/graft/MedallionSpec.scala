@@ -611,4 +611,54 @@ class MedallionSpec extends GraftSpec {
     }
     spark.sql(s"DROP TABLE IF EXISTS $ledger")
   }
+
+  test("Dag: two interleaved runs of one project converge with " +
+      "step-level at-least-once — overlapped step runs twice, " +
+      "receipted steps are never re-run, re-run is a no-op") {
+    import graft.pipeline.Dag
+    val ledger = "graft_spec_dag_race"
+    spark.sql(s"DROP TABLE IF EXISTS $ledger")
+    val tick = new java.util.concurrent.atomic.AtomicInteger(0)
+    val clock = () => s"t${tick.incrementAndGet()}"
+    val execs = scala.collection.mutable.ArrayBuffer[String]()
+    // run B's graph: plain chain s1 → s2 → s3
+    def bStep(name: String, deps: String*): Dag.Step =
+      Dag.Step(name, deps, () => { execs += s"B:$name"; (1L, 1L) })
+    val graphB = Seq(bStep("s1"), bStep("s2", "s1"), bStep("s3", "s2"))
+    // run A interleaves: while A is INSIDE s2 (uncommitted), the
+    // concurrent run B starts against the same ledger — the
+    // scheduler-catchup race, made deterministic by nesting the call
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val graphA = Seq(
+      Dag.Step("s1", Nil, () => { execs += "A:s1"; (1L, 1L) }),
+      Dag.Step("s2", Seq("s1"), () => {
+        execs += "A:s2"
+        if (!fired.getAndSet(true))
+          Dag.run(spark, graphB, ledger, "uB", "race", clock)
+        (1L, 1L)
+      }),
+      Dag.Step("s3", Seq("s2"), () => { execs += "A:s3"; (1L, 1L) }))
+    Dag.run(spark, graphA, ledger, "uA", "race", clock)
+    // s1: A receipted it before B started → B skipped it (resume rule)
+    // s2: executions OVERLAPPED (A inside, unreceipted, when B read the
+    //     ledger) → the documented at-least-once: both ran it
+    // s3: B receipted it first → A re-read the ledger and SKIPPED it
+    assert(execs.toSeq == Seq("A:s1", "A:s2", "B:s2", "B:s3"),
+      s"interleaving: $execs")
+    // the ledger carries both s2 receipts (duplicate-tolerant), every
+    // step receipted at least once, and completedSteps dedups
+    val receipts = spark.table(ledger)
+      .filter(col("nm_project") === "race")
+      .select(col("uid"), col("step")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(receipts.sorted ==
+      Seq(("uA", "s1"), ("uA", "s2"), ("uB", "s2"), ("uB", "s3")).sorted,
+      s"receipts: $receipts")
+    assert(Dag.completedSteps(spark, ledger, "race") ==
+      Set("s1", "s2", "s3"))
+    // converged: a sequential catch-up run executes nothing
+    val noop = Dag.run(spark, graphA, ledger, "uC", "race", clock)
+    assert(noop.count() == 0 && execs.size == 4)
+    spark.sql(s"DROP TABLE IF EXISTS $ledger")
+  }
 }

@@ -45,4 +45,67 @@ class SqlSurfaceSpec extends GraftSpec {
       s"day partition filter not pushed:\n${plan.take(800)}")
     assert(df.count() > 0)
   }
+
+  test("registry parity: every concrete Expression class in " +
+      "graft.functions is SQL-callable through the extension — zero " +
+      "unregistered natives") {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import java.lang.reflect.Modifier
+    // enumerate the compiled expression package straight off the
+    // classpath, so an expression added without a registration line
+    // fails HERE, not in a deployment's spark.sql
+    val pkgDir = new java.io.File(
+      classOf[graft.functions.GraftExtensions].getProtectionDomain
+        .getCodeSource.getLocation.toURI).toPath
+      .resolve("graft/functions")
+    val classes = java.nio.file.Files.list(pkgDir).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (classes.hasNext) {
+      val f = classes.next().getFileName.toString
+      if (f.endsWith(".class") && !f.contains("$"))
+        names += f.stripSuffix(".class")
+    }
+    val exprClasses = names.sorted.map(n =>
+        Class.forName(s"graft.functions.$n"))
+      .filter(c => classOf[Expression].isAssignableFrom(c) &&
+        !Modifier.isAbstract(c.getModifiers) &&
+        !Modifier.isInterface(c.getModifiers))
+    assert(exprClasses.size >= 30,
+      s"package scan looks broken: ${exprClasses.size} classes")
+    // instantiate each with dummy args to read its registered name
+    // (prettyName); constructor params are Expressions and bounded Ints
+    def instantiate(c: Class[_]): Expression = {
+      val ctor = c.getConstructors.minBy(_.getParameterCount)
+      val args = ctor.getParameterTypes.map {
+        case t if classOf[Expression].isAssignableFrom(t) => Literal(1L)
+        case t if t == classOf[Int] => Int.box(4)
+        case t => fail(s"${c.getName}: unexpected ctor param $t")
+      }
+      ctor.newInstance(args.toIndexedSeq: _*).asInstanceOf[Expression]
+    }
+    val reg = spark.sessionState.functionRegistry
+    val extClass = classOf[graft.functions.GraftExtensions].getName
+    val graftNames = reg.listFunction()
+      .filter(f => reg.lookupFunction(f)
+        .exists(i => i.getClassName == extClass))
+      .map(_.funcName).toSet
+    assert(graftNames.nonEmpty, "no graft-injected registry entries")
+    val missing = exprClasses.flatMap { c =>
+      val pn = instantiate(c).prettyName
+      if (graftNames.contains(pn)) None else Some(s"${c.getSimpleName} ($pn)")
+    }
+    assert(missing.isEmpty,
+      s"expressions not reachable from spark.sql: ${missing.mkString(", ")}")
+    // and the registered builders construct the SAME classes the Scala
+    // API uses — one smoke call per distinctive family through SQL
+    Tables.registerAll(spark, sf)
+    val smoke = spark.sql(
+      """SELECT ascii_normalize(text) AS nm,
+        |  size(minhash_gram_sig(split(text, ' '), 3, 128)) AS wide,
+        |  size(word_shingles(split(text, ' '), 3)) AS ws,
+        |  entropy_nats(text) AS ent
+        |FROM documents LIMIT 3""".stripMargin).collect()
+    assert(smoke.length == 3 && smoke.forall(_.getInt(1) == 128))
+  }
 }
