@@ -36,8 +36,15 @@ per-key work constant):
     preserved, cross-replica cosines are scrambled toward 0) — same
     rationale as the text suffix, in vector space.
 
-Deterministic (seed fixed), ~170 MB. Usage:
-  python3 scripts/gen_sf1.py [out_dir]   # default target/sf1
+Deterministic (seed fixed), ~170 MB at 10 replicas. Usage:
+  python3 scripts/gen_sf1.py [out_dir] [replicas]   # default target/sf1, 10
+
+A third scale point (round 14): `python3 scripts/gen_sf1.py target/sf3 30`
+builds 30x sf0.1 = 3x sf1 with the SAME scaling model — replicas 1-9
+are bit-identical to sf1's (same seed, sequential rng draws), so
+sf0.1 -> sf1 -> sf3 is a true geometric growth curve and the
+sf3/sf1 ratio measures the growth EXPONENT the sf1/sf0.1 ratio can
+only bound.
 """
 import os
 import sys
@@ -46,7 +53,7 @@ import numpy as np
 import pandas as pd
 
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 KEY_STRIDE = 10_000_000
 
 
