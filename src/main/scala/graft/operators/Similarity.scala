@@ -2257,9 +2257,30 @@ object Similarity {
     // subset-tested.
     "dedup_embedding_lsh" -> { (s, dir) =>
       val vecs = Tables.load(s, dir, "embeddings")
-      embeddingPairs(vecs, bitsPerBand = autoBitsPerBand(vecs.count()))
+      // cos_r is the FIXED-POINT cosine (components quantized to
+      // floor(x*1e3) before the dot): every term and partial sum is an
+      // exact integer in double (<= 2^28 << 2^53), so both engines
+      // compute bit-identical values in ANY summation order — the
+      // ROUND(.,4) boundary can never flip between them. The round-13
+      // formulation rounded the float-accumulated cosine and bet on a
+      // ~1e-6 boundary margin; at sf1 (4416 pairs) one pair landed
+      // ~1e-9 from a rounding boundary and the hash split (round-14
+      // sf1 sweep). Pair SELECTION (signs, banding, bucket cut, the
+      // 0.4 verify) still runs on the full-precision engine cosine.
+      val pairs = embeddingPairs(vecs,
+          bitsPerBand = autoBitsPerBand(vecs.count()))
+        .select(col("vec_a"), col("vec_b"))
+      val q = vecs.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000.0)).cast("double")).as("q"))
+        .localCheckpoint(true)
+      val qa = q.toDF("vec_a", "qa")
+      val qb = q.toDF("vec_b", "qb")
+      pairs.join(qa, "vec_a").join(qb, "vec_b")
         .select(col("vec_a"), col("vec_b"),
-          round(col("cos_sim"), 4).as("cos_r"))
+          round(dot(col("qa"), col("qb")) /
+            (sqrt(dot(col("qa"), col("qa"))) *
+              sqrt(dot(col("qb"), col("qb")))), 4).as("cos_r"))
         .orderBy(col("vec_a"), col("vec_b"))
     },
     // The library face keeps full-precision cos_sim; the correctness
@@ -2485,9 +2506,20 @@ object Similarity {
        |      / (ea.nrm * eb.nrm) >= 0.4)""".stripMargin
 
   private lazy val lshReplaySql: String =
-    s"""WITH $lshPairCtes
-       |SELECT a AS vec_a, b AS vec_b, ROUND(cs, 4) AS cos_r
-       |FROM vp ORDER BY vec_a, vec_b""".stripMargin
+    s"""WITH $lshPairCtes,
+       |qv AS (
+       |  SELECT vec_id,
+       |    LIST_TRANSFORM(embedding,
+       |      x -> FLOOR(CAST(x AS DOUBLE) * 1000.0)) AS q
+       |  FROM embeddings)
+       |SELECT vp.a AS vec_a, vp.b AS vec_b,
+       |  ROUND(LIST_DOT_PRODUCT(qa.q, qb.q)
+       |    / (SQRT(LIST_DOT_PRODUCT(qa.q, qa.q))
+       |       * SQRT(LIST_DOT_PRODUCT(qb.q, qb.q))), 4) AS cos_r
+       |FROM vp
+       |JOIN qv qa ON qa.vec_id = vp.a
+       |JOIN qv qb ON qb.vec_id = vp.b
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** dedup_embedding oracle: the LSH pair replay above, closed
     * transitively with a recursive-CTE reachability min (the graph_cc
