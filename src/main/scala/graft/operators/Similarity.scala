@@ -1123,6 +1123,21 @@ object Similarity {
     * 2-dim subspaces the seed geometry is already near-converged, and
     * dropping the second pass removes a full assign+refine job from
     * the face: 6.1 → ~4 s at sf0.1.) */
+  /** Candidate budget for the retrieve-then-rerank correctness faces,
+    * derived from corpus count: max(200, 8·⌈√n⌉). The fixed C=200 was
+    * tuned on worst measured true-top-5 ADC ranks ≤ 80 at ≤ sf0.1; at
+    * sf1/sf3 the scale corpus's orthogonally-scrambled replicas push
+    * borderline near-random neighbors (cos ≈ 0.4) into the true top-5
+    * and the worst rank PLATEAUS at ~348 (measured: 348 @ 20k, 346 @
+    * 60k vectors — round-14 sf1 sweep) — past the old budget. The √n
+    * rule keeps ≥ 3× margin at every measured point (360 @ 2k → 80,
+    * 1136 @ 20k → 348, 1960 @ 60k → 346) while C stays a vanishing
+    * corpus fraction (0.03% at 10⁹), preserving ADC's scan-codes /
+    * fetch-few economics. Gate scales stay at 200 (n ≤ 625 → √ rule
+    * under the floor), so gate-scale answers are unchanged. */
+  def autoAdcCandidates(n: Long): Int =
+    math.max(200, 8 * math.ceil(math.sqrt(n.toDouble)).toInt)
+
   def knnPqAdcExact(vecs: DataFrame, queryPred: Column, k: Int = 5,
       candidates: Int = 200, m: Int = 32,
       refineIters: Int = 1): DataFrame = {
@@ -2407,24 +2422,37 @@ object Similarity {
     // retrieve-then-rerank: ADC top-C → exact re-rank → top-k equals
     // brute force, so the oracle recomputes the WHOLE answer; the
     // table≡reconstruction identity certificate rides each row
-    "knn_pq_adc" -> ((s, dir) =>
-      knnPqAdcExact(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)),
+    // candidate budget derives from COUNT(*) (autoAdcCandidates — the
+    // autoBitsPerBand discipline): fixed C=200 lost true-top-5 recall
+    // at sf1 where scramble-replica neighbors rank as low as ~348
+    "knn_pq_adc" -> { (s, dir) =>
+      val vecs = Tables.load(s, dir, "embeddings")
+      knnPqAdcExact(vecs, col("vec_id") < 10,
+        candidates = autoAdcCandidates(vecs.count()))
+    },
     // the composed IVF-PQ index under the same probe-everything +
     // rerank contract: coarse routing, residual codes, table scan and
     // exact re-rank all ride the brute-force hash
-    "knn_ivfpq" -> ((s, dir) =>
-      knnIvfPqExact(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)),
+    "knn_ivfpq" -> { (s, dir) =>
+      val vecs = Tables.load(s, dir, "embeddings")
+      knnIvfPqExact(vecs, col("vec_id") < 10,
+        candidates = autoAdcCandidates(vecs.count()))
+    },
     // serve-only faces: the persisted index is built on first touch
     // (bench warmup / first verify), so the timed path is the SERVING
     // plan alone — code scan, broadcast query tables, C-bounded exact
     // re-rank. Same exact-face geometry ⇒ same brute-force oracle as
     // the build faces.
-    "knn_pq_serve" -> ((s, dir) =>
-      knnPqServe(Tables.load(s, dir, "embeddings"), col("vec_id") < 10,
-        pqIndexPath(dir))),
-    "knn_ivfpq_serve" -> ((s, dir) =>
-      knnIvfPqServe(Tables.load(s, dir, "embeddings"), col("vec_id") < 10,
-        ivfPqIndexPath(dir))),
+    "knn_pq_serve" -> { (s, dir) =>
+      val vecs = Tables.load(s, dir, "embeddings")
+      knnPqServe(vecs, col("vec_id") < 10, pqIndexPath(dir),
+        candidates = autoAdcCandidates(vecs.count()))
+    },
+    "knn_ivfpq_serve" -> { (s, dir) =>
+      val vecs = Tables.load(s, dir, "embeddings")
+      knnIvfPqServe(vecs, col("vec_id") < 10, ivfPqIndexPath(dir),
+        candidates = autoAdcCandidates(vecs.count()))
+    },
     // integer-exact end to end: the packing, the distances, and the
     // ranking are all BIGINT arithmetic, so the hash carries the whole
     // answer with zero rounding seams
