@@ -77,6 +77,23 @@ SF1_KEYS=(
   etl_merge_cow
 )
 
+# sf3 growth-curve set (round 14, verdict #4): the superlinear-RISK
+# families — LSH/banded dedup, ANN build faces, the stream-stream
+# interval join, the iterative graph family — plus dedup_embedding,
+# which is quadratic BY DESIGN (the exact verification face; its
+# alpha~2 row demonstrates the growth table flags real superlinearity
+# while the production face dedup_embedding_lsh stays ~linear).
+# A third scale point turns the sf1/sf0.1 ratio into a measured
+# growth EXPONENT (scripts/growth_table.py): alpha = ln(t3/t1)/ln(3).
+SF3_KEYS=(
+  dedup_minhash dedup_ngram_jaccard dedup_simhash dedup_embedding
+  dedup_embedding_lsh dedup_substring dedup_boilerplate dedup_cluster
+  dedup_incremental_near
+  knn_ivf knn_ivfpq knn_pq_adc emb_knn_graph emb_kmeans
+  stream_stream_join
+  graph_pagerank graph_cc graph_bfs graph_kcore graph_triangles
+)
+
 echo "[round_bench] full registry at sf0.1 ..."
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   java -Xmx8g -cp "$CP" graft.Bench
@@ -91,5 +108,19 @@ echo "[round_bench] scale set (${#SF1_KEYS[@]} keys) at sf1 ..."
 SPARK_GRAFT_SF_DIR="$PWD/target/sf1" SPARK_GRAFT_CPUS=32 \
   java -Xmx8g -cp "$CP" graft.Bench "${SF1_KEYS[@]}"
 mv BENCH.json "$OUT/bench_${ROUND}_sf1.json"
+
+if [ ! -d target/sf3/embeddings.parquet ] && [ ! -f target/sf3/embeddings.parquet ]; then
+  echo "[round_bench] synthesizing sf3 (30 replicas) ..."
+  python3 scripts/gen_sf1.py target/sf3 30
+fi
+
+echo "[round_bench] growth-curve set (${#SF3_KEYS[@]} keys) at sf3 ..."
+SPARK_GRAFT_SF_DIR="$PWD/target/sf3" SPARK_GRAFT_CPUS=32 \
+  java -Xmx8g -cp "$CP" graft.Bench "${SF3_KEYS[@]}"
+mv BENCH.json "$OUT/bench_${ROUND}_sf3.json"
+
+echo "[round_bench] growth exponents:"
+python3 scripts/growth_table.py "$OUT/bench_${ROUND}_sf01.json" \
+  "$OUT/bench_${ROUND}_sf1.json" "$OUT/bench_${ROUND}_sf3.json" || true
 
 echo "[round_bench] artifacts in $OUT"
