@@ -295,6 +295,49 @@ class GraphSpec extends GraftSpec {
     assert(g2 == naiveLabelProp(base, 4), "random-graph replay mismatch")
   }
 
+  test("modularity: exact integer contributions on the two-triangle " +
+      "bridge and a driver replay over label-prop communities") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4: m = 7, each
+    // community has e_in = 3, d_tot = 7 → contrib 4·7·3 − 7² = 35,
+    // i.e. Q = (35 + 35) / (4·7²) = 70/196 ≈ 0.357 (the textbook
+    // value for this fixture)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val comm = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("node", "community")
+    val got = Graph.modularity(edges, comm).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq((1L, 3L, 3L, 7L, 35L), (4L, 3L, 3L, 7L, 35L)))
+    // the all-in-one partition scores 4·m·m − (2m)² = 0 exactly —
+    // "no structure found" is visible as a zero, not a small float
+    val one = Graph.modularity(edges,
+      (1L to 6L).map(_ -> 9L).toDF("node", "community")).collect()
+    assert(one.length == 1 && one.head.getLong(4) == 0L)
+    // random graph: the identity replays from raw parts over the
+    // engine's own label-prop communities
+    val rnd = new scala.util.Random(11)
+    val base = (1 to 80).map(_ => (rnd.nextInt(14).toLong,
+      rnd.nextInt(14).toLong)).filter(e => e._1 < e._2).distinct
+    val df = base.toDF("a", "b")
+    val labels = Graph.labelPropagation(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = base.size.toLong
+    val deg = (base.map(_._1) ++ base.map(_._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+    val expect = labels.values.toSeq.distinct.sorted.map { c =>
+      val nodes = labels.filter(_._2 == c).keySet
+      val ein = base.count(e => nodes(e._1) && nodes(e._2)).toLong
+      val dtot = nodes.toSeq.map(deg).sum
+      (c, nodes.size.toLong, ein, dtot, 4L * m * ein - dtot * dtot)
+    }
+    val got2 = Graph.modularity(df,
+        labels.toSeq.toDF("node", "community")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got2 == expect, "random-graph modularity replay mismatch")
+  }
+
   test("k-core peel: a path sheds endpoints round by round, the " +
       "triangle survives as the 2-core, and a driver replay matches " +
       "on a random graph") {

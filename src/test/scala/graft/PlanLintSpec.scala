@@ -72,7 +72,10 @@ class PlanLintSpec extends GraftSpec {
       "q56_kmv_setops",
       // broadcasts the 1-ROW ledger receipt of the gated load onto the
       // loaded table rows (the skew-audit totals shape)
-      "etl_catalog_load")
+      "etl_catalog_load",
+      // broadcasts the 1-ROW edge-count total onto the per-community
+      // stats (the zipf/totals shape); Graph.modularity's scale note
+      "graph_modularity")
 
   test("no query plan contains a cartesian product or stray nested loop") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, q) =>
