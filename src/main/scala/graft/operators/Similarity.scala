@@ -2250,6 +2250,74 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Deterministic farthest-point traversal (Gonzalez 1985 k-center
+    * 2-approximation) over the embedding corpus — the diversity /
+    * coreset selection pass of a training-data pipeline: pick the
+    * corpus's k most mutually-distant vectors (seed-set selection,
+    * eval-probe picking, cluster-center initialization that beats
+    * random at any corpus size). No RNG anywhere: the first center is
+    * the MINIMUM vec_id, every later one the argmax of min-distance
+    * to the selected set with ties to the lowest id — a pure function
+    * of the corpus, bit-replayable on any engine.
+    *
+    * Distances are FIXED-POINT squared L2: components quantize once
+    * to ⌊x·10³⌋ BIGINTs (the cos_r discipline), so every distance is
+    * an exact integer — argmax has no float-boundary risk. The
+    * (k+1)-th row is the COVERING-RADIUS CERTIFICATE: after k centers
+    * the corpus's max min-distance is exactly its dist_fp (Gonzalez's
+    * guarantee: ≤ 2× the optimal k-center radius). Vectors at
+    * min-distance 0 (exact duplicates of a center) never re-select;
+    * a corpus that exhausts (n ≤ k, or all remaining are duplicates)
+    * simply emits fewer rows — also how an EMPTY corpus yields an
+    * empty frame instead of a null row.
+    *
+    * Scale shape: each of the k rounds is one map-side-combined
+    * argmax to a SINGLE row (max_by over a total order) + a 1-row
+    * broadcast cross decorating the corpus with the new center —
+    * O(k·n·Dim) total work, the corpus never shuffles, state is one
+    * BIGINT column per vector. The quantized corpus and per-round
+    * state are checkpointed so the k-round lineage stays flat. */
+  def kCenterSelect(vecs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, s"k out of range: $k")
+    val q = vecs.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e3).cast("long")).as("qe"))
+      .localCheckpoint()
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    var seed = q
+      .agg(min_by(struct(col("vec_id"), col("qe")), col("vec_id")).as("s"))
+      .select(col("s.vec_id").as("sid"), col("s.qe").as("sqe"),
+        lit(0L).as("sd"))
+      .filter(col("sid").isNotNull)
+      .localCheckpoint(true)
+    var picks = seed.select(lit(1).as("sel_rank"), col("sid"), col("sd"))
+    var state = q.crossJoin(broadcast(seed.select(col("sqe"))))
+      .select(col("vec_id"), col("qe"), d2(col("qe"), col("sqe")).as("min_d"))
+      .localCheckpoint()
+    for (r <- 2 to (k + 1)) {
+      seed = state.filter(col("min_d") > 0)
+        .agg(max_by(struct(col("vec_id"), col("qe"), col("min_d")),
+          struct(col("min_d"), (-col("vec_id")).as("nid"))).as("s"))
+        .select(col("s.vec_id").as("sid"), col("s.qe").as("sqe"),
+          col("s.min_d").as("sd"))
+        .filter(col("sid").isNotNull)
+        .localCheckpoint(true)
+      picks = picks.unionAll(
+        seed.select(lit(r).as("sel_rank"), col("sid"), col("sd")))
+      if (r <= k)
+        state = state.crossJoin(broadcast(seed.select(col("sqe"))))
+          .select(col("vec_id"), col("qe"),
+            least(col("min_d"), d2(col("qe"), col("sqe"))).as("min_d"))
+          .localCheckpoint()
+    }
+    picks.select(col("sel_rank").cast("int").as("sel_rank"),
+        col("sid").cast("long").as("vec_id"),
+        col("sd").cast("long").as("dist_fp"))
+      .orderBy(col("sel_rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the END-TO-END production dedup: auto-bits LSH pairs + exact
     // verify + transitive cluster resolution → one (canon, is_dup)
@@ -2463,7 +2531,12 @@ object Similarity {
     "emb_mmr" -> ((s, dir) =>
       mmrDiversify(Tables.load(s, dir, "embeddings"), col("vec_id") < 3)),
     "knn_hamming" -> ((s, dir) =>
-      knnHamming(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)))
+      knnHamming(Tables.load(s, dir, "embeddings"), col("vec_id") < 10)),
+    // farthest-point coreset: the whole traversal is integer-exact,
+    // so the hash carries every pick, its selection distance, and the
+    // covering-radius certificate row
+    "emb_kcenter" -> ((s, dir) =>
+      kCenterSelect(Tables.load(s, dir, "embeddings"))))
 
   /** The 48 fixed-seed hyperplanes as SQL row literals — generated from
     * the SAME array the native hyperplane_bits expression evaluates
@@ -2676,7 +2749,45 @@ object Similarity {
         |  FROM pairs)
 """.stripMargin
 
+  /** Chained-CTE replay of [[kCenterSelect]]'s k+1 rounds (the
+    * graph_label_prop unroll discipline): sR argmaxes the min-distance
+    * column dR−1 maintains, dR folds the new center in with LEAST.
+    * Distances replay as sq_a + sq_b − 2·dot over the ⌊x·10³⌋-quantized
+    * coords held as DOUBLE lists — every term an integer ≤ ~1.3·10⁸,
+    * far under 2^53, so LIST_DOT_PRODUCT's double accumulation is
+    * exact and equals the engine's BIGINT Σ(x−y)². */
+  private def kCenterOracleSql(k: Int): String = {
+    def dist(t: String) =
+      s"CAST(LIST_DOT_PRODUCT($t.qd, $t.qd) + LIST_DOT_PRODUCT(s.qd, s.qd)" +
+        s" - 2 * LIST_DOT_PRODUCT($t.qd, s.qd) AS BIGINT)"
+    val ctes = Seq(
+      "n AS (SELECT vec_id, LIST_TRANSFORM(embedding," +
+        " v -> CAST(CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)" +
+        " AS DOUBLE)) AS qd FROM embeddings)",
+      "s1 AS (SELECT vec_id, qd FROM n ORDER BY vec_id LIMIT 1)",
+      s"d1 AS (SELECT n.vec_id, n.qd, ${dist("n")} AS md" +
+        " FROM n CROSS JOIN s1 s)") ++
+      (2 to k + 1).flatMap { r =>
+        val sel = s"s$r AS (SELECT vec_id, qd, md FROM d${r - 1}" +
+          " WHERE md > 0 ORDER BY md DESC, vec_id LIMIT 1)"
+        if (r <= k)
+          Seq(sel, s"d$r AS (SELECT d.vec_id, d.qd," +
+            s" LEAST(d.md, ${dist("d")}) AS md" +
+            s" FROM d${r - 1} d CROSS JOIN s$r s)")
+        else Seq(sel)
+      }
+    val rows =
+      Seq("SELECT 1 AS sel_rank, vec_id, CAST(0 AS BIGINT) AS dist_fp" +
+        " FROM s1") ++
+      (2 to k + 1).map(r =>
+        s"SELECT $r AS sel_rank, vec_id, md AS dist_fp FROM s$r")
+    "WITH " + ctes.mkString(",\n") + "\n" +
+      rows.mkString("\nUNION ALL ") + "\nORDER BY sel_rank"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // the k+1-round farthest-point replay; see kCenterOracleSql
+    "emb_kcenter" -> kCenterOracleSql(8),
     // the greedy replayed as a recursive CTE carrying the chosen list:
     // pick 1 = relevance argmax, pick i+1 = argmax of
     // 7·qsim − 3·max_{c∈chosen} dot — every sim an exact BIGINT dot of

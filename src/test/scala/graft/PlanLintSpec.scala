@@ -75,7 +75,11 @@ class PlanLintSpec extends GraftSpec {
       "etl_catalog_load",
       // broadcasts the 1-ROW edge-count total onto the per-community
       // stats (the zipf/totals shape); Graph.modularity's scale note
-      "graph_modularity")
+      "graph_modularity",
+      // k+1 rounds each crossing the corpus with the 1-ROW new center
+      // (the bounded-codebook shape); Similarity.kCenterSelect's
+      // scale note
+      "emb_kcenter")
 
   test("no query plan contains a cartesian product or stray nested loop") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, q) =>

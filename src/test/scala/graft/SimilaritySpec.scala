@@ -996,4 +996,40 @@ class SimilaritySpec extends GraftSpec {
       assert(mine == want, s"query $q ranking")
     }
   }
+
+  test("k-center farthest-point: exact traversal on a planted geometry, " +
+      "duplicate and exhaustion semantics, empty in, empty out") {
+    import spark.implicits._
+    // quantized coords (x1000): 1=(0,0,0) 2=(9,0,0) 3=(1000,0,0)
+    // 4=(0,1000,0) 5=(500,500,0); seed = min id, then farthest-first
+    // with min-id ties: 3 (1e6, tied with 4), 4 (1e6), radius row 5
+    // (500000 -- the corpus max min-distance after the 3 centers)
+    val vecs = Seq(
+      (1L, Array(0f, 0f, 0f)), (2L, Array(0.01f, 0f, 0f)),
+      (3L, Array(1f, 0f, 0f)), (4L, Array(0f, 1f, 0f)),
+      (5L, Array(0.5f, 0.5f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(vecs, k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, 1L, 0L), (2, 3L, 1000000L), (3, 4L, 1000000L),
+      (4, 5L, 500000L)))
+    // exact duplicates never re-select: a two-copy corpus yields the
+    // seed alone (remaining min-distances are all zero)
+    val dup = Seq((7L, Array(1f, 2f, 3f)), (9L, Array(1f, 2f, 3f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.kCenterSelect(dup, k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1, 7L, 0L)))
+    // exhaustion: two distinct vectors under k = 3 emit seed + one
+    // pick and no radius row -- fewer rows, never a null row
+    val two = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.kCenterSelect(two, k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1, 1L, 0L), (2, 2L, 1000000L)))
+    // empty corpus: empty frame with the schema intact
+    val empty = Similarity.kCenterSelect(
+      vecs.filter(col("vec_id") < 0), k = 2)
+    assert(empty.columns.toSeq == Seq("sel_rank", "vec_id", "dist_fp"))
+    assert(empty.count() == 0)
+  }
 }
