@@ -75,8 +75,9 @@ SF1_KEYS=(
   q58_mv_star
   # round-13 addition: the partition-granular COW merge
   etl_merge_cow
-  # round-14 addition: label-prop + integer modularity audit
-  graph_modularity
+  # round-14 additions: label-prop + integer modularity audit; the
+  # k-round farthest-point coreset traversal
+  graph_modularity emb_kcenter
 )
 
 # sf3 growth-curve set (round 14, verdict #4): the superlinear-RISK
