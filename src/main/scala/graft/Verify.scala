@@ -27,6 +27,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // the one-line message hides WHERE a scale failure lives (the
+        // sf3 BigInteger overflow took a stack to localize); full
+        // trace to stderr, the driver parses stdout only
+        e.printStackTrace()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.plans.Loops
 import graft.sources.Tables
 
 /** Iterative graph analytics over relationship graphs derived from the
@@ -274,29 +275,35 @@ object Graph {
     * data-dependent fixpoint. */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50)
       : DataFrame = {
-    val e = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
-    var labels = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("comp"))
-      .localCheckpoint()
+    // run-to-convergence loop → checkpointFresh, NOT localCheckpoint:
+    // plain checkpoints inherit origin-plan stats, and this loop's
+    // self-join squares them every round — bit-length doubles per
+    // iteration until planning time explodes and the driver throws
+    // `BigInteger would overflow supported range` (hit at the sf3
+    // scale point, where convergence first needed enough rounds;
+    // graft.plans.Loops has the full mechanism)
+    val e = Loops.checkpointFresh(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(edges.select(col("b").as("src"), col("a").as("dst"))))
+    var labels = Loops.checkpointFresh(
+      e.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("comp")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
       rounds += 1
       // min over own label and every neighbor's label
-      val prop = e.join(labels, e("src") === labels("node"))
-        .select(col("dst").as("node"), col("comp"))
-        .unionAll(labels)
-        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+      val prop = Loops.checkpointFresh(
+        e.join(labels, e("src") === labels("node"))
+          .select(col("dst").as("node"), col("comp"))
+          .unionAll(labels)
+          .groupBy(col("node")).agg(min(col("comp")).as("comp")))
       // pointer jump: comp ← comp(comp); every comp value is itself a
       // node id, so the self-join is total
-      val next = prop
+      val next = Loops.checkpointFresh(prop
         .join(prop.select(col("node").as("jn"), col("comp").as("jc")),
           col("comp") === col("jn"))
-        .select(col("node"), col("jc").as("comp"))
-        .localCheckpoint()
+        .select(col("node"), col("jc").as("comp")))
       changed = next
         .join(labels.select(col("node"), col("comp").as("prev")), "node")
         .filter(col("comp") =!= col("prev")).count()

@@ -295,6 +295,37 @@ class GraphSpec extends GraftSpec {
     assert(g2 == naiveLabelProp(base, 4), "random-graph replay mismatch")
   }
 
+  test("fixpoint checkpoints do not compound plan statistics — the " +
+      "sf3 BigInteger-overflow mechanism stays dead") {
+    // plain localCheckpoint inherits origin-plan sizeInBytes, so a
+    // checkpoint → self-join → checkpoint loop doubles the stat's
+    // bit-length every round (13 → 23 499 bits in 12 rounds measured;
+    // ~30 rounds overflow BigInteger and kill the driver — the
+    // round-14 sf3 dedup_embedding failure). checkpointFresh rebuilds
+    // the leaf without origin stats: bounded forever.
+    var plain = spark.range(8).toDF("a").localCheckpoint()
+    var fresh = graft.plans.Loops.checkpointFresh(spark.range(8).toDF("a"))
+    var plainBits = Seq.empty[Int]
+    var freshBits = Seq.empty[Int]
+    for (_ <- 1 to 6) {
+      plain = plain.as("x").join(plain.as("y"), "a").select(col("a"))
+        .localCheckpoint()
+      fresh = graft.plans.Loops.checkpointFresh(
+        fresh.as("x").join(fresh.as("y"), "a").select(col("a")))
+      plainBits :+= plain.queryExecution.optimizedPlan.stats
+        .sizeInBytes.bitLength
+      freshBits :+= fresh.queryExecution.optimizedPlan.stats
+        .sizeInBytes.bitLength
+    }
+    assert(plainBits.last > plainBits.head * 8,
+      s"plain checkpoint no longer compounds? $plainBits")
+    assert(freshBits.distinct.size == 1,
+      s"fresh leaf stats must stay flat across rounds: $freshBits")
+    // and the rebuilt frame carries the same rows
+    assert(fresh.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L to 7L).toSeq)
+  }
+
   test("modularity: exact integer contributions on the two-triangle " +
       "bridge and a driver replay over label-prop communities") {
     // triangles {1,2,3} and {4,5,6} bridged by 3-4: m = 7, each
