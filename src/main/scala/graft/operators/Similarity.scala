@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HyperplaneBits
+import graft.plans.Loops
 import graft.sources.Tables
 
 /** Embedding similarity operators (SURVEY §2C): near-dup detection via
@@ -2276,7 +2277,13 @@ object Similarity {
     * broadcast cross decorating the corpus with the new center —
     * O(k·n·Dim) total work, the corpus never shuffles, state is one
     * BIGINT column per vector. The quantized corpus and per-round
-    * state are checkpointed so the k-round lineage stays flat. */
+    * state are checkpointed so the k-round lineage stays flat — via
+    * [[graft.plans.Loops.checkpointFresh]], because each round's
+    * state plan joins the previous state's checkpoint with a seed
+    * DERIVED FROM that same checkpoint: plain localCheckpoint would
+    * square the inherited plan stats per round (bounded at the
+    * default k = 8, but the k ≤ 64 cap would cross the BigInteger
+    * wall past k ≈ 25 — the CC sf3 incident's mechanism). */
   def kCenterSelect(vecs: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 1 && k <= 64, s"k out of range: $k")
     val q = vecs.select(col("vec_id"),
@@ -2293,9 +2300,10 @@ object Similarity {
       .filter(col("sid").isNotNull)
       .localCheckpoint(true)
     var picks = seed.select(lit(1).as("sel_rank"), col("sid"), col("sd"))
-    var state = q.crossJoin(broadcast(seed.select(col("sqe"))))
-      .select(col("vec_id"), col("qe"), d2(col("qe"), col("sqe")).as("min_d"))
-      .localCheckpoint()
+    var state = Loops.checkpointFresh(
+      q.crossJoin(broadcast(seed.select(col("sqe"))))
+        .select(col("vec_id"), col("qe"),
+          d2(col("qe"), col("sqe")).as("min_d")))
     for (r <- 2 to (k + 1)) {
       seed = state.filter(col("min_d") > 0)
         .agg(max_by(struct(col("vec_id"), col("qe"), col("min_d")),
@@ -2307,10 +2315,10 @@ object Similarity {
       picks = picks.unionAll(
         seed.select(lit(r).as("sel_rank"), col("sid"), col("sd")))
       if (r <= k)
-        state = state.crossJoin(broadcast(seed.select(col("sqe"))))
-          .select(col("vec_id"), col("qe"),
-            least(col("min_d"), d2(col("qe"), col("sqe"))).as("min_d"))
-          .localCheckpoint()
+        state = Loops.checkpointFresh(
+          state.crossJoin(broadcast(seed.select(col("sqe"))))
+            .select(col("vec_id"), col("qe"),
+              least(col("min_d"), d2(col("qe"), col("sqe"))).as("min_d")))
     }
     picks.select(col("sel_rank").cast("int").as("sel_rank"),
         col("sid").cast("long").as("vec_id"),
