@@ -274,7 +274,17 @@ object Graph {
     * round is one node-sized aggregate, the standard price of a
     * data-dependent fixpoint. */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50)
-      : DataFrame = {
+      : DataFrame = connectedComponentsCounted(edges, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of rounds to the detected
+    * fixpoint — the O(log n) convergence contract is itself under test
+    * (GraphSpec pins ≤ log₂(n)+3 rounds on a path, the worst diameter
+    * per node count). Round count is what drives the CC term in
+    * dedup_embedding's measured growth exponent (BASELINE.md sf3
+    * section): per-round work is linear, rounds grow with log of the
+    * largest cluster's diameter. */
+  def connectedComponentsCounted(edges: DataFrame, maxRounds: Int = 50)
+      : (DataFrame, Int) = {
     // run-to-convergence loop → checkpointFresh, NOT localCheckpoint:
     // plain checkpoints inherit origin-plan stats, and this loop's
     // self-join squares them every round — bit-length doubles per
@@ -309,7 +319,7 @@ object Graph {
         .filter(col("comp") =!= col("prev")).count()
       labels = next
     }
-    labels.orderBy(col("node"))
+    (labels.orderBy(col("node")), rounds)
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) for

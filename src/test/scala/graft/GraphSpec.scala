@@ -192,6 +192,14 @@ class GraphSpec extends GraftSpec {
     val want = (10L to 18L).map(_ -> 10L).toMap ++
       (30L to 32L).map(_ -> 30L).toMap ++ Map(50L -> 50L, 51L -> 50L)
     assert(got == want, s"got $got")
+    // O(log n) convergence contract: a 64-node path is the worst
+    // diameter per node count; pointer jumping must reach the detected
+    // fixpoint in ≤ log₂(n)+3 rounds (this round count is what drives
+    // the CC term in the sf3 growth exponents — BASELINE.md)
+    val path64 = (1L to 63L).map(v => (v, v + 1)).toDF("a", "b")
+    val (labels64, rounds64) = Graph.connectedComponentsCounted(path64)
+    assert(labels64.collect().map(_.getLong(1)).distinct.toSeq == Seq(1L))
+    assert(rounds64 <= 9, s"64-node path took $rounds64 rounds")
     // warehouse face: labels partition the co-supply node set, every
     // label is the min of its own component
     val cc = Graph.connectedComponents(
