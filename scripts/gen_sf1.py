@@ -134,6 +134,12 @@ def main(out_dir: str) -> None:
         n = pq.read_metadata(f"{out_dir}/{t}.parquet").num_rows
         print(f"{t}: {n} rows")
 
+    # completion sentinel, written LAST: an interrupted run leaves no
+    # sentinel, so callers (round_bench.sh) regenerate instead of
+    # benching a partial corpus
+    with open(f"{out_dir}/_GRAFT_SYNTH_OK", "w") as f:
+        f.write(f"replicas={REPLICAS}\n")
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "target/sf1")

@@ -21,8 +21,12 @@ sf3 = json.load(open(sys.argv[3]))["queries"] if len(sys.argv) > 3 else {}
 rows = []
 for k, v in sf1["queries"].items():
     b = sf01["queries"].get(k)
-    if b:
-        a = (math.log(sf3[k] / v) / math.log(3)) if sf3.get(k) else None
+    if b and b > 0:
+        # presence test, not truthiness (a legitimate 0.0 s sf3 time is
+        # not "missing"), and both log args guarded > 0 — growth_table.py
+        # discipline
+        a = (math.log(sf3[k] / v) / math.log(3)) \
+            if (k in sf3 and v > 0 and sf3[k] > 0) else None
         rows.append((k, v, b, v / b, a))
 rows.sort(key=lambda r: -r[3])
 n = len(rows)

@@ -102,8 +102,11 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   java -Xmx8g -cp "$CP" graft.Bench
 mv BENCH.json "$OUT/bench_${ROUND}_sf01.json"
 
-if [ ! -f target/sf1/embeddings.parquet ] && [ ! -d target/sf1/embeddings.parquet ]; then
+# the sentinel is written LAST by gen_sf1.py — a partial dir from an
+# interrupted run has no sentinel and is regenerated, never benched
+if [ ! -f target/sf1/_GRAFT_SYNTH_OK ]; then
   echo "[round_bench] synthesizing sf1 ..."
+  rm -rf target/sf1
   python3 scripts/gen_sf1.py
 fi
 
@@ -112,8 +115,9 @@ SPARK_GRAFT_SF_DIR="$PWD/target/sf1" SPARK_GRAFT_CPUS=32 \
   java -Xmx8g -cp "$CP" graft.Bench "${SF1_KEYS[@]}"
 mv BENCH.json "$OUT/bench_${ROUND}_sf1.json"
 
-if [ ! -d target/sf3/embeddings.parquet ] && [ ! -f target/sf3/embeddings.parquet ]; then
+if [ ! -f target/sf3/_GRAFT_SYNTH_OK ]; then
   echo "[round_bench] synthesizing sf3 (30 replicas) ..."
+  rm -rf target/sf3
   python3 scripts/gen_sf1.py target/sf3 30
 fi
 

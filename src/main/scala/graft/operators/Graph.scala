@@ -495,26 +495,43 @@ object Graph {
     * No float division anywhere, so the frame is bit-identical across
     * engines and ranking communities by contrib_fp IS ranking by
     * modularity contribution. Exact while 4·m·e_c < 2^63, i.e. to
-    * ~1.5·10⁹ edges; past that, shift both terms right together (the
-    * ranking survives a shared truncation; document the shift with the
-    * run).
+    * ~1.5·10⁹ edges — and ENFORCED, not just documented: non-ANSI
+    * Spark silently wraps Long overflow, so the bound is checked at
+    * runtime against the measured edge count (4m² < 2^63 covers both
+    * terms, since e_c ≤ m and d_c ≤ 2m) and fails loudly instead of
+    * emitting wrapped contributions. Past the bound, shift both terms
+    * right together (the ranking survives a shared truncation;
+    * document the shift with the run).
     *
     * This is the "did label propagation find real structure" gate a
     * curation pipeline needs before using communities as dedup or
     * sampling strata — boilerplate families and mirror clusters score
     * high positive contrib; a near-random partition sums to ~0.
     *
-    * Scale shape: m arrives as a broadcast one-row aggregate (never a
-    * driver collect); degrees and community stats are node-keyed
-    * shuffles with map-side combine; internal edges decorate the edge
-    * list with its two endpoint communities via node-keyed joins —
-    * every exchange is edge- or node-bounded, nothing quadratic. The
-    * edge frame feeds three legs (m, degrees, endpoint decoration), so
-    * it is checkpointed once here; callers passing a derived frame pay
-    * one materialization, not three derivations. */
+    * Scale shape: m is the edge COUNT (a distributed count whose
+    * result is one scalar — the overflow guard needs it on the driver
+    * anyway, so it doubles as the literal in the contrib expression,
+    * replacing a broadcast one-row cross join); degrees and community
+    * stats are node-keyed shuffles with map-side combine; internal
+    * edges decorate the edge list with its two endpoint communities
+    * via node-keyed joins — every exchange is edge- or node-bounded,
+    * nothing quadratic.
+    *
+    * Input contract: the edge frame feeds three legs (m, degrees,
+    * endpoint decoration) and is read AS GIVEN — callers whose edge
+    * frame is derived should localCheckpoint it ONCE before calling
+    * (as the graph_modularity registration does, sharing the
+    * materialization with label propagation); modularity() itself does
+    * not checkpoint, so a trusted input is never materialized twice. */
   def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).localCheckpoint()
-    val m = e.agg(count(lit(1)).as("m"))
+    val e = edges.select(col("a"), col("b"))
+    val mCount = e.count()
+    // 4·m·e_c and d_c² are both ≤ 4m²; non-ANSI Long arithmetic wraps
+    // silently past 2^63, so refuse loudly at the documented bound
+    require(mCount <= 1518500249L, // floor(sqrt(2^63)/2)
+      s"modularity: $mCount edges exceeds the exact-integer bound " +
+        "(4m² ≥ 2^63) — contrib_fp would wrap; apply a shared right " +
+        "shift to both terms instead")
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -531,12 +548,11 @@ object Graph {
       .groupBy(col("ca")).agg(count(lit(1)).as("e_in"))
       .select(col("ca").as("community"), col("e_in"))
     cstat.join(ein, Seq("community"), "left")
-      .crossJoin(broadcast(m))
       .select(col("community"),
         col("n_nodes").cast("long").as("n_nodes"),
         coalesce(col("e_in"), lit(0L)).cast("long").as("e_in"),
         col("d_tot").cast("long").as("d_tot"),
-        (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L))
+        (lit(4L * mCount) * coalesce(col("e_in"), lit(0L))
           - col("d_tot") * col("d_tot")).cast("long").as("contrib_fp"))
       .orderBy(col("community"))
   }
@@ -554,7 +570,9 @@ object Graph {
     "graph_label_prop" -> ((s, dir) =>
       labelPropagation(coSupplyEdges(Tables.load(s, dir, "lineitem")))),
     // label-prop communities scored in place: the edge list is
-    // checkpointed once and shared by the propagation loop and all
+    // checkpointed ONCE here and trusted downstream — modularity()
+    // reads its input as given (see its contract), so this is the
+    // single materialization shared by the propagation loop and all
     // three modularity legs
     "graph_modularity" -> { (s, dir) =>
       val e = coSupplyEdges(Tables.load(s, dir, "lineitem"))

@@ -34,6 +34,19 @@ package org.apache.spark.sql.classic
   * nil for the loops that use it: their per-round joins are key-keyed
   * sort-merge joins either way, and AQE re-plans from RUNTIME sizes.
   *
+  * Trade-off — what the fresh leaf LOSES vs `LogicalRDD.fromDataset`:
+  * not just origin stats but also the origin's outputPartitioning /
+  * outputOrdering and derived constraints (e.g. IsNotNull on join
+  * keys). Concretely, a loop round may re-exchange data the previous
+  * round already had hash-partitioned, and downstream plans can gain
+  * explicit Filter(IsNotNull) nodes the constraint propagation used to
+  * elide (the dedup_embedding fingerprint's FilterExec=1 is exactly
+  * this). Accepted deliberately: the loops this wraps re-key per round
+  * anyway (the partitioning rarely survives the round's transforms),
+  * and an extra exchange per round is O(rounds·n) where the stats
+  * compounding was a hard driver death — do NOT "optimize" a loop on
+  * the assumption that checkpoint partitioning survives freshLeaf.
+  *
   * Lives in `org.apache.spark.sql.classic` solely to satisfy the
   * `private[sql]` boundary — the standard OSS pattern for the handful
   * of Spark internals with no public equivalent. Nothing else may be
