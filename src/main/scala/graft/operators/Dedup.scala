@@ -660,11 +660,76 @@ object Dedup {
 
   // -- SimHash ------------------------------------------------------------
 
-  // 6 chunks; hamming<=3 touches <=3 of them, so every qualifying pair
-  // shares at least one full 3-chunk SUBSET — bucket by all C(6,3)=20
-  // subsets (exact recall by pigeonhole, like the old some-chunk-equal
-  // rule, but on 30+-bit keys instead of 15/16-bit ones)
+  // DEFAULT chunk count: 6 chunks; hamming<=3 touches <=3 of them, so
+  // every qualifying pair shares at least one full 3-chunk SUBSET —
+  // bucket by all C(6,3)=20 subsets (exact recall by pigeonhole, like
+  // the old some-chunk-equal rule, but on 30+-bit keys instead of
+  // 15/16-bit ones). Corpus-count-derived faces widen past this floor
+  // via [[autoSimhashChunks]].
   val SimHashChunks = 6
+
+  /** Hard ceiling of the chunk ladder: C(12,3) = 220 subset rows per
+    * doc in the bucket exchange is where the linear explode cost
+    * starts to rival the quadratic mass it prevents; past the n the
+    * 12-chunk geometry covers (~1.6·10¹¹ docs at 60 bits) widen the
+    * SIGNATURE instead (poly_simhash generalizes to more hash lanes;
+    * Manku et al. 2007 §3 makes the same table/width trade). */
+  val MaxSimhashChunks = 12
+
+  /** C(k, d) in Long — k ≤ 12, d ≤ k, far from overflow. */
+  private def choose(k: Int, d: Int): Long =
+    (1 to d).foldLeft(1L)((acc, i) => acc * (k - d + i) / i)
+
+  /** Narrowest subset keyspace (in bits) of the k-chunk split of a
+    * totalBits signature: chunks 0..k−2 have width ⌈totalBits/k⌉ and
+    * the last chunk takes the remainder, so the weakest of the
+    * C(k, k−maxDist) subset keys is the one containing the narrow
+    * last chunk. This is the bound the occupancy rule must hold at —
+    * a uniform bucket key is only as strong as its narrowest subset. */
+  private[graft] def simhashSubsetBits(k: Int, totalBits: Int,
+      maxDist: Int): Int = {
+    val w = (totalBits + k - 1) / k
+    val last = totalBits - w * (k - 1)
+    w * (k - maxDist - 1) + math.min(w, last)
+  }
+
+  /** Corpus-count-derived chunk count for subset-bucketed hamming pair
+    * generation — the SimHash analog of [[autoGeometry]] (verdict r14
+    * #1, closing the last fixed-geometry text-LSH family). The fixed
+    * 6-chunk split keys ~2^30+ of subset keyspace, so expected RANDOM
+    * candidate mass is ~C(6,3)·n²/2^30 — quadratic, with the knee
+    * near 5·10⁷ docs at 60 bits. The ladder picks the smallest valid
+    * k ≥ [[SimHashChunks]] whose narrowest subset keyspace holds the
+    * expected random candidate count LINEAR in n:
+    *
+    *   C(k, maxDist) · n ≤ 2^simhashSubsetBits(k)
+    *
+    * (per-doc expected random co-bucket collisions ≤ 1). Recall is
+    * unchanged at every rung — the pigeonhole (hamming ≤ maxDist
+    * flips ≤ maxDist chunks, so some (k−maxDist)-subset matches
+    * exactly) is exact for EVERY k > maxDist; what the ladder buys is
+    * candidate PRECISION at scale, paid as C(k, maxDist) exploded
+    * rows per doc (20 → 35 → 56 … 220 at the [[MaxSimhashChunks]]
+    * cap). k values whose ceil-width split would leave an empty last
+    * chunk (e.g. k=11 at 60 bits) are skipped — the
+    * [[simhashPairsFrom]] non-empty-chunk invariant. At 60 bits the
+    * rungs land at n ≈ 5.4e7 (k=6→7), 2.5e8, 1.2e9, 6.6e9, 3.7e10,
+    * 1.6e11 — every gate-scale corpus keeps the 6-chunk geometry
+    * bit-for-bit. */
+  def autoSimhashChunks(n: Long, totalBits: Int, maxDist: Int = 3): Int = {
+    def valid(k: Int): Boolean = {
+      val w = (totalBits + k - 1) / k
+      totalBits > w * (k - 1)
+    }
+    def holds(k: Int): Boolean = {
+      val bits = simhashSubsetBits(k, totalBits, maxDist)
+      // compare in BigInt: 2^bits can exceed Long for wide signatures
+      BigInt(choose(k, maxDist)) * BigInt(math.max(n, 1L)) <=
+        (BigInt(1) << bits)
+    }
+    val ladder = (SimHashChunks to MaxSimhashChunks).filter(valid)
+    ladder.find(holds).getOrElse(ladder.last)
+  }
 
   /** 64-bit SimHash over a token-array column (occurrence weight 1):
     * bit i is set iff the sum over tokens of ±1 (sign of bit i of the
@@ -682,18 +747,21 @@ object Dedup {
     * (subset, packed value), pair generation in the join's codegen
     * loop with no per-bucket array row.
     *
-    * Scale note: random-hash bucket occupancy per subset key is
-    * ~n/2^33 (11-bit chunks packed 3-wide), so candidate volume is
-    * ~20·n²/2^33 — the round-11 4×16-bit single-chunk scheme measured
-    * 8.4× at 10× data precisely because its n²/2^15 candidate mass
-    * grew 100×; the subset keys push the quadratic term out beyond
-    * 10⁹ docs at the cost of 20 vs 4 fixed-width rows per doc in the
-    * bucket exchange (640 B vs 128 B — still no text anywhere). */
+    * Scale note: random-hash candidate volume at the default 6-chunk
+    * split is ~20·n²/2^31 — the round-11 4×16-bit single-chunk scheme
+    * measured 8.4× at 10× data precisely because its n²/2^15
+    * candidate mass grew 100×. The chunk count is now CORPUS-DERIVED
+    * ([[autoSimhashChunks]]): past each occupancy knee the ladder
+    * widens the split (6→7→…→12 chunks, subset keyspace 2^31→2^45+),
+    * holding expected random candidates LINEAR in n out to ~10¹¹ docs
+    * at the cost of C(k,3) fixed-width rows per doc in the bucket
+    * exchange (20→220 rows, still no text anywhere). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame =
     simhashPairsFrom(
       docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), simHash64(col("toks")).as("simhash")),
-      totalBits = 64, maxDist = maxDist)
+      totalBits = 64, maxDist = maxDist,
+      chunks = autoSimhashChunks(docs.count(), 64, maxDist))
 
   /** Oracle-gated SimHash face: identical bucketing/pair semantics to
     * [[simhashPairs]], but the signature is the 60-bit
@@ -710,40 +778,47 @@ object Dedup {
       docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"),
           call_function("poly_simhash", col("toks")).as("simhash")),
-      totalBits = 60, maxDist = maxDist)
+      totalBits = 60, maxDist = maxDist,
+      chunks = autoSimhashChunks(docs.count(), 60, maxDist))
 
   /** Subset-bucketed hamming pair generation over a (doc_id, simhash)
-    * frame: the signature splits into [[SimHashChunks]] chunks
-    * (width ⌈totalBits/6⌉, last chunk narrower when 6 ∤ totalBits) and
-    * each row explodes into the C(6, 6−maxDist) chunk-SUBSET keys —
-    * (subset id, packed chunk values); a hamming≤maxDist pair differs
-    * in ≤maxDist chunks, so at least one subset of the remaining
-    * chunks matches exactly on both sides (exact recall, no verify
-    * loss). Multi-occupant buckets pair within buckets, the XOR
+    * frame: the signature splits into `chunks` chunks (default
+    * [[SimHashChunks]]; corpus-derived faces pass
+    * [[autoSimhashChunks]]; width ⌈totalBits/chunks⌉, last chunk
+    * narrower when chunks ∤ totalBits) and each row explodes into the
+    * C(chunks, chunks−maxDist) chunk-SUBSET keys — (subset id, packed
+    * chunk values); a hamming≤maxDist pair differs in ≤maxDist chunks,
+    * so at least one subset of the remaining chunks matches exactly on
+    * both sides (exact recall for EVERY chunk count > maxDist, no
+    * verify loss). Multi-occupant buckets pair within buckets, the XOR
     * popcount filters, distinct() collapses pairs caught by several
     * subsets. Columns are renamed BY NAME before the self-join — the
     * USING-join output order is an analyzer detail no correctness
     * should ride on. */
   private[graft] def simhashPairsFrom(sigs: DataFrame, totalBits: Int,
-      maxDist: Int): DataFrame = {
-    require(maxDist >= 1 && maxDist < SimHashChunks,
-      s"maxDist out of range for $SimHashChunks chunks: $maxDist")
-    val w = (totalBits + SimHashChunks - 1) / SimHashChunks
-    // every chunk must be non-empty: with w = ceil(totalBits/6), a
-    // width like 7 gives the last chunks NEGATIVE widths, whose
+      maxDist: Int, chunks: Int = SimHashChunks): DataFrame = {
+    require(maxDist >= 1 && maxDist < chunks,
+      s"maxDist out of range for $chunks chunks: $maxDist")
+    require(chunks <= MaxSimhashChunks,
+      s"chunk count $chunks above the subset-explosion ceiling " +
+        s"$MaxSimhashChunks — widen the signature instead")
+    val w = (totalBits + chunks - 1) / chunks
+    // every chunk must be non-empty: with w = ceil(totalBits/chunks),
+    // a width like 7 gives the last chunks NEGATIVE widths, whose
     // (1L << width) - 1 masks are garbage — fail loudly instead of
-    // bucketing on junk keys (the 60/64-bit faces both satisfy this)
-    require(totalBits > w * (SimHashChunks - 1),
+    // bucketing on junk keys (the 60/64-bit faces both satisfy this
+    // at every ladder rung autoSimhashChunks emits)
+    require(totalBits > w * (chunks - 1),
       s"totalBits=$totalBits leaves empty chunks at width $w — " +
-        s"use a signature width of at least ${5 * w + 1} bits for " +
-        s"$SimHashChunks chunks")
+        s"use a signature width of at least ${(chunks - 1) * w + 1} " +
+        s"bits for $chunks chunks")
     def chunkVal(i: Int): Column = {
       val width = math.min(w, totalBits - w * i)
       val mask = (1L << width) - 1
       expr(s"(simhash >> ${w * i}) & $mask")
     }
     val subsets =
-      (0 until SimHashChunks).combinations(SimHashChunks - maxDist).toSeq
+      (0 until chunks).combinations(chunks - maxDist).toSeq
     val keys = subsets.zipWithIndex.map { case (idx, sid) =>
       val packed = idx.zipWithIndex.map { case (ci, pos) =>
         chunkVal(ci) * lit(1L << (w * pos))

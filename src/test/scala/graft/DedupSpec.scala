@@ -206,6 +206,77 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("autoSimhashChunks: gate scales keep the 6-chunk geometry " +
+      "bit-for-bit, knees widen it monotonically, invalid rungs are " +
+      "skipped, the ladder caps at 12") {
+    // every gate-scale corpus (and well past it) stays on the default
+    // split — the oracle replays the same geometry the corpus derives
+    Seq(0L, 1L, 600L, 60000L, 600000L, 50000000L).foreach { n =>
+      assert(Dedup.autoSimhashChunks(n, 60) == 6, s"n=$n @60")
+      assert(Dedup.autoSimhashChunks(n, 64) == 6, s"n=$n @64")
+    }
+    // the 60-bit rung thresholds: C(k,3)·n ≤ 2^subsetBits(k) with
+    // subsetBits 30,33,36,39,42,45 for k=6..10,12 (k=11 invalid: the
+    // ceil-width split leaves an empty last chunk)
+    assert(Dedup.autoSimhashChunks((1L << 30) / 20, 60) == 6)
+    assert(Dedup.autoSimhashChunks((1L << 30) / 20 + 1, 60) == 7)
+    assert(Dedup.autoSimhashChunks(1000000000L, 60) == 8)
+    assert(Dedup.autoSimhashChunks((1L << 42) / 120, 60) == 10)
+    assert(Dedup.autoSimhashChunks((1L << 42) / 120 + 1, 60) == 12,
+      "k=11 must be skipped at 60 bits (empty last chunk)")
+    assert(Dedup.autoSimhashChunks(Long.MaxValue, 60) == 12,
+      "past every rung the ladder clamps at MaxSimhashChunks")
+    // monotone in n at both face widths
+    Seq(60, 64).foreach { bits =>
+      val ks = Seq(1L, 1000L, 1e8.toLong, 1e10.toLong, 1e12.toLong,
+        Long.MaxValue).map(Dedup.autoSimhashChunks(_, bits))
+      assert(ks == ks.sorted, s"bits=$bits: not monotone: $ks")
+      assert(ks.last <= Dedup.MaxSimhashChunks)
+    }
+  }
+
+  test("subset-bucketed hamming pairs stay EXACT at WIDENED chunk " +
+      "geometries (every valid ladder rung, both face widths)") {
+    // the pigeonhole recall claim autoSimhashChunks rides on: for any
+    // k > maxDist the subset bucketing loses nothing and adds nothing
+    // vs brute force — planted hamming-3 neighbors spread across 3
+    // DIFFERENT chunks (worst case) plus hamming-4 decoys included
+    val rnd = new scala.util.Random(7)
+    Seq(60, 64).foreach { bits =>
+      def mask(x: Long) = if (bits == 64) x else x & ((1L << bits) - 1)
+      val base = Array.fill(30)(mask(rnd.nextLong()))
+      val planted = base.take(8).flatMap { s =>
+        Seq(s ^ (1L << (bits - 1)) ^ (1L << (bits / 2)) ^ 1L,
+          s ^ (1L << (bits - 2)) ^ (1L << (bits / 3)) ^
+            (1L << (bits / 5)) ^ 2L)
+      }
+      val all = (base ++ planted).zipWithIndex
+      val want = (for {
+        (x, i) <- all; (y, j) <- all
+        if i < j
+        h = java.lang.Long.bitCount(x ^ y)
+        if h <= 3
+      } yield (i.toLong, j.toLong, h.toLong)).toSet
+      assert(want.nonEmpty)
+      val sigs = all.map { case (s, i) => (i.toLong, s) }.toSeq
+        .toDF("doc_id", "simhash")
+      val rungs = (4 to Dedup.MaxSimhashChunks).filter { k =>
+        val w = (bits + k - 1) / k
+        bits > w * (k - 1)
+      }
+      rungs.foreach { k =>
+        val got = Dedup
+          .simhashPairsFrom(sigs, totalBits = bits, maxDist = 3,
+            chunks = k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        assert(got == want,
+          s"bits=$bits chunks=$k: missing=${(want -- got).take(5)} " +
+            s"extra=${(got -- want).take(5)}")
+      }
+    }
+  }
+
   test("simhashPairsFrom rejects signature widths that leave empty " +
       "chunks (negative mask widths)") {
     val sigs = Seq((1L, 5L), (2L, 6L)).toDF("doc_id", "simhash")
