@@ -644,42 +644,32 @@ object Multimodal {
 
   /** Near-dup image pairs by perceptual-hash Hamming distance ≤
     * maxDist: decode each thumbnail's aHash with the native
-    * bmp_ahash64 expression, band the 64 bits into 4 × 16-bit chunks
-    * (pigeonhole: distance ≤ 3 ⇒ at least one chunk equal, so bucket
-    * recall is exact), pair within multi-occupant buckets only, then
-    * filter by the exact XOR+popcount distance over the two packed
-    * halves — the dedup_simhash shape applied to IMAGE bytes. Blobs
-    * never shuffle: only (chunk, chunk_val, id, hi, lo) rows — 36 B —
-    * cross the wire, which is what makes this viable over a 100 TB
-    * media corpus. */
+    * bmp_ahash64 expression, pack the two non-negative 32-bit halves
+    * into ONE 64-bit signature, and hand off to the SAME
+    * corpus-derived subset-bucket machinery as dedup_simhash
+    * ([[Dedup.simhashPairsFrom]] with chunk count from
+    * [[Dedup.autoSimhashChunks]]): the signature splits into k chunks
+    * and buckets by all C(k, k−maxDist) chunk subsets — pigeonhole
+    * recall is exact at EVERY rung, and the ladder widens k with the
+    * corpus count so expected random candidate mass stays linear in n.
+    * This retires the round-11 fixed 4×16-bit single-chunk scheme,
+    * whose 2^16 per-chunk keyspace was the repo's earliest quadratic
+    * knee (~n²/2^16 candidates — a web-scale image corpus hits it at
+    * millions of images; the 6-chunk floor already keys 2^31, the
+    * k=11 top rung 2^46). Blobs never shuffle: only (subset id, packed
+    * chunk values, doc_id, signature) rows — ~40 B — cross the wire,
+    * which is what makes this viable over a 100 TB media corpus. */
   def phashPairs(thumbs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val b = thumbs
+    val sigs = thumbs
       .select(col("doc_id"),
         call_function("bmp_ahash64", col("blob")).as("h"))
-      .select(col("doc_id"), col("h.hi").as("hi"), col("h.lo").as("lo"),
-        explode(sequence(lit(0), lit(3))).as("chunk"))
-      .select(col("chunk"),
-        expr("CASE WHEN chunk < 2 THEN (lo >> (16 * chunk)) & 65535 " +
-          "ELSE (hi >> (16 * (chunk - 2))) & 65535 END").as("chunk_val"),
-        col("doc_id"), col("hi"), col("lo"))
-      .localCheckpoint(true)
-    val keep = b.groupBy(col("chunk"), col("chunk_val"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .select(col("chunk"), col("chunk_val"))
-    val kept = b.join(keep, Seq("chunk", "chunk_val"), "left_semi")
-    val x = kept.withColumnsRenamed(
-      Map("doc_id" -> "doc_a", "hi" -> "hi_a", "lo" -> "lo_a"))
-    val y = kept.withColumnsRenamed(
-      Map("doc_id" -> "doc_b", "hi" -> "hi_b", "lo" -> "lo_b"))
-    x.join(y, Seq("chunk", "chunk_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
-          bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= maxDist)
-      .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+      // hi, lo ∈ [0, 2³²) by the bmp_ahash64 contract, so hi<<32 | lo
+      // is a lossless pack and XOR+popcount over it equals the summed
+      // half-distances the 4-chunk face computed
+      .select(col("doc_id"),
+        shiftleft(col("h.hi"), 32).bitwiseOR(col("h.lo")).as("simhash"))
+    Dedup.simhashPairsFrom(sigs, totalBits = 64, maxDist = maxDist,
+      chunks = Dedup.autoSimhashChunks(thumbs.count(), 64, maxDist))
   }
 
   /** mm_image_dims and mm_frame_sample are fully oracled — the oracle

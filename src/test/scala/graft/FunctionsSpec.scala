@@ -190,6 +190,59 @@ class FunctionsSpec extends GraftSpec {
     assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))
   }
 
+  test("phashPairs matches brute-force aHash hamming on planted BMP " +
+      "families — including worst-case hamming-3 and a hamming-4 decoy " +
+      "— through the shared corpus-derived subset machinery") {
+    def bmp8(gray: (Int, Int) => Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(246)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte); bb.put('M'.toByte); bb.putInt(246)
+      bb.putInt(0); bb.putInt(54)
+      bb.putInt(40); bb.putInt(8); bb.putInt(8)
+      bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(192)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      for (fileRow <- 0 to 7; j <- 0 to 7) {
+        val g = gray(7 - fileRow, j).toByte
+        bb.put(g); bb.put(g); bb.put(g)
+      }
+      bb.array()
+    }
+    def refHash(gray: (Int, Int) => Int): Long = {
+      val gs = for (i <- 0 to 7; j <- 0 to 7) yield gray(i, j)
+      val sum = gs.sum
+      (0 until 64).foldLeft(0L)((acc, k) =>
+        if (64 * gs(k) > sum) acc | (1L << k) else acc)
+    }
+    val base = (i: Int, j: Int) => 10 + 20 * ((i + j) % 8)
+    // flip sets chosen from below-mean pixels raised to 150: each flip
+    // moves only its OWN bit (Δsum stays inside the 640 margin to the
+    // nearest threshold crossing), so hamming is the set difference
+    def flipped(px: Set[(Int, Int)]) = (i: Int, j: Int) =>
+      if (px((i, j))) 150 else base(i, j)
+    val variants: Seq[(Long, (Int, Int) => Int)] = Seq(
+      1L -> base,
+      2L -> flipped(Set((0, 0), (1, 0), (0, 2))), // hamming 3 vs base
+      3L -> flipped(Set((0, 0), (1, 0), (0, 2), (2, 1))), // 4 vs base
+      4L -> base, // exact dup of 1
+      5L -> flipped(Set((0, 1))), // hamming 1 vs base
+      6L -> ((i: Int, j: Int) => 10 + 20 * ((i * 3 + j * 5) % 8)))
+    val want = (for {
+      (a, ga) <- variants; (b, gb) <- variants
+      if a < b
+      h = java.lang.Long.bitCount(refHash(ga) ^ refHash(gb))
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(want.exists(_._3 == 3L) && want.exists(_._3 == 0L),
+      s"fixture lost its planted distances: $want")
+    val thumbs = variants.map { case (id, g) => (id, bmp8(g)) }
+      .toDF("doc_id", "blob")
+    val got = graft.operators.Multimodal.phashPairs(thumbs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("bmp_thumb8: identity on an 8x8 source, correct sampling " +
       "through a PADDED row stride, NULL on undersized input") {
     // general W×H 24-bpp BMP with explicit row padding
