@@ -158,6 +158,98 @@ class DedupSpec extends GraftSpec {
     assert(got(12L) == ((false, false, true)), s"12: ${got(12L)}")
   }
 
+  test("persisted LSH store: geometry pins from the CEILING at build, " +
+      "a probe across an autoGeometry rung reads history bands as-is " +
+      "(no re-band), and verdicts equal the in-face face") {
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the sun sets slowly behind the quiet green hills today"
+    val novel = "a novel batch document about submarine volcanoes that " +
+      "erupt deep below the pacific surface forming new islands of " +
+      "black basalt rock over many thousand patient years"
+    val history = textsDF(
+      1L -> base,
+      2L -> "completely different historical text about glaciers and ice")
+    val batch = textsDF(
+      3L -> (base + " extra"),
+      6L -> (novel + " indeed"),
+      9L -> (novel + " truly"),
+      12L -> "nothing like anything else in either corpus at all here")
+    // ceiling 20000 sits past the 16384 autoGeometry rung, so the
+    // PINNED geometry is strictly wider than what the live count (6
+    // docs) derives — exactly the drift scenario the pin exists for
+    val ceiling = 20000L
+    val pinned = Dedup.autoGeometry(ceiling)
+    assert(pinned != Dedup.autoGeometry(6L),
+      "fixture must cross a geometry rung to prove anything")
+    val path = java.nio.file.Files
+      .createTempDirectory("lsh_store_spec").toString + "/store"
+    Dedup.buildLshStore(history, path, ceiling)
+    // sidecar carries the ceiling-derived geometry, not the live one
+    val geo = spark.read.parquet(s"$path/geometry").collect()(0)
+    assert(geo.getAs[Int]("bands") == pinned.bands &&
+      geo.getAs[Int]("rows_per_band") == pinned.rowsPerBand)
+    assert(geo.getAs[Long]("hist_count") == 2L)
+    // probe must not touch the persisted band rows
+    val bandsDir = java.nio.file.Paths.get(s"$path/bands")
+    def bandState() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(bandsDir).iterator().asScala
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p)).toMap
+    }
+    val before = bandState()
+    val got = Dedup.incrementalNearServe(history, batch, path).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(bandState() == before,
+      "probe modified the persisted band store — it must be read-only")
+    // same verdicts as the in-face derivation at the live geometry:
+    // the wider pinned geometry holds recall, the verify stage is exact
+    val want = Dedup.incrementalNear(history, batch).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got == want, s"serve=$got vs in-face=$want")
+    assert(got(3L) == ((true, false, false)))
+  }
+
+  test("persisted LSH store refusals: corpus past the pinned ceiling, " +
+      "history past the ceiling at build, corrupt sidecar geometry") {
+    val history = textsDF(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "one two three four five six seven eight nine ten eleven")
+    val batch = textsDF(
+      3L -> "completely novel text that matches nothing in the store")
+    val dir = java.nio.file.Files
+      .createTempDirectory("lsh_store_refuse").toString
+    // live (2 + 1) > ceiling (2): the probe must refuse, not degrade
+    val p1 = s"$dir/tight"
+    Dedup.buildLshStore(history, p1, corpusCeiling = 2L)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearServe(history, batch, p1).collect()
+    }
+    assert(e1.getMessage.contains("exceeds the pinned ceiling"),
+      e1.getMessage)
+    // build refuses a ceiling below the data in hand
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.buildLshStore(history, s"$dir/under", corpusCeiling = 1L)
+    }
+    assert(e2.getMessage.contains("exceeds the pinned corpus ceiling"),
+      e2.getMessage)
+    // a sidecar whose geometry disagrees with its recorded ceiling is
+    // a corrupt/foreign store — refused before any probe work
+    val p3 = s"$dir/corrupt"
+    Dedup.buildLshStore(history, p3, corpusCeiling = 100L)
+    import spark.implicits._
+    Seq((999, 7, 100L, 2L))
+      .toDF("bands", "rows_per_band", "corpus_ceiling", "hist_count")
+      .write.mode("overwrite").parquet(s"$p3/geometry")
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearServe(history, batch, p3).collect()
+    }
+    assert(e3.getMessage.contains("does not match its recorded ceiling"),
+      e3.getMessage)
+  }
+
   test("simhash pairs respect the hamming bound and ordering") {
     val pairs = Dedup.simhashPairs(
       graft.sources.Tables.load(spark, sf, "documents")).collect()
