@@ -2224,25 +2224,38 @@ object Similarity {
     * curation pipeline actually runs — auto-bits banded-LSH candidate
     * generation ([[embeddingPairs]] with [[autoBitsPerBand]], so pair
     * volume stays LINEAR in n), exact-cosine verify, then transitive
-    * cluster resolution via [[Graph.connectedComponents]]'s
-    * min-label + pointer-jump fixpoint (O(log d) rounds), emitting one
-    * verdict row per vector: its canonical (min-id) representative and
-    * whether it is a dup to drop. Near-dup similarity is not
-    * transitive, so the clustering step is a POLICY (the standard one:
-    * union near-dup pairs, keep one per component) — the oracle
-    * replays pairs AND closure exactly.
+    * cluster resolution via [[Dedup.resolveClusters]]' alternating
+    * large-star/small-star rounds, emitting one verdict row per
+    * vector: its canonical (min-id) representative and whether it is a
+    * dup to drop. Near-dup similarity is not transitive, so the
+    * clustering step is a POLICY (the standard one: union near-dup
+    * pairs, keep one per component) — the oracle replays pairs AND
+    * closure exactly.
+    *
+    * Round growth is BOUNDED O(log n) on ANY pair-graph shape
+    * (Kiveris et al. 2014) — the round-15 fix for the registry's one
+    * super-linear exponent: the previous min-label + pointer-jump loop
+    * ([[Graph.connectedComponents]]) needs O(log d) rounds in the
+    * largest cluster DIAMETER, and embedding near-dup graphs grow
+    * chain-shaped clusters with n (serial drift), so its round count —
+    * and with it total work — crept super-linearly (α=1.55 measured
+    * at sf3; BASELINE.md). Star rounds shortcut by CLUSTER MINIMUM
+    * rather than per-node pointer, so doubling a chain adds one round
+    * instead of a constant factor; Dedup.resolveClustersCounted pins
+    * the ≤ 2·log₂(n) contract in-spec on the worst-case path graph.
     *
     * Scale shape: LSH stage is linear in n (occupancy-targeted bits);
-    * the CC loop runs on the PAIR graph only (near-dup pairs, ≪ n at
-    * production thresholds); the final decoration is one node-keyed
-    * left join against the corpus ids. No stage is quadratic. */
+    * the star rounds run on the PAIR graph only (near-dup pairs, ≪ n
+    * at production thresholds, three shuffles per round); the final
+    * decoration is one node-keyed left join against the corpus ids.
+    * No stage is quadratic. */
   def embeddingDedupClusters(vecs: DataFrame, threshold: Double = 0.4)
       : DataFrame = {
     val pairs = embeddingPairs(vecs, threshold,
         bitsPerBand = autoBitsPerBand(vecs.count()))
-      .select(col("vec_a").as("a"), col("vec_b").as("b"))
-    val comp = Graph.connectedComponents(pairs)
-      .withColumnRenamed("node", "vec_id")
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val comp = Dedup.resolveClusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("keep_id").as("comp"))
     vecs.select(col("vec_id"))
       .join(comp, Seq("vec_id"), "left_outer")
       .select(col("vec_id"),

@@ -503,6 +503,30 @@ class DedupSpec extends GraftSpec {
       s"needed $rounds rounds on a 64-chain — not O(log n)")
   }
 
+  test("star-round count grows by at most one per chain DOUBLING — " +
+      "the log-growth contract dedup_embedding's cluster stage rides") {
+    // the r14 growth curve measured the min-label+pointer-jump loop at
+    // α=1.55 because chain-shaped clusters deepen with n; the star
+    // rounds this registry face now uses must pay ≤ +1 round per 2×
+    def chainRounds(n: Int): Int = {
+      val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
+        .toDF("doc_a", "doc_b")
+      val (labels, rounds) = Dedup.resolveClustersCounted(pairs)
+      assert(labels.collect().forall(_.getLong(1) == 0L),
+        s"n=$n chain not fully resolved")
+      rounds
+    }
+    val rounds = Seq(32, 64, 128, 256).map(chainRounds)
+    rounds.zip(rounds.tail).foreach { case (a, b) =>
+      assert(b <= a + 1,
+        s"doubling the chain cost more than one extra round: $rounds")
+    }
+    Seq(32, 64, 128, 256).zip(rounds).foreach { case (n, r) =>
+      assert(r <= 2 * (math.log(n) / math.log(2)).ceil.toInt,
+        s"n=$n took $r rounds — above the 2·log₂(n) contract")
+    }
+  }
+
   test("segment dedup keeps exactly the first occurrence of every " +
     "segment and conserves the distinct-segment count") {
     import spark.implicits._
