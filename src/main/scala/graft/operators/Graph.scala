@@ -87,13 +87,28 @@ object Graph {
       .orderBy(col("node"))
   }
 
-  /** Edge-sampling modulus for the DOULION-style sampled triangle
-    * count: keep a pair iff its multiplicative hash lands on 0 mod
-    * this. 1/20 keeps the co-supply projection (which is ~90% complete
-    * at sf0.1 — the classic dense-projection trap) at a workable
-    * density; at larger corpora, grow the modulus so sampled edge
-    * volume stays bounded (the estimator rescales by p³). */
+  /** Base edge-sampling modulus for the DOULION-style sampled graph
+    * projections: keep a pair iff its multiplicative hash lands on 0
+    * mod this. 1/20 keeps the co-supply projection (which is ~90%
+    * complete at sf0.1 — the classic dense-projection trap) at a
+    * workable density at the gate scales. */
   val TriSampleMod = 20L
+
+  /** Corpus-derived sample modulus (verdict r14 #5, honoring the
+    * long-promised "at larger corpora, grow the modulus" note): the
+    * co-supply projection DENSIFIES as facts grow over a fixed
+    * supplier dimension — every extra order adds pair occurrences, so
+    * a fixed 1/20 sample saturates toward the complete supplier graph
+    * and every downstream structure (induced k-core subgraphs,
+    * triangle wedges ~ m^1.5) grows super-linearly as a pure fixture
+    * artifact. One extra base-modulus step per million lineitem rows
+    * keeps sampled edge volume bounded; the DOULION estimator
+    * rescales by p³, and p stays an exact rational of the row count.
+    * Integer form ⌈n/10⁶⌉ replays bit-for-bit in SQL:
+    * `20 * GREATEST(1, (COUNT(*) + 999999) // 1000000)` — identical
+    * at every gate scale (n ≤ 10⁶ → 20). */
+  def autoSampleMod(lineitemCount: Long): Long =
+    TriSampleMod * math.max(1L, (lineitemCount + 999999L) / 1000000L)
 
   /** Undirected supplier↔supplier co-supply edges, DOULION-sampled
     * (Tsourakakis et al. 2009: count triangles on a p-sampled graph,
@@ -106,7 +121,12 @@ object Graph {
     * pair-distinct exchange: sampled-out pairs never shuffle at all.
     * Edges emit once with a < b. */
   def coSupplyEdges(lineitem: DataFrame,
-      sampleMod: Long = TriSampleMod): DataFrame = {
+      sampleMod: Long = 0L): DataFrame = {
+    // default (0) = corpus-derived: one metadata-cheap count-star,
+    // identical to TriSampleMod at every gate scale (autoSampleMod)
+    val mod =
+      if (sampleMod > 0L) sampleMod
+      else autoSampleMod(lineitem.count())
     val os = lineitem
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
       .distinct()
@@ -115,7 +135,7 @@ object Graph {
       .select(col("x.s").as("a"), col("y.s").as("b"))
       .filter(
         ((col("a") * 100003L + col("b")) % 1000003L * 2654435761L)
-          % sampleMod === 0)
+          % mod === 0)
       .distinct()
   }
 
@@ -623,38 +643,38 @@ object Graph {
     // the same three peels unrolled: cut / induce / recount per round,
     // COUNT stays BIGINT, removal-round and final-degree COALESCEd
     "graph_kcore" ->
-      """WITH os AS (
+      """WITH os AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
-        |e0 AS (
+        |e0 AS MATERIALIZED (
         |  SELECT DISTINCT x.s AS a, y.s AS b
         |  FROM os x JOIN os y ON x.ok = y.ok AND x.s < y.s
-        |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % 20 = 0),
-        |e AS (
+        |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % (20 * GREATEST(1, ((SELECT COUNT(*) FROM lineitem) + 999999) // 1000000)) = 0),
+        |e AS MATERIALIZED (
         |  SELECT a AS src, b AS dst FROM e0
         |  UNION ALL SELECT b AS src, a AS dst FROM e0),
-        |d0 AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
-        |a1 AS (SELECT node FROM d0 WHERE deg >= 2),
-        |r1 AS (SELECT node, 1 AS rr FROM d0 WHERE deg < 2),
-        |e1 AS (SELECT e.src, e.dst FROM e
+        |d0 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+        |a1 AS MATERIALIZED (SELECT node FROM d0 WHERE deg >= 2),
+        |r1 AS MATERIALIZED (SELECT node, 1 AS rr FROM d0 WHERE deg < 2),
+        |e1 AS MATERIALIZED (SELECT e.src, e.dst FROM e
         |       JOIN a1 x ON e.src = x.node JOIN a1 y ON e.dst = y.node),
-        |d1 AS (SELECT a1.node, COALESCE(c.deg, 0) AS deg FROM a1
+        |d1 AS MATERIALIZED (SELECT a1.node, COALESCE(c.deg, 0) AS deg FROM a1
         |       LEFT JOIN (SELECT src AS node, COUNT(*) AS deg
         |                  FROM e1 GROUP BY src) c ON a1.node = c.node),
-        |a2 AS (SELECT node FROM d1 WHERE deg >= 2),
-        |r2 AS (SELECT node, 2 AS rr FROM d1 WHERE deg < 2),
-        |e2 AS (SELECT e1.src, e1.dst FROM e1
+        |a2 AS MATERIALIZED (SELECT node FROM d1 WHERE deg >= 2),
+        |r2 AS MATERIALIZED (SELECT node, 2 AS rr FROM d1 WHERE deg < 2),
+        |e2 AS MATERIALIZED (SELECT e1.src, e1.dst FROM e1
         |       JOIN a2 x ON e1.src = x.node JOIN a2 y ON e1.dst = y.node),
-        |d2 AS (SELECT a2.node, COALESCE(c.deg, 0) AS deg FROM a2
+        |d2 AS MATERIALIZED (SELECT a2.node, COALESCE(c.deg, 0) AS deg FROM a2
         |       LEFT JOIN (SELECT src AS node, COUNT(*) AS deg
         |                  FROM e2 GROUP BY src) c ON a2.node = c.node),
-        |a3 AS (SELECT node FROM d2 WHERE deg >= 2),
-        |r3 AS (SELECT node, 3 AS rr FROM d2 WHERE deg < 2),
-        |e3 AS (SELECT e2.src, e2.dst FROM e2
+        |a3 AS MATERIALIZED (SELECT node FROM d2 WHERE deg >= 2),
+        |r3 AS MATERIALIZED (SELECT node, 3 AS rr FROM d2 WHERE deg < 2),
+        |e3 AS MATERIALIZED (SELECT e2.src, e2.dst FROM e2
         |       JOIN a3 x ON e2.src = x.node JOIN a3 y ON e2.dst = y.node),
-        |d3 AS (SELECT a3.node, COALESCE(c.deg, 0) AS deg FROM a3
+        |d3 AS MATERIALIZED (SELECT a3.node, COALESCE(c.deg, 0) AS deg FROM a3
         |       LEFT JOIN (SELECT src AS node, COUNT(*) AS deg
         |                  FROM e3 GROUP BY src) c ON a3.node = c.node),
-        |rm AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |rm AS MATERIALIZED (SELECT * FROM r1 UNION ALL SELECT * FROM r2
         |       UNION ALL SELECT * FROM r3)
         |SELECT d0.node, d0.deg AS deg0,
         |  CAST(COALESCE(rm.rr, 0) AS BIGINT) AS removed_round,
@@ -669,7 +689,7 @@ object Graph {
         |e0 AS (
         |  SELECT DISTINCT x.s AS a, y.s AS b
         |  FROM os x JOIN os y ON x.ok = y.ok AND x.s < y.s
-        |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % 20 = 0),
+        |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % (20 * GREATEST(1, ((SELECT COUNT(*) FROM lineitem) + 999999) // 1000000)) = 0),
         |edges AS (
         |  SELECT a AS src, b AS dst FROM e0
         |  UNION ALL SELECT b AS src, a AS dst FROM e0),
@@ -742,17 +762,17 @@ object Graph {
     // rank corner, EXISTS closing check, per-node participation — all
     // integer-exact, so the hash carries the complete algorithm
     "graph_triangles" ->
-      """WITH os AS (
+      """WITH os AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
-        |e AS (
+        |e AS MATERIALIZED (
         |  SELECT DISTINCT x.s AS a, y.s AS b
         |  FROM os x JOIN os y ON x.ok = y.ok AND x.s < y.s
-        |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % 20 = 0),
-        |deg AS (
+        |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % (20 * GREATEST(1, ((SELECT COUNT(*) FROM lineitem) + 999999) // 1000000)) = 0),
+        |deg AS MATERIALIZED (
         |  SELECT v, COUNT(*) AS deg FROM (
         |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) u
         |  GROUP BY v),
-        |o AS (
+        |o AS MATERIALIZED (
         |  SELECT
         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
         |      THEN e.a ELSE e.b END AS src,
@@ -761,14 +781,14 @@ object Graph {
         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
         |      THEN db.deg ELSE da.deg END AS ddeg
         |  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
-        |tri AS (
+        |tri AS MATERIALIZED (
         |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
         |  FROM o e1 JOIN o e2 ON e1.src = e2.src
         |    AND (e1.ddeg < e2.ddeg
         |      OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
         |  WHERE EXISTS (SELECT 1 FROM o e3
         |                WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
-        |per AS (
+        |per AS MATERIALIZED (
         |  SELECT v, COUNT(*) AS c FROM (
         |    SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
         |    UNION ALL SELECT z AS v FROM tri) u
@@ -788,7 +808,7 @@ object Graph {
         |e0 AS (
         |  SELECT DISTINCT x.s AS a, y.s AS b
         |  FROM os x JOIN os y ON x.ok = y.ok AND x.s < y.s
-        |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % 20 = 0),
+        |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % (20 * GREATEST(1, ((SELECT COUNT(*) FROM lineitem) + 999999) // 1000000)) = 0),
         |bi AS (
         |  SELECT a AS src, b AS dst FROM e0
         |  UNION ALL SELECT b AS src, a AS dst FROM e0),
@@ -823,7 +843,7 @@ object Graph {
         |e0 AS (
         |  SELECT DISTINCT x.s AS a, y.s AS b
         |  FROM os x JOIN os y ON x.ok = y.ok AND x.s < y.s
-        |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % 20 = 0),
+        |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % (20 * GREATEST(1, ((SELECT COUNT(*) FROM lineitem) + 999999) // 1000000)) = 0),
         |edges AS (
         |  SELECT a AS src, b AS dst FROM e0
         |  UNION ALL SELECT b AS src, a AS dst FROM e0),
@@ -856,7 +876,7 @@ object Graph {
         |e0 AS (
         |  SELECT DISTINCT x.s AS a, y.s AS b
         |  FROM os x JOIN os y ON x.ok = y.ok AND x.s < y.s
-        |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % 20 = 0),
+        |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % (20 * GREATEST(1, ((SELECT COUNT(*) FROM lineitem) + 999999) // 1000000)) = 0),
         |edges AS (
         |  SELECT a AS src, b AS dst FROM e0
         |  UNION ALL SELECT b AS src, a AS dst FROM e0),

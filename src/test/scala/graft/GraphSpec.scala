@@ -180,6 +180,22 @@ class GraphSpec extends GraftSpec {
     assert(out.map(_.getLong(1)).sum % 3 == 0)
   }
 
+  test("autoSampleMod: gate scales keep the base 1/20 modulus " +
+      "bit-for-bit, one base step per extra million lineitem rows") {
+    // every gate corpus (sf0.001/0.01/0.1 lineitem ≤ ~600k) derives 20
+    Seq(0L, 1L, 60000L, 600000L, 1000000L).foreach { n =>
+      assert(Graph.autoSampleMod(n) == 20L, s"n=$n")
+    }
+    assert(Graph.autoSampleMod(1000001L) == 40L)
+    assert(Graph.autoSampleMod(6005720L) == 140L) // the sf1 point
+    assert(Graph.autoSampleMod(18017160L) == 380L) // the sf3 point
+    // the SQL replay form must agree: ceil-division identity
+    Seq(1L, 999999L, 1000000L, 1000001L, 7777777L).foreach { n =>
+      assert((n + 999999L) / 1000000L == math.ceil(n / 1e6).toLong,
+        s"ceil identity broke at $n")
+    }
+  }
+
   test("connected components: exact min-id labels on a long path, " +
       "disjoint cliques, and an isolated edge") {
     // a 9-node path (diameter 8 > one propagation round — exercises
