@@ -244,41 +244,41 @@ object Corpus {
     * face counts every stage boundary. */
   private val corpusPipelineCtes: String =
     """WITH RECURSIVE
-        |q AS (SELECT * FROM documents
+        |q AS MATERIALIZED (SELECT * FROM documents
         |      WHERE LEN(STRING_SPLIT(text,' ')) >= 20
         |        AND LENGTH(text) >= 120),
-        |keepers AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),
-        |ex AS (SELECT q.* FROM q JOIN keepers USING (doc_id)),
-        |toks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t FROM ex),
-        |grams AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2],' ') AS g
+        |keepers AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),
+        |ex AS MATERIALIZED (SELECT q.* FROM q JOIN keepers USING (doc_id)),
+        |toks AS MATERIALIZED (SELECT doc_id, STRING_SPLIT(text,' ') AS t FROM ex),
+        |grams AS MATERIALIZED (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2],' ') AS g
         |          FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t)-2,1)+1)) AS r(i)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
         |          FROM grams a JOIN grams b
         |            ON a.g = b.g AND a.doc_id < b.doc_id
         |          GROUP BY 1,2),
-        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM inter
         |  JOIN sizes sa ON doc_a = sa.doc_id
         |  JOIN sizes sb ON doc_b = sb.doc_id
         |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
         |reach AS (
         |  SELECT DISTINCT src AS node, src AS r FROM edges
         |  UNION
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
-        |clusters AS (SELECT node AS member_id, MIN(r) AS keep_id
+        |clusters AS MATERIALIZED (SELECT node AS member_id, MIN(r) AS keep_id
         |             FROM reach GROUP BY node),
-        |nd AS (SELECT ex.* FROM ex LEFT JOIN clusters ON doc_id = member_id
+        |nd AS MATERIALIZED (SELECT ex.* FROM ex LEFT JOIN clusters ON doc_id = member_id
         |       WHERE keep_id IS NULL OR keep_id = doc_id),
-        |ndtoks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t FROM nd),
-        |grams13 AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+12],' ') AS g
+        |ndtoks AS MATERIALIZED (SELECT doc_id, STRING_SPLIT(text,' ') AS t FROM nd),
+        |grams13 AS MATERIALIZED (SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+12],' ') AS g
         |            FROM ndtoks,
         |              UNNEST(RANGE(1, GREATEST(LEN(t)-12,1)+1)) AS r(i)),
-        |bench AS (SELECT DISTINCT g FROM grams13 WHERE doc_id % 50 = 0),
-        |bad AS (SELECT DISTINCT doc_id FROM grams13
+        |bench AS MATERIALIZED (SELECT DISTINCT g FROM grams13 WHERE doc_id % 50 = 0),
+        |bad AS MATERIALIZED (SELECT DISTINCT doc_id FROM grams13
         |        WHERE g IN (SELECT g FROM bench)),
-        |clean AS (SELECT nd.* FROM nd
+        |clean AS MATERIALIZED (SELECT nd.* FROM nd
         |          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
 """.stripMargin
 
