@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables
+import graft.sources.{Knobs, Tables}
 
 /** Deduplication operators (SURVEY §2C) — exact and near-duplicate.
   *
@@ -361,6 +361,24 @@ object Dedup {
     BandGeometry(autoBands(r), r)
   }
 
+  /** Deployment geometry override (DEPLOY.md → [[graft.sources.Knobs]]):
+    * `dedup.bands` + `dedup.rows_per_band`, BOTH required — a
+    * half-specified geometry is a config error, refused loudly rather
+    * than silently mixed with the derived half. Explicit `geometry`
+    * parameters at call sites still win; the knob only replaces the
+    * count-derived DEFAULT. */
+  private[graft] def knobGeometry: Option[BandGeometry] = {
+    val b = Knobs.optInt("dedup.bands")
+    val r = Knobs.optInt("dedup.rows_per_band")
+    (b, r) match {
+      case (Some(bb), Some(rr)) => Some(BandGeometry(bb, rr))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "knobs dedup.bands and dedup.rows_per_band must be set TOGETHER" +
+          s" (got bands=$b, rows_per_band=$r)")
+    }
+  }
+
   /** 64-element MinHash signature over the shingle set — the native
     * graft.functions.MinHashSignature expression (one strong hash per
     * shingle + 64 affine permutations in a primitive loop). */
@@ -489,13 +507,14 @@ object Dedup {
     * scale); a non-empty one quantifies what a pathological corpus
     * would have cost. */
   def minhashCandidatesAudited(docs: DataFrame,
-      maxBucket: Int = MaxBucket,
+      maxBucket: Int = Knobs.int("dedup.max_bucket", MaxBucket),
       geometry: Option[BandGeometry] = None): (DataFrame, DataFrame) = {
     // geometry derives from the RAW corpus count (one metadata-cheap
     // count-star; an upper bound on the rep count, so never narrower
     // than the corpus needs) — identical to DefaultGeometry at gate
     // scales, widening past 16 384 docs (see autoGeometry)
-    val g = geometry.getOrElse(autoGeometry(docs.count()))
+    val g = geometry.orElse(knobGeometry)
+      .getOrElse(autoGeometry(docs.count()))
     val b = banded(exactReps(docs), g).localCheckpoint(true)
     // bucket-metadata scale (one row per multi-occupant (band, bucket));
     // checkpointed so keep, dropped, and the default path's dropped
@@ -571,13 +590,14 @@ object Dedup {
     * boundary AND the collapse/expansion algebra — the dedup_minhash
     * contract extended to the incremental shape. */
   def incrementalNear(history: DataFrame, batch: DataFrame,
-      threshold: Double = 0.8, maxBucket: Int = MaxBucket): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = Knobs.int("dedup.max_bucket", MaxBucket)): DataFrame = {
     val histReps = exactReps(history)
     // ONE geometry for store and probe (their band buckets equi-join),
     // derived from the combined corpus count; a persisted production
     // store pins geometry at build time from its corpus ceiling instead
     // ([[buildLshStore]]/[[incrementalNearServe]])
-    val g = autoGeometry(history.count() + batch.count())
+    val g = knobGeometry
+      .getOrElse(autoGeometry(history.count() + batch.count()))
     val store = banded(histReps, g).withColumnRenamed("doc_id", "hist_id")
       .localCheckpoint(true)
     incrementalNearFrom(store, histReps, batch, g, threshold, maxBucket)
@@ -724,7 +744,7 @@ object Dedup {
     *    derives — a corrupt or foreign store. */
   def incrementalNearServe(history: DataFrame, batch: DataFrame,
       path: String, threshold: Double = 0.8,
-      maxBucket: Int = MaxBucket): DataFrame = {
+      maxBucket: Int = Knobs.int("dedup.max_bucket", MaxBucket)): DataFrame = {
     val spark = batch.sparkSession
     val geo = spark.read.parquet(s"$path/geometry").collect() match {
       case Array(row) => row
@@ -864,7 +884,8 @@ object Dedup {
       docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), simHash64(col("toks")).as("simhash")),
       totalBits = 64, maxDist = maxDist,
-      chunks = autoSimhashChunks(docs.count(), 64, maxDist))
+      chunks = Knobs.optInt("dedup.simhash_chunks")
+        .getOrElse(autoSimhashChunks(docs.count(), 64, maxDist)))
 
   /** Oracle-gated SimHash face: identical bucketing/pair semantics to
     * [[simhashPairs]], but the signature is the 60-bit
@@ -882,7 +903,8 @@ object Dedup {
         .select(col("doc_id"),
           call_function("poly_simhash", col("toks")).as("simhash")),
       totalBits = 60, maxDist = maxDist,
-      chunks = autoSimhashChunks(docs.count(), 60, maxDist))
+      chunks = Knobs.optInt("dedup.simhash_chunks")
+        .getOrElse(autoSimhashChunks(docs.count(), 60, maxDist)))
 
   /** Subset-bucketed hamming pair generation over a (doc_id, simhash)
     * frame: the signature splits into `chunks` chunks (default

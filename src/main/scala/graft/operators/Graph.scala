@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.plans.Loops
-import graft.sources.Tables
+import graft.sources.{Knobs, Tables}
 
 /** Iterative graph analytics over relationship graphs derived from the
   * warehouse tables (SURVEY §2C adjunct): PageRank-style importance
@@ -126,7 +126,8 @@ object Graph {
     // identical to TriSampleMod at every gate scale (autoSampleMod)
     val mod =
       if (sampleMod > 0L) sampleMod
-      else autoSampleMod(lineitem.count())
+      else Knobs.optLong("graph.sample_mod")
+        .getOrElse(autoSampleMod(lineitem.count()))
     val os = lineitem
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
       .distinct()

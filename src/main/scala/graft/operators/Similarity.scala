@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.HyperplaneBits
 import graft.plans.Loops
-import graft.sources.Tables
+import graft.sources.{Knobs, Tables}
 
 /** Embedding similarity operators (SURVEY §2C): near-dup detection via
   * random-hyperplane LSH, brute-force cosine kNN, and IVF-bucketed
@@ -2517,7 +2517,8 @@ object Similarity {
     "knn_pq_adc" -> { (s, dir) =>
       val vecs = Tables.load(s, dir, "embeddings")
       knnPqAdcExact(vecs, col("vec_id") < 10,
-        candidates = autoAdcCandidates(vecs.count()))
+        candidates = Knobs.optInt("knn.candidates")
+          .getOrElse(autoAdcCandidates(vecs.count())))
     },
     // the composed IVF-PQ index under the same probe-everything +
     // rerank contract: coarse routing, residual codes, table scan and
@@ -2525,7 +2526,8 @@ object Similarity {
     "knn_ivfpq" -> { (s, dir) =>
       val vecs = Tables.load(s, dir, "embeddings")
       knnIvfPqExact(vecs, col("vec_id") < 10,
-        candidates = autoAdcCandidates(vecs.count()))
+        candidates = Knobs.optInt("knn.candidates")
+          .getOrElse(autoAdcCandidates(vecs.count())))
     },
     // serve-only faces: the persisted index is built on first touch
     // (bench warmup / first verify), so the timed path is the SERVING
@@ -2535,12 +2537,14 @@ object Similarity {
     "knn_pq_serve" -> { (s, dir) =>
       val vecs = Tables.load(s, dir, "embeddings")
       knnPqServe(vecs, col("vec_id") < 10, pqIndexPath(dir),
-        candidates = autoAdcCandidates(vecs.count()))
+        candidates = Knobs.optInt("knn.candidates")
+          .getOrElse(autoAdcCandidates(vecs.count())))
     },
     "knn_ivfpq_serve" -> { (s, dir) =>
       val vecs = Tables.load(s, dir, "embeddings")
       knnIvfPqServe(vecs, col("vec_id") < 10, ivfPqIndexPath(dir),
-        candidates = autoAdcCandidates(vecs.count()))
+        candidates = Knobs.optInt("knn.candidates")
+          .getOrElse(autoAdcCandidates(vecs.count())))
     },
     // integer-exact end to end: the packing, the distances, and the
     // ranking are all BIGINT arithmetic, so the hash carries the whole

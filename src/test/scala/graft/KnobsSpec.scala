@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph}
+import graft.sources.{Knobs, Profiles}
+
+/** The DEPLOY.md knob layer: defaults < profile < env, loud refusals,
+  * and — per knob family — proof the knob actually reaches the
+  * operator's default parameter (not just the resolver). */
+class KnobsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def withKnobs[T](settings: Map[String, String],
+      env: Map[String, String] = Map.empty)(body: => T): T = {
+    Knobs.install(Profiles.Profile("test", settings))
+    Knobs.envForTest = env
+    try body
+    finally { Knobs.clear(); Knobs.envForTest = null }
+  }
+
+  test("resolution precedence: compiled default < profile < env, " +
+      "env key mapping, non-numeric values refused loudly") {
+    assert(Knobs.envKey("dedup.max_bucket") == "GRAFT_DEDUP_MAX_BUCKET")
+    // no profile, no env: default
+    Knobs.envForTest = Map.empty
+    try assert(Knobs.int("dedup.max_bucket", 1024) == 1024)
+    finally Knobs.envForTest = null
+    // profile beats default
+    withKnobs(Map("dedup.max_bucket" -> "77")) {
+      assert(Knobs.int("dedup.max_bucket", 1024) == 77)
+    }
+    // env beats profile
+    withKnobs(Map("dedup.max_bucket" -> "77"),
+      Map("GRAFT_DEDUP_MAX_BUCKET" -> "33")) {
+      assert(Knobs.int("dedup.max_bucket", 1024) == 33)
+    }
+    // garbage is an error, not a silent default
+    withKnobs(Map("knn.candidates" -> "many")) {
+      val e = intercept[IllegalArgumentException] {
+        Knobs.int("knn.candidates", 200)
+      }
+      assert(e.getMessage.contains("not a number"), e.getMessage)
+    }
+  }
+
+  test("dedup.max_bucket reaches the LSH cap: a cap of 1 drops every " +
+      "multi-occupant bucket and the audit surfaces it") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa X"),
+      (3L, "totally different text about arctic shipping routes future"))
+      .toDF("doc_id", "text")
+    withKnobs(Map("dedup.max_bucket" -> "1")) {
+      val (cands, dropped) = Dedup.minhashCandidatesAudited(docs)
+      assert(cands.isEmpty, "cap=1 must drop every multi-occupant bucket")
+      assert(!dropped.isEmpty, "the cut must be audited, never silent")
+    }
+    // without the knob the near-dup pair survives
+    val (cands, _) = Dedup.minhashCandidatesAudited(docs)
+    assert(cands.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .contains((1L, 2L)))
+  }
+
+  test("dedup.bands/rows_per_band override the derived geometry " +
+      "TOGETHER or not at all; verified pairs are geometry-invariant") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa X"),
+      (3L, "totally different text about arctic shipping routes future"))
+      .toDF("doc_id", "text")
+    val base = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    withKnobs(Map("dedup.bands" -> "20", "dedup.rows_per_band" -> "5")) {
+      assert(Dedup.knobGeometry.contains(Dedup.BandGeometry(20, 5)))
+      val got = Dedup.minhashPairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == base,
+        "exact verify must make the widened override answer-invariant")
+    }
+    withKnobs(Map("dedup.bands" -> "20")) {
+      val e = intercept[IllegalArgumentException] { Dedup.knobGeometry }
+      assert(e.getMessage.contains("TOGETHER"), e.getMessage)
+    }
+  }
+
+  test("dedup.simhash_chunks forces a ladder rung; pigeonhole recall " +
+      "holds so the pair set is unchanged") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "unrelated words entirely distinct from the other documents"))
+      .toDF("doc_id", "text")
+    val base = Dedup.polySimhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    withKnobs(Map("dedup.simhash_chunks" -> "10")) {
+      val got = Dedup.polySimhashPairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == base, s"forced rung changed the pair set: $got vs $base")
+    }
+  }
+
+  test("graph.sample_mod reaches the co-supply projection: knobbed " +
+      "edges equal the explicit-modulus call") {
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val explicit = Graph.coSupplyEdges(li, sampleMod = 40L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    withKnobs(Map("graph.sample_mod" -> "40")) {
+      val knobbed = Graph.coSupplyEdges(li).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(knobbed == explicit)
+    }
+    // and the default path (no knob) derives from the corpus count
+    val derived = Graph.coSupplyEdges(li).collect().length
+    val auto = Graph.coSupplyEdges(li,
+      sampleMod = Graph.autoSampleMod(li.count())).collect().length
+    assert(derived == auto)
+  }
+
+  test("knn.candidates reaches the ADC budget: the registered face " +
+      "under the knob equals the explicit-budget call") {
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+    val explicit = graft.operators.Similarity.knnPqAdcExact(vecs,
+      col("vec_id") < 10, candidates = 64).collect()
+      .map(_.toString).toSet
+    withKnobs(Map("knn.candidates" -> "64")) {
+      val knobbed = SparkEntry.queries("knn_pq_adc")(spark, sf)
+        .collect().map(_.toString).toSet
+      assert(knobbed == explicit)
+    }
+  }
+}
