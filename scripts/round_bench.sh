@@ -78,6 +78,8 @@ SF1_KEYS=(
   # round-14 additions: label-prop + integer modularity audit; the
   # k-round farthest-point coreset traversal
   graph_modularity emb_kcenter
+  # round-15 addition: the persisted-LSH-store serve face
+  dedup_incr_near_serve
 )
 
 # sf3 growth-curve set (round 14, verdict #4): the superlinear-RISK
@@ -88,13 +90,20 @@ SF1_KEYS=(
 # while the production face dedup_embedding_lsh stays ~linear).
 # A third scale point turns the sf1/sf0.1 ratio into a measured
 # growth EXPONENT (scripts/growth_table.py): alpha = ln(t3/t1)/ln(3).
+# Membership rule (round 15, verdict #8): every key whose sf1/sf0.1
+# ratio beta >= 4x gets a marginal exponent — an unmeasured beta>=4
+# tail is exactly the blind spot that hid the r14 CC checkpoint wall.
 SF3_KEYS=(
   dedup_minhash dedup_ngram_jaccard dedup_simhash dedup_embedding
   dedup_embedding_lsh dedup_substring dedup_boilerplate dedup_cluster
-  dedup_incremental_near
+  dedup_incremental_near dedup_incr_near_serve dedup_segments
   knn_ivf knn_ivfpq knn_pq_adc emb_knn_graph emb_kmeans
+  emb_recall_audit
   stream_stream_join
   graph_pagerank graph_cc graph_bfs graph_kcore graph_triangles
+  text_code_detect text_collocation text_bigram_logprob
+  text_winnow_overlap text_ngram_novelty
+  mm_image_hist
 )
 
 echo "[round_bench] full registry at sf0.1 ..."
