@@ -34,8 +34,23 @@ import unicodedata
 import pandas as pd
 
 SRC = "/root/testdata/sf0.001"
-SIBLINGS = ["region", "nation", "customer", "supplier", "part",
-            "orders", "lineitem", "events", "embeddings"]
+SIBLINGS = ["region", "nation", "customer", "part", "events",
+            "embeddings"]
+
+# Planted GRAPH fixture (round 15): at sf0.001 the supplier table has
+# no s_nationkey=1 row (graph_bfs seeds empty) and the DOULION-sampled
+# co-supply graph has no wedge (graph_link_pred empty), so those two
+# keys passed VACUOUSLY against this corpus. Three planted suppliers
+# fix both: keys searched so the multiplicative sample hash keeps
+# edges (1000,1020) and (1000,1040) and drops (1020,1040) at mod 20 —
+# a wedge centered on supplier 1000, which also carries nationkey 1
+# (the BFS seed predicate). Two planted orders co-supply the wedge.
+WEDGE_CENTER, WEDGE_A, WEDGE_B = 1000, 1020, 1040
+
+
+def _sampled(u: int, v: int, mod: int = 20) -> bool:
+    a, b = min(u, v), max(u, v)
+    return (((a * 100003 + b) % 1000003) * 2654435761) % mod == 0
 
 
 def build(out_dir: str) -> None:
@@ -44,6 +59,36 @@ def build(out_dir: str) -> None:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
+
+    assert _sampled(WEDGE_CENTER, WEDGE_A) \
+        and _sampled(WEDGE_CENTER, WEDGE_B) \
+        and not _sampled(WEDGE_A, WEDGE_B), "wedge keys lost the hash"
+
+    sup = pd.read_parquet(os.path.join(SRC, "supplier.parquet"))
+    planted_sup = pd.DataFrame({
+        "s_suppkey": [WEDGE_CENTER, WEDGE_A, WEDGE_B],
+        "s_name": ["adv supplier center", "adv supplier a",
+                   "adv supplier b"],
+        "s_nationkey": pd.array([1, 2, 2], dtype=sup.s_nationkey.dtype),
+        "s_acctbal": [0.0, 0.0, 0.0],
+    })
+    pd.concat([sup, planted_sup], ignore_index=True).to_parquet(
+        os.path.join(out_dir, "supplier.parquet"), index=False)
+
+    orders = pd.read_parquet(os.path.join(SRC, "orders.parquet"))
+    o_tpl = orders.iloc[[0, 1]].copy()
+    o_tpl["o_orderkey"] = [900001, 900002]
+    pd.concat([orders, o_tpl], ignore_index=True).to_parquet(
+        os.path.join(out_dir, "orders.parquet"), index=False)
+
+    li = pd.read_parquet(os.path.join(SRC, "lineitem.parquet"))
+    l_tpl = pd.concat([li.iloc[[0]]] * 4, ignore_index=True)
+    l_tpl["l_orderkey"] = [900001, 900001, 900002, 900002]
+    l_tpl["l_suppkey"] = [WEDGE_CENTER, WEDGE_A, WEDGE_CENTER, WEDGE_B]
+    l_tpl["l_linenumber"] = pd.array([1, 2, 1, 2],
+                                     dtype=li.l_linenumber.dtype)
+    pd.concat([li, l_tpl], ignore_index=True).to_parquet(
+        os.path.join(out_dir, "lineitem.parquet"), index=False)
     base = pd.read_parquet(os.path.join(SRC, "documents.parquet"))
     nfc = "combining é accent café test words"
     nfd = unicodedata.normalize("NFD", nfc)
