@@ -839,7 +839,10 @@ object Dedup {
     * rungs land at n ≈ 5.4e7 (k=6→7), 2.5e8, 1.2e9, 6.6e9, 3.7e10,
     * 1.6e11 — every gate-scale corpus keeps the 6-chunk geometry
     * bit-for-bit. */
-  def autoSimhashChunks(n: Long, totalBits: Int, maxDist: Int = 3): Int = {
+  def autoSimhashChunks(n: Long, totalBits: Int, maxDist: Int = 3,
+      minChunks: Int = SimHashChunks): Int = {
+    require(minChunks > maxDist,
+      s"minChunks=$minChunks must exceed maxDist=$maxDist (pigeonhole)")
     def valid(k: Int): Boolean = {
       val w = (totalBits + k - 1) / k
       totalBits > w * (k - 1)
@@ -850,7 +853,7 @@ object Dedup {
       BigInt(choose(k, maxDist)) * BigInt(math.max(n, 1L)) <=
         (BigInt(1) << bits)
     }
-    val ladder = (SimHashChunks to MaxSimhashChunks).filter(valid)
+    val ladder = (minChunks to MaxSimhashChunks).filter(valid)
     ladder.find(holds).getOrElse(ladder.last)
   }
 

@@ -652,11 +652,13 @@ object Multimodal {
     * and buckets by all C(k, k−maxDist) chunk subsets — pigeonhole
     * recall is exact at EVERY rung, and the ladder widens k with the
     * corpus count so expected random candidate mass stays linear in n.
-    * This retires the round-11 fixed 4×16-bit single-chunk scheme,
+    * This retires the round-11 FIXED 4×16-bit single-chunk scheme,
     * whose 2^16 per-chunk keyspace was the repo's earliest quadratic
     * knee (~n²/2^16 candidates — a web-scale image corpus hits it at
-    * millions of images; the 6-chunk floor already keys 2^31, the
-    * k=11 top rung 2^46). Blobs never shuffle: only (subset id, packed
+    * millions of images): the ladder keeps the same 4-chunk geometry
+    * below the knee (identical explode cost) and widens it PAST the
+    * knee instead of saturating (k=11 top rung keys 2^46). Blobs
+    * never shuffle: only (subset id, packed
     * chunk values, doc_id, signature) rows — ~40 B — cross the wire,
     * which is what makes this viable over a 100 TB media corpus. */
   def phashPairs(thumbs: DataFrame, maxDist: Int = 3): DataFrame = {
@@ -668,8 +670,17 @@ object Multimodal {
       // half-distances the 4-chunk face computed
       .select(col("doc_id"),
         shiftleft(col("h.hi"), 32).bitwiseOR(col("h.lo")).as("simhash"))
+    // floor at maxDist+1 chunks (4 for hamming≤3): pigeonhole recall
+    // holds for ANY k > maxDist, and small image corpora keep the
+    // original 4-single-chunk explode cost (4 rows/doc) instead of
+    // paying the text face's 20-subset floor — the ladder widens at
+    // exactly the occupancy knee (C(4,3)·n > 2^16 ≈ 16k thumbs) where
+    // the old fixed scheme went quadratic. sf0.1 cost restored ~1:1
+    // vs the retired scheme; the sf1 point (50k thumbs) lands on the
+    // 5-chunk rung (10 rows/doc) with keyspace 2^25.
     Dedup.simhashPairsFrom(sigs, totalBits = 64, maxDist = maxDist,
-      chunks = Dedup.autoSimhashChunks(thumbs.count(), 64, maxDist))
+      chunks = Dedup.autoSimhashChunks(thumbs.count(), 64, maxDist,
+        minChunks = maxDist + 1))
   }
 
   /** mm_image_dims and mm_frame_sample are fully oracled — the oracle

@@ -994,17 +994,23 @@ object TextAnalysis {
     * source text is ~5-15%) and a keyword-token count over a fixed
     * evidence set (def/return/import/…). Verdict: symbols ≥ 5% of
     * chars (cross-multiplied integers, no float ratio) OR ≥ 3 keyword
-    * hits. Pure per-row projection — regexp strip + one list filter,
-    * no exchange, linear at any corpus size. */
+    * hits. Pure per-row projection, no exchange, linear at any corpus
+    * size — and fully CODEGEN: the keyword census is one anchored
+    * regexp_count pass (a consumed leading boundary + a lookahead
+    * trailing boundary keeps adjacent keywords countable), replacing
+    * the round-11 split + HOF-lambda filter whose per-token predicate
+    * ran in the expression INTERPRETER — the registry's last
+    * interpreted-lambda hot path (r15 growth curve flagged it at
+    * α=1.28; token-equality semantics unchanged, same oracle). */
   def codeDetect(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
         (length(col("text")) -
           length(regexp_replace(col("text"), "[;{}()=<>#]", "")))
           .cast("long").as("n_sym"),
-        size(filter(split(col("text"), " "), w => w.isin(
-          "def", "return", "import", "if", "else", "for", "while",
-          "var", "const", "class"))).cast("long").as("kw_hits"))
+        regexp_count(col("text"),
+          lit("(?:^| )(?:def|return|import|if|else|for|while|var|" +
+            "const|class)(?= |$)")).cast("long").as("kw_hits"))
       .withColumn("is_code",
         col("n_sym") * 20 >= col("n_chars") || col("kw_hits") >= 3)
       .orderBy(col("doc_id"))

@@ -325,6 +325,20 @@ class DedupSpec extends GraftSpec {
       assert(ks == ks.sorted, s"bits=$bits: not monotone: $ks")
       assert(ks.last <= Dedup.MaxSimhashChunks)
     }
+    // the image-face floor (minChunks = maxDist+1 = 4): small corpora
+    // keep the 4-single-chunk explode cost, the knee sits at
+    // C(4,3)·n > 2^16, and the ladder rejoins the text rungs above it
+    assert(Dedup.autoSimhashChunks(16384, 64, minChunks = 4) == 4)
+    assert(Dedup.autoSimhashChunks(16385, 64, minChunks = 4) == 5)
+    assert(Dedup.autoSimhashChunks(50000, 64, minChunks = 4) == 5)
+    assert(Dedup.autoSimhashChunks(100000000L, 64, minChunks = 4) ==
+      Dedup.autoSimhashChunks(100000000L, 64),
+      "above the text floor the two ladders must agree")
+    // a floor at or below maxDist would break the pigeonhole — refused
+    val e = intercept[IllegalArgumentException] {
+      Dedup.autoSimhashChunks(10, 64, minChunks = 3)
+    }
+    assert(e.getMessage.contains("pigeonhole"), e.getMessage)
   }
 
   test("subset-bucketed hamming pairs stay EXACT at WIDENED chunk " +
