@@ -760,6 +760,18 @@ object Dedup {
       s"LSH store $path: pinned geometry $g does not match its " +
         s"recorded ceiling $ceiling (expects ${autoGeometry(ceiling)}) " +
         "— corrupt or foreign store; rebuild")
+    // the passed history frame must BE the corpus the store banded:
+    // a history that grew since buildLshStore (even under the ceiling)
+    // has no band rows for its new docs, so their near-dups would be
+    // missed SILENTLY — the live-corpus ceiling check below runs on
+    // the STORED hist_count and cannot see the drift. One driver-side
+    // count buys the refusal (advice r15 #1).
+    val liveHist = history.count()
+    require(liveHist == histCount,
+      s"LSH store $path: passed history has $liveHist docs but the " +
+        s"store banded $histCount — new history docs have NO band " +
+        "rows and their near-dups would be silently missed; rebuild " +
+        "the store (or fold the delta through the batch side)")
     val live = histCount + batch.count()
     require(live <= ceiling,
       s"LSH store $path: live corpus $live exceeds the pinned ceiling " +
@@ -940,6 +952,22 @@ object Dedup {
       s"totalBits=$totalBits leaves empty chunks at width $w — " +
         s"use a signature width of at least ${(chunks - 1) * w + 1} " +
         s"bits for $chunks chunks")
+    // the packed subset key below concatenates (chunks - maxDist)
+    // chunk values at stride w into ONE Long; a worst-case subset is
+    // all full-width chunks, so past 63 bits the key would wrap
+    // SILENTLY — final pairs would stay correct (the exact hamming
+    // filter runs after), but the bucket keyspace would narrow and
+    // candidate volume quietly grow. For any Long-backed signature
+    // (totalBits <= 64) the non-empty-chunk rule above already implies
+    // this bound — w·(chunks−maxDist) <= w·(chunks−1) < totalBits <=
+    // 64 — so the require is an INVARIANT made loud (DedupSpec sweeps
+    // every valid geometry to pin the implication), guarding any
+    // future wider-signature face against inheriting the wrap.
+    require(w * (chunks - maxDist) <= 63,
+      s"packed subset key needs ${w * (chunks - maxDist)} bits " +
+        s"(width $w x ${chunks - maxDist} subset chunks) > 63 — the " +
+        "Long pack would wrap and silently narrow the bucket keyspace; " +
+        "use fewer chunks or a higher maxDist")
     def chunkVal(i: Int): Column = {
       val width = math.min(w, totalBits - w * i)
       val mask = (1L << width) - 1

@@ -1008,9 +1008,13 @@ object TextAnalysis {
         (length(col("text")) -
           length(regexp_replace(col("text"), "[;{}()=<>#]", "")))
           .cast("long").as("n_sym"),
+        // trailing boundary is \z (true end-of-input), NOT $: Java's $
+        // also matches before a final line terminator, so "...def\n"
+        // would count a keyword where split-on-space token equality
+        // (the oracle semantics) sees the token "def\n" and does not
         regexp_count(col("text"),
           lit("(?:^| )(?:def|return|import|if|else|for|while|var|" +
-            "const|class)(?= |$)")).cast("long").as("kw_hits"))
+            "const|class)(?= |\\z)")).cast("long").as("kw_hits"))
       .withColumn("is_code",
         col("n_sym") * 20 >= col("n_chars") || col("kw_hits") >= 3)
       .orderBy(col("doc_id"))

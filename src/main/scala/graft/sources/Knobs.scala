@@ -49,9 +49,12 @@ object Knobs {
 
   def installedProfile: Option[Profiles.Profile] = installed
 
-  /** `dedup.max_bucket` → `GRAFT_DEDUP_MAX_BUCKET`. */
+  /** `dedup.max_bucket` → `GRAFT_DEDUP_MAX_BUCKET`. Locale-pinned:
+    * the default-locale toUpperCase maps 'i' → 'İ' under a Turkish
+    * JVM locale, silently breaking GRAFT_* resolution for every key
+    * containing an 'i' (dedup.simhash_chunks, knn.candidates). */
   def envKey(key: String): String =
-    "GRAFT_" + key.toUpperCase.replace('.', '_')
+    "GRAFT_" + key.toUpperCase(java.util.Locale.ROOT).replace('.', '_')
 
   private def raw(key: String): Option[String] = {
     val env = { val e = envForTest; if (e ne null) e else sys.env }

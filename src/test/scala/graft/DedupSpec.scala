@@ -250,6 +250,61 @@ class DedupSpec extends GraftSpec {
       e3.getMessage)
   }
 
+  test("persisted LSH store refuses a DRIFTED history: docs added " +
+      "since build have no band rows and must not be probed silently") {
+    // advice r15 #1: a history that grew after buildLshStore (but is
+    // still under the ceiling) passes the stored-count ceiling check,
+    // yet its new docs have NO band rows — near-dups against them
+    // would be silently missed. The probe must compare the PASSED
+    // frame against the sidecar's hist_count and refuse.
+    val builtHistory = textsDF(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "one two three four five six seven eight nine ten eleven")
+    val grownHistory = builtHistory.unionByName(textsDF(
+      4L -> "a brand new history document appended after the build ran"))
+    val batch = textsDF(
+      3L -> "completely novel text that matches nothing in the store")
+    val path = java.nio.file.Files
+      .createTempDirectory("lsh_store_drift").toString + "/store"
+    Dedup.buildLshStore(builtHistory, path, corpusCeiling = 100L)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearServe(grownHistory, batch, path).collect()
+    }
+    assert(e.getMessage.contains("NO band rows"), e.getMessage)
+    // the exact built history still probes fine
+    val ok = Dedup.incrementalNearServe(builtHistory, batch, path)
+      .collect()
+    assert(ok.length == 1 && ok(0).getBoolean(3), "batch doc must keep")
+  }
+
+  test("packed subset key never exceeds 63 bits on any valid Long " +
+      "geometry, and a hypothetical wider signature is refused") {
+    // advice r15 #4: the subset bucket key packs (chunks - maxDist)
+    // width-w chunk values into one Long. For every geometry the
+    // non-empty-chunk rule admits at totalBits <= 64 the pack fits:
+    // w·(chunks−maxDist) <= w·(chunks−1) < totalBits <= 64. Sweep the
+    // full valid lattice to pin the implication ...
+    for {
+      totalBits <- 1 to 64
+      chunks <- 2 to Dedup.MaxSimhashChunks
+      w = (totalBits + chunks - 1) / chunks
+      if totalBits > w * (chunks - 1) // the non-empty-chunk rule
+      maxDist <- 1 until chunks
+    } assert(w * (chunks - maxDist) <= 63,
+      s"pack overflow at totalBits=$totalBits chunks=$chunks " +
+        s"maxDist=$maxDist")
+    // ... and the explicit require still catches a wider-than-Long
+    // signature face someone might wire up later (80 bits, 10 chunks,
+    // maxDist=1: non-empty holds at w=8 but the pack needs 72 bits)
+    import spark.implicits._
+    val sigs = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "simhash")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairsFrom(sigs, totalBits = 80, maxDist = 1,
+        chunks = 10)
+    }
+    assert(e.getMessage.contains("would wrap"), e.getMessage)
+  }
+
   test("simhash pairs respect the hamming bound and ordering") {
     val pairs = Dedup.simhashPairs(
       graft.sources.Tables.load(spark, sf, "documents")).collect()

@@ -19,6 +19,20 @@ class KnobsSpec extends GraftSpec {
     finally { Knobs.clear(); Knobs.envForTest = null }
   }
 
+  test("envKey is locale-pinned: Turkish dotted-i casing cannot break " +
+      "GRAFT_* resolution") {
+    // under a Turkish default locale, locale-sensitive toUpperCase maps
+    // 'i' -> 'İ' (U+0130) — every knob key containing an 'i' would then
+    // resolve to an env name nobody ever set (advice r15 #3)
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+    try {
+      assert(Knobs.envKey("dedup.simhash_chunks") ==
+        "GRAFT_DEDUP_SIMHASH_CHUNKS")
+      assert(Knobs.envKey("knn.candidates") == "GRAFT_KNN_CANDIDATES")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("resolution precedence: compiled default < profile < env, " +
       "env key mapping, non-numeric values refused loudly") {
     assert(Knobs.envKey("dedup.max_bucket") == "GRAFT_DEDUP_MAX_BUCKET")

@@ -662,7 +662,13 @@ class TextEtlSpec extends GraftSpec {
       (0L, "def f(x): return x + 1 # comment"), // keywords + symbols
       (1L, "the quick brown fox jumps over the lazy dog today"),
       (2L, "x = {a: 1}; y = (2 < 3); z = [];"), // symbol-dense, no kw
-      (3L, "if you return for a while import nothing")) // kw-only prose
+      (3L, "if you return for a while import nothing"), // kw-only prose
+      // trailing-newline boundary (advice r15 #2): split-on-space
+      // token semantics see the token "def\n" != "def" — the census
+      // lookahead must be \z (end of INPUT), because Java's $ also
+      // matches before a final line terminator and would count it
+      (4L, "def\n"),
+      (5L, "return import def\n")) // 2 true hits, not 3
       .toDF("doc_id", "text")
     val h = TextAnalysis.codeDetect(crafted).collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
@@ -672,6 +678,9 @@ class TextEtlSpec extends GraftSpec {
     assert(h(2L)._3, "symbol-dense text must flag")
     assert(h(3L)._3 && h(3L)._1 == 0,
       "3+ keywords must flag even with zero symbols")
+    assert(h(4L)._2 == 0L, "\"def\\n\" is not the token \"def\"")
+    assert(h(5L)._2 == 2L && !h(5L)._3,
+      "a newline-terminated keyword must not be the third hit")
     // corpus replay
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select("doc_id", "text").collect()
