@@ -80,6 +80,8 @@ SF1_KEYS=(
   graph_modularity emb_kcenter
   # round-15 addition: the persisted-LSH-store serve face
   dedup_incr_near_serve
+  # round-16 addition: the persisted pHash store serve face
+  mm_phash_serve
 )
 
 # sf3 growth-curve set (round 14, verdict #4): the superlinear-RISK

@@ -937,6 +937,38 @@ object Dedup {
     * should ride on. */
   private[graft] def simhashPairsFrom(sigs: DataFrame, totalBits: Int,
       maxDist: Int, chunks: Int = SimHashChunks): DataFrame = {
+    val b = simhashSubsetKeys(sigs, totalBits, maxDist, chunks)
+      .localCheckpoint(true)
+    val keep = b.groupBy(col("chunk"), col("chunk_val"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col("chunk"), col("chunk_val"))
+    val kept = b.join(keep, Seq("chunk", "chunk_val"), "left_semi")
+      .select(col("chunk"), col("chunk_val"), col("doc_id"), col("simhash"))
+    val a = kept
+      .withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sim_a"))
+    val c = kept
+      .withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sim_b"))
+    a.join(c, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exploded chunk-subset bucket keys for a (doc_id, simhash) frame —
+    * the shared primitive behind [[simhashPairsFrom]] and the
+    * persisted image store ([[Multimodal.buildPhashStore]] /
+    * [[Multimodal.phashServe]]): one output row per
+    * C(chunks, chunks−maxDist) subset per doc, keyed (chunk = subset
+    * id, chunk_val = packed chunk values at stride w). Validates the
+    * full geometry contract (range, explosion ceiling, non-empty
+    * chunks, 63-bit pack) so every caller — live face or persisted
+    * store — refuses invalid geometries identically. */
+  private[graft] def simhashSubsetKeys(sigs: DataFrame, totalBits: Int,
+      maxDist: Int, chunks: Int): DataFrame = {
     require(maxDist >= 1 && maxDist < chunks,
       s"maxDist out of range for $chunks chunks: $maxDist")
     require(chunks <= MaxSimhashChunks,
@@ -981,30 +1013,12 @@ object Dedup {
       }.reduce(_ + _)
       struct(lit(sid).as("chunk"), packed.as("chunk_val"))
     }
-    val b = sigs
+    sigs
       .select(col("doc_id"), col("simhash"),
         explode(array(keys: _*)).as("k"))
       .select(col("k.chunk").as("chunk"),
         col("k.chunk_val").as("chunk_val"),
         col("doc_id"), col("simhash"))
-      .localCheckpoint(true)
-    val keep = b.groupBy(col("chunk"), col("chunk_val"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .select(col("chunk"), col("chunk_val"))
-    val kept = b.join(keep, Seq("chunk", "chunk_val"), "left_semi")
-      .select(col("chunk"), col("chunk_val"), col("doc_id"), col("simhash"))
-    val a = kept
-      .withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sim_a"))
-    val c = kept
-      .withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sim_b"))
-    a.join(c, Seq("chunk", "chunk_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= maxDist)
-      .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // -- char n-gram Jaccard (verify stage) ---------------------------------

@@ -417,6 +417,25 @@ object Multimodal {
       phashPairs(thumbTable(docs, famMod = math.max(50L, docs.count() / 10)))
     },
 
+    // -- the PERSISTED-store face of the image near-dup contract ----------
+    // Build once under a ceiling-pinned chunk geometry (4x live
+    // headroom — deterministic, so the ensured store replays
+    // bit-identically), probe from parquet. The %3 history/batch split
+    // mirrors dedup_incr_near_serve; the oracle replays the planted
+    // pixel arithmetic into TRUE all-pairs hamming verdicts — serving
+    // from the pinned store must change NOTHING about them.
+    "mm_phash_serve" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val n = docs.count()
+      val thumbs = thumbTable(docs, famMod = math.max(50L, n / 10))
+      val ceiling = 4L * n
+      val path = phashStorePath(dir, ceiling)
+      Similarity.ensureIndex(path)(tmp =>
+        buildPhashStore(thumbs.filter(col("doc_id") % 3 =!= 0), tmp,
+          ceiling))
+      phashServe(thumbs.filter(col("doc_id") % 3 === 0), path)
+    },
+
     // -- the resize stage of the multimodal ingest pipeline ---------------
     // REAL nearest-neighbor pixel math on real bytes: variable-size
     // source BMPs → native bmp_thumb8 resize → a fresh 8×8 BMP →
@@ -661,15 +680,22 @@ object Multimodal {
     * never shuffle: only (subset id, packed
     * chunk values, doc_id, signature) rows — ~40 B — cross the wire,
     * which is what makes this viable over a 100 TB media corpus. */
-  def phashPairs(thumbs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sigs = thumbs
+  /** (doc_id, simhash) aHash signatures for a thumbnail frame: decode
+    * each blob with the native bmp_ahash64 expression and pack the two
+    * non-negative 32-bit halves into ONE 64-bit signature — hi, lo ∈
+    * [0, 2³²) by the bmp_ahash64 contract, so hi<<32 | lo is a
+    * lossless pack and XOR+popcount over it equals the summed
+    * half-distances the retired 4-chunk face computed. Shared by the
+    * live pair face and the persisted store build/serve sides. */
+  private def ahashSigs(thumbs: DataFrame): DataFrame =
+    thumbs
       .select(col("doc_id"),
         call_function("bmp_ahash64", col("blob")).as("h"))
-      // hi, lo ∈ [0, 2³²) by the bmp_ahash64 contract, so hi<<32 | lo
-      // is a lossless pack and XOR+popcount over it equals the summed
-      // half-distances the 4-chunk face computed
       .select(col("doc_id"),
         shiftleft(col("h.hi"), 32).bitwiseOR(col("h.lo")).as("simhash"))
+
+  def phashPairs(thumbs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sigs = ahashSigs(thumbs)
     // floor at maxDist+1 chunks (4 for hamming≤3): pigeonhole recall
     // holds for ANY k > maxDist, and small image corpora keep the
     // original 4-single-chunk explode cost (4 rows/doc) instead of
@@ -681,6 +707,122 @@ object Multimodal {
     Dedup.simhashPairsFrom(sigs, totalBits = 64, maxDist = maxDist,
       chunks = Dedup.autoSimhashChunks(thumbs.count(), 64, maxDist,
         minChunks = maxDist + 1))
+  }
+
+  // ---- persisted pHash store: build once, probe many --------------------
+  // The image-side analog of Dedup.buildLshStore/incrementalNearServe
+  // (verdict r15 #3): mm_phash_dedup derives its chunk ladder from LIVE
+  // counts per run, which is correct in-face — but an ACCUMULATING
+  // image store whose corpus later crosses an autoSimhashChunks rung
+  // would silently need every historical signature re-bucketed under
+  // the wider split. This split pins the geometry from the planned
+  // corpus CEILING at build time, persists it in a one-row sidecar
+  // beside the bucket rows, reads it back at probe time, and REFUSES
+  // loudly past the ceiling or on a sidecar/ceiling mismatch — the
+  // dedup_incr_near_serve discipline applied to the image family.
+
+  /** pHash store root — same scratch-root contract as
+    * [[Similarity.indexRoot]]; never under /root/testdata. */
+  def phashStoreRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft_tmp") +
+      "/phash_store"
+
+  /** On-disk store location for a dataset directory; the ceiling rides
+    * the path (the pqIndexPath convention) so a ceiling change can
+    * never probe a stale-geometry store. */
+  def phashStorePath(dir: String, corpusCeiling: Long): String =
+    s"$phashStoreRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+      s"/near_c$corpusCeiling"
+
+  /** Materialize the image near-dup store: aHash signatures of the
+    * history thumbnails, exploded into chunk-subset bucket rows under
+    * the chunk count [[Dedup.autoSimhashChunks]] derives from the
+    * CEILING (not the live count — the geometry never moves under an
+    * accumulating store until planned capacity is actually exceeded).
+    * Persists the bucket rows (~C(chunks,maxDist)·24 B per image;
+    * blobs never stored — signatures are self-contained, unlike the
+    * text store, so serving needs no history frame at all) plus a
+    * one-row sidecar (chunks, max_dist, corpus_ceiling, hist_count).
+    * Fails loudly if history already exceeds the ceiling. */
+  def buildPhashStore(thumbs: DataFrame, path: String,
+      corpusCeiling: Long, maxDist: Int = 3): Unit = {
+    val histCount = thumbs.count()
+    require(histCount <= corpusCeiling,
+      s"buildPhashStore: history count $histCount exceeds the pinned " +
+        s"corpus ceiling $corpusCeiling — pin the ceiling at planned " +
+        "capacity, not below the data you already have")
+    val chunks = Dedup.autoSimhashChunks(corpusCeiling, 64, maxDist,
+      minChunks = maxDist + 1)
+    Dedup.simhashSubsetKeys(ahashSigs(thumbs), 64, maxDist, chunks)
+      .withColumnsRenamed(Map("doc_id" -> "hist_id", "simhash" -> "hist_sim"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    import thumbs.sparkSession.implicits._
+    Seq((chunks, maxDist, corpusCeiling, histCount))
+      .toDF("chunks", "max_dist", "corpus_ceiling", "hist_count")
+      .write.mode("overwrite").parquet(s"$path/geometry")
+  }
+
+  /** Probe the PERSISTED image store with a batch of thumbnails —
+    * per batch image: does it near-dup anything in the STORED history
+    * (dup_of_history), an earlier image of this batch (dup_in_batch),
+    * or neither (keep). The geometry is the PINNED one from the
+    * sidecar (never re-derived from live counts, so historical bucket
+    * rows are read as-is even when the live corpus has crossed ladder
+    * rungs since the build), and — unlike the text store — the stored
+    * SIGNATURES are the complete verify state, so there is no history
+    * frame to drift from the sidecar count. Refusals (loud, never
+    * silent): live corpus (stored hist_count + batch count) above the
+    * pinned ceiling; sidecar chunk count differing from what its
+    * recorded ceiling derives (corrupt or foreign store). */
+  def phashServe(batch: DataFrame, path: String): DataFrame = {
+    val spark = batch.sparkSession
+    val geo = spark.read.parquet(s"$path/geometry").collect() match {
+      case Array(row) => row
+      case rows => throw new IllegalStateException(
+        s"pHash store $path: geometry sidecar has ${rows.length} rows, " +
+          "expected exactly 1 — corrupt store")
+    }
+    val chunks = geo.getAs[Int]("chunks")
+    val maxDist = geo.getAs[Int]("max_dist")
+    val ceiling = geo.getAs[Long]("corpus_ceiling")
+    val histCount = geo.getAs[Long]("hist_count")
+    val expect = Dedup.autoSimhashChunks(ceiling, 64, maxDist,
+      minChunks = maxDist + 1)
+    require(chunks == expect,
+      s"pHash store $path: pinned chunk count $chunks does not match " +
+        s"its recorded ceiling $ceiling (expects $expect) — corrupt " +
+        "or foreign store; rebuild")
+    val live = histCount + batch.count()
+    require(live <= ceiling,
+      s"pHash store $path: live corpus $live exceeds the pinned " +
+        s"ceiling $ceiling — the build-time geometry no longer holds " +
+        "bucket occupancy; rebuild the store with a larger ceiling " +
+        "(re-bucketing history is REQUIRED past the ceiling, by " +
+        "design never implicit)")
+    val sigs = ahashSigs(batch).localCheckpoint(true)
+    val keys = Dedup.simhashSubsetKeys(sigs, 64, maxDist, chunks)
+      .localCheckpoint(true)
+    // history-vs-batch: batch subset keys against the persisted bucket
+    // rows; the exact hamming filter runs on the packed signatures, so
+    // the join output needs no second verify pass
+    val doh = keys
+      .join(spark.read.parquet(s"$path/bands"), Seq("chunk", "chunk_val"))
+      .filter(bit_count(col("simhash").bitwiseXOR(col("hist_sim")))
+        <= maxDist)
+      .select(col("doc_id")).distinct().withColumn("doh", lit(true))
+    // batch-vs-batch: the live pair face under the PINNED geometry —
+    // an earlier batch image (smaller id) marks the later one
+    val dib = Dedup.simhashPairsFrom(sigs, 64, maxDist, chunks)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("dib", lit(true))
+    sigs.select(col("doc_id"))
+      .join(doh, Seq("doc_id"), "left_outer")
+      .join(dib, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("doh"), lit(false)).as("dup_of_history"),
+        coalesce(col("dib"), lit(false)).as("dup_in_batch"))
+      .withColumn("keep", !col("dup_of_history") && !col("dup_in_batch"))
+      .orderBy(col("doc_id"))
   }
 
   /** mm_image_dims and mm_frame_sample are fully oracled — the oracle
@@ -883,6 +1025,58 @@ object Multimodal {
         |WHERE BIT_COUNT(XOR(a.lo, b.lo))
         |    + BIT_COUNT(XOR(a.hi, b.hi)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // same planted-arithmetic hash replay, folded into the incremental
+    // verdict contract over the %3 history/batch split (the
+    // dedup_incr_near_serve oracle shape): TRUE all-pairs hamming —
+    // serving from the pinned parquet store must reproduce it exactly.
+    // Shared CTE chains are AS MATERIALIZED (the DuckDB default
+    // inlining re-evaluates bits once per reference — the sf1 oracle
+    // ceiling trap).
+    "mm_phash_serve" ->
+      """WITH fm AS MATERIALIZED (
+        |  SELECT GREATEST(50, COUNT(*) // 10) AS m FROM documents),
+        |px AS MATERIALIZED (
+        |  SELECT doc_id, i, j,
+        |    4 * ((((doc_id % m) * 7 + i * 3 + j * 5) % 13)
+        |       + (((doc_id % m) * 4 + i * 6 + j) % 11)
+        |       + (((doc_id % m) * 2 + i * 5 + j * 3) % 17)
+        |       + (((doc_id % m) * 5 + i + j * 7) % 19))
+        |    + CASE WHEN ((doc_id // m) + i * 8 + j) % 19 = 0
+        |           THEN 24 ELSE 0 END AS g
+        |  FROM documents, fm, UNNEST(RANGE(0, 8)) r1(i),
+        |       UNNEST(RANGE(0, 8)) r2(j)),
+        |tot AS MATERIALIZED (
+        |  SELECT doc_id, SUM(g) AS s FROM px GROUP BY doc_id),
+        |bits AS MATERIALIZED (
+        |  SELECT p.doc_id,
+        |    CAST(SUM(CASE WHEN 64 * p.g > t.s AND i * 8 + j >= 32
+        |      THEN CAST(1 AS BIGINT) << (i * 8 + j - 32)
+        |      ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN 64 * p.g > t.s AND i * 8 + j < 32
+        |      THEN CAST(1 AS BIGINT) << (i * 8 + j)
+        |      ELSE 0 END) AS BIGINT) AS lo
+        |  FROM px p JOIN tot t ON p.doc_id = t.doc_id
+        |  GROUP BY p.doc_id),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |  WHERE BIT_COUNT(XOR(a.lo, b.lo))
+        |      + BIT_COUNT(XOR(a.hi, b.hi)) <= 3),
+        |sym AS MATERIALIZED (
+        |  SELECT doc_a AS x, doc_b AS y FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |b AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |doh AS (SELECT DISTINCT x AS doc_id FROM sym
+        |        WHERE x % 3 = 0 AND y % 3 <> 0),
+        |dib AS (SELECT DISTINCT x AS doc_id FROM sym
+        |        WHERE x % 3 = 0 AND y % 3 = 0 AND y < x)
+        |SELECT b.doc_id,
+        |  doh.doc_id IS NOT NULL AS dup_of_history,
+        |  dib.doc_id IS NOT NULL AS dup_in_batch,
+        |  (doh.doc_id IS NULL AND dib.doc_id IS NULL) AS keep
+        |FROM b LEFT JOIN doh ON b.doc_id = doh.doc_id
+        |LEFT JOIN dib ON b.doc_id = dib.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // NAIVE definition: one per-type running sum over doc_id order.
     // Hash equality proves the engine's chunked distributed prefix
     // scan computes the identical start offset for every item

@@ -243,6 +243,136 @@ class FunctionsSpec extends GraftSpec {
       s"missing=${want -- got} extra=${got -- want}")
   }
 
+  // shared BMP fixture for the persisted-store specs: same geometry as
+  // the phashPairs test above (8×8 24-bpp, planted gray formulas)
+  private def storeBmp8(gray: (Int, Int) => Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(246)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte); bb.put('M'.toByte); bb.putInt(246)
+    bb.putInt(0); bb.putInt(54)
+    bb.putInt(40); bb.putInt(8); bb.putInt(8)
+    bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(192)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    for (fileRow <- 0 to 7; j <- 0 to 7) {
+      val g = gray(7 - fileRow, j).toByte
+      bb.put(g); bb.put(g); bb.put(g)
+    }
+    bb.array()
+  }
+  private def storeRefHash(gray: (Int, Int) => Int): Long = {
+    val gs = for (i <- 0 to 7; j <- 0 to 7) yield gray(i, j)
+    val sum = gs.sum
+    (0 until 64).foldLeft(0L)((acc, k) =>
+      if (64 * gs(k) > sum) acc | (1L << k) else acc)
+  }
+  private def storeVariants: Seq[(Long, (Int, Int) => Int)] = {
+    val base = (i: Int, j: Int) => 10 + 20 * ((i + j) % 8)
+    def flipped(px: Set[(Int, Int)]) = (i: Int, j: Int) =>
+      if (px((i, j))) 150 else base(i, j)
+    Seq(
+      1L -> base,
+      2L -> flipped(Set((0, 0), (1, 0), (0, 2))), // hamming 3 vs base
+      3L -> flipped(Set((0, 0), (1, 0), (0, 2), (2, 1))), // 4 vs base
+      4L -> base, // exact dup of 1 — dup_of_history
+      5L -> flipped(Set((0, 1))), // h1 vs base — doh AND dib (vs 4)
+      6L -> ((i: Int, j: Int) => 10 + 20 * ((i * 3 + j * 5) % 8))) // keep
+  }
+
+  test("persisted pHash store: geometry pins from the CEILING at " +
+      "build, a probe across an autoSimhashChunks rung reads bucket " +
+      "rows as-is (no re-bucket), and verdicts equal brute-force " +
+      "hamming") {
+    import graft.operators.{Dedup, Multimodal}
+    val variants = storeVariants
+    val hashes = variants.map { case (id, g) => id -> storeRefHash(g) }
+      .toMap
+    val history = variants.filter(_._1 <= 3)
+    val batch = variants.filter(_._1 > 3)
+    // ceiling 20000 sits past the C(4,3)·n > 2^16 ladder knee, so the
+    // PINNED chunk count is strictly wider than what the live count
+    // derives — exactly the accumulating-store drift the pin is for
+    val ceiling = 20000L
+    val pinned = Dedup.autoSimhashChunks(ceiling, 64, 3, minChunks = 4)
+    assert(pinned != Dedup.autoSimhashChunks(history.size.toLong, 64, 3,
+      minChunks = 4),
+      "fixture must cross a ladder rung to prove anything")
+    val path = java.nio.file.Files
+      .createTempDirectory("phash_store_spec").toString + "/store"
+    Multimodal.buildPhashStore(
+      history.map { case (id, g) => (id, storeBmp8(g)) }
+        .toDF("doc_id", "blob"), path, ceiling)
+    val geo = spark.read.parquet(s"$path/geometry").collect()(0)
+    assert(geo.getAs[Int]("chunks") == pinned &&
+      geo.getAs[Int]("max_dist") == 3 &&
+      geo.getAs[Long]("hist_count") == 3L)
+    // the probe must not touch the persisted bucket rows
+    val bandsDir = java.nio.file.Paths.get(s"$path/bands")
+    def bandState() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(bandsDir).iterator().asScala
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p)).toMap
+    }
+    val before = bandState()
+    val got = Multimodal.phashServe(
+      batch.map { case (id, g) => (id, storeBmp8(g)) }
+        .toDF("doc_id", "blob"), path).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(bandState() == before,
+      "probe modified the persisted store — it must be read-only")
+    // brute-force verdicts from the reference hashes: the pigeonhole
+    // holds at the pinned rung, the hamming filter is exact
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val want = batch.map(_._1).map { x =>
+      val doh = history.map(_._1).exists(h => ham(hashes(x), hashes(h)) <= 3)
+      val dib = batch.map(_._1).exists(y =>
+        y < x && ham(hashes(x), hashes(y)) <= 3)
+      x -> ((doh, dib, !doh && !dib))
+    }.toMap
+    assert(got == want, s"serve=$got vs brute=$want")
+    assert(got(4L)._1 && got(5L)._2 && got(6L)._3,
+      "fixture lost its planted verdict spread")
+  }
+
+  test("persisted pHash store refusals: live corpus past the pinned " +
+      "ceiling, build past the ceiling, corrupt sidecar geometry") {
+    import graft.operators.Multimodal
+    val thumbs = storeVariants
+      .map { case (id, g) => (id, storeBmp8(g)) }.toDF("doc_id", "blob")
+    val history = thumbs.filter(col("doc_id") <= 3)
+    val batch = thumbs.filter(col("doc_id") > 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("phash_store_refuse").toString
+    // live (3 + 3) > ceiling (3): the probe must refuse, not degrade
+    val p1 = s"$dir/tight"
+    Multimodal.buildPhashStore(history, p1, corpusCeiling = 3L)
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.phashServe(batch, p1).collect()
+    }
+    assert(e1.getMessage.contains("exceeds the pinned ceiling"),
+      e1.getMessage)
+    // build refuses a ceiling below the data in hand
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.buildPhashStore(history, s"$dir/under", corpusCeiling = 2L)
+    }
+    assert(e2.getMessage.contains("exceeds the pinned corpus ceiling"),
+      e2.getMessage)
+    // a sidecar whose chunk count disagrees with its recorded ceiling
+    // is a corrupt/foreign store — refused before any probe work
+    val p3 = s"$dir/corrupt"
+    Multimodal.buildPhashStore(history, p3, corpusCeiling = 100L)
+    import spark.implicits._
+    Seq((9, 3, 100L, 3L))
+      .toDF("chunks", "max_dist", "corpus_ceiling", "hist_count")
+      .write.mode("overwrite").parquet(s"$p3/geometry")
+    val e3 = intercept[IllegalArgumentException] {
+      Multimodal.phashServe(batch, p3).collect()
+    }
+    assert(e3.getMessage.contains("does not match its recorded ceiling"),
+      e3.getMessage)
+  }
+
   test("bmp_thumb8: identity on an 8x8 source, correct sampling " +
       "through a PADDED row stride, NULL on undersized input") {
     // general W×H 24-bpp BMP with explicit row padding
