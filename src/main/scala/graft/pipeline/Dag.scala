@@ -43,12 +43,24 @@ object Dag {
   final case class Step(name: String, deps: Seq[String],
       run: () => (Long, Long))
 
+  /** Transient by default: I/O failures — the [[graft.sources.Landing]]
+    * httpFetch discipline (network/storage hiccups heal on retry;
+    * schema errors, assertion failures and planning bugs do not).
+    * Callers with richer failure taxonomies inject their own. */
+  def defaultTransient(e: Throwable): Boolean =
+    e.isInstanceOf[java.io.IOException]
+
   /** Validate the graph: unique names, known dependencies, no cycles
     * (a topological enumeration must reach every step). */
   private def validate(steps: Seq[Step]): Unit = {
     val names = steps.map(_.name)
     require(names.distinct.size == names.size,
       s"duplicate step names: ${names.diff(names.distinct).distinct}")
+    // '#' is reserved for burned-attempt ledger receipts
+    // ("<step>#failed_attempt_N") — a real step with that name could
+    // collide with a receipt and corrupt resume bookkeeping
+    names.foreach(n => require(!n.contains('#'),
+      s"step name '$n' contains '#' (reserved for attempt receipts)"))
     val known = names.toSet
     steps.foreach(s => s.deps.foreach(d => require(known.contains(d),
       s"step '${s.name}' depends on unknown step '$d'")))
@@ -63,13 +75,17 @@ object Dag {
       s"dependency cycle through: ${names.filterNot(done).mkString(", ")}")
   }
 
-  /** Steps of `project` already receipted in the ledger (any run id —
-    * a resumed run has a fresh uid but inherits prior progress). */
+  /** Steps of `project` already receipted as COMPLETED in the ledger
+    * (any run id — a resumed run has a fresh uid but inherits prior
+    * progress). Burned-attempt receipts (`<step>#failed_attempt_N`)
+    * are audit rows, not completions — excluded by the reserved '#'
+    * marker step names can never carry. */
   def completedSteps(spark: SparkSession, auditTable: String,
       project: String): Set[String] =
     if (!spark.catalog.tableExists(auditTable)) Set.empty
     else spark.table(auditTable)
-      .filter(col("nm_project") === project)
+      .filter(col("nm_project") === project &&
+        !col("step").contains("#"))
       .select(col("step")).distinct()
       .collect().map(_.getString(0)).toSet
 
@@ -93,8 +109,27 @@ object Dag {
     * receipted at least once, no step is lost, and once any
     * combination of runs covers the graph a sequential re-run is a
     * full no-op. DagSpec interleaves two runs to pin exactly this. */
+  /** Per-step retry (round-16): the reference gets task retries for
+    * free from Airflow's default_args (dag.py); here they are explicit
+    * and BOUNDED — a step failing with a TRANSIENT exception (the
+    * injectable `isTransient` predicate, defaulting to the
+    * [[defaultTransient]] I/O rule httpFetch retries on) re-runs up to
+    * `maxAttempts` times with exponential backoff (`sleep` injectable
+    * so specs assert the schedule without a clock). Every burned
+    * attempt is RECEIPTED in the ledger under
+    * `<step>#failed_attempt_N` (0 files, 0 rows, real start/end) — an
+    * auditor sees every execution, and the '#' marker guarantees a
+    * failure receipt can never read back as step completion in
+    * [[completedSteps]]. A non-transient failure, or a transient one
+    * on the last attempt, propagates — fail-fast is unchanged, the
+    * exception itself is that attempt's receipt. Default
+    * maxAttempts=1 keeps the pre-retry contract bit-for-bit. */
   def run(spark: SparkSession, steps: Seq[Step], auditTable: String,
-      uid: String, project: String, clock: () => String): DataFrame = {
+      uid: String, project: String, clock: () => String,
+      maxAttempts: Int = 1,
+      isTransient: Throwable => Boolean = defaultTransient,
+      backoffMs: Long = 200, sleep: Long => Unit = Thread.sleep): DataFrame = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
     validate(steps)
     val done = scala.collection.mutable.Set[String]() ++
       completedSteps(spark, auditTable, project)
@@ -108,8 +143,25 @@ object Dag {
       if (completedSteps(spark, auditTable, project).contains(step.name)) {
         done += step.name
       } else {
-        val t0 = clock()
-        val (files, rows) = step.run() // fail-fast: exceptions propagate
+        var attempt = 0
+        var result: Option[(Long, Long)] = None
+        var t0: String = null // assigned per attempt — the injected
+                              // clock must tick exactly once per start
+        while (result.isEmpty) {
+          attempt += 1
+          t0 = clock()
+          try result = Some(step.run()) // fail-fast: non-transient and
+          catch {                       // last-attempt failures propagate
+            case e: Throwable if isTransient(e) && attempt < maxAttempts =>
+              val burned = Monitor.runAudit(spark, uid, project,
+                s"${step.name}#failed_attempt_$attempt",
+                qtdFiles = 0L, qtdRows = 0L, dtStart = t0, dtEnd = clock())
+              Medallion.appendWarehouse(burned, auditTable)
+              ran += burned
+              sleep(backoffMs << (attempt - 1))
+          }
+        }
+        val (files, rows) = result.get
         val row = Monitor.runAudit(spark, uid, project, step.name,
           qtdFiles = files, qtdRows = rows, dtStart = t0, dtEnd = clock())
         Medallion.appendWarehouse(row, auditTable)

@@ -612,6 +612,84 @@ class MedallionSpec extends GraftSpec {
     spark.sql(s"DROP TABLE IF EXISTS $ledger")
   }
 
+  test("Dag: bounded per-step retry — a twice-failing transient step " +
+      "succeeds on attempt 3 with 3 ledger rows and the backoff " +
+      "schedule; permanent failures and exhausted budgets fail-fast") {
+    import graft.pipeline.Dag
+    val ledger = "graft_spec_dag_retry"
+    spark.sql(s"DROP TABLE IF EXISTS $ledger")
+    // a previous ABORTED run can leave the managed location behind with
+    // no catalog entry (DROP then can't see it) — clear the orphan too
+    val loc = java.nio.file.Paths.get("spark-warehouse", ledger)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    val tick = new java.util.concurrent.atomic.AtomicInteger(0)
+    val clock = () => s"t${tick.incrementAndGet()}"
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val fails = new java.util.concurrent.atomic.AtomicInteger(2)
+    val flaky = Dag.Step("flaky", Nil, () => {
+      if (fails.getAndDecrement() > 0)
+        throw new java.io.IOException("transient hiccup")
+      (1L, 5L)
+    })
+    val ran = Dag.run(spark, Seq(flaky), ledger, "r1", "pr", clock,
+      maxAttempts = 3, sleep = sleeps += _)
+    // attempt 3 succeeded: two burned-attempt receipts under the
+    // reserved '#' marker, then the completion receipt — 3 ledger rows
+    val receipts = spark.table(ledger)
+      .filter(col("nm_project") === "pr")
+      .orderBy(col("dt_start"))
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(receipts.toSeq == Seq(
+      ("flaky#failed_attempt_1", 0L, 0L),
+      ("flaky#failed_attempt_2", 0L, 0L),
+      ("flaky", 1L, 5L)), receipts.mkString(", "))
+    assert(ran.count() == 3)
+    // the httpFetch backoff schedule: 200, then 400
+    assert(sleeps.toSeq == Seq(200L, 400L), sleeps.toString)
+    // burned receipts never read back as completion, the real one does
+    assert(Dag.completedSteps(spark, ledger, "pr") == Set("flaky"))
+    // a resumed run skips the completed step entirely
+    assert(Dag.run(spark, Seq(flaky), ledger, "r2", "pr", clock,
+      maxAttempts = 3).count() == 0)
+    // permanent (non-transient) failure: no retry, no burned receipt
+    val permRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    val perm = Dag.Step("perm", Nil, () => {
+      permRuns.incrementAndGet()
+      throw new IllegalStateException("schema drift")
+    })
+    intercept[IllegalStateException] {
+      Dag.run(spark, Seq(perm), ledger, "r3", "pr2", clock,
+        maxAttempts = 3)
+    }
+    assert(permRuns.get() == 1, "non-transient must not retry")
+    assert(Dag.completedSteps(spark, ledger, "pr2").isEmpty)
+    // exhausted budget: transient failure on the LAST attempt
+    // propagates; only maxAttempts-1 burned receipts in the ledger
+    val alwaysRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    val always = Dag.Step("always", Nil, () => {
+      alwaysRuns.incrementAndGet()
+      throw new java.io.IOException("never heals")
+    })
+    intercept[java.io.IOException] {
+      Dag.run(spark, Seq(always), ledger, "r4", "pr3", clock,
+        maxAttempts = 3, sleep = _ => ())
+    }
+    assert(alwaysRuns.get() == 3)
+    assert(spark.table(ledger).filter(col("nm_project") === "pr3")
+      .count() == 2, "exactly the two burned receipts")
+    // a step name carrying the reserved marker is refused up front
+    intercept[IllegalArgumentException] {
+      Dag.run(spark, Seq(Dag.Step("x#y", Nil, () => (1L, 1L))),
+        ledger, "r5", "pr4", clock)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $ledger")
+  }
+
   test("Dag: two interleaved runs of one project converge with " +
       "step-level at-least-once — overlapped step runs twice, " +
       "receipted steps are never re-run, re-run is a no-op") {
