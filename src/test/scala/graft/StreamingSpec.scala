@@ -212,6 +212,141 @@ class StreamingSpec extends GraftSpec {
       s"first-batch recovery state: $got2")
   }
 
+  test("upsert sink KILLED mid-stream restarts from its checkpoint and " +
+      "converges exactly to the batch face — the production restart " +
+      "path, not just the single-lifetime parity") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    val root = Files
+      .createTempDirectory(Paths.get("target"), "upsert_restart").toString
+    val events = Tables.load(spark, sf, "events")
+    events.withColumn("ts", unix_micros(col("ts")) * 1000)
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$root/src")
+    def stream() = spark.readStream
+      .schema(Streaming.eventsPhysicalSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/src")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // lifetime 1: a poisoned wrapper around the SAME sink body kills
+    // the query at micro-batch 2 — batches 0-1 are committed to both
+    // the sink and the checkpoint, batch 2 is not (the kill -9 moment)
+    val q1 = stream().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id >= 2) throw new RuntimeException("injected mid-stream kill")
+        Streaming.upsertBatch(spark, batch, id, s"$root/state")
+    }.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/chk")
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(120000)
+      throw q1.exception.getOrElse(
+        fail("query survived the injected kill"))
+    }
+    // the killed run left PARTIAL state: readable (the atomic swap
+    // never exposes a half-written directory) but short of the answer
+    val totalEvents = events.count()
+    val partialEvents = spark.read.parquet(s"$root/state")
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(partialEvents > 0 && partialEvents < totalEvents,
+      s"kill landed at $partialEvents of $totalEvents events")
+    // lifetime 2: the UNMODIFIED production sink restarts from the
+    // same checkpoint — remaining batches resume (any redelivery is a
+    // no-op off the committed-batch marker) and the state converges
+    val q2 = Streaming.foreachBatchUpsert(spark, stream(), s"$root/state")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/chk")
+      .start()
+    q2.awaitTermination(120000)
+    val got = spark.read.parquet(s"$root/state")
+      .select(col("user_id"), col("n_events"),
+        col("last_ts"), col("total_value").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3))).toSet
+    val want = Streaming.batchUserState(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3))).toSet
+    assert(got == want, "restarted sink diverged from the batch face")
+    assert(got.nonEmpty)
+  }
+
+  test("gap-fill carried state survives a checkpoint restart: a stream " +
+      "consumed across TWO query lifetimes equals the batch face, " +
+      "including fills whose source observation arrived before the stop") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    val root = Files
+      .createTempDirectory(Paths.get("target"), "gap_restart").toString
+    val events = Tables.load(spark, sf, "events")
+    // split by TIME so per-key arrival stays in order across the two
+    // lifetimes (the streamingGapFill contract): first half lands
+    // before the stop, second half after the restart
+    val us = events.select(unix_micros(col("ts")).as("us"))
+    val cut = us.stat.approxQuantile("us", Array(0.5), 0.0)(0).toLong
+    def phys(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", unix_micros(col("ts")) * 1000).coalesce(1)
+    phys(events.filter(unix_micros(col("ts")) <= cut))
+      .write.mode("overwrite").parquet(s"$root/src")
+    def stream() = spark.readStream
+      .schema(Streaming.eventsPhysicalSchema)
+      .parquet(s"$root/src")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // the file sink supports checkpoint recovery (the memory sink does
+    // not) — both lifetimes append to one output directory
+    def run() = {
+      val q = Streaming.streamingGapFill(spark, stream()).writeStream
+        .format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/chk")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    run() // lifetime 1: first half only
+    val firstHalf = spark.read.parquet(s"$root/out").count()
+    assert(firstHalf > 0 && firstHalf < events.count(),
+      s"lifetime 1 consumed $firstHalf of ${events.count()} events")
+    // new files arrive while the query is DOWN; the restart resumes
+    // from the checkpoint (offsets know the old file, state carries
+    // each device's last observation)
+    phys(events.filter(unix_micros(col("ts")) > cut))
+      .write.mode("append").parquet(s"$root/src")
+    run() // lifetime 2: the remainder, against restored state
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val got = spark.read.parquet(s"$root/out").collect().map(key).toMap
+    val batch = graft.operators.Etl.gapFill(events).collect()
+      .map(key).toMap
+    assert(got.size == batch.size && got == batch,
+      s"stream/batch divergence: ${got.size} vs ${batch.size} rows")
+    // the restart is genuinely exercised only if some lifetime-2
+    // masked event was filled from a LIFETIME-1 observation: a user
+    // whose events after the cut start masked, with an observation
+    // before the cut — its fill value must have crossed the restart
+    // inside the restored state store
+    val raw = events.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"),
+        (col("event_id") % 5 === 0).as("masked")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val crossing = raw.groupBy(_._2).values.flatMap { evs =>
+      val sorted = evs.sortBy(e => (e._3, e._1))
+      val (p1, p2) = sorted.partition(_._3 <= cut)
+      val lastObs = p1.filter(!_._5).lastOption
+      p2.takeWhile(_._5).headOption.flatMap(e => lastObs.map(o => (e, o)))
+    }
+    assert(crossing.nonEmpty,
+      "fixture exercised no cross-restart fill — split point degenerate")
+    crossing.foreach { case (e, o) =>
+      assert(got(e._1) == ((e._2, None, Some(o._4))),
+        s"cross-restart fill lost for event ${e._1}: ${got(e._1)}")
+    }
+  }
+
   test("streaming sessionization emits closed sessions matching batch") {
     val stream = Streaming.eventsStream(spark, sf)
     val q = Streaming.sessionizeStream(spark, stream).writeStream
