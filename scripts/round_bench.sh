@@ -108,9 +108,36 @@ SF3_KEYS=(
   mm_image_hist
 )
 
+# Bench-artifact guard (round-16, verdict #5): round 15's root
+# artifact shipped "parsed": null because the driver keeps only a
+# ~2000-char stdout TAIL and the full JSON line is ~20 KB. Bench now
+# prints a compact self-contained summary as its FINAL stdout line;
+# this guard fails the run when either artifact stops parsing or the
+# compact line outgrows the tail window — parse fragility surfaces
+# here, not in the round artifact.
+check_bench() { # $1 = captured stdout log
+  python3 - "$1" <<'PY'
+import json, sys
+lines = open(sys.argv[1]).read().rstrip("\n").splitlines()
+full = json.loads(open("BENCH.json").read())
+assert full.get("queries"), "BENCH.json carries no queries block"
+last = lines[-1]
+assert len(last) <= 1900, f"compact line is {len(last)} chars > 1900"
+c = json.loads(last)
+for k in ("metric", "value", "sf", "n_queries", "controls",
+          "families", "queries"):
+    assert k in c, f"compact line missing key {k!r}"
+tail = "\n".join(lines)[-2000:]
+assert last in tail, "compact line does not fit a 2000-char tail"
+print("[round_bench] artifact guard OK: full=%dB compact=%dB"
+      % (len(json.dumps(full)), len(last)))
+PY
+}
+
 echo "[round_bench] full registry at sf0.1 ..."
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  java -Xmx8g -cp "$CP" graft.Bench
+  java -Xmx8g -cp "$CP" graft.Bench | tee "$OUT/bench_${ROUND}_sf01.stdout"
+check_bench "$OUT/bench_${ROUND}_sf01.stdout"
 mv BENCH.json "$OUT/bench_${ROUND}_sf01.json"
 
 # the sentinel is written LAST by gen_sf1.py — a partial dir from an
@@ -123,7 +150,9 @@ fi
 
 echo "[round_bench] scale set (${#SF1_KEYS[@]} keys) at sf1 ..."
 SPARK_GRAFT_SF_DIR="$PWD/target/sf1" SPARK_GRAFT_CPUS=32 \
-  java -Xmx8g -cp "$CP" graft.Bench "${SF1_KEYS[@]}"
+  java -Xmx8g -cp "$CP" graft.Bench "${SF1_KEYS[@]}" \
+  | tee "$OUT/bench_${ROUND}_sf1.stdout"
+check_bench "$OUT/bench_${ROUND}_sf1.stdout"
 mv BENCH.json "$OUT/bench_${ROUND}_sf1.json"
 
 if [ ! -f target/sf3/_GRAFT_SYNTH_OK ]; then
@@ -134,7 +163,9 @@ fi
 
 echo "[round_bench] growth-curve set (${#SF3_KEYS[@]} keys) at sf3 ..."
 SPARK_GRAFT_SF_DIR="$PWD/target/sf3" SPARK_GRAFT_CPUS=32 \
-  java -Xmx8g -cp "$CP" graft.Bench "${SF3_KEYS[@]}"
+  java -Xmx8g -cp "$CP" graft.Bench "${SF3_KEYS[@]}" \
+  | tee "$OUT/bench_${ROUND}_sf3.stdout"
+check_bench "$OUT/bench_${ROUND}_sf3.stdout"
 mv BENCH.json "$OUT/bench_${ROUND}_sf3.json"
 
 echo "[round_bench] growth exponents:"

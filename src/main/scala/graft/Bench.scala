@@ -233,6 +233,37 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"runs":$rs,"controls":$cs,"controls_positional":$cp,"control_inflation":$inf,"loadavg":{"before":${q(loadBefore)},"after":${q(loadAfter)},"idle_wait_sec":$idleWaitSec},"sf":${q(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
+    // Compact FINAL stdout line (round-16, verdict #5): the full JSON
+    // above runs ~20 KB for a 232-key registry, and the driver keeps
+    // only a ~2000-char stdout TAIL — round 15's root artifact carried
+    // a truncated mid-JSON fragment and parsed to null. The last line
+    // is therefore a SELF-CONTAINED summary sized to always fit the
+    // tail window: totals, control ratios + inflation, error count,
+    // per-family time rollups, and a PARTIAL queries map (the six
+    // controls plus the eight slowest keys — the regression-relevant
+    // ones), explicitly flagged partial via "queries_complete":false
+    // and "n_queries". The complete per-key block lives in BENCH.json
+    // and in the full line above; round_bench.sh guards both lines
+    // parse and the compact one fits.
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    val famNames = timings.keys.toSeq.groupBy { k =>
+      if (k.startsWith("q") && k.length > 1 && k(1).isDigit) "relational"
+      else k.takeWhile(_ != '_')
+    }
+    val famJson = famNames.toSeq.sortBy(_._1).map { case (f, ks) =>
+      s"${q(f)}:${r3(ks.map(timings).sum)}" }.mkString("{", ",", "}")
+    val spotlight = (controlKeys ++ timings.toSeq.sortBy(-_._2).take(8)
+      .map(_._1)).distinct.filter(timings.contains)
+    val spotJson = spotlight.map(k => s"${q(k)}:${r3(timings(k))}")
+      .mkString("{", ",", "}")
+    val csR = controlRatios.map { case (k, v) => s"${q(k)}:${r3(v)}" }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":${q(sfDir)},"n_queries":${timings.size},"n_errors":${errors.size},"control_inflation":${inflation.map(i => r3(i).toString).getOrElse("null")},"controls":$csR,"families":$famJson,"queries":$spotJson,"queries_complete":false,"full":"BENCH.json","loadavg":${q(loadAfter)},"idle_wait_sec":$idleWaitSec}"""
+    require(compact.length <= 1900,
+      s"compact bench line is ${compact.length} chars — exceeds the " +
+        "driver's 2000-char stdout tail window; trim the spotlight")
+    println(compact)
     spark.stop()
   }
 }
