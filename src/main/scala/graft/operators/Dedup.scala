@@ -124,7 +124,8 @@ object Dedup {
     * the whole bloom+verify composition — a false negative anywhere
     * flips a row and fails the hash. */
   def bloomIncremental(history: DataFrame, batch: DataFrame,
-      expectedItems: Long = 1L << 20, numBits: Long = 8L << 20): DataFrame = {
+      expectedItems: Long = Knobs.long("dedup.bloom_items", 1L << 20),
+      numBits: Long = Knobs.long("dedup.bloom_bits", 8L << 20)): DataFrame = {
     // might_contain requires its filter as a CONSTANT (or scalar
     // subquery) — so the numBits/8-byte filter is materialized on the
     // driver (ONE bounded row, the same driver-coordination pattern as
@@ -332,10 +333,19 @@ object Dedup {
     * max(4, ⌈log₂(n / GeometryOccupancy)⌉) clamped to [4, 16] — 4 up
     * to 16 384 docs (so every gate-scale corpus keeps the original
     * 16×4 geometry bit-for-bit), then one more slot per doubling;
-    * 10⁹ docs hit the r=16 clamp. */
+    * 10⁹ docs hit the r=16 clamp. The occupancy divisor resolves
+    * through `dedup.geometry_occupancy` (DEPLOY.md §4 — LOWERING it
+    * widens geometry earlier; the knob moves autoGeometry and
+    * therefore must be identical between a store's build and probe,
+    * which the persisted stores' sidecar check enforces loudly).
+    * Gates run knobless: the compiled 1024 is bit-for-bit. */
   def autoRowsPerBand(n: Long): Int = {
+    val occ = Knobs.long("dedup.geometry_occupancy",
+      GeometryOccupancy.toLong)
+    require(occ >= 1 && occ <= (1L << 40),
+      s"dedup.geometry_occupancy out of range [1, 2^40]: $occ")
     var r = 4
-    while (r < 16 && (GeometryOccupancy.toLong << r) < n) r += 1
+    while (r < 16 && (occ << r) < n) r += 1
     r
   }
 

@@ -51,8 +51,15 @@ object Similarity {
     * fixed-bits n²/2^bits blowup (the one super-linear key in the
     * round-9 sf1 audit: 12.5× at 10× data). */
   def autoBitsPerBand(n: Long): Int = {
+    // occupancy target resolves through `emb.lsh_occupancy` (DEPLOY.md
+    // §6); gates run knobless so the compiled 32 is bit-for-bit, and
+    // the oracle's COUNT(*) replay only ever sees that default
+    val occ = graft.sources.Knobs.long("emb.lsh_occupancy",
+      TargetOccupancy.toLong)
+    require(occ >= 1 && occ <= (1L << 40),
+      s"emb.lsh_occupancy out of range [1, 2^40]: $occ")
     var b = 0
-    while (b < 16 && (TargetOccupancy.toLong << b) < n) b += 1
+    while (b < 16 && (occ << b) < n) b += 1
     math.max(4, b)
   }
 
@@ -1926,7 +1933,14 @@ object Similarity {
     * comparison is a semi-join of two #queries·k rank tables. */
   def recallAudit(vecs: DataFrame, k: Int = 4): DataFrame = {
     val n = vecs.count() // bounded driver state (the bm25 pattern)
-    val every = math.max(50L, (n + 127) / 128)
+    // the query-count bound is the audit's confidence dial — resolved
+    // through `knn.audit_queries` (DEPLOY.md §6); the brute leg is
+    // O(bound · n), so doubling the bound doubles audit cost, never
+    // its asymptotics. Gates run knobless: 128 queries bit-for-bit.
+    val bound = graft.sources.Knobs.long("knn.audit_queries", 128L)
+    require(bound >= 1 && bound <= 1000000L,
+      s"knn.audit_queries out of range [1, 10^6]: $bound")
+    val every = math.max(50L, (n + bound - 1) / bound)
     val exact = knnBrute(vecs, col("vec_id") % every === 0, k)
       .select(col("query_id").as("vec_id"), col("neighbor_id"))
     val approx = knnGraph(vecs, k).filter(col("vec_id") % every === 0)

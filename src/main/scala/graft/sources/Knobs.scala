@@ -23,12 +23,18 @@ package graft.sources
   * Correctness gates run with no profile installed and no GRAFT_* env,
   * so gate behavior is the compiled defaults bit-for-bit.
   *
-  * Knob keys in use (cross-referenced from DEPLOY.md):
+  * Knob keys in use (cross-referenced from DEPLOY.md's coverage
+  * audit table, which marks every named tunable resolved-at-runtime
+  * yes/no):
   *  - `dedup.max_bucket`      (Dedup.MaxBucket backstop cap)
   *  - `dedup.bands`, `dedup.rows_per_band` (MinHash geometry override;
   *    BOTH must be set — a half-specified geometry is refused)
+  *  - `dedup.geometry_occupancy` (autoGeometry widening knee)
   *  - `dedup.simhash_chunks`  (SimHash subset-split override)
+  *  - `dedup.bloom_items`, `dedup.bloom_bits` (bloom pre-screen size)
+  *  - `emb.lsh_occupancy`     (hyperplane-LSH occupancy knee)
   *  - `knn.candidates`        (ADC retrieve-then-rerank budget)
+  *  - `knn.audit_queries`     (recall-audit query-count bound)
   *  - `graph.sample_mod`      (DOULION edge-sample modulus)
   */
 object Knobs {

@@ -131,6 +131,65 @@ class KnobsSpec extends GraftSpec {
     assert(derived == auto)
   }
 
+  test("dedup.geometry_occupancy moves the autoGeometry knee: " +
+      "occupancy 1 widens a 1024-doc corpus to 10 slots, the default " +
+      "keeps 4, and out-of-range values refuse loudly") {
+    assert(Dedup.autoGeometry(1024L) ==
+      Dedup.BandGeometry(Dedup.autoBands(4), 4))
+    withKnobs(Map("dedup.geometry_occupancy" -> "1")) {
+      val g = Dedup.autoGeometry(1024L)
+      assert(g.rowsPerBand == 10 && g.bands == Dedup.autoBands(10),
+        g.toString)
+    }
+    withKnobs(Map("dedup.geometry_occupancy" -> "0")) {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.autoGeometry(10L)
+      }
+      assert(e.getMessage.contains("out of range"), e.getMessage)
+    }
+  }
+
+  test("emb.lsh_occupancy moves the hyperplane-bits knee and " +
+      "knn.audit_queries bounds the recall-audit query count") {
+    import graft.operators.Similarity
+    assert(Similarity.autoBitsPerBand(1024L) == 5)
+    withKnobs(Map("emb.lsh_occupancy" -> "1")) {
+      assert(Similarity.autoBitsPerBand(1024L) == 10)
+    }
+    // 500 vectors: the default 128-query bound floors at every=50 →
+    // 10 sampled queries; a bound of 5 lifts every to 100 → 5 queries
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+    val dflt = Similarity.recallAudit(vecs)
+      .select("vec_id").distinct().count()
+    assert(dflt == 10L, s"default audit queries: $dflt")
+    withKnobs(Map("knn.audit_queries" -> "5")) {
+      val got = Similarity.recallAudit(vecs)
+        .select("vec_id").distinct().count()
+      assert(got == 5L, s"bounded audit queries: $got")
+    }
+  }
+
+  test("dedup.bloom_items/bloom_bits reach the bloom pre-screen: the " +
+      "knobbed face equals the explicit-sizing call, and resizing " +
+      "never moves a verdict (no false negatives)") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val explicit = Dedup.bloomIncremental(history, batch,
+      expectedItems = 1L << 10, numBits = 1L << 13)
+      .collect().map(_.toString).sorted.toSeq
+    withKnobs(Map("dedup.bloom_items" -> (1L << 10).toString,
+        "dedup.bloom_bits" -> (1L << 13).toString)) {
+      val knobbed = Dedup.bloomIncremental(history, batch)
+        .collect().map(_.toString).sorted.toSeq
+      assert(knobbed == explicit)
+    }
+    val dflt = Dedup.bloomIncremental(history, batch)
+      .collect().map(_.toString).sorted.toSeq
+    assert(dflt == explicit,
+      "a pre-screen resize changed verdicts — false negatives exist")
+  }
+
   test("knn.candidates reaches the ADC budget: the registered face " +
       "under the knob equals the explicit-budget call") {
     val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
