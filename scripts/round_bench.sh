@@ -168,8 +168,31 @@ SPARK_GRAFT_SF_DIR="$PWD/target/sf3" SPARK_GRAFT_CPUS=32 \
 check_bench "$OUT/bench_${ROUND}_sf3.stdout"
 mv BENCH.json "$OUT/bench_${ROUND}_sf3.json"
 
+# sf9 spot point (round 16, verdict #2): every key that read
+# alpha >= 1.1 in EITHER r15 run gets a 90x measurement — two points
+# cannot distinguish noise from a knee; a third in a row can (the sf3
+# addition is what caught the r14 CC wall). Membership rule: keys
+# whose alpha(1->3) >= 1.1 in the previous round's growth table.
+SF9_KEYS=(
+  text_code_detect mm_image_hist emb_recall_audit dedup_simhash
+  knn_pq_adc
+)
+if [ ! -f target/sf9/_GRAFT_SYNTH_OK ]; then
+  echo "[round_bench] synthesizing sf9 (90 replicas) ..."
+  rm -rf target/sf9
+  python3 scripts/gen_sf1.py target/sf9 90
+fi
+
+echo "[round_bench] sf9 spot set (${#SF9_KEYS[@]} keys) at sf9 ..."
+SPARK_GRAFT_SF_DIR="$PWD/target/sf9" SPARK_GRAFT_CPUS=32 \
+  java -Xmx8g -cp "$CP" graft.Bench "${SF9_KEYS[@]}" \
+  | tee "$OUT/bench_${ROUND}_sf9.stdout"
+check_bench "$OUT/bench_${ROUND}_sf9.stdout"
+mv BENCH.json "$OUT/bench_${ROUND}_sf9.json"
+
 echo "[round_bench] growth exponents:"
 python3 scripts/growth_table.py "$OUT/bench_${ROUND}_sf01.json" \
-  "$OUT/bench_${ROUND}_sf1.json" "$OUT/bench_${ROUND}_sf3.json" || true
+  "$OUT/bench_${ROUND}_sf1.json" "$OUT/bench_${ROUND}_sf3.json" \
+  "$OUT/bench_${ROUND}_sf9.json" || true
 
 echo "[round_bench] artifacts in $OUT"

@@ -1000,8 +1000,19 @@ object TextAnalysis {
     * trailing boundary keeps adjacent keywords countable), replacing
     * the round-11 split + HOF-lambda filter whose per-token predicate
     * ran in the expression INTERPRETER — the registry's last
-    * interpreted-lambda hot path (r15 growth curve flagged it at
-    * α=1.28; token-equality semantics unchanged, same oracle). */
+    * interpreted-lambda hot path (token-equality semantics unchanged,
+    * same oracle).
+    *
+    * The projection is CHECKPOINTED before the presentation sort
+    * (round 16, closing the r15 α=1.28-1.44 watch-item): a global
+    * orderBy range-partitions by SAMPLING its child, and the reservoir
+    * sampler consumes every partition's full iterator — so the sort
+    * was re-running the whole regex census a second time, interleaved
+    * with exchange buffers (regex allocation churn made that second
+    * pass degrade superlinearly: measured α 1.29 at sf1→sf3, sort leg
+    * alone 8×). Materializing the five-long projection first bounds
+    * the sampling pass to ~40 B rows: measured α 0.97 and 2.7× faster
+    * at sf3 (profiled in BASELINE.md round-16 notes). */
   def codeDetect(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
@@ -1017,6 +1028,7 @@ object TextAnalysis {
             "const|class)(?= |\\z)")).cast("long").as("kw_hits"))
       .withColumn("is_code",
         col("n_sym") * 20 >= col("n_chars") || col("kw_hits") >= 3)
+      .localCheckpoint(true)
       .orderBy(col("doc_id"))
 
   /** N-gram novelty audit — the memorization / boilerplate signal at
