@@ -168,6 +168,18 @@ SPARK_GRAFT_SF_DIR="$PWD/target/sf3" SPARK_GRAFT_CPUS=32 \
 check_bench "$OUT/bench_${ROUND}_sf3.stdout"
 mv BENCH.json "$OUT/bench_${ROUND}_sf3.json"
 
+# nprobe operating table (round 16, verdict #7): measured recall@10 ×
+# scan fraction per nprobe for the IVF-PQ serving path, at both scale
+# points — the table DEPLOY.md §6 carries. One index build + five
+# serving sweeps per point; artifacts ride bench_records/.
+echo "[round_bench] nprobe operating table at sf0.1 and sf1 ..."
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  java -Xmx8g -cp "$CP" graft.NprobeAudit
+mv NPROBE.json "$OUT/nprobe_${ROUND}_sf01.json"
+SPARK_GRAFT_SF_DIR="$PWD/target/sf1" SPARK_GRAFT_CPUS=32 \
+  java -Xmx8g -cp "$CP" graft.NprobeAudit
+mv NPROBE.json "$OUT/nprobe_${ROUND}_sf1.json"
+
 # sf9 spot point (round 16, verdict #2): every key that read
 # alpha >= 1.1 in EITHER r15 run gets a 90x measurement — two points
 # cannot distinguish noise from a knee; a third in a row can (the sf3

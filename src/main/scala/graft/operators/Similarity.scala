@@ -1931,6 +1931,63 @@ object Similarity {
     * a fixed-RATE sample made the leg quadratic (measured 19.7× at
     * 10× data before this; 128 queries is the confidence dial). The
     * comparison is a semi-join of two #queries·k rank tables. */
+  /** IVF-PQ operating-point audit (DEPLOY.md §6 nprobe table, verdict
+    * r16 #7): the index's two most expensive serving dials are nprobe
+    * (cells probed per query) and the scan it implies — this measures,
+    * per nprobe, recall@k against exact brute force over the bounded
+    * query sample (the [[recallAudit]] discipline: COUNT ≤ the audit
+    * bound, never a rate) and the EXACT scan fraction (probed-cell
+    * code mass / queries·n — the fraction of the corpus a query's ADC
+    * scan touches). The index builds ONCE; only the serving plan runs
+    * per sweep point, so the audit costs one build + Σ probes scans.
+    * Driver state is one small tuple per sweep point (the k-means
+    * moment-sync pattern). A deployment reads the emitted table to
+    * pick nprobe for a recall target instead of re-deriving it. */
+  def nprobeOperatingTable(vecs: DataFrame, k: Int = 10,
+      probes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+      candidates: Option[Int] = None): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val n = vecs.count()
+    val bound = graft.sources.Knobs.long("knn.audit_queries", 128L)
+    val every = math.max(50L, (n + bound - 1) / bound)
+    val pred = col("vec_id") % every === 0
+    // measure the PRODUCTION serving geometry — the knn_ivfpq_serve
+    // face's m=32 residual grid, refineIters=1, and the corpus-derived
+    // ADC candidate budget (knob-overridable like the face); an
+    // operating table for a different geometry would mislead the
+    // deployment reading it
+    val cand = candidates.getOrElse(
+      graft.sources.Knobs.optInt("knn.candidates")
+        .getOrElse(autoAdcCandidates(n)))
+    val (cells, pqCents, codes) = ivfPqIndex(vecs, m = 32,
+      refineIters = 1)
+    val exact = knnBrute(vecs, pred, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val exactN = exact.count().toDouble
+    val corpusQ = vecs.filter(pred).select(col("vec_id"),
+      col("embedding").as("e"), l2norm(col("embedding")).as("nrm"))
+      .localCheckpoint(true)
+    val nQ = corpusQ.count()
+    val cellSizes = codes.filter(col("m") === 0)
+      .groupBy(col("ivf_cell")).agg(count(lit(1)).as("csz"))
+      .localCheckpoint(true)
+    val rows = probes.map { p =>
+      val approx = knnIvfPqFrom(cells, pqCents, codes, vecs, pred, k, p,
+        cand, m = 32)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact
+        .join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val scanned = nearestCells(packCodebook(cells))(corpusQ, p)
+        .toDF("query_id", "q_e", "q_nrm", "ivf_cell")
+        .join(cellSizes, "ivf_cell")
+        .agg(coalesce(sum(col("csz")), lit(0L))).collect()(0).getLong(0)
+      (p, nQ, math.rint(10000.0 * hits / exactN) / 10000,
+        math.rint(10000.0 * scanned / (nQ.toDouble * n)) / 10000)
+    }
+    rows.toDF("nprobe", "queries", "recall_at_k", "scan_fraction")
+      .orderBy(col("nprobe"))
+  }
+
   def recallAudit(vecs: DataFrame, k: Int = 4): DataFrame = {
     val n = vecs.count() // bounded driver state (the bm25 pattern)
     // the query-count bound is the audit's confidence dial — resolved

@@ -1032,4 +1032,27 @@ class SimilaritySpec extends GraftSpec {
     assert(empty.columns.toSeq == Seq("sel_rank", "vec_id", "dist_fp"))
     assert(empty.count() == 0)
   }
+
+  test("nprobe operating table: production serve geometry, full probe " +
+      "recalls 1.0 (the candidate-budget proof), scan fraction " +
+      "non-decreasing and 1.0 at all-cells") {
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+    val t = graft.operators.Similarity
+      .nprobeOperatingTable(vecs, probes = Seq(1, 4, 16)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(t.map(_._1).toSeq == Seq(1, 4, 16))
+    t.foreach { case (p, q, rec, scan) =>
+      assert(q > 0 && rec >= 0.0 && rec <= 1.0 &&
+        scan > 0.0 && scan <= 1.0, s"row $p: q=$q rec=$rec scan=$scan")
+    }
+    assert(t.sliding(2).forall(w => w(0)._4 <= w(1)._4),
+      "scan fraction must be non-decreasing in nprobe")
+    // all 16 cells probed = exact re-rank over the full ADC ordering:
+    // recall 1.0 is the proof that the corpus-derived candidate budget
+    // holds — a shortfall HERE is a budget regression, never routing
+    val full = t.last
+    assert(full._4 == 1.0 && full._3 == 1.0,
+      s"full-probe row: recall=${full._3} scan=${full._4}")
+  }
 }
