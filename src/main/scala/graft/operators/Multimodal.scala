@@ -465,7 +465,14 @@ object Multimodal {
     // Blobs never shuffle: the only exchange is the final
     // presentation sort over 16 rows/doc. The oracle recomputes every
     // bin count from the planted per-pixel gray arithmetic — hash
-    // equality proves the byte decode end to end.
+    // equality proves the byte decode end to end. The decoded frame is
+    // CHECKPOINTED before the presentation sort (round 16 — the
+    // text_code_detect sort-sampling trap: a global orderBy
+    // range-partitions by sampling its child, and the reservoir
+    // sampler consumes full partition iterators, so the
+    // planted_bmp + bmp_gray_hist pixel work ran TWICE; the sf9 spot
+    // point held this key at α 1.17/1.10 until the second pass was
+    // bounded to the 40-byte decoded rows).
     "mm_image_hist" -> { (s, dir) =>
       srcImageTable(Tables.load(s, dir, "documents"))
         .select(col("doc_id"),
@@ -475,6 +482,7 @@ object Multimodal {
           posexplode(col("g.hist")).as(Seq("bin", "cnt")))
         .select(col("doc_id"), col("w"), col("sum_gray"),
           col("bin").cast("long").as("bin"), col("cnt"))
+        .localCheckpoint(true)
         .orderBy(col("doc_id"), col("bin"))
     },
 
