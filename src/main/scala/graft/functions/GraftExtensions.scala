@@ -284,6 +284,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordGramDigestsBag(children.head, intArg(children(1), "n"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("word_gram_digests_bag2"),
+      info("word_gram_digests_bag2",
+        "word_gram_digests_bag2(tokens, n) - one poly_digest2 (both " +
+          "PolyHash folds packed, keyspace ~2^59.8) per word n-gram " +
+          "POSITION (occurrence bag, no distinctness), computed " +
+          "without materializing gram strings; exactly replayable in " +
+          "standard SQL"),
+      (children: Seq[Expression]) => {
+        expectArity("word_gram_digests_bag2(tokens, n)", 2, children)
+        WordGramDigestsBag2(children.head, intArg(children(1), "n"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("word_gram_digests2"),
       info("word_gram_digests2",
         "word_gram_digests2(tokens, n) - first-occurrence-distinct " +

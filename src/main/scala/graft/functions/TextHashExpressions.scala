@@ -585,6 +585,75 @@ case class WordGramDigestsBag(child: Expression, n: Int)
       newChild: Expression): WordGramDigestsBag = copy(child = newChild)
 }
 
+/** WIDE + POSITIONAL variant: element i is exactly
+  * poly_digest2(concat_ws(" ", slice(tokens, i, n))) — one packed
+  * dual digest per gram POSITION, no distinctness. The span-removal
+  * census ([[graft.operators.Dedup.spanRemoval]]) needs BOTH the
+  * position (an anchor is a gram OCCURRENCE that is not the corpus's
+  * first) and the census-grade ~2^59.8 keyspace: a narrow mod-10⁹
+  * digest crosses its birthday bound at ~37k grams, and here a false
+  * merge doesn't just miscount — it REMOVES innocent text. Same
+  * per-word chain identity, clipping and null-token contract as the
+  * sibling faces; the oracle replays both folds. */
+case class WordGramDigestsBag2(child: Expression, n: Int)
+    extends UnaryExpression with StringArrayInput {
+
+  require(n >= 1 && n <= 64, s"gram width out of range: $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "word_gram_digests_bag2"
+
+  def compute(input: ArrayData): ArrayData = {
+    import PolyHash._
+    val m = input.numElements()
+    val h1 = new Array[Long](m); val pw1 = new Array[Long](m)
+    val h2 = new Array[Long](m); val pw2 = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      val cps = codePoints(WordGramDigests.tokenAt(input, k, prettyName))
+      h1(k) = hash(cps, 0, cps.length, B1, P1, 0L)
+      h2(k) = hash(cps, 0, cps.length, B2, P2, 0L)
+      var p1 = 1L; var p2 = 1L; var i = 0
+      while (i < cps.length) { p1 = p1 * B1 % P1; p2 = p2 * B2 % P2; i += 1 }
+      pw1(k) = p1; pw2(k) = p2
+      k += 1
+    }
+    val g = math.max(m - n + 1, 1)
+    val out = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      var s1 = S1; var s2 = S2
+      val end = math.min(i + n, m)
+      var j = i
+      while (j < end) {
+        s1 = (s1 * pw1(j) + h1(j)) % P1
+        s2 = (s2 * pw2(j) + h2(j)) % P2
+        if (j < end - 1) { // the joining space
+          s1 = (s1 * B1 + 32L) % P1
+          s2 = (s2 * B2 + 32L) % P2
+        }
+        j += 1
+      }
+      out(i) = s1 * P2 + s2
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordGramDigestsBag2Expr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordGramDigestsBag2 = copy(child = newChild)
+}
+
 /** WIDE variant of [[WordGramDigests]]: element i is
   * poly_digest2(concat_ws(" ", slice(tokens, i, n))) — BOTH
   * [[PolyHash]] fold chains run per gram and pack as h1·P2 + h2 (the

@@ -280,6 +280,87 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicated-span REMOVAL — the Lee et al. 2022 ExactSubstr
+    * pipeline STAGE (not just [[substringStats]]' signal): excise from
+    * every document the word spans that occur elsewhere in the corpus,
+    * keeping each span's FIRST occurrence (smallest (doc_id, pos) — the
+    * [[segmentDedup]] survivor contract, so the content survives the
+    * corpus exactly once and only the repeats are cut). Composition of
+    * existing machinery (verdict r16 #3): positional gram-digest
+    * census → duplicated-gram ANCHORS (every non-first occurrence) →
+    * per-doc interval-union merge of the anchors' covered word ranges
+    * (the q51 islands shape) → reassembly of the COMPLEMENT gaps (the
+    * [[segmentDedup]] reassembly shape). Emits per doc: word count,
+    * merged span count, words removed, and the reassembled kept text
+    * (NULL when nothing survived).
+    *
+    * Scale shape: grams digest positionally to 8 B inside the scan
+    * (word_gram_digests_bag2 — census-grade ~2^59.8 keyspace, because
+    * a false digest merge here REMOVES innocent text); the census is
+    * ONE (doc_id, pos, digest) exchange keyed by digest with a
+    * row_number window (group size = the corpus's worst per-gram
+    * occurrence count — the substringStats bound); the island merge is
+    * a per-DOC window over anchor rows only (bounded by words/doc);
+    * reassembly slices the token array per GAP, never exploding
+    * per-word rows. Document text crosses the wire once (the
+    * doc-keyed join of islands back to toks). The digest fold replays
+    * exactly in the oracle, so a collision merges the same grams in
+    * both engines. */
+  def spanRemoval(docs: DataFrame, n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val grams = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("len"),
+      posexplode(call_function("word_gram_digests_bag2", col("toks"),
+        lit(n))).as(Seq("pos", "h")))
+    // anchors: every gram occurrence except the corpus-first; each
+    // covers words [pos, min(pos+n, len) - 1] (short docs emit one
+    // whole-doc gram — the substringStats one-short-gram rule)
+    val wFirst = Window.partitionBy(col("h"))
+      .orderBy(col("doc_id"), col("pos"))
+    val anchors = grams
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        least(col("pos") + lit(n - 1), col("len") - 1).as("e"))
+    // interval-union merge per doc (s is unique per doc — one gram per
+    // position); adjacent islands merge too (s == prev_e + 1 leaves no
+    // kept word between them)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val wPrev = wDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = anchors
+      .withColumn("brk",
+        when(col("s") > coalesce(max(col("e")).over(wPrev), lit(-2L)) + 1,
+          1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(wDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("n_removed"),
+        array_sort(collect_list(struct(col("s"), col("e")))).as("spans"))
+    // reassemble the gaps between islands: slice per GAP over the
+    // token array (islands are disjoint and non-adjacent after the
+    // merge, so every interior gap is non-empty)
+    val rebuilt = expr(
+      """array_join(flatten(transform(
+        |  sequence(0, size(spans)),
+        |  gi -> slice(toks,
+        |    (CASE WHEN gi = 0 THEN 0L ELSE spans[gi - 1].e + 1 END) + 1,
+        |    (CASE WHEN gi = size(spans) THEN size(toks)
+        |          ELSE spans[gi].s END)
+        |      - (CASE WHEN gi = 0 THEN 0L
+        |              ELSE spans[gi - 1].e + 1 END)))), ' ')""".stripMargin)
+    toks.join(islands, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_words_removed"),
+        when(col("spans").isNull, array_join(col("toks"), " "))
+          .when(col("n_removed") === size(col("toks")), lit(null))
+          .otherwise(rebuilt).as("text_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cluster-size-reweighted soft dedup (the UniMax/"count duplicates
     * once, remember how many there were" curation rule): resolve
     * near-dup clusters, keep ONE representative per cluster (the
@@ -1415,6 +1496,8 @@ object Dedup {
       clusterWeights(Tables.load(s, dir, "documents"))),
     "dedup_substring" -> ((s, dir) =>
       substringStats(Tables.load(s, dir, "documents"))),
+    "dedup_span_removal" -> ((s, dir) =>
+      spanRemoval(Tables.load(s, dir, "documents"))),
     // corpus-frequency boilerplate removal (every copy of a segment
     // recurring in >= 3 distinct docs drops — segmentDedup's complement)
     "dedup_boilerplate" -> ((s, dir) =>
@@ -1529,6 +1612,63 @@ object Dedup {
         |  CAST(n_dup_grams AS DOUBLE) / n_grams AS dup_frac,
         |  (n_dup_grams * 5 >= n_grams) AS is_dup
         |FROM per ORDER BY doc_id""".stripMargin,
+    // full replay of spanRemoval: positional dual-digest grams (the
+    // same one-short-gram rule), the first-occurrence census, anchor
+    // extraction, the per-doc interval-union merge, and a per-WORD
+    // complement reassembly (independent dataflow from the engine's
+    // slice-per-gap form — the oracle filters words by island
+    // coverage, so a wrong island boundary fails the hash from the
+    // other side). CTEs materialized: anchors/islands are referenced
+    // by both the stats and the word-coverage legs.
+    "dedup_span_removal" ->
+      s"""WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos, LEN(t) AS len,
+        |    ${dualDigestSql("ARRAY_TO_STRING(t[i + 1 : i + 13], ' ')")}
+        |      AS g
+        |  FROM toks,
+        |    UNNEST(RANGE(0, GREATEST(LEN(t) - 12, 1))) r(i)),
+        |anchors AS MATERIALIZED (
+        |  SELECT doc_id, pos AS s, LEAST(pos + 12, len - 1) AS e
+        |  FROM (SELECT *, ROW_NUMBER() OVER (
+        |          PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |        FROM grams)
+        |  WHERE rn > 1),
+        |marked AS MATERIALIZED (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > COALESCE(MAX(e) OVER (
+        |        PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -2) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM anchors),
+        |islands AS MATERIALIZED (
+        |  SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+        |  FROM (SELECT *, SUM(brk) OVER (
+        |          PARTITION BY doc_id ORDER BY s) AS isl
+        |        FROM marked)
+        |  GROUP BY doc_id, isl),
+        |stats AS MATERIALIZED (
+        |  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS n_rm
+        |  FROM islands GROUP BY doc_id),
+        |words AS MATERIALIZED (
+        |  SELECT doc_id, i - 1 AS widx, t[i] AS w
+        |  FROM toks, UNNEST(RANGE(1, LEN(t) + 1)) r(i)),
+        |rebuilt AS MATERIALIZED (
+        |  SELECT doc_id, STRING_AGG(w, ' ' ORDER BY widx) AS text_kept
+        |  FROM words w
+        |  WHERE NOT EXISTS (SELECT 1 FROM islands s
+        |    WHERE s.doc_id = w.doc_id AND w.widx BETWEEN s.s AND s.e)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(st.n_rm, 0) AS BIGINT) AS n_words_removed,
+        |  r.text_kept
+        |FROM documents d
+        |LEFT JOIN stats st USING (doc_id)
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // the whole stage replayed: chunking, the engine's own
     // poly_digest segment fingerprint (first occurrence is chosen PER
     // DIGEST, so a mod-1e9 collision keeps the same global survivor in

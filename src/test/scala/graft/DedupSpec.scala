@@ -627,6 +627,52 @@ class DedupSpec extends GraftSpec {
       "segment dedup dropped nothing on the near-dup-bearing corpus")
   }
 
+  test("span removal excises exactly the duplicated word ranges, " +
+    "keeps first occurrences, merges overlapping anchors, and " +
+    "handles short-doc and within-doc repeats") {
+    import spark.implicits._
+    def ws(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // 1: 30 unique words — the first occurrence of everything below
+      (1L, ws(1, 30)),
+      // 2: unique head + copy of doc 1's w1..w15 + unique tail — the
+      // three duplicated grams' covered ranges merge to ONE island
+      // that is exactly the copied 15 words
+      (2L, "u1 u2 u3 u4 u5 " + ws(1, 15) + " v1 v2 v3 v4 v5"),
+      // 3: verbatim copy of doc 1 — everything removed, NULL text
+      (3L, ws(1, 30)),
+      // 4: short unique doc (<13 words → one whole-doc gram)
+      (4L, ws(40, 49)),
+      // 5: short copy of doc 4 — its single whole-doc gram anchors,
+      // clamped to the doc end
+      (5L, ws(40, 49)),
+      // 6: a 13-word run repeated WITHIN one doc + unique tail — the
+      // second copy anchors, the first stays
+      (6L, ws(60, 72) + " " + ws(60, 72) + " z1"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanRemoval(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 30L, 0L, 0L, ws(1, 30)),
+      (2L, 25L, 1L, 15L, "u1 u2 u3 u4 u5 v1 v2 v3 v4 v5"),
+      (3L, 30L, 1L, 30L, null),
+      (4L, 10L, 0L, 0L, ws(40, 49)),
+      (5L, 10L, 1L, 10L, null),
+      (6L, 27L, 1L, 13L, ws(60, 72) + " z1")))
+    // corpus-scale sanity: non-vacuous on the near-dup-bearing corpus,
+    // and internally consistent (spans ⇔ removals, removals ≤ words)
+    val big = Dedup.spanRemoval(
+      graft.sources.Tables.load(spark, sf, "documents")).collect()
+    assert(big.nonEmpty && big.exists(_.getLong(3) > 0),
+      "span removal excised nothing on the near-dup-bearing corpus")
+    big.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1))
+      assert((r.getLong(2) > 0) == (r.getLong(3) > 0))
+      assert((r.getLong(3) == r.getLong(1)) == r.isNullAt(4))
+    }
+  }
+
   test("near-contamination catches paraphrased eval leaks that " +
     "verbatim containment misses") {
     import spark.implicits._
