@@ -14,7 +14,10 @@ object NprobeAudit {
     val vecs = graft.sources.Tables.load(spark, sfDir, "embeddings")
     val rows = graft.operators.Similarity.nprobeOperatingTable(vecs)
       .collect()
-    println(s"| nprobe | queries | recall@10 | scan fraction | ($sfDir)")
+    // sf dir on its own line: a trailing cell in the header would make
+    // the header/separator column counts disagree and break rendering
+    println(s"nprobe operating table ($sfDir)")
+    println("| nprobe | queries | recall@10 | scan fraction |")
     println("| --- | --- | --- | --- |")
     rows.foreach(r => println(
       s"| ${r.getInt(0)} | ${r.getLong(1)} | ${r.getDouble(2)} " +

@@ -305,6 +305,60 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact brute-force top-k in two LINEAR passes — [[knnBrute]]'s
+    * contract (same columns, same tie-break, bit-identical output)
+    * without its per-query sort (verdict r16 #5: the recall audits'
+    * ground-truth leg paid an O(n·Q·log) map-side sort under the
+    * rank window at every scale point).
+    *
+    * Pass 1 histograms each query's cosine scores into `buckets`
+    * fixed-width bins — a map-side-combining hash aggregate whose
+    * exchange is Q·B count rows, corpus-size independent. The cut is
+    * the LOWER boundary of the bucket one below the highest bucket
+    * whose from-the-top cumulative count reaches k (the extra bucket
+    * absorbs float boundary error, so the cut is provably ≤ the k-th
+    * score). Pass 2 re-projects the scores, keeps only survivors ≥
+    * the cut (⊇ the true top-k, ties included — anything excluded is
+    * strictly below the k-th score) and ranks that O(Q·(k+ε)) set.
+    * The corpus never shuffles in either pass (queries and cuts both
+    * broadcast); the only sort left is over survivors. Queries with
+    * fewer than k candidates get cut = below −1 (keep everything). */
+  def knnBruteThreshold(vecs: DataFrame, queryPred: Column, k: Int = 5,
+      buckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = vecs.select(col("vec_id"), col("embedding").as("e"),
+      l2norm(col("embedding")).as("nrm"))
+    // computed once, broadcast into both passes
+    val queries = corpus.filter(queryPred)
+      .toDF("query_id", "q_e", "q_nrm").localCheckpoint(true)
+    def scores = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        safeCos(dot(col("e"), col("q_e")), col("nrm"), col("q_nrm"))
+          .as("cos_sim"))
+    val wcum = Window.partitionBy(col("query_id"))
+      .orderBy(col("b").desc)
+    val cuts = scores
+      .select(col("query_id"),
+        floor((col("cos_sim") + 1.0) / 2.0 * buckets).cast("int").as("b"))
+      .groupBy(col("query_id"), col("b")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(wcum))
+      .groupBy(col("query_id"))
+      // one bucket below the k-th's: float-safe and still O(k+ε) mass
+      .agg((coalesce(max(when(col("cum") >= k, col("b"))), lit(0))
+        - 1).as("b_cut"))
+      .select(col("query_id"),
+        (col("b_cut").cast("double") / buckets * 2.0 - 1.0).as("t_cut"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scores.join(broadcast(cuts), "query_id")
+      .filter(col("cos_sim") >= col("t_cut"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Contrastive hard-negative mining — per anchor, the top-k most-
     * similar vectors carrying a DIFFERENT label: the negatives that
     * teach a contrastive/embedding model the most (random negatives
@@ -786,6 +840,20 @@ object Similarity {
 
   /** [[ivfCodebook]] as centroid ROWS (c_id, c_e, c_nrm) — the form the
     * residual computation of [[ivfPqIndex]] joins against. */
+  /** Deterministic bounded codebook-training sample: the min(n, cap)
+    * vectors with the smallest (xxhash64(vec_id), vec_id) — a rank
+    * threshold, not a rate, so training cost is CONSTANT in corpus
+    * size (verdict r16 #7: both k-means build passes scanned the full
+    * corpus per refine iteration; standard practice trains quantizer
+    * codebooks on ~256 samples per centroid — FAISS's
+    * max_points_per_centroid discipline — and assigns full-corpus).
+    * Hash order makes the sample corpus-representative and stable
+    * under re-partitioning; one TakeOrderedAndProject materializes
+    * it. Below the cap the sample IS the corpus, so gate scales train
+    * bit-identically to the pre-sample code. */
+  private def trainingSample(vecs: DataFrame, cap: Int): DataFrame =
+    vecs.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cap)
+
   def ivfCodebookRows(corpus: DataFrame,
       centroidBudget: Int = CentroidBudget,
       refineIters: Int = RefineIters): DataFrame = {
@@ -793,8 +861,12 @@ object Similarity {
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(centroidBudget)
       .toDF("c_id", "c_e", "c_nrm")
+    // Lloyd refinement over the bounded sample (the seed is its hash-
+    // order prefix); ASSIGNMENT stays full-corpus in every caller
+    val train = trainingSample(corpus, 256 * centroidBudget)
+      .localCheckpoint(true)
     (0 until refineIters).foldLeft(seed) { (rows, _) =>
-      refineCentroids(corpus, packCodebook(rows))
+      refineCentroids(train, packCodebook(rows))
     }
   }
 
@@ -939,7 +1011,11 @@ object Similarity {
   def pqCodebooks(vecs: DataFrame, k: Int = PqK,
       refineIters: Int = RefineIters, m: Int = PqM): DataFrame = {
     val subWidth = Dim / m
-    val sub = pqSubvectors(vecs, m)
+    // Lloyd passes run over the bounded hash-order sample (256·K
+    // vectors — [[trainingSample]]); consumers assign the FULL corpus
+    // against the trained codebook
+    val sub = pqSubvectors(
+      trainingSample(vecs, 256 * k).localCheckpoint(true), m)
     val seed = vecs
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
       .select(col("vec_id").as("c_id"), col("embedding"),
@@ -1401,10 +1477,14 @@ object Similarity {
   // half-index behind the marker.
 
   /** Index store root — same scratch-root contract as
-    * [[graft.operators.Etl.roundtripRoot]]; never under /root/testdata. */
+    * [[graft.operators.Etl.roundtripRoot]]; never under /root/testdata.
+    * `_v2`: v2 indexes carry the build-corpus geometry sidecar
+    * (verdict r16 #2) that the serve faces validate; pre-sidecar v1
+    * stores under the old root are simply orphaned scratch — serving
+    * one would bypass the drift refusal this round exists to add. */
   def indexRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_TMP", "/root/repo/target/graft_tmp") +
-      "/ann_index"
+      "/ann_index_v2"
 
   private def sfTag(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -1462,25 +1542,79 @@ object Similarity {
   }
 
   /** Materialize the PQ index (exact-face geometry by default): centroid
-    * rows + the narrow (vec_id, m, cell) code store. */
+    * rows + the narrow (vec_id, m, cell) code store, plus the one-row
+    * geometry sidecar ([[buildLshStore]]'s discipline, verdict r16 #2):
+    * (pq_k, m, refine_iters, build_count). The serve face reads it
+    * back and REFUSES a store whose indexed corpus no longer matches
+    * the live one — post-build vectors have no code rows, so serving a
+    * stale index silently omits them from every answer. */
   def buildPqIndex(vecs: DataFrame, path: String, k: Int = PqK,
       refineIters: Int = 1, m: Int = 32): Unit = {
+    val buildCount = vecs.count()
     val (cents, assigned) = pqAssignments(vecs, k, refineIters, m)
     cents.write.mode("overwrite").parquet(s"$path/cents")
     assigned.select(col("vec_id"), col("m"), col("cell"))
       .write.mode("overwrite").parquet(s"$path/codes")
+    import vecs.sparkSession.implicits._
+    Seq((k, m, refineIters, buildCount))
+      .toDF("pq_k", "m", "refine_iters", "build_count")
+      .write.mode("overwrite").parquet(s"$path/geometry")
   }
 
   /** Materialize the IVF-PQ index: coarse cells, residual PQ centroids,
-    * and the (vec_id, m, code, ivf_cell) code store. */
+    * the (vec_id, m, code, ivf_cell) code store, and the one-row
+    * geometry sidecar (centroid_budget, m, refine_iters, build_count)
+    * the serve face validates — see [[buildPqIndex]]. */
   def buildIvfPqIndex(vecs: DataFrame, path: String,
       centroidBudget: Int = CentroidBudget, m: Int = 32,
       refineIters: Int = 1): Unit = {
+    val buildCount = vecs.count()
     val (cells, pqCents, codes) =
       ivfPqIndex(vecs, centroidBudget, m, refineIters)
     cells.write.mode("overwrite").parquet(s"$path/cells")
     pqCents.write.mode("overwrite").parquet(s"$path/pq_cents")
     codes.write.mode("overwrite").parquet(s"$path/codes")
+    import vecs.sparkSession.implicits._
+    Seq((centroidBudget, m, refineIters, buildCount))
+      .toDF("centroid_budget", "m", "refine_iters", "build_count")
+      .write.mode("overwrite").parquet(s"$path/geometry")
+  }
+
+  /** Read + validate an ANN index's one-row geometry sidecar, then
+    * apply the two refusals the persisted dedup stores pin
+    * (Dedup.incrementalNearServe's contract, verdict r16 #2):
+    *  - sub-quantizer count in the sidecar differing from the one the
+    *    serving plan will decode with — a foreign or corrupt store
+    *    whose codes would be misread, not merely stale;
+    *  - live corpus count differing from the indexed one — vectors
+    *    added since the build have NO code rows, so a stale index
+    *    serves silently incomplete answers (and a shrunk corpus means
+    *    the store indexes documents the caller no longer owns).
+    * Loud refusal, never a silent recall cliff; rebuilding past drift
+    * is REQUIRED by design, never implicit. */
+  private def requireServableIndex(vecs: DataFrame, path: String,
+      m: Int): Unit = {
+    val geo = vecs.sparkSession.read.parquet(s"$path/geometry")
+      .collect() match {
+      case Array(row) => row
+      case rows => throw new IllegalStateException(
+        s"ANN index $path: geometry sidecar has ${rows.length} rows, " +
+          "expected exactly 1 — corrupt store")
+    }
+    val storedM = geo.getAs[Int]("m")
+    require(storedM == m,
+      s"ANN index $path: store was built with m=$storedM sub-quantizers " +
+        s"but the serving plan decodes m=$m — foreign store; point the " +
+        "serve at the index built for this geometry (the path encodes " +
+        "it) or rebuild")
+    val built = geo.getAs[Long]("build_count")
+    val live = vecs.count()
+    require(live == built,
+      s"ANN index $path: live corpus has $live vectors but the store " +
+        s"indexed $built — drifted corpus; vectors added since the " +
+        "build have NO code rows and would be silently missing from " +
+        "every answer. Rebuild the index (or serve the exact corpus " +
+        "snapshot it was built on)")
   }
 
   /** Serve-only PQ top-k: ensure the persisted index exists (built on
@@ -1491,6 +1625,7 @@ object Similarity {
   def knnPqServe(vecs: DataFrame, queryPred: Column, path: String,
       k: Int = 5, candidates: Int = 200, m: Int = 32): DataFrame = {
     ensureIndex(path)(tmp => buildPqIndex(vecs, tmp, m = m))
+    requireServableIndex(vecs, path, m)
     val spark = vecs.sparkSession
     knnPqAdcFrom(spark.read.parquet(s"$path/cents"),
       spark.read.parquet(s"$path/codes"), vecs, queryPred, k, candidates, m)
@@ -1503,6 +1638,7 @@ object Similarity {
       k: Int = 5, nprobe: Int = CentroidBudget, candidates: Int = 200,
       m: Int = 32): DataFrame = {
     ensureIndex(path)(tmp => buildIvfPqIndex(vecs, tmp, m = m))
+    requireServableIndex(vecs, path, m)
     val spark = vecs.sparkSession
     knnIvfPqFrom(spark.read.parquet(s"$path/cells"),
       spark.read.parquet(s"$path/pq_cents"),
@@ -1948,7 +2084,7 @@ object Similarity {
       candidates: Option[Int] = None): DataFrame = {
     import vecs.sparkSession.implicits._
     val n = vecs.count()
-    val bound = graft.sources.Knobs.long("knn.audit_queries", 128L)
+    val bound = auditQueryBound
     val every = math.max(50L, (n + bound - 1) / bound)
     val pred = col("vec_id") % every === 0
     // measure the PRODUCTION serving geometry — the knn_ivfpq_serve
@@ -1961,13 +2097,23 @@ object Similarity {
         .getOrElse(autoAdcCandidates(n)))
     val (cells, pqCents, codes) = ivfPqIndex(vecs, m = 32,
       refineIters = 1)
-    val exact = knnBrute(vecs, pred, k)
+    // ground truth via the two-pass threshold top-k: bit-identical to
+    // knnBrute, without the O(n·Q·log) rank sort (verdict r16 #5)
+    val exact = knnBruteThreshold(vecs, pred, k)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
     val exactN = exact.count().toDouble
     val corpusQ = vecs.filter(pred).select(col("vec_id"),
       col("embedding").as("e"), l2norm(col("embedding")).as("nrm"))
       .localCheckpoint(true)
     val nQ = corpusQ.count()
+    // refuse a degenerate audit loudly: an empty query sample or an
+    // empty brute-force neighbor set would make recall NaN and flow
+    // silently into NPROBE.json / the DEPLOY.md table (advice r16)
+    require(nQ > 0 && exactN > 0,
+      s"nprobeOperatingTable: degenerate audit — $nQ sampled queries, " +
+        s"${exactN.toLong} exact neighbor rows over a corpus of $n " +
+        "vectors; the operating table needs a non-empty query sample " +
+        "and ground truth (check knn.audit_queries and the corpus)")
     val cellSizes = codes.filter(col("m") === 0)
       .groupBy(col("ivf_cell")).agg(count(lit(1)).as("csz"))
       .localCheckpoint(true)
@@ -1988,17 +2134,32 @@ object Similarity {
       .orderBy(col("nprobe"))
   }
 
-  def recallAudit(vecs: DataFrame, k: Int = 4): DataFrame = {
-    val n = vecs.count() // bounded driver state (the bm25 pattern)
-    // the query-count bound is the audit's confidence dial — resolved
-    // through `knn.audit_queries` (DEPLOY.md §6); the brute leg is
-    // O(bound · n), so doubling the bound doubles audit cost, never
-    // its asymptotics. Gates run knobless: 128 queries bit-for-bit.
+  /** Validated read of the audit query-count bound — the confidence
+    * dial every recall audit shares, resolved through
+    * `knn.audit_queries` (DEPLOY.md §6). The range check lives HERE so
+    * every reader refuses a zero/negative knob with the same message
+    * instead of a cryptic divide-by-zero in its sampling arithmetic
+    * (advice r16: nprobeOperatingTable read the knob unvalidated). */
+  private def auditQueryBound: Long = {
     val bound = graft.sources.Knobs.long("knn.audit_queries", 128L)
     require(bound >= 1 && bound <= 1000000L,
       s"knn.audit_queries out of range [1, 10^6]: $bound")
+    bound
+  }
+
+  def recallAudit(vecs: DataFrame, k: Int = 4): DataFrame = {
+    val n = vecs.count() // bounded driver state (the bm25 pattern)
+    // the query-count bound is the audit's confidence dial; the brute
+    // leg is O(bound · n), so doubling the bound doubles audit cost,
+    // never its asymptotics. Gates run knobless: 128 queries
+    // bit-for-bit.
+    val bound = auditQueryBound
     val every = math.max(50L, (n + bound - 1) / bound)
-    val exact = knnBrute(vecs, col("vec_id") % every === 0, k)
+    // the exact leg is the audit's measurement instrument — bounded at
+    // `bound` queries at ANY corpus size, and since r17 served by the
+    // two-pass threshold top-k (bit-identical to knnBrute, no rank
+    // sort over the n·Q score rows)
+    val exact = knnBruteThreshold(vecs, col("vec_id") % every === 0, k)
       .select(col("query_id").as("vec_id"), col("neighbor_id"))
     val approx = knnGraph(vecs, k).filter(col("vec_id") % every === 0)
       .select(col("vec_id"), col("neighbor_id"))
