@@ -627,10 +627,10 @@ object Graph {
       """WITH pairs AS (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT c AS src, s AS dst FROM pairs
         |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
-        |deg AS (
+        |deg AS MATERIALIZED (
         |  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
         |SELECT LENGTH(BIN(deg)) - 1 AS bucket,
         |  COUNT(*) AS n_nodes,
@@ -685,13 +685,13 @@ object Graph {
         |LEFT JOIN d3 ON d3.node = d0.node
         |ORDER BY d0.node""".stripMargin,
     "graph_cc" ->
-      """WITH RECURSIVE os AS (
+      """WITH RECURSIVE os AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
-        |e0 AS (
+        |e0 AS MATERIALIZED (
         |  SELECT DISTINCT x.s AS a, y.s AS b
         |  FROM os x JOIN os y ON x.ok = y.ok AND x.s < y.s
         |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % (20 * GREATEST(1, ((SELECT COUNT(*) FROM lineitem) + 999999) // 1000000)) = 0),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT a AS src, b AS dst FROM e0
         |  UNION ALL SELECT b AS src, a AS dst FROM e0),
         |reach AS (
@@ -707,7 +707,7 @@ object Graph {
       """WITH pairs AS (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT c AS src, s AS dst FROM pairs
         |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
         |d0 AS (
@@ -731,10 +731,10 @@ object Graph {
       """WITH pairs AS (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT c AS src, s AS dst FROM pairs
         |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
-        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
         |nn AS (SELECT COUNT(*) AS n FROM deg),
         |r0 AS (SELECT src AS node, 1000000000000 // n AS r FROM deg, nn),
         |r1 AS (
@@ -804,16 +804,16 @@ object Graph {
     // the fixed-point Jaccard rank. Every SUM-free aggregate stays
     // BIGINT; the divisions are explicit CASTs so no HUGEINT leaks
     "graph_link_pred" ->
-      """WITH os AS (
+      """WITH os AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
-        |e0 AS (
+        |e0 AS MATERIALIZED (
         |  SELECT DISTINCT x.s AS a, y.s AS b
         |  FROM os x JOIN os y ON x.ok = y.ok AND x.s < y.s
         |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % (20 * GREATEST(1, ((SELECT COUNT(*) FROM lineitem) + 999999) // 1000000)) = 0),
         |bi AS (
         |  SELECT a AS src, b AS dst FROM e0
         |  UNION ALL SELECT b AS src, a AS dst FROM e0),
-        |deg AS (SELECT src, COUNT(*) AS deg FROM bi GROUP BY src),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM bi GROUP BY src),
         |centers AS (
         |  SELECT b1.src, b1.dst FROM bi b1 JOIN deg d ON b1.src = d.src
         |  WHERE d.deg <= 64),
@@ -839,29 +839,29 @@ object Graph {
     // the engine's window computes — the hash carries every
     // intermediate label table
     "graph_label_prop" ->
-      """WITH os AS (
+      """WITH os AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
-        |e0 AS (
+        |e0 AS MATERIALIZED (
         |  SELECT DISTINCT x.s AS a, y.s AS b
         |  FROM os x JOIN os y ON x.ok = y.ok AND x.s < y.s
         |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % (20 * GREATEST(1, ((SELECT COUNT(*) FROM lineitem) + 999999) // 1000000)) = 0),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT a AS src, b AS dst FROM e0
         |  UNION ALL SELECT b AS src, a AS dst FROM e0),
-        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
-        |l1 AS (
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+        |l1 AS MATERIALIZED (
         |  SELECT node, lbl FROM (
         |    SELECT e.dst AS node, l.lbl, ROW_NUMBER() OVER (
         |      PARTITION BY e.dst ORDER BY COUNT(*) DESC, l.lbl) AS rn
         |    FROM edges e JOIN l0 l ON e.src = l.node
         |    GROUP BY e.dst, l.lbl) t WHERE rn = 1),
-        |l2 AS (
+        |l2 AS MATERIALIZED (
         |  SELECT node, lbl FROM (
         |    SELECT e.dst AS node, l.lbl, ROW_NUMBER() OVER (
         |      PARTITION BY e.dst ORDER BY COUNT(*) DESC, l.lbl) AS rn
         |    FROM edges e JOIN l1 l ON e.src = l.node
         |    GROUP BY e.dst, l.lbl) t WHERE rn = 1),
-        |l3 AS (
+        |l3 AS MATERIALIZED (
         |  SELECT node, lbl FROM (
         |    SELECT e.dst AS node, l.lbl, ROW_NUMBER() OVER (
         |      PARTITION BY e.dst ORDER BY COUNT(*) DESC, l.lbl) AS rn
@@ -872,43 +872,43 @@ object Graph {
     // the same 3-round propagation replay, then the integer modularity
     // identity: contrib_fp = 4·m·e_in − d_tot² (HUGEINT seams re-cast)
     "graph_modularity" ->
-      """WITH os AS (
+      """WITH os AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
-        |e0 AS (
+        |e0 AS MATERIALIZED (
         |  SELECT DISTINCT x.s AS a, y.s AS b
         |  FROM os x JOIN os y ON x.ok = y.ok AND x.s < y.s
         |  WHERE (((x.s * 100003 + y.s) % 1000003) * 2654435761) % (20 * GREATEST(1, ((SELECT COUNT(*) FROM lineitem) + 999999) // 1000000)) = 0),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT a AS src, b AS dst FROM e0
         |  UNION ALL SELECT b AS src, a AS dst FROM e0),
-        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
-        |l1 AS (
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+        |l1 AS MATERIALIZED (
         |  SELECT node, lbl FROM (
         |    SELECT e.dst AS node, l.lbl, ROW_NUMBER() OVER (
         |      PARTITION BY e.dst ORDER BY COUNT(*) DESC, l.lbl) AS rn
         |    FROM edges e JOIN l0 l ON e.src = l.node
         |    GROUP BY e.dst, l.lbl) t WHERE rn = 1),
-        |l2 AS (
+        |l2 AS MATERIALIZED (
         |  SELECT node, lbl FROM (
         |    SELECT e.dst AS node, l.lbl, ROW_NUMBER() OVER (
         |      PARTITION BY e.dst ORDER BY COUNT(*) DESC, l.lbl) AS rn
         |    FROM edges e JOIN l1 l ON e.src = l.node
         |    GROUP BY e.dst, l.lbl) t WHERE rn = 1),
-        |l3 AS (
+        |l3 AS MATERIALIZED (
         |  SELECT node, lbl FROM (
         |    SELECT e.dst AS node, l.lbl, ROW_NUMBER() OVER (
         |      PARTITION BY e.dst ORDER BY COUNT(*) DESC, l.lbl) AS rn
         |    FROM edges e JOIN l2 l ON e.src = l.node
         |    GROUP BY e.dst, l.lbl) t WHERE rn = 1),
-        |comm AS (SELECT node, lbl AS community FROM l3),
-        |mm AS (SELECT COUNT(*) AS m FROM e0),
-        |deg AS (SELECT src AS node, COUNT(*) AS deg
+        |comm AS MATERIALIZED (SELECT node, lbl AS community FROM l3),
+        |mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM e0),
+        |deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg
         |        FROM edges GROUP BY src),
-        |cstat AS (
+        |cstat AS MATERIALIZED (
         |  SELECT c.community, COUNT(*) AS n_nodes, SUM(d.deg) AS d_tot
         |  FROM comm c JOIN deg d ON c.node = d.node
         |  GROUP BY c.community),
-        |ein AS (
+        |ein AS MATERIALIZED (
         |  SELECT ca.community, COUNT(*) AS e_in
         |  FROM e0 e
         |  JOIN comm ca ON e.a = ca.node
