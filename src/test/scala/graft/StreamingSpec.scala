@@ -347,6 +347,160 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("sessionization state survives a checkpoint restart: a stream " +
+      "consumed across TWO query lifetimes emits only batch sessions, " +
+      "including sessions whose events straddle the stop") {
+    // flatMapGroupsWithState is a distinct state shape from the upsert
+    // sink's committed-batch marker and gap-fill's last-observation row
+    // (verdict r16 #8): the restored state carries each user's OPEN
+    // session (start/end/count), and a session spanning the restart is
+    // correct only if lifetime 2 extends lifetime 1's restored window.
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    val root = Files
+      .createTempDirectory(Paths.get("target"), "sess_restart").toString
+    val events = Tables.load(spark, sf, "events")
+    def usOf(t: java.sql.Timestamp) =
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    // split by TIME so per-key arrival order holds across lifetimes
+    // (the gap-restart discipline) — and pick the cut INSIDE a known
+    // multi-event session that has a successor session, so a session
+    // provably straddles the restart (a median cut usually falls in a
+    // between-sessions gap and exercises nothing)
+    val batchRows = Streaming.batchSessionize(events).collect()
+    val sessByUser = batchRows
+      .map(r => (r.getLong(0), usOf(r.getTimestamp(3)),
+        usOf(r.getTimestamp(4)), r.getLong(2)))
+      .groupBy(_._1)
+    val splitHost = sessByUser.values.flatMap { ss =>
+      val lastEnd = ss.map(_._3).max
+      ss.filter(s => s._4 >= 2 && s._3 > s._2 && s._3 < lastEnd)
+    }.toSeq.sortBy(s => (s._1, s._2)).headOption
+      .getOrElse(fail("fixture has no multi-event non-final session"))
+    val cut = splitHost._2 // the host session's FIRST event timestamp
+    def phys(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", unix_micros(col("ts")) * 1000).coalesce(1)
+    phys(events.filter(unix_micros(col("ts")) <= cut))
+      .write.mode("overwrite").parquet(s"$root/src")
+    def stream() = spark.readStream
+      .schema(Streaming.eventsPhysicalSchema)
+      .parquet(s"$root/src")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def run() = {
+      val q = Streaming.sessionizeStream(spark, stream()).writeStream
+        .format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/chk")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    run() // lifetime 1: first half; open sessions stay in state
+    phys(events.filter(unix_micros(col("ts")) > cut))
+      .write.mode("append").parquet(s"$root/src")
+    run() // lifetime 2: the remainder, against restored session state
+    val got = spark.read.parquet(s"$root/out").collect()
+      .map(r => (r.getLong(0), usOf(r.getTimestamp(1)),
+        usOf(r.getTimestamp(2)), r.getLong(3))).toSet
+    val batch = batchRows
+      .map(r => (r.getLong(0), usOf(r.getTimestamp(3)),
+        usOf(r.getTimestamp(4)), r.getLong(2))).toSet
+    // the same contract the single-lifetime test pins: emissions are a
+    // subset of batch sessions, withholding at most each user's final
+    // (still-open) session
+    assert(got.nonEmpty, "stream emitted no sessions across a restart")
+    assert(got.subsetOf(batch),
+      s"restarted stream emitted non-batch sessions: ${(got -- batch).take(3)}")
+    val users = events.select("user_id").distinct().count()
+    assert(got.size >= batch.size - users)
+    // the restart is genuinely exercised: the host session's start was
+    // restored from lifetime-1 state and its end/count were written by
+    // lifetime-2 events — it must be emitted EXACTLY (it has a
+    // successor session, so it cannot hide as a legitimately-open one)
+    assert(got.contains(splitHost),
+      s"session $splitHost spans the restart but was lost or emitted " +
+        s"wrong: ${got.filter(_._1 == splitHost._1)}")
+  }
+
+  test("CDC-apply aggregation state survives a checkpoint restart: " +
+      "two query lifetimes converge to the batch materialization, " +
+      "keys whose ops all precede the stop included") {
+    // the struct-max aggregation is the remaining distinct state shape
+    // (verdict r16 #8): restored state is each key's running
+    // (ts, event_id, op, value) maximum — a key silent in lifetime 2
+    // appears in the final answer ONLY via the restored aggregate.
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    val root = Files
+      .createTempDirectory(Paths.get("target"), "cdc_restart").toString
+    val events = Tables.load(spark, sf, "events")
+    // cut BY CONSTRUCTION at the last op of a key that survives the
+    // materialization (last op U) and falls silent before the stream
+    // ends — that key's final row can only come from the restored
+    // aggregate (a median cut leaves every key active in lifetime 2)
+    def usOf(t: java.sql.Timestamp) =
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    val lastOps = Streaming.cdcOps(events).collect()
+      .map(r => (r.getLong(0), usOf(r.getTimestamp(1)), r.getLong(2),
+        r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.maxBy(x => (x._2, x._3))).toMap
+    val globalMax = lastOps.values.map(_._2).max
+    val cut = lastOps.values.toSeq
+      .filter(o => o._4 == "U" && o._2 < globalMax)
+      .map(_._2).maxOption
+      .getOrElse(fail("fixture has no early-quiet surviving key"))
+    def phys(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", unix_micros(col("ts")) * 1000).coalesce(1)
+    phys(events.filter(unix_micros(col("ts")) <= cut))
+      .write.mode("overwrite").parquet(s"$root/src")
+    def stream() = spark.readStream
+      .schema(Streaming.eventsPhysicalSchema)
+      .parquet(s"$root/src")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // complete-mode aggregation: the recoverable sink is foreachBatch
+    // overwriting the materialization (the file sink is append-only)
+    def run() = {
+      val q = Streaming.streamingCdcApply(stream()).writeStream
+        .outputMode("complete")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(s"$root/state")
+        }
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    run() // lifetime 1
+    val partial = spark.read.parquet(s"$root/state").count()
+    phys(events.filter(unix_micros(col("ts")) > cut))
+      .write.mode("append").parquet(s"$root/src")
+    run() // lifetime 2: resumes against the restored aggregate
+    val got = spark.read.parquet(s"$root/state").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3))).toSet
+    val want = Streaming.batchCdcApply(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3))).toSet
+    assert(partial > 0, "lifetime 1 materialized nothing")
+    assert(got == want,
+      s"restarted CDC state diverged: ${(got -- want).take(3)} vs " +
+        s"${(want -- got).take(3)}")
+    // restart genuinely exercised: the cut-defining key's ops ALL
+    // landed before the cut — its final row exists only because
+    // lifetime 2 restored lifetime 1's aggregate rather than
+    // recomputing from its own (empty) slice of that key
+    val quietKeys = lastOps.collect {
+      case (k, o) if o._4 == "U" && o._2 <= cut => k
+    }.toSet
+    val crossing = got.map(_._1) & quietKeys
+    assert(crossing.nonEmpty,
+      "fixture exercised no restored-only key — split point degenerate")
+    assert(quietKeys.subsetOf(got.map(_._1)),
+      "a surviving key quiet after the cut was dropped by the restart")
+  }
+
   test("streaming sessionization emits closed sessions matching batch") {
     val stream = Streaming.eventsStream(spark, sf)
     val q = Streaming.sessionizeStream(spark, stream).writeStream
