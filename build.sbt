@@ -29,3 +29,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 Test / parallelExecution := false
+// The round driver captures a ~2000-char stdout TAIL of its Bench run
+// and parses the FINAL line as JSON. Invoked through sbt, two
+// decorations break that contract even though Bench prints a compact
+// self-contained summary last: the forked JVM's stdout is re-logged
+// line-by-line under an "[info] " prefix, and sbt appends a
+// "[success] Total time: ..." banner AFTER the main returns (so no
+// in-process print can follow it). Stream forked run output verbatim
+// and suppress the banner — Bench's compact JSON line is then the
+// final stdout line under sbt exactly as it is bare-JVM.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not another setting —
+// exclude it from the unused-key lint so load output stays clean
+Global / excludeLintKeys += showSuccess

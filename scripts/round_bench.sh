@@ -82,6 +82,9 @@ SF1_KEYS=(
   dedup_incr_near_serve
   # round-16 addition: the persisted pHash store serve face
   mm_phash_serve
+  # round-17 addition: duplicated-span removal (gram census + islands
+  # + reassembly — scale-sensitive on all three stages)
+  dedup_span_removal
 )
 
 # sf3 growth-curve set (round 14, verdict #4): the superlinear-RISK
@@ -106,6 +109,7 @@ SF3_KEYS=(
   text_code_detect text_collocation text_bigram_logprob
   text_winnow_overlap text_ngram_novelty
   mm_image_hist
+  dedup_span_removal
 )
 
 # Bench-artifact guard (round-16, verdict #5): round 15's root
@@ -133,6 +137,20 @@ print("[round_bench] artifact guard OK: full=%dB compact=%dB"
       % (len(json.dumps(full)), len(last)))
 PY
 }
+
+# sbt-path guard (round-17, verdict #1): the DRIVER invokes Bench
+# through sbt, where two decorations used to break the final-line JSON
+# contract (the "[info] " relog prefix on forked stdout and the
+# trailing "[success] Total time" banner). build.sbt now sets
+# run/outputStrategy := StdoutOutput and showSuccess := false; this
+# step runs Bench THROUGH sbt on the tiny sf and asserts the same
+# final-line contract the bare-JVM runs get — a build.sbt regression
+# surfaces here, not in the round's root artifact.
+echo "[round_bench] sbt-invocation final-line guard at sf0.001 ..."
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_CPUS=8 \
+  sbt "runMain graft.Bench q1_agg" | tee "$OUT/bench_${ROUND}_sbtpath.stdout"
+check_bench "$OUT/bench_${ROUND}_sbtpath.stdout"
+rm -f BENCH.json
 
 echo "[round_bench] full registry at sf0.1 ..."
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
