@@ -2818,7 +2818,7 @@ object Similarity {
   private lazy val lshBandedCtes: String =
     s"""planes AS (SELECT * FROM (VALUES
        |$planeLiterals) t(p, pl)),
-       |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM embeddings),
        |bits AS (
        |  SELECT GREATEST(4, COALESCE(MIN(b), 16)) AS b
        |  FROM RANGE(0, 17) t(b), nn
@@ -3146,22 +3146,22 @@ object Similarity {
     // λ = ‖av_K‖ = ‖C·v_{K-1}‖ match the Scala update rule. 4-decimal
     // rounding absorbs the ~1e-12 cross-engine summation-order drift.
     "emb_pca_power" ->
-      """WITH RECURSIVE nn AS (SELECT COUNT(*)::DOUBLE AS n FROM embeddings),
-        |idx AS (SELECT UNNEST(RANGE(1, 65)) AS i),
-        |mu AS (
+      """WITH RECURSIVE nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM embeddings),
+        |idx AS MATERIALIZED (SELECT UNNEST(RANGE(1, 65)) AS i),
+        |mu AS MATERIALIZED (
         |  SELECT i, SUM(embedding[i]::DOUBLE) / (SELECT n FROM nn) AS m
         |  FROM embeddings, idx GROUP BY i),
-        |xs AS (
+        |xs AS MATERIALIZED (
         |  SELECT a.i AS i, b.i AS j,
         |    SUM(e.embedding[a.i]::DOUBLE * e.embedding[b.i]::DOUBLE) AS sxx
         |  FROM embeddings e, idx a, idx b
         |  GROUP BY a.i, b.i),
-        |cov AS (
+        |cov AS MATERIALIZED (
         |  SELECT x.i, x.j,
         |    (x.sxx - (SELECT n FROM nn) * ma.m * mb.m)
         |      / ((SELECT n FROM nn) - 1) AS c
         |  FROM xs x JOIN mu ma ON ma.i = x.i JOIN mu mb ON mb.i = x.j),
-        |covm AS (
+        |covm AS MATERIALIZED (
         |  SELECT LIST(cl ORDER BY i) AS m
         |  FROM (SELECT i, LIST(c ORDER BY j) AS cl FROM cov GROUP BY i) t),
         |p(step, av) AS (
@@ -3172,12 +3172,12 @@ object Similarity {
         |      LIST_SUM(LIST_TRANSFORM(RANGE(1,65), j -> covm.m[i][j] * p.av[j]))
         |        / SQRT(LIST_SUM(LIST_TRANSFORM(p.av, y -> y*y))))
         |  FROM p, covm WHERE p.step < 60),
-        |fin AS (
+        |fin AS MATERIALIZED (
         |  SELECT LIST_TRANSFORM(av, x ->
         |           x / SQRT(LIST_SUM(LIST_TRANSFORM(av, y -> y*y)))) AS v,
         |         SQRT(LIST_SUM(LIST_TRANSFORM(av, y -> y*y))) AS eig
         |  FROM p WHERE step = 60),
-        |res AS (
+        |res AS MATERIALIZED (
         |  SELECT SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1,65), i ->
         |    POWER(LIST_SUM(LIST_TRANSFORM(RANGE(1,65), j ->
         |      covm.m[i][j] * fin.v[j])) - fin.eig * fin.v[i], 2)
