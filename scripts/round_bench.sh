@@ -203,9 +203,14 @@ mv NPROBE.json "$OUT/nprobe_${ROUND}_sf1.json"
 # cannot distinguish noise from a knee; a third in a row can (the sf3
 # addition is what caught the r14 CC wall). Membership rule: keys
 # whose alpha(1->3) >= 1.1 in the previous round's growth table.
+# r17 membership update: text_code_detect (0.93/1.03 r16, 0.90/0.80
+# r17), dedup_simhash (0.63 r16, 0.32 r17) and knn_pq_adc (0.89 r16,
+# 0.77 r17) retired after two consecutive clean rounds;
+# mm_image_hist (first IN-protocol clean round: 0.83/0.82 r17) and
+# emb_recall_audit (flagged 1.19 r16, clean 0.45/0.75 r17) stay one
+# more round; dedup_cluster joins on its r17 alpha(1->3) = 1.10 flag.
 SF9_KEYS=(
-  text_code_detect mm_image_hist emb_recall_audit dedup_simhash
-  knn_pq_adc
+  mm_image_hist emb_recall_audit dedup_cluster
 )
 if [ ! -f target/sf9/_GRAFT_SYNTH_OK ]; then
   echo "[round_bench] synthesizing sf9 (90 replicas) ..."
