@@ -82,9 +82,10 @@ SF1_KEYS=(
   dedup_incr_near_serve
   # round-16 addition: the persisted pHash store serve face
   mm_phash_serve
-  # round-17 addition: duplicated-span removal (gram census + islands
-  # + reassembly — scale-sensitive on all three stages)
-  dedup_span_removal
+  # round-17 additions: duplicated-span removal and span-level
+  # benchmark decontamination (gram census/membership + islands +
+  # reassembly — scale-sensitive on all stages)
+  dedup_span_removal dedup_decontam_spans
 )
 
 # sf3 growth-curve set (round 14, verdict #4): the superlinear-RISK
@@ -109,7 +110,7 @@ SF3_KEYS=(
   text_code_detect text_collocation text_bigram_logprob
   text_winnow_overlap text_ngram_novelty
   mm_image_hist
-  dedup_span_removal
+  dedup_span_removal dedup_decontam_spans
 )
 
 # Bench-artifact guard (round-16, verdict #5): round 15's root

@@ -323,9 +323,21 @@ object Dedup {
       .filter(col("rn") > 1)
       .select(col("doc_id"), col("pos").cast("long").as("s"),
         least(col("pos") + lit(n - 1), col("len") - 1).as("e"))
-    // interval-union merge per doc (s is unique per doc — one gram per
-    // position); adjacent islands merge too (s == prev_e + 1 leaves no
-    // kept word between them)
+    exciseAnchors(toks, anchors)
+  }
+
+  /** The shared excision tail of the span faces ([[spanRemoval]],
+    * [[decontamSpans]]): merge per-doc anchor word-intervals into
+    * islands (interval union — the q51 sweep; adjacent islands merge
+    * too, since s == prev_e + 1 leaves no kept word between them),
+    * then reassemble each doc's kept text from the COMPLEMENT gaps by
+    * token-array slices — never per-word rows. `anchors` is
+    * (doc_id, s, e) inclusive word intervals; `toks` is
+    * (doc_id, toks) for EVERY doc that should appear in the output
+    * (anchor-free docs pass through verbatim). */
+  private def exciseAnchors(toks: DataFrame,
+      anchors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
     val wPrev = wDoc.rowsBetween(Window.unboundedPreceding, -1)
     val islands = anchors
@@ -339,9 +351,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("n_removed"),
         array_sort(collect_list(struct(col("s"), col("e")))).as("spans"))
-    // reassemble the gaps between islands: slice per GAP over the
-    // token array (islands are disjoint and non-adjacent after the
-    // merge, so every interior gap is non-empty)
+    // islands are disjoint and non-adjacent after the merge, so every
+    // interior gap is non-empty
     val rebuilt = expr(
       """array_join(flatten(transform(
         |  sequence(0, size(spans)),
@@ -359,6 +370,43 @@ object Dedup {
           .when(col("n_removed") === size(col("toks")), lit(null))
           .otherwise(rebuilt).as("text_kept"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Span-level benchmark DECONTAMINATION — [[contamination]]'s flag
+    * turned into the scrub a curation pipeline actually applies to
+    * long documents: excise from every TRAINING document exactly the
+    * word spans whose 13-grams occur anywhere in the evaluation set,
+    * keeping the rest of the document (dropping a whole web page for
+    * one quoted benchmark item throws away good tokens; dropping only
+    * the quoted span is the published middle ground). Benchmark
+    * members themselves are excluded from the output — they are not
+    * training data.
+    *
+    * Scale shape: the eval side is eval-suite-sized, so its DISTINCT
+    * gram-digest set BROADCASTS into the training gram stream
+    * (positional dual digests — word_gram_digests_bag2, the
+    * [[spanRemoval]] census grade); anchors need NO census window
+    * here (every benchmark-gram occurrence is removed, first included
+    * — the benchmark is held out, so nothing survives elsewhere), so
+    * the only exchanges are the per-doc island window over anchor
+    * rows and the doc-keyed join back to the token arrays. */
+  def decontamSpans(corpus: DataFrame, benchPred: Column,
+      n: Int = 13): DataFrame = {
+    val toks = corpus.filter(!benchPred)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val benchHashes = corpus.filter(benchPred)
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(call_function("word_gram_digests2", col("toks"),
+        lit(n))).as("h"))
+      .distinct()
+    val anchors = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+        posexplode(call_function("word_gram_digests_bag2", col("toks"),
+          lit(n))).as(Seq("pos", "h")))
+      .join(broadcast(benchHashes), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        least(col("pos") + lit(n - 1), col("len") - 1).as("e"))
+    exciseAnchors(toks, anchors)
   }
 
   /** Cluster-size-reweighted soft dedup (the UniMax/"count duplicates
@@ -1498,6 +1546,11 @@ object Dedup {
       substringStats(Tables.load(s, dir, "documents"))),
     "dedup_span_removal" -> ((s, dir) =>
       spanRemoval(Tables.load(s, dir, "documents"))),
+    // span-level decontamination vs the same every-50th-doc eval set
+    // as dedup_contain — the scrub, where dedup_contain is the flag
+    "dedup_decontam_spans" -> ((s, dir) =>
+      decontamSpans(Tables.load(s, dir, "documents"),
+        col("doc_id") % 50 === 0)),
     // corpus-frequency boilerplate removal (every copy of a segment
     // recurring in >= 3 distinct docs drops — segmentDedup's complement)
     "dedup_boilerplate" -> ((s, dir) =>
@@ -1668,6 +1721,67 @@ object Dedup {
         |FROM documents d
         |LEFT JOIN stats st USING (doc_id)
         |LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // full replay of decontamSpans: the benchmark's distinct dual-
+    // digest gram set, positional training grams (same short-doc
+    // rule), set-membership anchors, the island merge, and the
+    // independent per-WORD coverage reassembly (the span-removal
+    // oracle discipline — a wrong boundary fails the hash from the
+    // other dataflow)
+    "dedup_decontam_spans" ->
+      s"""WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 50 <> 0),
+        |bh AS MATERIALIZED (
+        |  SELECT DISTINCT
+        |    ${dualDigestSql("ARRAY_TO_STRING(t[i + 1 : i + 13], ' ')")}
+        |      AS g
+        |  FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM documents
+        |        WHERE doc_id % 50 = 0) b,
+        |    UNNEST(RANGE(0, GREATEST(LEN(t) - 12, 1))) r(i)),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos, LEN(t) AS len,
+        |    ${dualDigestSql("ARRAY_TO_STRING(t[i + 1 : i + 13], ' ')")}
+        |      AS g
+        |  FROM toks,
+        |    UNNEST(RANGE(0, GREATEST(LEN(t) - 12, 1))) r(i)),
+        |anchors AS MATERIALIZED (
+        |  SELECT doc_id, pos AS s, LEAST(pos + 12, len - 1) AS e
+        |  FROM grams WHERE g IN (SELECT g FROM bh)),
+        |marked AS MATERIALIZED (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > COALESCE(MAX(e) OVER (
+        |        PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -2) + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM anchors),
+        |islands AS MATERIALIZED (
+        |  SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+        |  FROM (SELECT *, SUM(brk) OVER (
+        |          PARTITION BY doc_id ORDER BY s) AS isl
+        |        FROM marked)
+        |  GROUP BY doc_id, isl),
+        |stats AS MATERIALIZED (
+        |  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS n_rm
+        |  FROM islands GROUP BY doc_id),
+        |words AS MATERIALIZED (
+        |  SELECT doc_id, i - 1 AS widx, t[i] AS w
+        |  FROM toks, UNNEST(RANGE(1, LEN(t) + 1)) r(i)),
+        |rebuilt AS MATERIALIZED (
+        |  SELECT doc_id, STRING_AGG(w, ' ' ORDER BY widx) AS text_kept
+        |  FROM words w
+        |  WHERE NOT EXISTS (SELECT 1 FROM islands s
+        |    WHERE s.doc_id = w.doc_id AND w.widx BETWEEN s.s AND s.e)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(st.n_rm, 0) AS BIGINT) AS n_words_removed,
+        |  r.text_kept
+        |FROM documents d
+        |LEFT JOIN stats st USING (doc_id)
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |WHERE d.doc_id % 50 <> 0
         |ORDER BY d.doc_id""".stripMargin,
     // the whole stage replayed: chunking, the engine's own
     // poly_digest segment fingerprint (first occurrence is chosen PER

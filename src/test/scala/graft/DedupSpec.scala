@@ -673,6 +673,48 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("decontam spans scrub exactly the benchmark-overlapping word " +
+    "ranges from training docs and exclude benchmark members") {
+    import spark.implicits._
+    def ws(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // 0: the BENCHMARK item (pred doc_id % 2 === 0 here)
+      (0L, ws(1, 20)),
+      // 1: clean training doc — untouched
+      (1L, ws(100, 125)),
+      // 3: training doc quoting the benchmark's w3..w17 mid-document —
+      // exactly the quoted 15 words scrubbed (anchors at the three
+      // fully-inside gram positions merge to one island)
+      (3L, "a1 a2 a3 a4 a5 " + ws(3, 17) + " b1 b2 b3 b4 b5"),
+      // 5: training doc that IS benchmark text verbatim — fully
+      // scrubbed, NULL text (every gram is a benchmark gram)
+      (5L, ws(1, 20)))
+      .toDF("doc_id", "text")
+    val got = Dedup.decontamSpans(docs, col("doc_id") % 2 === 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 26L, 0L, 0L, ws(100, 125)),
+      (3L, 25L, 1L, 15L, "a1 a2 a3 a4 a5 b1 b2 b3 b4 b5"),
+      (5L, 20L, 1L, 20L, null)))
+    // the scrub's complement of the flag: every doc contamination
+    // flags with n_hits > 0 loses words here, and clean docs lose none
+    val corpus = graft.sources.Tables.load(spark, sf, "documents")
+    val flagged = Dedup.contamination(corpus, col("doc_id") % 50 === 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scrubbed = Dedup.decontamSpans(corpus, col("doc_id") % 50 === 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scrubbed.nonEmpty && scrubbed.keySet.forall(_ % 50 != 0))
+    scrubbed.foreach { case (id, removed) =>
+      assert((removed > 0) == (flagged.getOrElse(id, 0L) > 0),
+        s"doc $id: scrub/flag disagree (removed=$removed, " +
+          s"hits=${flagged.getOrElse(id, 0L)})")
+    }
+    assert(scrubbed.values.exists(_ > 0),
+      "fixture corpus has no benchmark leakage to scrub")
+  }
+
   test("near-contamination catches paraphrased eval leaks that " +
     "verbatim containment misses") {
     import spark.implicits._
