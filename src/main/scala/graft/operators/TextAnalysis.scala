@@ -13,6 +13,25 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
+  /** Corpus handle for the registered faces. */
+  private def docsOf(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Corpus handle behind a compute-parallelism floor (Tables.spread —
+    * guide §2.5 input skew) for the faces whose first stage is HEAVY
+    * per-row compute (the R1-R6 HOF census, the PII regex bank, the
+    * winnow window scan, per-doc fingerprints): a byte-sized scan plan
+    * single-tasks those on a small input, serializing >1 s of per-row
+    * work on one core. Measured r17 (idle-gated medians, sf0.1):
+    * gopher 2.65->0.82, pii_scrub 1.10->0.67, fingerprint 0.88->0.71,
+    * winnow 1.99->1.80. NOT applied to the cheap-projection faces —
+    * the same measurement showed the extra exchange + 32-task
+    * scheduling REGRESSES any face whose per-row work is under ~0.5 s
+    * single-task (readability 0.24->0.66, zipf 0.31->0.62, ...), so
+    * the floor is a per-face decision, not a blanket one. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.load(s, dir, "documents"))
+
   /** Whitespace word array (single-space separated corpus). */
   private def words(c: Column): Column = split(c, " ")
 
@@ -112,6 +131,14 @@ object TextAnalysis {
           when(col("r_domword"), 0L).otherwise(16L) +
           when(col("r_dupbigram"), 0L).otherwise(32L)).as("reasons"))
       .withColumn("pass", col("reasons") === 0L)
+      // checkpoint before the presentation sort (the text_code_detect /
+      // mm_image_hist sort-sampling trap, BASELINE.md round-16 rule): a
+      // global orderBy range-partitions by SAMPLING its child, and the
+      // reservoir sampler consumes full partition iterators — without
+      // this the R1-R6 HOF census (the dominance scan especially) ran
+      // TWICE per execution; the checkpoint bounds the sampling pass to
+      // the ~60 B signal rows
+      .localCheckpoint(true)
       .orderBy(col("doc_id"))
   }
 
@@ -1077,55 +1104,55 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_novelty" -> ((s, dir) =>
-      ngramNovelty(Tables.load(s, dir, "documents"))),
+      ngramNovelty(docsOf(s, dir))),
     "text_code_detect" -> ((s, dir) =>
-      codeDetect(Tables.load(s, dir, "documents"))),
+      codeDetect(docsOf(s, dir))),
     "text_calibration" -> ((s, dir) =>
-      calibration(Tables.load(s, dir, "documents"))),
+      calibration(docsOf(s, dir))),
     "text_heaps" -> ((s, dir) =>
-      heapsGrowth(Tables.load(s, dir, "documents"))),
+      heapsGrowth(docsOf(s, dir))),
     "text_quality_auc" -> ((s, dir) =>
-      qualityAuc(Tables.load(s, dir, "documents"))),
+      qualityAuc(docsOf(s, dir))),
     "text_tfidf_keywords" -> ((s, dir) =>
-      tfidfKeywords(Tables.load(s, dir, "documents"))),
+      tfidfKeywords(docsOf(s, dir))),
     "text_bm25" -> ((s, dir) =>
-      bm25TopK(Tables.load(s, dir, "documents"))),
+      bm25TopK(docsOf(s, dir))),
     "text_unigram_logprob" -> ((s, dir) =>
-      unigramLogProb(Tables.load(s, dir, "documents"))),
+      unigramLogProb(docsOf(s, dir))),
     "text_pii_scrub" -> ((s, dir) =>
-      piiScrub(withSyntheticPii(Tables.load(s, dir, "documents")))),
+      piiScrub(withSyntheticPii(docsSpread(s, dir)))),
     "text_ngram_stats" -> ((s, dir) =>
-      ngramStats(Tables.load(s, dir, "documents"))),
-    "text_quality" -> ((s, dir) => quality(Tables.load(s, dir, "documents"))),
+      ngramStats(docsOf(s, dir))),
+    "text_quality" -> ((s, dir) => quality(docsOf(s, dir))),
     "text_gopher_rules" -> ((s, dir) =>
-      gopherRules(Tables.load(s, dir, "documents"))),
-    "text_zipf" -> ((s, dir) => zipfFit(Tables.load(s, dir, "documents"))),
+      gopherRules(docsSpread(s, dir))),
+    "text_zipf" -> ((s, dir) => zipfFit(docsOf(s, dir))),
     "text_url_canon" -> ((s, dir) =>
-      urlCanonDedup(Tables.load(s, dir, "documents"))),
-    "text_tokens" -> ((s, dir) => tokens(Tables.load(s, dir, "documents"))),
-    "text_langid" -> ((s, dir) => langId(Tables.load(s, dir, "documents"))),
+      urlCanonDedup(docsOf(s, dir))),
+    "text_tokens" -> ((s, dir) => tokens(docsOf(s, dir))),
+    "text_langid" -> ((s, dir) => langId(docsOf(s, dir))),
     "text_fingerprint" -> ((s, dir) =>
-      fingerprintGate(Tables.load(s, dir, "documents"))),
+      fingerprintGate(docsSpread(s, dir))),
     "text_winnow_overlap" -> ((s, dir) =>
-      winnowOverlapPairsPoly(Tables.load(s, dir, "documents"))),
+      winnowOverlapPairsPoly(docsSpread(s, dir))),
     "text_rep_words" -> ((s, dir) =>
-      repetition(Tables.load(s, dir, "documents"))),
+      repetition(docsOf(s, dir))),
     "text_chunk" -> ((s, dir) =>
-      chunk(Tables.load(s, dir, "documents"))),
+      chunk(docsOf(s, dir))),
     // Flesch readability: exact integer counts + one shared double op
     "text_readability" -> ((s, dir) =>
-      readability(Tables.load(s, dir, "documents"))),
+      readability(docsOf(s, dir))),
     // add-V-smoothed bigram LM, fixed-point term sums
     "text_bigram_logprob" -> ((s, dir) =>
-      bigramLogProb(Tables.load(s, dir, "documents"))),
+      bigramLogProb(docsOf(s, dir))),
     "text_entropy" -> ((s, dir) =>
-      entropy(Tables.load(s, dir, "documents"))),
+      entropy(docsOf(s, dir))),
     "text_ppl_bucket" -> ((s, dir) =>
-      pplBucket(Tables.load(s, dir, "documents"))),
+      pplBucket(docsOf(s, dir))),
     "text_collocation" -> ((s, dir) =>
-      collocations(Tables.load(s, dir, "documents"))),
+      collocations(docsOf(s, dir))),
     "text_bpe_merge" -> ((s, dir) =>
-      bpeMergeCandidates(Tables.load(s, dir, "documents"))))
+      bpeMergeCandidates(docsOf(s, dir))))
 
   def oracleSql: Map[String, String] = Map(
     // same sliding grams (inclusive 1-based slice) hashed with the

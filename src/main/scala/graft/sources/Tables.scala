@@ -49,4 +49,22 @@ object Tables {
     * spark.sql can address them by name. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Compute-parallelism floor for frames feeding HEAVY per-row work
+    * (guide §2.5 "input skew": one small/unsplittable input file =
+    * one task). Scan parallelism is BYTE-derived (maxPartitionBytes /
+    * openCostInBytes / row-group granularity), which is the right
+    * sizing for I/O-bound scans but starves compute-bound projections:
+    * a sub-4 MB parquet fixture plans as ONE task, so a per-row
+    * decode/census/regex stage serializes on one core regardless of
+    * cluster width. When the planned scan parallelism is below the
+    * session default, round-robin repartition up to it; when the input
+    * already splits to >= default parallelism (any at-scale table),
+    * this is a NO-OP — no exchange is added, the plan is unchanged.
+    * Scale-adaptive by construction: derived from the frame's own
+    * planned partitioning, never a tuned constant. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }
