@@ -25,10 +25,14 @@ object Profile {
     val starts = scala.collection.concurrent.TrieMap[Int, (Long, String)]()
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Double)]()
     sc.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val site = j.stageInfos.lastOption.map(si =>
+          si.name.take(60) + " tasks=" +
+            j.stageInfos.map(_.numTasks).sum).getOrElse("")
         starts(j.jobId) = (System.nanoTime(),
           Option(j.properties.getProperty("spark.job.description"))
-            .getOrElse(""))
+            .getOrElse(site))
+      }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.remove(j.jobId).foreach { case (t0, d) =>
           jobs.add((j.jobId, d, (System.nanoTime() - t0) / 1e9)) }

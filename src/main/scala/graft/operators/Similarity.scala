@@ -1014,8 +1014,17 @@ object Similarity {
     // Lloyd passes run over the bounded hash-order sample (256·K
     // vectors — [[trainingSample]]); consumers assign the FULL corpus
     // against the trained codebook
+    // the sample is TakeOrderedAndProject output — ONE partition no
+    // matter the corpus layout — and every Lloyd pass's assignment
+    // (sample × M·K centroid array ops) would serialize on one core;
+    // spread restores compute parallelism on the FINE grids (measured
+    // r17: the m=32 faces' training pass was a 1.8-2.0 s single-task
+    // job; at the default m=4 the same pass is light and the extra
+    // exchange + 32-task scheduling REGRESSED emb_pq ~1.6x, so the
+    // floor applies from m >= 16 only)
+    val sampled = trainingSample(vecs, 256 * k).localCheckpoint(true)
     val sub = pqSubvectors(
-      trainingSample(vecs, 256 * k).localCheckpoint(true), m)
+      if (m >= 16) Tables.spread(sampled) else sampled, m)
     val seed = vecs
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
       .select(col("vec_id").as("c_id"), col("embedding"),
@@ -1039,7 +1048,15 @@ object Similarity {
       m: Int = PqM): (DataFrame, DataFrame) = {
     val cents = pqCodebooks(vecs, k, refineIters, m)
       .localCheckpoint(true)
-    val assigned = pqAssign(pqSubvectors(vecs, m), pqPackByM(cents))
+    // full-corpus encode: M·K centroid array ops per vector —
+    // compute-bound, and single-task when the corpus frame rides a
+    // one-split scan or a checkpointed narrow lineage (profiled r17:
+    // 2.3-2.5 s on one task in knn_pq_adc/knn_ivfpq). Same m-gate as
+    // the training spread: at the default m=4 the encode is light and
+    // the exchange regresses the coarse-grid faces.
+    val assigned = pqAssign(
+      pqSubvectors(if (m >= 16) Tables.spread(vecs) else vecs, m),
+      pqPackByM(cents))
       .localCheckpoint(true)
     (cents, assigned)
   }
