@@ -2053,7 +2053,10 @@ object Similarity {
     val every = math.max(100L, (n + 127) / 128)
     val bm = TextAnalysis.bm25TopK(docs, every, 8, k)
       .select(col("query_id"), col("doc_id"), col("rk").as("bm25_rk"))
-    val kn = knnBrute(vecs, col("vec_id") % every === 0, k)
+    // the brute leg is ~128 queries × n cosines — compute-bound, and
+    // single-task on a one-split corpus scan (r17 profile: a 0.94 s
+    // tasks=2 job); spread is a no-op on an already wide corpus
+    val kn = knnBrute(Tables.spread(vecs), col("vec_id") % every === 0, k)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("knn_rk"))
     bm.join(kn, Seq("query_id", "doc_id"), "full_outer")
