@@ -32,6 +32,14 @@ object GraftSession {
       // cheap keys read 2-3x their back-to-back timings). Size it to
       // hold the full registry with headroom.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // COUNT/MIN/MAX over a bare parquet scan answer from row-group
+      // footers instead of scanning pages (exact by definition —
+      // footers carry the committed row counts). Several operators
+      // derive corpus-size-adaptive geometry from a driver-side
+      // count() of a base table (graph sample modulus, ADC candidate
+      // budgets, audit bounds); this makes those jobs metadata-only at
+      // ANY scale. Correctness-neutral: same exact values.
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
