@@ -77,8 +77,17 @@ object Streaming {
     * leg is fixed-size state per group at any cardinality — the
     * 100 TB path keeps only the sketch. */
   def batchDistinctUsers(events: DataFrame): DataFrame =
-    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(countDistinct(col("user_id")).as("n_exact"),
+    // r17: pre-distinct the (window, type, user) triples, then COUNT
+    // the triples exactly and sketch the SAME deduplicated stream —
+    // an HLL++ register is a max over per-value rhos, so duplicate
+    // inserts cannot move the estimate (bit-identical either way).
+    // Removes the mixed-distinct Expand's 2x event replication (the
+    // q21_approx_distinct decomposition; measured 2.54 → 1.95 s).
+    events.select(window(col("ts"), "1 hour").as("window"),
+        col("event_type"), col("user_id"))
+      .distinct()
+      .groupBy(col("window"), col("event_type"))
+      .agg(count(lit(1)).as("n_exact"),
         approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_exact"),
