@@ -497,14 +497,18 @@ object Graph {
     var deg = deg0.select(col("src").as("node"), col("deg0").as("deg"))
     var removed: DataFrame = null
     for (r <- 1 to rounds) {
+      // cut/alive/removed are narrow filters of the PER-ROUND
+      // CHECKPOINTED deg table — deriving them lazily re-reads
+      // materialized blocks, so their own eager checkpoints bought
+      // nothing and cost three driver-blocking jobs per round (r17;
+      // the e/deg checkpoints below are the load-bearing ones that
+      // cap the loop's lineage)
       val cut = deg.filter(col("deg") < k)
         .select(col("node"), lit(r.toLong).as("removed_round"))
-        .localCheckpoint(true)
       removed =
         if (removed == null) cut
-        else removed.unionAll(cut).localCheckpoint(true)
+        else removed.unionAll(cut)
       val alive = deg.filter(col("deg") >= k).select(col("node"))
-        .localCheckpoint(true)
       e = e.join(alive.withColumnRenamed("node", "src"), "src")
         .join(alive.withColumnRenamed("node", "dst"), "dst")
         .localCheckpoint()

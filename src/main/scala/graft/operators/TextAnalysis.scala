@@ -811,8 +811,12 @@ object TextAnalysis {
     // doc lengths come straight off the scan (size of the word array —
     // identical to summing per-term tf), so corpus stats are a
     // shuffle-free scalar aggregate
+    // checkpointed: consumed twice (the corpus-stats scalar below and
+    // the scoring join), and each lazy evaluation re-ran the full
+    // tokenize off the scan (r17; 16 B/doc materialized)
     val dl = docs.select(col("doc_id"),
       size(words(col("text"))).cast("long").as("dl"))
+      .localCheckpoint(true)
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
     val n = stats.getLong(0)
     if (n == 0) // empty corpus: empty result, usual schema
