@@ -35,8 +35,21 @@ object Graph {
     * in the graph has out-degree ≥ 1 (no dangling-mass special case).
     */
   def coPurchaseEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // EXPLICIT-width hash repartition on the join key (guide §2.5
+    // compute fan-out): the orderkey join's post-shuffle stage carries
+    // few bytes but heavy per-row work (fact-scale SMJ + pair
+    // projection + partial distinct), and AQE's byte-based coalescing
+    // squeezed it to 3 of 32 slots at sf0.1 (profiled r18: a 0.49 s
+    // 3-task stage on every co-purchase consumer). A user repartition
+    // with an explicit partition count is exempt from AQE coalescing,
+    // satisfies the join's required distribution (no extra exchange —
+    // the join needed these two shuffles anyway), and derives its
+    // width from the session, never a tuned constant.
+    val width = orders.sparkSession.sparkContext.defaultParallelism
     val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+      .repartition(width, col("o_orderkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        .repartition(width, col("l_orderkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"),
         (col("l_suppkey") * 2 + 1).as("s"))
@@ -128,6 +141,15 @@ object Graph {
       if (sampleMod > 0L) sampleMod
       else Knobs.optLong("graph.sample_mod")
         .getOrElse(autoSampleMod(lineitem.count()))
+    // NOT widened (unlike coPurchaseEdges): the same explicit-width
+    // repartition treatment was measured r18 in two variants — one
+    // ok-keyed exchange shared by distinct and self-join (re-ran the
+    // final distinct once per join side inside the wide stage), and
+    // both exchanges explicit at session width (flat: the derivation's
+    // ~1.0 s wall here is sequential-stage latency, not slot
+    // starvation — each widened stage ran 0.3 s regardless). Both
+    // variants measured >= the AQE-coalesced original on the six
+    // co-supply consumers; keeping the planner's shape.
     val os = lineitem
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
       .distinct()
