@@ -808,16 +808,23 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, every: Long = 100, qTerms: Int = 8,
       k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // compute-parallelism floor (r17 Tables.spread discipline): every
+    // pass below tokenizes the corpus, and a one-split documents scan
+    // serializes that per-row work on one core — no-op once the input
+    // splits wide (any at-scale table)
+    val d = Tables.spread(docs)
     // doc lengths come straight off the scan (size of the word array —
     // identical to summing per-term tf), so corpus stats are a
     // shuffle-free scalar aggregate
     // checkpointed: consumed twice (the corpus-stats scalar below and
     // the scoring join), and each lazy evaluation re-ran the full
-    // tokenize off the scan (r17; 16 B/doc materialized)
-    val dl = docs.select(col("doc_id"),
-      size(words(col("text"))).cast("long").as("dl"))
-      .localCheckpoint(true)
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
+    // tokenize off the scan (r17; 16 B/doc materialized); the stats
+    // scalar rides the checkpoint job itself (r18 Probes fusion — one
+    // job, not checkpoint + aggregate)
+    val (dl, stats) = graft.plans.Probes.checkpointObserved(
+      d.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("dl")),
+      count(lit(1)).as("n"), sum(col("dl")).as("tot"))
     val n = stats.getLong(0)
     if (n == 0) // empty corpus: empty result, usual schema
       return docs.sparkSession.emptyDataFrame.select(
@@ -832,11 +839,16 @@ object TextAnalysis {
     // prune the token stream to query terms BEFORE any shuffle: the
     // broadcast semi-join evaluates map-side, so the (doc, term)
     // aggregation only ever shuffles query-term hits — the corpus
-    // token stream itself never crosses the wire
-    val tf = docs
+    // token stream itself never crosses the wire.
+    // checkpointed (r18): tf feeds BOTH the probe join and the df
+    // table, and each lazy evaluation re-ran the full corpus tokenize
+    // + semi-join off the scan (profiled: two ~0.3-0.6 s passes per
+    // execution); the materialized frame is query-hit-sized
+    val tf = d
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .join(broadcast(qw.select(col("w")).distinct()), Seq("w"), "left_semi")
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val probe = tf.join(broadcast(qw), "w")
     // df per query term over ALL docs holding it: tf is already one
     // row per (doc, term), so a per-term count IS the document
